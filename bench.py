@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is total wall-clock over the headline set after a warm-up of
+the session (JVM + parquet footer caches), matching how a resident
+Spark service would run. Each query executes its full plan to
+completion (count-collapsed via ``df.count()`` — aggregations here
+return small results, so the dominant cost is the scan/shuffle work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mit_map_reduce_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per capability pillar, heaviest variants.
+HEADLINE = (
+    "mr_wordcount",
+    "mr_inverted_index",
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_window_running_spend",
+    "rel_scalar_json_events",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_cosine_pairs",
+    "sim_ann_bruteforce_topk",
+    "sim_ann_lsh_topk",
+    "text_quality",
+    "text_fingerprint",
+    "mm_decode_assets",
+    "stream_session_windows",
+)
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    spark = get_spark("mmrs_bench")
+
+    # Warm-up: JVM JIT + file listing; tiny query, not a headline run.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Reusable Column expressions (all JVM-side, codegen-friendly).
+
+Everything here compiles to Catalyst expressions — no Python UDFs —
+so whole-stage codegen keeps the hot path in the JVM at any scale.
+Cross-engine determinism note: several operators are differential-
+tested against DuckDB, so these helpers only use constructs with
+bit-identical semantics in both engines (md5 hex strings, integer
+arithmetic, IEEE double ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tokenization pattern matching the reference's non-letter split
+#: (reference src/mrapps/wc.go:21-24). ASCII letters suffice for the
+#: synthetic corpus; swap for \\p{L} when corpora are multilingual.
+LETTER_SPLIT = "[^a-zA-Z]+"
+
+
+def tokenize_letters(text: Column) -> Column:
+    """Array of letter-run tokens, empties removed."""
+    return F.filter(F.split(text, LETTER_SPLIT), lambda w: w != "")
+
+
+def whitespace_tokens(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def word_kgrams(words: Column, k: int, sep: str = " ") -> Column:
+    """Array of word k-gram shingles (contiguous, order-preserving).
+
+    Pure Catalyst: transform over an index sequence + array slice, so
+    shingling 100 TB of documents never leaves the JVM.
+    """
+    n = F.size(words)
+    return F.when(n < k, F.array()).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.array_join(F.slice(words, i, k), sep),
+        )
+    )
+
+
+def vec_norm(vec: Column) -> Column:
+    """L2 norm, accumulated in double in index order."""
+    return F.sqrt(
+        F.aggregate(
+            vec,
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Dot product in double, sequential accumulation (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_similarity(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None) -> Column:
+    """Cosine similarity; pass precomputed norms to avoid recompute in joins."""
+    na = norm_a if norm_a is not None else vec_norm(a)
+    nb = norm_b if norm_b is not None else vec_norm(b)
+    return dot_product(a, b) / (na * nb)
+
+
+def round_half_up(col: Column, digits: int) -> Column:
+    """Deterministic cross-engine rounding: floor(x*10^d + 0.5)/10^d.
+
+    Engine-native round() disagrees between Spark and DuckDB when a
+    double sits exactly on a decimal half-boundary (e.g. Spark
+    round(0.43174999999999997, 4) = 0.4317, DuckDB = 0.4318). This
+    formulation uses only IEEE multiply/add/floor/divide, which both
+    engines execute identically — the oracles spell out the same
+    expression (see sql_round in each operator module).
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    f = float(10**digits)
+    return F.floor(col * f + F.lit(0.5)) / f
+
+
+def sql_round(expr: str, digits: int) -> str:
+    """DuckDB-side twin of round_half_up (textual SQL)."""
+    f = float(10**digits)
+    return f"floor(({expr}) * {f} + 0.5) / {f}"
+
+
+def hex_digit_val(ch: Column) -> Column:
+    """Value 0..15 of a lowercase hex digit character.
+
+    ``conv(ch, 16, 10)`` on the Spark side; the DuckDB oracles use
+    ``strpos('0123456789abcdef', ch) - 1`` — identical results. Used to
+    derive deterministic pseudo-random values from md5 hex strings for
+    SimHash bits and LSH hyperplanes, so the differential tests can
+    reproduce them bit-for-bit in plain SQL.
+    """
+    return F.conv(ch, 16, 10).cast("int")

@@ -1,0 +1,370 @@
+"""Deduplication operators over ``documents`` / ``embeddings``.
+
+Beyond-reference capability (the reference engine has no dedup — its
+closest primitive is group-by-key; SURVEY §2c): the operator set a
+large-scale training-data pipeline needs, each expressed as shuffles
+over derived keys so they scale horizontally:
+
+- exact dedup          — hash-groupBy on md5(text); one shuffle.
+- MinHash signatures   — shingle → per-hash min; LSH band buckets give
+  candidate pairs WITHOUT the O(n^2) cross join; verified by exact
+  Jaccard on candidates only.
+- SimHash              — 32-bit sign-of-weighted-sum fingerprint;
+  equal-fingerprint bucketing.
+- n-gram Jaccard       — sparse similarity join via the shingle
+  inverted index (pairs must share >= 1 shingle).
+- embedding cosine     — exact all-pairs baseline at test SF; the
+  LSH-bucketed scale path lives in operators/similarity.py.
+
+Cross-engine determinism: all pseudo-randomness derives from md5 hex
+strings (identical in Spark and DuckDB) and "min over hex string"
+order, so every operator here has an exact SQL oracle — no RNG, no
+seed mismatch. Spark's built-in MinHashLSH (pyspark.ml) uses seeded
+random affine hashes that no external oracle can reproduce; this
+formulation trades a constant factor for differential testability
+while keeping the same shuffle shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.functions.columns import (
+    round_half_up,
+    dot_product,
+    tokenize_letters,
+    vec_norm,
+    word_kgrams,
+)
+
+N_HASHES = 8  # minhash functions
+BAND_ROWS = 2  # rows per LSH band -> 4 bands
+SHINGLE_K = 5  # word-shingle width
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.35
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — distinct word-5-gram shingles per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_kgrams(tokenize_letters(F.col("text")), SHINGLE_K))
+        ).alias("shingle"),
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id.
+
+    At 100 TB this is a single hash shuffle on a 32-byte key; the text
+    column itself never shuffles (md5 computed map-side).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h, minhash): h-th MinHash = min over shingles of
+    md5(h || ':' || shingle), compared as a hex string.
+
+    min-over-hash is an algebraic aggregate, so Spark computes it
+    map-side; the shuffle carries N_HASHES rows per document, not the
+    shingle set.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    hashes = F.array(*[F.lit(i) for i in range(N_HASHES)])
+    return (
+        sh.select("doc_id", "shingle", F.explode(hashes).alias("h"))
+        .select(
+            "doc_id",
+            "h",
+            F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))).alias("hv"),
+        )
+        .groupBy("doc_id", "h")
+        .agg(F.min("hv").alias("minhash"))
+    )
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — concat of the band's minhashes."""
+    return (
+        sig.withColumn("band", F.floor(F.col("h") / BAND_ROWS))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash LSH, verified with exact Jaccard.
+
+    Candidate generation is a self-equi-join on (band, band_key) — the
+    classic band-bucket trick that avoids the O(n^2) cross join; exact
+    Jaccard is then computed ONLY for candidates, via the shingle
+    inverted index.
+    """
+    sig = minhash_signatures(spark, sf_dir)
+    bands = _band_keys(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.shingle") == F.col("sb.shingle")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .withColumn(
+            "jaccard",
+            round_half_up(F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document as a '0'/'1' bit string.
+
+    Bit b of md5(word) is extracted arithmetically from the hex digits
+    so the oracle can reproduce it; contribution = word frequency *
+    (2*bit - 1); fingerprint bit = sign of the sum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(tokenize_letters(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bits = F.array(*[F.lit(i) for i in range(32)])
+    digit = F.conv(
+        F.md5("word").substr(F.floor(F.col("b") / 4).cast("int") + 1, F.lit(1)),
+        16,
+        10,
+    ).cast("int")
+    # (digit >> (3 - b%4)) & 1, written as div/mod because the shift
+    # amount is a column (F.shiftright needs a literal).
+    bit = (
+        F.floor(digit / F.pow(F.lit(2.0), (3 - (F.col("b") % 4)).cast("double"))).cast("long") % 2
+    )
+    contrib = F.col("cnt") * (2 * bit - 1)
+    per_bit = (
+        wc.select("doc_id", "word", "cnt", F.explode(bits).alias("b"))
+        .select("doc_id", "b", contrib.alias("contrib"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .select(
+            "doc_id",
+            "b",
+            F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("c"),
+        )
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("b", "c"))), lambda s: s["c"]),
+            "",
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
+
+    The inverted-index join makes this sparse: cost is sum over
+    shingles of (docs-per-shingle)^2, not n^2. Hot shingles (stop
+    phrases) are the skew risk at scale — AQE skew-join handles
+    moderate cases; a frequency cap on shingles is the escape hatch.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").alias("n_shared"),
+            round_half_up(F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")), 4).alias("jaccard"),
+        )
+    )
+
+
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs (baseline; quadratic by design).
+
+    Norms are precomputed once per vector so the pair loop is a single
+    dot product. This is the correctness baseline for the LSH-bucketed
+    scale path in operators/similarity.py — run it only at audit SF.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            round_half_up(cos, 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_signatures": minhash_signatures,
+    "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_simhash_fingerprints": simhash_fingerprints,
+    "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_embedding_cosine_pairs": embedding_dup_pairs,
+}
+
+# Shared SQL fragments (DuckDB). range(1, n) is end-exclusive and
+# yields an empty list when n <= 1, which drops docs shorter than the
+# shingle width — same as the Spark side.
+_WORDS = "list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'), x -> x <> '')"
+_SHINGLES_CTE = f"""
+    words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws) - {SHINGLE_K - 2}),
+                          i -> array_to_string(ws[i:i + {SHINGLE_K - 1}], ' '))) AS shingle
+            FROM words
+        )
+    )
+"""
+_SIG_CTE = f"""
+    sig AS (
+        SELECT doc_id, CAST(t.h AS INTEGER) AS h,
+               min(md5(CAST(t.h AS VARCHAR) || ':' || shingle)) AS minhash
+        FROM sh CROSS JOIN range({N_HASHES}) t(h)
+        GROUP BY doc_id, t.h
+    )
+"""
+
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               min(doc_id) AS keep_doc_id
+        FROM documents
+        GROUP BY md5(text)
+    """,
+    "dedup_minhash_signatures": f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE}
+        SELECT doc_id, h, minhash FROM sig
+    """,
+    "dedup_minhash_lsh_pairs": f"""
+        WITH {_SHINGLES_CTE}, {_SIG_CTE},
+        bands AS (
+            SELECT doc_id, h // {BAND_ROWS} AS band,
+                   string_agg(minhash, '|' ORDER BY h) AS band_key
+            FROM sig GROUP BY doc_id, h // {BAND_ROWS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT doc_a, doc_b, count(*) AS inter
+            FROM cand
+            JOIN sh sa ON sa.doc_id = doc_a
+            JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+            GROUP BY doc_a, doc_b
+        )
+        SELECT doc_a, doc_b,
+               floor((inter / (za.sz + zb.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE floor((inter / (za.sz + zb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_simhash_fingerprints": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+        ),
+        wc AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word),
+        per_bit AS (
+            SELECT doc_id, b,
+                   sum(cnt * (2 * (((strpos('0123456789abcdef',
+                            substr(md5(word), CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
+                        >> (3 - CAST(b % 4 AS INTEGER))) & 1) - 1)) AS s
+            FROM wc CROSS JOIN range(32) t(b)
+            GROUP BY doc_id, b
+        )
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+        FROM per_bit GROUP BY doc_id
+    """,
+    "dedup_ngram_jaccard_pairs": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter
+            FROM sh sa JOIN sh sb
+              ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+            GROUP BY sa.doc_id, sb.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(inter AS BIGINT) AS n_shared,
+               floor((inter / (za.sz + zb.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+    """,
+    "dedup_embedding_cosine_pairs": f"""
+        WITH nrm AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_sum(list_transform(range(1, 65),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (a.nrm * b.nrm) AS c
+            FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos
+        FROM pairs WHERE floor((c) * 10000.0 + 0.5) / 10000.0 >= {COSINE_DUP_THRESHOLD}
+    """,
+}

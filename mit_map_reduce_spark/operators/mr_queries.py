@@ -1,0 +1,87 @@
+"""The reference's application queries, DataFrame-native.
+
+These are the Catalyst-optimized formulations of the two real
+reference apps (``src/mrapps/wc.go``, ``src/mrapps/indexer.go``) run
+over the ``documents`` table. Unlike the opaque-closure facade in
+:mod:`mit_map_reduce_spark.mapreduce`, these get map-side partial
+aggregation, whole-stage codegen, and parquet column pruning — the
+scan reads only ``text``/``doc_id``. The reference ships one
+``(word, "1")`` pair per occurrence across its shuffle with no
+combiner (``src/mrapps/wc.go:27-30``); Spark's hash aggregate shuffles
+one partial count per (partition, word) instead, which is the main
+reason this formulation survives 100 TB while the literal port would
+not.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.functions.columns import tokenize_letters
+
+
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count, semantics of reference src/mrapps/wc.go:19-40.
+
+    Case-sensitive, tokens = maximal letter runs, one row per word.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokenize_letters(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index, semantics of reference src/mrapps/indexer.go:20-39.
+
+    Per word: number of distinct documents + comma-joined doc list
+    sorted ascending (the reference sorts inside reduce because value
+    order is unspecified — invariant preserved here by sorting in the
+    aggregate).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(tokenize_letters(F.col("text")))).alias("word"),
+    )
+    return words.groupBy("word").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("doc_list"),
+    )
+
+
+QUERIES = {
+    "mr_wordcount": mr_wordcount,
+    "mr_inverted_index": mr_inverted_index,
+}
+
+_TOKENS = "list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'), x -> x <> '')"
+
+ORACLES = {
+    "mr_wordcount": f"""
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest({_TOKENS}) AS word FROM documents)
+        GROUP BY word
+    """,
+    "mr_inverted_index": f"""
+        WITH pairs AS (
+            SELECT DISTINCT doc_id, word
+            FROM (SELECT doc_id, unnest({_TOKENS}) AS word FROM documents)
+        )
+        SELECT word,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list
+        FROM pairs
+        GROUP BY word
+    """,
+}

@@ -1,0 +1,352 @@
+"""Relational operator library over the star schema (SURVEY.md §2c gap-fill).
+
+The reference has NO joins, windows, sorts, set ops, or scalar-function
+operators — its only inter-record operation is group-by-key (reference
+``src/mr/worker.go:201-210``; SURVEY §2c). Each query here fills one
+capability category, expressed declaratively so Catalyst applies
+predicate pushdown, column pruning, and join-strategy selection.
+
+Scale notes baked into every query:
+- dimension joins (region/nation/supplier/part) are explicitly
+  ``F.broadcast`` — no shuffle of the fact table for dim lookups;
+- aggregates are plain ``groupBy().agg`` — Spark does map-side partial
+  aggregation automatically (the reference has no combiner at all);
+- money aggregates are rounded at the END (display concern), never
+  before aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mit_map_reduce_spark.functions.columns import round_half_up
+from mit_map_reduce_spark.catalog import load_table
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# --- aggregation: TPC-H Q1 shape (full-scan agg, 8 aggregates) ---------
+
+
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
+            round_half_up(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- join + agg + top-k: TPC-H Q3 shape --------------------------------
+
+
+def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp"))
+    # customer is the small side after the segment filter -> broadcast;
+    # orders-lineitem is the big join and shuffles on the order key.
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# --- 6-way join: TPC-H Q5 shape ----------------------------------------
+
+
+def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# --- window: top-k per group -------------------------------------------
+
+
+def rel_topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", round_half_up("p_retailprice", 2).alias("p_retailprice"), "rnk")
+    )
+
+
+# --- window: running aggregate -----------------------------------------
+
+
+def rel_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        round_half_up(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+# --- set operations ----------------------------------------------------
+
+
+def rel_setops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    big = orders.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    parts = [
+        ("union", rich.union(big).distinct()),
+        ("intersect", rich.intersect(big)),
+        ("except", rich.subtract(big)),  # EXCEPT (set semantics), like SQL
+    ]
+    out = None
+    for op, df in parts:
+        one = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+# --- semi / anti joins --------------------------------------------------
+
+
+def rel_anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+def rel_semi_join_urgent_buyers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --- scalar functions: JSON + date + math over events ------------------
+
+
+def rel_scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy(F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+            round_half_up(F.avg(k), 4).alias("avg_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+# --- rollup ------------------------------------------------------------
+
+
+def rel_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        round_half_up(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
+# --- distinct aggregates ------------------------------------------------
+
+
+def rel_distinct_aggs_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.count("*").alias("n_orders"),
+            round_half_up(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+        )
+    )
+
+
+QUERIES = {
+    "rel_q1_pricing_summary": rel_q1_pricing_summary,
+    "rel_q3_shipping_priority": rel_q3_shipping_priority,
+    "rel_q5_local_supplier_volume": rel_q5_local_supplier_volume,
+    "rel_topk_parts_per_brand": rel_topk_parts_per_brand,
+    "rel_window_running_spend": rel_window_running_spend,
+    "rel_setops_summary": rel_setops_summary,
+    "rel_anti_join_customers_without_orders": rel_anti_join_customers_without_orders,
+    "rel_semi_join_urgent_buyers_per_nation": rel_semi_join_urgent_buyers_per_nation,
+    "rel_scalar_json_events": rel_scalar_json_events,
+    "rel_rollup_acctbal": rel_rollup_acctbal,
+    "rel_distinct_aggs_per_segment": rel_distinct_aggs_per_segment,
+}
+
+ORACLES = {
+    "rel_q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+               floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+               floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
+               floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+               floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+               floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "rel_q3_shipping_priority": """
+        SELECT l_orderkey,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-07-01'
+          AND l_shipdate > TIMESTAMP '1998-07-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "rel_q5_local_supplier_volume": """
+        SELECT n_name,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+    """,
+    "rel_topk_parts_per_brand": """
+        SELECT p_brand, p_partkey, floor((p_retailprice) * 100.0 + 0.5) / 100.0 AS p_retailprice, rnk
+        FROM (
+            SELECT p_brand, p_partkey, p_retailprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rnk
+            FROM part
+        )
+        WHERE rnk <= 3
+    """,
+    "rel_window_running_spend": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               floor((sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_spend
+        FROM orders
+    """,
+    "rel_setops_summary": """
+        WITH rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000),
+             big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000)
+        SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT k FROM rich UNION SELECT k FROM big)
+        UNION ALL
+        SELECT 'intersect', CAST(count(*) AS BIGINT)
+            FROM (SELECT k FROM rich INTERSECT SELECT k FROM big)
+        UNION ALL
+        SELECT 'except', CAST(count(*) AS BIGINT)
+            FROM (SELECT k FROM rich EXCEPT SELECT k FROM big)
+    """,
+    "rel_anti_join_customers_without_orders": """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "rel_semi_join_urgent_buyers_per_nation": """
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+    """,
+    "rel_scalar_json_events": """
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+               floor((avg(CAST(json_extract_string(props, '$.k') AS INTEGER))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events
+        GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+    """,
+    "rel_rollup_acctbal": """
+        SELECT r_name, n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "rel_distinct_aggs_per_segment": """
+        SELECT c_mktsegment,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor((avg(o_totalprice)) * 100.0 + 0.5) / 100.0 AS avg_order_value
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+}

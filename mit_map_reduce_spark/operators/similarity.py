@@ -1,0 +1,206 @@
+"""Similarity search over the ``embeddings`` table (beyond-reference).
+
+Two paths, as a large-scale pipeline needs both:
+
+- brute-force top-k: broadcast the (small) query set against the full
+  corpus — one scan, no shuffle of the corpus, per-query top-k via a
+  window. Exact; cost O(|corpus| * |queries|).
+- LSH-bucketed top-k: random-hyperplane signatures bucket the corpus;
+  candidates are bucket-mates only. The corpus is scanned once to
+  compute signatures, then the search is an equi-join on the bucket
+  key — this is the plan shape that survives a 100 TB corpus, at the
+  price of approximate recall.
+
+Hyperplanes are derived from md5 hex digits (see functions.columns.
+hex_digit_val) instead of an RNG so the DuckDB oracle reproduces them
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.functions.columns import round_half_up, dot_product, vec_norm
+
+TOP_K = 5
+N_PLANES = 4  # 2^4 = 16 buckets
+DIM = 64
+QUERY_FILTER = "vec_id % 100 = 0"  # deterministic small query set
+
+
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for each query vector (vec_id % 100 == 0)."""
+    emb = _emb_with_norm(spark, sf_dir)
+    queries = emb.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot_product(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("c"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", round_half_up("c", 4).alias("cos"))
+    )
+
+
+def _signatures(emb: DataFrame, spark: SparkSession) -> DataFrame:
+    """(vec_id, bucket): bucket = concat of hyperplane signs.
+
+    Plane component p(h, j) = hexval(md5(h || '_' || j)[0]) - 7.5,
+    h in [0, N_PLANES), j in [0, DIM). Computed via posexplode +
+    broadcast join with the tiny plane table, then re-aggregated — one
+    shuffle of (vec_id, h, partial-dot) rows, never the vectors
+    themselves.
+    """
+    planes = (
+        spark.range(N_PLANES)
+        .withColumnRenamed("id", "h")
+        .crossJoin(spark.range(DIM).withColumnRenamed("id", "j"))
+        .select(
+            "h",
+            "j",
+            (
+                F.conv(F.substring(F.md5(F.concat_ws("_", "h", "j")), 1, 1), 16, 10).cast("double")
+                - F.lit(7.5)
+            ).alias("p"),
+        )
+    )
+    comps = emb.select("vec_id", F.posexplode("embedding").alias("j", "x"))
+    dots = (
+        comps.join(F.broadcast(planes), "j")
+        .groupBy("vec_id", "h")
+        .agg(F.sum(F.col("x").cast("double") * F.col("p")).alias("dot"))
+    )
+    return dots.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("h", F.when(F.col("dot") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("s"))
+                    )
+                ),
+                lambda s: s["s"],
+            ),
+            "",
+        ).alias("bucket")
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    emb = _emb_with_norm(spark, sf_dir)
+    sig = _signatures(emb, spark)
+    embs = emb.join(sig, "vec_id")
+    queries = embs.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = embs.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot_product(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("c"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", round_half_up("c", 4).alias("cos"))
+    )
+
+
+QUERIES = {
+    "sim_ann_bruteforce_topk": ann_bruteforce_topk,
+    "sim_ann_lsh_topk": ann_lsh_topk,
+}
+
+_DOT = """list_sum(list_transform(range(1, {dim1}),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))"""
+_NRM_CTE = """
+    nrm AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    )
+"""
+
+ORACLES = {
+    "sim_ann_bruteforce_topk": f"""
+        WITH {_NRM_CTE},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_DOT.format(dim1=DIM + 1)} / (q.nrm * c.nrm) AS c
+            FROM nrm q JOIN nrm c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
+                   floor((c) * 10000.0 + 0.5) / 10000.0 AS cos
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "sim_ann_lsh_topk": f"""
+        WITH {_NRM_CTE},
+        planes AS (
+            SELECT t.h, u.j,
+                   CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(t.h AS VARCHAR) || '_' || CAST(u.j AS VARCHAR)), 1, 1)) - 1
+                        AS DOUBLE) - 7.5 AS p
+            FROM range({N_PLANES}) t(h) CROSS JOIN range({DIM}) u(j)
+        ),
+        comps AS (
+            SELECT vec_id, j - 1 AS j, CAST(x AS DOUBLE) AS x
+            FROM (SELECT vec_id, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS j
+                  FROM embeddings)
+        ),
+        dots AS (
+            SELECT vec_id, h, sum(x * p) AS dot
+            FROM comps JOIN planes ON comps.j = planes.j
+            GROUP BY vec_id, h
+        ),
+        sig AS (
+            SELECT vec_id,
+                   string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+            FROM dots GROUP BY vec_id
+        ),
+        embs AS (SELECT nrm.*, sig.bucket FROM nrm JOIN sig USING (vec_id)),
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_DOT.format(dim1=DIM + 1)} / (q.nrm * c.nrm) AS c
+            FROM embs q JOIN embs c
+              ON q.vec_id % 100 = 0 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
+                   floor((c) * 10000.0 + 0.5) / 10000.0 AS cos
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
+    """,
+}

@@ -1,0 +1,249 @@
+"""Text-analysis operators over ``documents`` (beyond-reference).
+
+Per-document metrics for a training-data pipeline: token statistics,
+quality scoring, stopword-lexicon language ID, and content
+fingerprinting. Everything is a Catalyst expression or a shuffle on
+small derived keys — a 100 TB corpus streams through map-side until
+the final per-document (or per-word) aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.functions.columns import round_half_up, tokenize_letters, whitespace_tokens, word_kgrams
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+#: Tiny per-language function-word lexicons for the n-gram/stopword
+#: language-ID heuristic. Ties (including all-zero) break to the
+#: alphabetically first language.
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "and", "of", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "es", "un"),
+    "fr": ("le", "la", "de", "et", "est", "que", "un"),
+    "zh": ("de", "shi", "le", "wo", "zai", "bu", "ni"),
+}
+
+FP_SHINGLE_K = 5
+FP_KEEP = 4  # fingerprint = 4 smallest shingle hashes
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (pure map-side, zero shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = whitespace_tokens(F.col("text"))
+    total_len = F.aggregate(ws, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(ws).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(ws)).alias("n_distinct_tokens"),
+        round_half_up(total_len.cast("double") / F.size(ws), 4).alias("avg_token_len"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score in [0, 1] + bucket.
+
+    score = 0.4 * min(1, n_tokens/100)
+          + 0.3 * stopword_ratio
+          + 0.3 * (1 - |avg_token_len - 5| / 10)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = whitespace_tokens(F.lower(F.col("text")))
+    n = F.size(ws)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda x: F.array_contains(stop_arr, x)))
+    total_len = F.aggregate(ws, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x))
+    avg_len = total_len.cast("double") / n
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n.cast("double") / 100.0)
+        + F.lit(0.3) * (n_stop.cast("double") / n)
+        + F.lit(0.3) * (1 - F.abs(avg_len - 5) / 10)
+    )
+    return docs.select(
+        "doc_id",
+        round_half_up(score, 4).alias("quality"),
+        F.when(score >= 0.7, "high").when(score >= 0.4, "medium").otherwise("low").alias("bucket"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID: argmax of lexicon hits per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    lex_rows = [(lang, w) for lang, words in LANG_LEXICON.items() for w in words]
+    lex = spark.createDataFrame(lex_rows, "cand_lang string, word string")
+    words = docs.select(
+        "doc_id", F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+    )
+    hits = (
+        words.join(F.broadcast(lex), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    langs = spark.createDataFrame([(l,) for l in LANG_LEXICON], "cand_lang string")
+    grid = docs.select("doc_id").crossJoin(F.broadcast(langs))
+    full = grid.join(hits, ["doc_id", "cand_lang"], "left").fillna(0, subset=["hits"])
+    w = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand_lang"))
+    return (
+        full.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), F.col("hits").alias("lex_hits"))
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprint: the FP_KEEP smallest md5 values of
+    the document's word-5-gram shingles, '|'-joined ascending.
+
+    Docs shorter than the shingle width have no fingerprint (excluded),
+    mirroring the dedup shingle semantics.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_kgrams(tokenize_letters(F.col("text")), FP_SHINGLE_K))
+        ).alias("shingle"),
+    ).select("doc_id", F.md5("shingle").alias("hv"))
+    w = W.partitionBy("doc_id").orderBy("hv")
+    return (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= FP_KEEP)
+        .groupBy("doc_id")
+        .agg(F.array_join(F.array_sort(F.collect_list("hv")), "|").alias("fingerprint"))
+    )
+
+
+def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup: token counts per labelled language (for corpus
+    composition reports — the aggregate a data pipeline dashboards)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(whitespace_tokens(F.col("text")))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        round_half_up(F.avg(n), 4).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_token_stats_by_lang": text_token_stats_by_lang,
+}
+
+_WS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
+_WS_LOWER = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
+_LETTERS_LOWER = "list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z]+'), x -> x <> '')"
+_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')" for lang, words in LANG_LEXICON.items() for w in words
+)
+_LANG_VALUES = ", ".join(f"('{lang}')" for lang in LANG_LEXICON)
+
+ORACLES = {
+    "text_stats": f"""
+        WITH t AS (SELECT doc_id, lang, text, {_WS} AS ws FROM documents)
+        SELECT doc_id, lang,
+               CAST(len(ws) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len(list_distinct(ws)) AS INTEGER) AS n_distinct_tokens,
+               floor((CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                     / len(ws)) * 10000.0 + 0.5) / 10000.0 AS avg_token_len
+        FROM t
+    """,
+    "text_quality": f"""
+        WITH t AS (SELECT doc_id, {_WS_LOWER} AS ws FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(ws) AS n,
+                   len(list_filter(ws, x -> list_contains({_STOP_LIST}, x))) AS n_stop,
+                   CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                       / len(ws) AS avg_len
+            FROM t
+        ),
+        s AS (
+            SELECT doc_id,
+                   -- literals cast to DOUBLE: DuckDB parses 0.4 as
+                   -- DECIMAL, which rounds differently from Spark's
+                   -- double arithmetic at the 4th decimal
+                   CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                 + CAST(0.3 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / n)
+                 + CAST(0.3 AS DOUBLE) * (1 - abs(avg_len - 5) / 10) AS score
+            FROM m
+        )
+        SELECT doc_id, floor((score) * 10000.0 + 0.5) / 10000.0 AS quality,
+               CASE WHEN score >= 0.7 THEN 'high'
+                    WHEN score >= 0.4 THEN 'medium'
+                    ELSE 'low' END AS bucket
+        FROM s
+    """,
+    "text_langid": f"""
+        WITH lex(cand_lang, word) AS (VALUES {_LEX_VALUES}),
+        langs(cand_lang) AS (VALUES {_LANG_VALUES}),
+        words AS (
+            SELECT doc_id, unnest({_LETTERS_LOWER}) AS word FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, cand_lang, count(*) AS h
+            FROM words JOIN lex USING (word)
+            GROUP BY doc_id, cand_lang
+        ),
+        grid AS (
+            SELECT d.doc_id, l.cand_lang, coalesce(h.h, 0) AS hits
+            FROM (SELECT doc_id FROM documents) d
+            CROSS JOIN langs l
+            LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cand_lang = l.cand_lang
+        ),
+        ranked AS (
+            SELECT doc_id, cand_lang, hits,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+            FROM grid
+        )
+        SELECT doc_id, cand_lang AS pred_lang, CAST(hits AS BIGINT) AS lex_hits
+        FROM ranked WHERE rn = 1
+    """,
+    "text_fingerprint": f"""
+        WITH words AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'), x -> x <> '') AS ws
+            FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ws) - {FP_SHINGLE_K - 2}),
+                              i -> array_to_string(ws[i:i + {FP_SHINGLE_K - 1}], ' '))) AS shingle
+                FROM words
+            )
+        ),
+        ranked AS (
+            SELECT doc_id, md5(shingle) AS hv,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY md5(shingle)) AS rn
+            FROM sh
+        )
+        SELECT doc_id, string_agg(hv, '|' ORDER BY hv) AS fingerprint
+        FROM ranked WHERE rn <= {FP_KEEP}
+        GROUP BY doc_id
+    """,
+    "text_token_stats_by_lang": f"""
+        WITH t AS (SELECT lang, n_chars, len({_WS}) AS n FROM documents)
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               floor((avg(n)) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM t GROUP BY lang
+    """,
+}

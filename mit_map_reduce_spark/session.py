@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+config block is what we would ship to a 1000-executor cluster — the
+local-only knobs are isolated and documented.
+
+Scale notes (100 TB mindset):
+- AQE on: runtime partition coalescing, skew-join splitting, and
+  dynamic join-strategy switching replace hand-tuned shuffle counts.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces. Locally we pin it near core count so tiny SF data does not
+  fragment into 200 near-empty tasks; on a cluster you would set it to
+  ~2-3x total cores and let AQE trim.
+- Arrow enabled so any Pandas-UDF slow path pays batch (not per-row)
+  serialization.
+- Session timezone pinned to UTC so timestamp semantics match the
+  DuckDB correctness oracle and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "mit_map_reduce_spark", *, master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    # Python workers must be able to import this package (RDD closures
+    # in the MapReduce facade pickle functions by reference).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(":"):
+        os.environ["PYTHONPATH"] = f"{repo_root}:{pp}" if pp else repo_root
+
+    n = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        # local[n, 4]: 4 task attempts, mirroring a cluster's default
+        # spark.task.maxFailures — the analog of the reference
+        # coordinator's re-queue-on-timeout (src/mr/coordinator.go:160-181).
+        .master(master or f"local[{n},4]")
+        # --- cluster-portable configs ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read as long and convert in the
+        # catalog (lossless: the data is microsecond-precision).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- local-mode-only knobs ---
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

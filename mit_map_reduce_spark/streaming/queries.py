@@ -1,0 +1,154 @@
+"""Structured Streaming over the ``events`` table (beyond-reference).
+
+The reference is strictly two-phase batch with a hard barrier
+(reference ``src/mr/coordinator.go:155-158``; SURVEY §2c "Streaming:
+None"). These queries demonstrate the streaming surface a pipeline
+needs — tumbling / sliding windows with watermarks, and session
+windows — while remaining differential-testable: each streaming run
+is driven to completion over the finite parquet input (the
+``availableNow`` pattern), so its result equals the batch aggregation
+the DuckDB oracle computes.
+
+Watermark note: results are emitted in *complete* mode here so the
+final (still-open) windows are included, matching the batch oracle.
+In production append mode + watermark bounds state; the watermark
+calls are kept in the plan so that switch is a one-line change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_map_reduce_spark.functions.columns import round_half_up
+from mit_map_reduce_spark.catalog import load_table, table_path
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mit_map_reduce_spark.catalog import normalize_nanos_ts
+
+    # Schema must be the RAW parquet schema (ts as epoch-nanos long —
+    # see catalog.normalize_nanos_ts); the conversion is applied on the
+    # streaming DataFrame.
+    # events.parquet is a single file; Spark's file-stream source only
+    # monitors directories, so expose the file through a temp dir of
+    # symlinks (in production the source is a landing directory anyway).
+    src = table_path(sf_dir, "events")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), "mmrs_stream", hashlib.md5(src.encode()).hexdigest()[:12]
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    raw_schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    return normalize_nanos_ts(stream)
+
+
+def _run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    name = "stream_out_" + uuid.uuid4().hex[:8]
+    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # The memory-sink table lives for the session; return it as a
+    # plain batch DataFrame.
+    return agg.sparkSession.table(name)
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window counts per event_type, via readStream."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), round_half_up(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
+    )
+    return _run_to_completion(agg)
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-day windows sliding by 1 day — each event lands in 2 windows."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n"), round_half_up(F.avg("value"), 4).alias("avg_value"))
+        .select(F.col("w.start").alias("ws"), "n", "avg_value")
+    )
+    return _run_to_completion(agg)
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    ``session_window`` is Spark's native stateful sessionization; the
+    oracle reproduces it with the classic gaps-and-islands SQL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+QUERIES = {
+    "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_sliding_counts": stream_sliding_counts,
+    "stream_session_windows": stream_session_windows,
+}
+
+ORACLES = {
+    "stream_tumbling_counts": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        GROUP BY 1, event_type
+    """,
+    "stream_sliding_counts": """
+        SELECT ws, CAST(count(*) AS BIGINT) AS n, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+        FROM (
+            SELECT unnest([CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY,
+                           CAST(date_trunc('day', ts) AS TIMESTAMP)]) AS ws,
+                   value
+            FROM events
+        )
+        GROUP BY ws
+    """,
+    "stream_session_windows": """
+        WITH o AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                             OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM o
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+}

@@ -1,0 +1,94 @@
+"""MapReduce facade parity tests.
+
+Mirrors the reference's golden-output methodology: the distributed run
+(run_job on Spark) must produce exactly the sequential executor's
+output, sorted — the analog of ``sort mr-out* | cmp`` against
+mrsequential's golden file (reference src/main/test-mr.sh:81-83,103).
+"""
+
+import os
+
+import pytest
+
+from mit_map_reduce_spark.mapreduce import run_job, run_sequential, save_text_output
+from mit_map_reduce_spark.mapreduce.apps import (
+    crashsafe_map,
+    crashsafe_reduce,
+    indexer_map,
+    indexer_reduce,
+    wc_map,
+    wc_reduce,
+)
+
+CORPUS = {
+    "pg-alpha.txt": "The quick brown fox\njumps over the lazy dog.\nThe dog sleeps.",
+    "pg-beta.txt": "Lorem ipsum dolor sit amet, consectetur adipiscing elit. Dolor!",
+    "pg-gamma.txt": "fox and dog and fox and dog\nnumbers 123 and under_scores ignored",
+    "pg-delta.txt": "",
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    for name, text in CORPUS.items():
+        (d / name).write_text(text)
+    return str(d)
+
+
+APPS = {
+    "wc": (wc_map, wc_reduce),
+    "indexer": (indexer_map, indexer_reduce),
+    "crashsafe": (crashsafe_map, crashsafe_reduce),
+}
+
+
+@pytest.mark.parametrize("app", sorted(APPS))
+def test_distributed_matches_sequential(spark, corpus_dir, app):
+    map_fn, reduce_fn = APPS[app]
+    inputs = [os.path.join(corpus_dir, "pg-*.txt")]
+    golden = sorted(run_sequential(map_fn, reduce_fn, inputs))
+    got = sorted(
+        (r["key"], r["value"])
+        for r in run_job(spark, map_fn, reduce_fn, inputs, n_reduce=4).collect()
+    )
+    assert got == golden
+    assert len(golden) > 0 or app == "never"
+
+
+def test_wordcount_values(spark, corpus_dir):
+    inputs = [os.path.join(corpus_dir, "pg-*.txt")]
+    result = dict(
+        (r["key"], r["value"])
+        for r in run_job(spark, wc_map, wc_reduce, inputs, n_reduce=3).collect()
+    )
+    # case-sensitive, letters only (reference wc.go:21: unicode.IsLetter)
+    assert result["The"] == "2"
+    assert result["the"] == "1"
+    assert result["fox"] == "3"
+    assert result["and"] == "4"
+    assert "123" not in result
+    assert result["under"] == "1" and result["scores"] == "1"  # '_' splits
+
+
+def test_indexer_doc_lists_sorted(spark, corpus_dir):
+    inputs = [os.path.join(corpus_dir, "pg-*.txt")]
+    result = dict(
+        (r["key"], r["value"])
+        for r in run_job(spark, indexer_map, indexer_reduce, inputs, n_reduce=3).collect()
+    )
+    assert result["fox"] == "2 pg-alpha.txt,pg-gamma.txt"
+    assert result["dog"] == "2 pg-alpha.txt,pg-gamma.txt"
+
+
+def test_text_sink_format(spark, corpus_dir, tmp_path):
+    """Output format parity: 'key value' lines (worker.go:214)."""
+    inputs = [os.path.join(corpus_dir, "pg-*.txt")]
+    df = run_job(spark, wc_map, wc_reduce, inputs, n_reduce=2)
+    out = tmp_path / "mr-out"
+    save_text_output(df, str(out), n_reduce=2)
+    lines = []
+    for p in out.glob("part-*"):
+        lines.extend(p.read_text().splitlines())
+    golden = run_sequential(wc_map, wc_reduce, inputs)
+    assert sorted(lines) == sorted(f"{k} {v}" for k, v in golden)
