@@ -39,6 +39,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def spread(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Fan a small input out across the cluster before compute-heavy
+    derivation (shingling, hashing, pair joins).
+
+    A single small parquet file arrives as ONE partition, so any
+    operator that multiplies work per row (explode x k, self-join)
+    would otherwise run on one core. The repartition shuffles only the
+    small source rows — cheap — and buys full parallelism downstream.
+    At 100 TB inputs are already thousands of partitions and this is a
+    no-op cost-wise (still one extra round-robin shuffle; callers only
+    use it ahead of work that dwarfs it).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism * factor
+    return df.repartition(n)
+
+
 def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Convert a TIMESTAMP(NANOS)-read-as-long column to timestamp.
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.catalog import load_table, spread
 from mit_map_reduce_spark.functions.columns import (
     round_half_up,
     dot_product,
@@ -49,7 +49,7 @@ COSINE_DUP_THRESHOLD = 0.35
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — distinct word-5-gram shingles per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         F.explode(
@@ -71,42 +71,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, h, minhash): h-th MinHash = min over shingles of
-    md5(h || ':' || shingle), compared as a hex string.
+def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, m0..m{N-1}): all N MinHashes in ONE aggregation pass.
 
-    min-over-hash is an algebraic aggregate, so Spark computes it
-    map-side; the shuffle carries N_HASHES rows per document, not the
-    shingle set.
+    Each row of the shingle stream computes N md5s, but the groupBy
+    carries them as N min-aggregates — map-side partial mins, a single
+    shuffle of N*32 bytes per document, no row multiplication. This is
+    the shuffle shape that survives a 100 TB corpus.
     """
     sh = _doc_shingles(spark, sf_dir)
-    hashes = F.array(*[F.lit(i) for i in range(N_HASHES)])
-    return (
-        sh.select("doc_id", "shingle", F.explode(hashes).alias("h"))
-        .select(
-            "doc_id",
-            "h",
-            F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))).alias("hv"),
-        )
-        .groupBy("doc_id", "h")
-        .agg(F.min("hv").alias("minhash"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h, minhash): h-th MinHash = min over shingles of
+    md5(h || ':' || shingle), compared as a hex string."""
+    wide = _minhash_wide(spark, sf_dir)
+    stack_args = ", ".join(f"{i}, m{i}" for i in range(N_HASHES))
+    return wide.selectExpr(
+        "doc_id", f"stack({N_HASHES}, {stack_args}) AS (h, minhash)"
     )
 
 
-def _band_keys(sig: DataFrame) -> DataFrame:
+def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_key) — concat of the band's minhashes."""
-    return (
-        sig.withColumn("band", F.floor(F.col("h") / BAND_ROWS))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("h", "minhash"))),
-                    lambda s: s["minhash"],
-                ),
-                "|",
-            ).alias("band_key")
-        )
+    wide = _minhash_wide(spark, sf_dir)
+    n_bands = N_HASHES // BAND_ROWS
+    band_exprs = ", ".join(
+        f"{b}, concat_ws('|', {', '.join(f'm{b * BAND_ROWS + r}' for r in range(BAND_ROWS))})"
+        for b in range(n_bands)
+    )
+    return wide.selectExpr(
+        "doc_id", f"stack({n_bands}, {band_exprs}) AS (band, band_key)"
     )
 
 
@@ -118,8 +118,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is then computed ONLY for candidates, via the shingle
     inverted index.
     """
-    sig = minhash_signatures(spark, sf_dir)
-    bands = _band_keys(sig)
+    bands = _band_keys(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
@@ -156,7 +155,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle can reproduce it; contribution = word frequency *
     (2*bit - 1); fingerprint bit = sign of the sum.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     wc = (
         docs.select("doc_id", F.explode(tokenize_letters(F.col("text"))).alias("word"))
         .groupBy("doc_id", "word")
@@ -175,7 +174,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contrib = F.col("cnt") * (2 * bit - 1)
     per_bit = (
-        wc.select("doc_id", "word", "cnt", F.explode(bits).alias("b"))
+        spread(wc)  # AQE coalesces the tiny groupBy output; re-fan before x32 explode
+        .select("doc_id", "word", "cnt", F.explode(bits).alias("b"))
         .select("doc_id", "b", contrib.alias("contrib"))
         .groupBy("doc_id", "b")
         .agg(F.sum("contrib").alias("s"))
@@ -232,7 +232,9 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm")
     )
-    a, b = emb.alias("a"), emb.alias("b")
+    # fan the probe side out so the O(n^2) loop parallelizes (factor 4:
+    # the dot-product work per row is large); broadcast the build side
+    a, b = spread(emb, factor=4).alias("a"), F.broadcast(emb).alias("b")
     cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.catalog import load_table, spread
 from mit_map_reduce_spark.functions.columns import tokenize_letters
 
 
@@ -27,7 +27,7 @@ def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Case-sensitive, tokens = maximal letter runs, one row per word.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(tokenize_letters(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -43,7 +43,7 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is unspecified — invariant preserved here by sorting in the
     aggregate).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         F.col("doc_id"),
         F.explode(F.array_distinct(tokenize_letters(F.col("text")))).alias("word"),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.catalog import load_table, spread
 from mit_map_reduce_spark.functions.columns import round_half_up, dot_product, vec_norm
 
 TOP_K = 5
@@ -32,7 +32,7 @@ QUERY_FILTER = "vec_id % 100 = 0"  # deterministic small query set
 
 
 def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     return emb.select("vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"))
 
 

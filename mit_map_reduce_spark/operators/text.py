@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.catalog import load_table, spread
 from mit_map_reduce_spark.functions.columns import round_half_up, tokenize_letters, whitespace_tokens, word_kgrams
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -105,7 +105,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs shorter than the shingle width have no fingerprint (excluded),
     mirroring the dedup shingle semantics.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
         "doc_id",
         F.explode(
