@@ -9,13 +9,14 @@ testing (reference ``src/main/test-mr.sh:81-83,103``).
 from mit_map_reduce_spark.operators import (  # noqa: F401
     mr_queries,
     relational,
+    advanced,
     dedup,
     similarity,
     text,
     multimodal,
 )
 
-ALL_MODULES = (mr_queries, relational, dedup, similarity, text, multimodal)
+ALL_MODULES = (mr_queries, relational, advanced, dedup, similarity, text, multimodal)
 
 
 def all_queries():

@@ -1,0 +1,219 @@
+"""Advanced relational operators: as-of / range joins, correlated
+subqueries, grouping sets, pivot (beyond-reference; SURVEY §2c lists
+all of these as absent from the reference engine).
+
+Spark has no native as-of or range join; each is implemented as the
+composition of built-in operators that keeps the scalable plan shape
+(window carry-forward for as-of; bucket-key equi-join for ranges)
+rather than the O(n*m) theta-join a naive translation would produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.functions.columns import round_half_up
+
+BAND_WIDTH = 50_000.0
+N_BANDS = 10
+
+
+def adv_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the most recent click at or
+    before it by the same user (DuckDB spells this ASOF JOIN).
+
+    Implementation is the merge-pattern that scales: union both event
+    streams, one window sort per user, carry the last click timestamp
+    forward with last_value(ignore nulls). One shuffle on user_id —
+    never a per-row range probe. Ties on ts break by event_id in both
+    engines, making the result exactly reproducible.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = ev.withColumn(
+        "last_click_ts",
+        F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "last_click_ts",
+    )
+
+
+def adv_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: orders against a price-band dimension
+    [b*W, (b+1)*W).
+
+    A literal BETWEEN theta-join degenerates to a broadcast
+    nested-loop; because the bands are uniform, the scalable
+    formulation derives the bucket key floor(price/W) and equi-joins —
+    identical semantics, hash-join plan. (Non-uniform ranges: bucketize
+    to the gcd grid or interval-overlap buckets, same trick.)
+    """
+    bands = spark.range(N_BANDS).select(
+        F.col("id").alias("band"),
+        (F.col("id") * BAND_WIDTH).alias("lo"),
+        ((F.col("id") + 1) * BAND_WIDTH).alias("hi"),
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "band", F.floor(F.col("o_totalprice") / BAND_WIDTH)
+    )
+    return (
+        orders.join(F.broadcast(bands), "band")
+        .groupBy("band", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def adv_correlated_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems with quantity below half their part's
+    average quantity.
+
+    The correlated scalar subquery decorrelates to a per-part window
+    average — zero extra joins, one shuffle on l_partkey.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_partkey")
+    flagged = li.withColumn("avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_items"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def adv_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((r_name), (o_orderpriority), ()) over the
+    customer->nation->region x orders join (SQL API; grouping sets have
+    no DataFrame verb)."""
+    for name in ("customer", "nation", "region", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"gs_{name}")
+    return spark.sql(
+        """
+        SELECT r_name, o_orderpriority,
+               count(*) AS n_orders,
+               -- literals cast to DOUBLE: Spark SQL parses 100.0 as
+               -- DECIMAL, and bigint/decimal division stays DECIMAL
+               floor(sum(o_totalprice) * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                   / CAST(100.0 AS DOUBLE) AS total_price
+        FROM gs_orders
+        JOIN gs_customer ON o_custkey = c_custkey
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+        """
+    )
+
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_SAFE = ("n_urgent", "n_high", "n_medium", "n_not_specified", "n_low")
+
+
+def adv_pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per market segment (rows) x priority (cols).
+
+    Pivot values are pinned explicitly — at scale, letting Spark
+    discover pivot values is an extra distinct-scan job.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    piv = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .count()
+        .na.fill(0)
+    )
+    renames = dict(zip(_PRIORITIES, _SAFE))
+    for old, new in renames.items():
+        piv = piv.withColumnRenamed(old, new)
+    return piv
+
+
+QUERIES = {
+    "adv_asof_join_last_click": adv_asof_join_last_click,
+    "adv_range_join_price_bands": adv_range_join_price_bands,
+    "adv_correlated_subquery_small_qty": adv_correlated_subquery_small_qty,
+    "adv_grouping_sets_revenue": adv_grouping_sets_revenue,
+    "adv_pivot_segment_priority": adv_pivot_segment_priority,
+}
+
+ORACLES = {
+    # Window formulation (not DuckDB's native ASOF JOIN) so that
+    # equal-timestamp ties break identically (by event_id) in both
+    # engines; semantics otherwise match ASOF JOIN ... ON ts >= ts.
+    "adv_asof_join_last_click": """
+        WITH ev AS (
+            SELECT event_id, user_id, ts, event_type FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        carried AS (
+            SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_click_ts
+            FROM ev
+        )
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, last_click_ts
+        FROM carried WHERE event_type = 'purchase'
+    """,
+    "adv_range_join_price_bands": f"""
+        WITH bands AS (
+            SELECT b AS band,
+                   CAST(b * {BAND_WIDTH} AS DOUBLE) AS lo,
+                   CAST((b + 1) * {BAND_WIDTH} AS DOUBLE) AS hi
+            FROM range({N_BANDS}) t(b)
+        )
+        SELECT band, lo, hi,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band, lo, hi
+    """,
+    "adv_correlated_subquery_small_qty": """
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total_price
+        FROM lineitem l1
+        WHERE l_quantity < (
+            SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l1.l_partkey
+        )
+    """,
+    "adv_grouping_sets_revenue": """
+        SELECT r_name, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+    """,
+    "adv_pivot_segment_priority": """
+        SELECT c_mktsegment,
+               CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent,
+               CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS n_high,
+               CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS n_medium,
+               CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS n_not_specified,
+               CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS n_low
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+}

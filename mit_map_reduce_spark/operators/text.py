@@ -121,6 +121,27 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BPE-ish pre-tokenizer: letter runs | single digits | punctuation
+#: runs — the GPT-2-style split shape, restricted to a regex subset
+#: with identical semantics in Java regex (Spark) and RE2 (DuckDB).
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+"
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pre-tokenization, plus bytes-per-token (the metric LLM pipelines
+    budget by). Pure map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(whitespace_tokens(F.col("text")))
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        round_half_up(F.octet_length("text").cast("double") / n_bpe, 4).alias("bytes_per_token"),
+    )
+
+
 def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rollup: token counts per labelled language (for corpus
     composition reports — the aggregate a data pipeline dashboards)."""
@@ -139,6 +160,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "text_token_count": text_token_count,
     "text_token_stats_by_lang": text_token_stats_by_lang,
 }
 
@@ -236,6 +258,19 @@ ORACLES = {
         SELECT doc_id, string_agg(hv, '|' ORDER BY hv) AS fingerprint
         FROM ranked WHERE rn <= {FP_KEEP}
         GROUP BY doc_id
+    """,
+    "text_token_count": f"""
+        WITH t AS (
+            SELECT doc_id, text, {_WS} AS ws,
+                   regexp_extract_all(text, '{BPE_PATTERN}') AS bpe
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(ws) AS INTEGER) AS n_ws_tokens,
+               CAST(len(bpe) AS INTEGER) AS n_bpe_tokens,
+               floor((CAST(octet_length(encode(text)) AS DOUBLE) / len(bpe)) * 10000.0 + 0.5)
+                   / 10000.0 AS bytes_per_token
+        FROM t
     """,
     "text_token_stats_by_lang": f"""
         WITH t AS (SELECT lang, n_chars, len({_WS}) AS n FROM documents)

@@ -59,9 +59,12 @@ def test_wordcount_partial_aggregation(spark, sf_dir):
     # shuffle (src/mrapps/wc.go:27-30); our plan must show a partial
     # hash aggregate BEFORE the exchange — the map-side combine.
     plan = _plan(mr_wordcount(spark, sf_dir))
-    assert "HashAggregate" in plan and "Exchange" in plan
-    before_exchange = plan.split("Exchange")[-1]  # deepest = first executed
-    assert "HashAggregate" in before_exchange
+    assert "HashAggregate" in plan and "Exchange hashpartitioning" in plan
+    # the subtree under the hash-partitioning exchange (printed below it)
+    # must contain the partial HashAggregate — i.e. the combine happens
+    # before word counts cross the shuffle
+    below = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "HashAggregate" in below
 
 
 def test_wordcount_wholestage_codegen(spark, sf_dir):
