@@ -1,0 +1,87 @@
+"""Executed-plan probes: is this the plan you'd ship to 1000 executors?
+
+Each probe answers one scale question:
+
+- :func:`scan_read_schema`    — did column pruning reach the scan?
+- :func:`pushed_filters`      — did predicate pushdown reach the scan?
+- :func:`count_shuffles`      — how many Exchanges (each is a full
+  network rewrite of its input)?
+- :func:`broadcast_join_count`— did small dims broadcast instead of
+  shuffling the fact side?
+- :func:`wholestage_codegen_ids` — which spans stayed in generated
+  JVM code (off the slow interpreted path)?
+- :func:`plan_report`         — all of the above as one dict.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The executed (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """``explain("formatted")`` output — has per-node details like
+    ReadSchema and PushedFilters that the tree string omits."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Column names each parquet scan actually reads (ReadSchema).
+
+    A scan reading columns the query never uses means pruning failed —
+    at 100 TB that is wasted I/O proportional to the unpruned bytes.
+    """
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        cols.extend(p.split(":")[0] for p in m.group(1).split(",") if p)
+    return cols
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Predicates the parquet reader evaluates against row-group
+    statistics (PushedFilters) — rows skipped here are never read."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of Exchange nodes. Every one is a full rewrite of its
+    input over the network; the difference between 2 and 3 shuffles on
+    a 100 TB input is measured in hours."""
+    plan = physical_plan(df)
+    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    """BroadcastHashJoin count — joins whose small side ships to every
+    executor instead of shuffling the big side."""
+    return physical_plan(df).count("BroadcastHashJoin")
+
+
+def wholestage_codegen_ids(df: DataFrame) -> list[int]:
+    """Distinct whole-stage-codegen span ids (``*(n)`` prefixes).
+    Operators outside any span run interpreted, row at a time."""
+    return sorted({int(m) for m in re.findall(r"\*\((\d+)\)", physical_plan(df))})
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call pre-flight summary of the scale-relevant plan facts."""
+    return {
+        "shuffles": count_shuffles(df),
+        "broadcast_joins": broadcast_join_count(df),
+        "codegen_spans": len(wholestage_codegen_ids(df)),
+        "read_columns": scan_read_schema(df),
+        "pushed_filters": pushed_filters(df),
+    }

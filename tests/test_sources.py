@@ -1,0 +1,91 @@
+"""Round-trip tests for the source/sink surface.
+
+The reference's test harness validates sinks by sorting all output
+files and comparing bytes (``src/main/test-mr.sh:103``); same method
+here — write, read back, compare as a sorted multiset.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mit_map_reduce_spark.sources import (
+    read_csv,
+    read_json,
+    read_parquet,
+    read_text_lines,
+    read_whole_text,
+    write_csv,
+    write_json,
+    write_parquet,
+    write_text_kv,
+)
+
+
+@pytest.fixture()
+def kv_df(spark):
+    rows = [Row(key=f"k{i % 7}", value=str(i)) for i in range(100)]
+    return spark.createDataFrame(rows)
+
+
+def test_whole_text_one_row_per_file(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"doc{i}.txt").write_text(f"line a {i}\nline b {i}\n")
+    df = read_whole_text(spark, str(tmp_path / "*.txt"))
+    rows = df.collect()
+    assert len(rows) == 3  # wholetext: never line-split
+    by_name = {os.path.basename(r.path): r.content for r in rows}
+    assert by_name["doc1.txt"] == "line a 1\nline b 1\n"
+
+
+def test_text_lines_splits(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("x\ny\nz\n")
+    df = read_text_lines(spark, str(tmp_path / "a.txt"))
+    assert sorted(r.line for r in df.collect()) == ["x", "y", "z"]
+
+
+def test_text_kv_sink_format(spark, kv_df, tmp_path):
+    out = str(tmp_path / "out")
+    write_text_kv(kv_df, out, n_partitions=4)
+    files = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(files) == 4  # one file per reduce partition, mr-out-* analog
+    lines = sorted(r.value for r in spark.read.text(out).collect())
+    expected = sorted(f"k{i % 7} {i}" for i in range(100))
+    assert lines == expected
+
+
+def test_csv_roundtrip_explicit_schema(spark, kv_df, tmp_path):
+    out = str(tmp_path / "csv")
+    write_csv(kv_df, out)
+    back = read_csv(spark, out, "key string, value string")
+    assert sorted((r.key, r.value) for r in back.collect()) == sorted(
+        (r.key, r.value) for r in kv_df.collect()
+    )
+
+
+def test_csv_corrupt_rows_not_silently_dropped(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("k,v\na,1\nbroken_line_no_delim\n")
+    df = read_csv(spark, str(p), "k string, v int")
+    rows = df.collect()
+    assert len(rows) == 2  # PERMISSIVE keeps the malformed row (nulls)
+
+
+def test_json_roundtrip(spark, kv_df, tmp_path):
+    out = str(tmp_path / "json")
+    write_json(kv_df, out)
+    back = read_json(spark, out, "key string, value string")
+    assert back.count() == 100
+
+
+def test_parquet_partitioned_write_prunes(spark, kv_df, tmp_path):
+    out = str(tmp_path / "pq")
+    write_parquet(kv_df, out, partition_by=["key"])
+    assert os.path.isdir(os.path.join(out, "key=k0"))  # hive layout
+    back = read_parquet(spark, out).filter(F.col("key") == "k3")
+    # partition pruning: only the key=k3 directory is scanned
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == sum(1 for i in range(100) if i % 7 == 3)
+    assert "PartitionFilters: [isnotnull(key" in plan or "key=k3" in plan
