@@ -71,20 +71,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, m0..m{N-1}): all N MinHashes in ONE aggregation pass.
+def _minhash_wide(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, m0..m{N-1}, sz): all N MinHashes + the shingle count in
+    ONE aggregation pass.
 
     Each row of the shingle stream computes N md5s, but the groupBy
     carries them as N min-aggregates — map-side partial mins, a single
     shuffle of N*32 bytes per document, no row multiplication. This is
-    the shuffle shape that survives a 100 TB corpus.
+    the shuffle shape that survives a 100 TB corpus. The set size rides
+    along for free so Jaccard verification needs no second pass.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    sh = shingles if shingles is not None else _doc_shingles(spark, sf_dir)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+    return sh.groupBy("doc_id").agg(*mins, F.count("*").alias("sz"))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,16 +101,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_key) — concat of the band's minhashes."""
-    wide = _minhash_wide(spark, sf_dir)
+def _band_keys(wide: DataFrame) -> DataFrame:
+    """(doc_id, sz, band, band_key) — concat of the band's minhashes;
+    the shingle-set size rides along to spare a join later."""
     n_bands = N_HASHES // BAND_ROWS
     band_exprs = ", ".join(
         f"{b}, concat_ws('|', {', '.join(f'm{b * BAND_ROWS + r}' for r in range(BAND_ROWS))})"
         for b in range(n_bands)
     )
     return wide.selectExpr(
-        "doc_id", f"stack({n_bands}, {band_exprs}) AS (band, band_key)"
+        "doc_id", "sz", f"stack({n_bands}, {band_exprs}) AS (band, band_key)"
     )
 
 
@@ -117,31 +121,40 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic band-bucket trick that avoids the O(n^2) cross join; exact
     Jaccard is then computed ONLY for candidates, via the shingle
     inverted index.
+
+    Multi-pass plan hygiene: the shingle stream feeds three consumers
+    (signature agg, probe side a, probe side b), so it is persisted
+    (memory, spill-to-disk) rather than re-derived — at 100 TB the
+    equivalent is materializing shingles once to parquet before the
+    pair phase. Set sizes are aggregated in the same pass as the
+    signatures and carried through the band join, so Jaccard needs no
+    extra size joins.
     """
-    bands = _band_keys(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).persist()
+    bands = _band_keys(_minhash_wide(spark, sf_dir, shingles=sh))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .distinct()
     )
-    sh = _doc_shingles(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.shingle") == F.col("sb.shingle")))
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
     return (
-        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
-        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
-        .withColumn(
+        inter.withColumn(
             "jaccard",
-            round_half_up(F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")), 4),
+            round_half_up(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
@@ -201,7 +214,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases) are the skew risk at scale — AQE skew-join handles
     moderate cases; a frequency cap on shingles is the escape hatch.
     """
-    sh = _doc_shingles(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).persist()  # 3 consumers: sizes, sa, sb
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
