@@ -108,9 +108,48 @@ def mm_asset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_STRIDE = 30  # sample one frame per stride (≈1 fps at 30 fps video)
+
+SAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video assets: every ``FRAME_STRIDE``-th
+    frame index, one output row per sampled frame.
+
+    Row-expansion plumbing for the extract path (decode video → sample
+    frames → per-frame features): ``mapInPandas`` lets one input row
+    yield many output rows through the Arrow batch channel. The frame
+    "payload" is a deterministic stand-in (md5 of doc_id:frame_idx —
+    a real pipeline puts the JPEG bytes / CLIP features here); the
+    sampling geometry, schema, and partitioning are the real thing.
+    Map-side only: no shuffle, scales linearly with executors.
+    """
+    assets = _assets(spark, sf_dir).filter(F.col("media_type") == "video")
+
+    def sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_idx, out_md5 = [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                n_bytes = len(content)
+                _, _, n_frames = stub_decode(n_bytes, "video")
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    out_doc.append(doc_id)
+                    out_idx.append(idx)
+                    out_md5.append(hashlib.md5(f"{doc_id}:{idx}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame_idx": out_idx, "frame_md5": out_md5}
+            )
+
+    return assets.mapInPandas(sample_batches, schema=SAMPLE_SCHEMA)
+
+
 QUERIES = {
     "mm_asset_stats": mm_asset_stats,
     "mm_decode_assets": mm_decode_assets,
+    "mm_frame_sample": mm_frame_sample,
 }
 
 _MEDIA = """CASE CAST(doc_id % 3 AS INTEGER)
@@ -124,6 +163,19 @@ ORACLES = {
                floor((avg(octet_length(encode(text)))) * 10000.0 + 0.5) / 10000.0 AS avg_bytes
         FROM documents
         GROUP BY source, {_MEDIA}
+    """,
+    "mm_frame_sample": f"""
+        WITH v AS (
+            SELECT doc_id, octet_length(encode(text)) % 240 AS n_frames
+            FROM documents
+            WHERE CAST(doc_id % 3 AS INTEGER) = 2
+        )
+        SELECT doc_id,
+               CAST(idx AS INTEGER) AS frame_idx,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(idx AS VARCHAR)) AS frame_md5
+        FROM v, LATERAL (
+            SELECT unnest(range(0, n_frames, {FRAME_STRIDE})) AS idx
+        )
     """,
     "mm_decode_assets": f"""
         WITH a AS (

@@ -221,6 +221,52 @@ def rel_distinct_aggs_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- cube ---------------------------------------------------------------
+
+
+def rel_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderpriority, orderstatus): all 4 grouping
+    combinations in one pass — Spark expands the groupings map-side,
+    so the input is still scanned once."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# --- skew-safe two-stage (salted) aggregation ---------------------------
+
+N_SALTS = 16
+
+
+def rel_salted_agg_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-skew aggregation via salting: events per event_type where
+    the key space is tiny (5 types), so a naive groupBy sends ~1/5 of a
+    100 TB table through 5 reducers.
+
+    Two-stage plan: stage 1 aggregates on (event_type, salt) — 16-way
+    fan-out restores parallelism; stage 2 combines the 16 partials per
+    key. Sums/counts recombine exactly; avg is derived from them at the
+    end, never averaged across salts. (AQE's skew handling covers join
+    skew; low-cardinality *aggregation* keys need this restructuring.)
+    The salt column must be deterministic here for the differential
+    test (md5 of event_id), but any uniform value works in production.
+    """
+    ev = _t(spark, sf_dir, "events")
+    salt = F.conv(F.md5(F.col("event_id").cast("string")).substr(1, 2), 16, 10).cast("int") % N_SALTS
+    partial = (
+        ev.withColumn("salt", salt)
+        .groupBy("event_type", "salt")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        round_half_up(F.sum("sv"), 2).alias("total_value"),
+        round_half_up(F.sum("sv") / F.sum("n"), 4).alias("avg_value"),
+    )
+
+
 QUERIES = {
     "rel_q1_pricing_summary": rel_q1_pricing_summary,
     "rel_q3_shipping_priority": rel_q3_shipping_priority,
@@ -233,6 +279,8 @@ QUERIES = {
     "rel_scalar_json_events": rel_scalar_json_events,
     "rel_rollup_acctbal": rel_rollup_acctbal,
     "rel_distinct_aggs_per_segment": rel_distinct_aggs_per_segment,
+    "rel_cube_orders": rel_cube_orders,
+    "rel_salted_agg_events_per_type": rel_salted_agg_events_per_type,
 }
 
 ORACLES = {
@@ -339,6 +387,23 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "rel_cube_orders": """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+        FROM orders
+        GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    # The salt is an implementation detail; the oracle states the
+    # *semantics* — a plain per-type aggregate.
+    "rel_salted_agg_events_per_type": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+               floor((sum(value) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+        FROM events
+        GROUP BY event_type
     """,
     "rel_distinct_aggs_per_segment": """
         SELECT c_mktsegment,

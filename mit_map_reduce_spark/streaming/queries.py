@@ -106,10 +106,69 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: applyInPandasWithState schemas — state is a single struct row.
+_PROFILE_OUT = (
+    "user_id bigint, n_events bigint, n_types int, first_ts timestamp, last_ts timestamp"
+)
+_PROFILE_STATE = "n bigint, types array<string>, first_us bigint, last_us bigint"
+
+
+def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: per-user running profile via
+    ``applyInPandasWithState`` (arbitrary state, beyond what windowed
+    aggregation expresses — the Spark surface for the reference's
+    "reduce over all values of a key", but incremental and unbounded).
+
+    State per user: running event count, the distinct event-type set,
+    first/last event time (kept as epoch-micros longs — state structs
+    round-trip through Arrow, primitives are cheapest). Each trigger
+    emits the updated profile row (update semantics); driven to
+    completion over the finite input the final emission per user equals
+    the batch aggregate, which is what the SQL oracle checks.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            n, types, first_us, last_us = state.get
+            types = set(types)
+        else:
+            n, types, first_us, last_us = 0, set(), None, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            types.update(pdf["event_type"])
+            ts_us = pdf["ts"].astype("int64") // 1000  # datetime64[ns] -> us
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        state.update((n, sorted(types), first_us, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "n_types": [len(types)],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update, _PROFILE_OUT, _PROFILE_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+    return _run_to_completion(out, mode="update")
+
+
 QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
+    "stream_stateful_user_profile": stream_stateful_user_profile,
 }
 
 ORACLES = {
@@ -129,6 +188,14 @@ ORACLES = {
             FROM events
         )
         GROUP BY ws
+    """,
+    "stream_stateful_user_profile": """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events GROUP BY user_id
     """,
     "stream_session_windows": """
         WITH o AS (
