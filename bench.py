@@ -41,6 +41,9 @@ HEADLINE = (
     "text_fingerprint",
     "mm_decode_assets",
     "stream_session_windows",
+    "adv_asof_join_last_click",
+    "rel_salted_agg_events_per_type",
+    "stream_stateful_user_profile",
 )
 
 
