@@ -129,9 +129,81 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: IVF coarse quantizer: seed vectors picked by a fixed predicate (no
+#: k-means iterations — deterministic, so the oracle reproduces cells
+#: exactly; in production swap for trained centroids, the plan shape is
+#: identical). Disjoint from the query set (% 100 == 0).
+CENTROID_FILTER = "vec_id % 50 = 1"
+N_PROBE = 2
+
+
+def _centroid_scores(embs: DataFrame) -> DataFrame:
+    """(vec_id, cent_id, c): cosine of every vector to every centroid.
+
+    Centroids broadcast (they are ~n/50 rows); the corpus is scanned
+    once, map-side — the O(n * k) assignment pass of IVF-Flat.
+    """
+    cents = embs.filter(F.expr(CENTROID_FILTER)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    return embs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        (dot_product(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))).alias("c"),
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-k: assign every vector to its nearest centroid
+    (cell); probe only the ``N_PROBE`` cells nearest each query.
+
+    The inverted-file structure is the (cell -> vectors) partitioning;
+    search is an equi-join on the cell key — like the LSH path, the
+    corpus never cross-joins itself. Tie-breaks (equal cosine) go to
+    the lower centroid id in both engines.
+    """
+    emb = _emb_with_norm(spark, sf_dir)
+    scores = _centroid_scores(emb)
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("c").desc(), "cent_id")
+    assign = (
+        scores.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+    queries = emb.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    probe = (
+        scores.filter(F.expr(QUERY_FILTER))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    corpus = emb.join(assign, "vec_id")
+    cand = corpus.join(F.broadcast(probe), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.join(F.broadcast(queries), "query_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot_product(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("c"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", round_half_up("c", 4).alias("cos"))
+    )
+
+
 QUERIES = {
     "sim_ann_bruteforce_topk": ann_bruteforce_topk,
     "sim_ann_lsh_topk": ann_lsh_topk,
+    "sim_ann_ivf_topk": ann_ivf_topk,
 }
 
 _DOT = """list_sum(list_transform(range(1, {dim1}),
@@ -152,6 +224,46 @@ ORACLES = {
             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                    {_DOT.format(dim1=DIM + 1)} / (q.nrm * c.nrm) AS c
             FROM nrm q JOIN nrm c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
+                   floor((c) * 10000.0 + 0.5) / 10000.0 AS cos
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
+    """,
+    "sim_ann_ivf_topk": f"""
+        WITH {_NRM_CTE},
+        cscore AS (
+            SELECT v.vec_id, ct.vec_id AS cent_id,
+                   list_sum(list_transform(range(1, {DIM + 1}),
+                        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(ct.embedding[i] AS DOUBLE)))
+                       / (v.nrm * ct.nrm) AS c
+            FROM nrm v JOIN nrm ct ON ct.vec_id % 50 = 1
+        ),
+        assign AS (
+            SELECT vec_id, cent_id AS cell FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM cscore
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT vec_id AS query_id, cent_id AS cell FROM (
+                SELECT vec_id, cent_id,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
+                FROM cscore WHERE vec_id % 100 = 0
+            ) WHERE rn <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {_DOT.format(dim1=DIM + 1)} / (q.nrm * c.nrm) AS c
+            FROM probe p
+            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+            JOIN nrm q ON q.vec_id = p.query_id
+            JOIN nrm c ON c.vec_id = a.vec_id
         ),
         ranked AS (
             SELECT query_id, neighbor_id,

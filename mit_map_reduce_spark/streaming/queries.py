@@ -29,26 +29,32 @@ from mit_map_reduce_spark.functions.columns import round_half_up
 from mit_map_reduce_spark.catalog import load_table, table_path
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """readStream over one testdata parquet table.
+
+    The table is a single file; Spark's file-stream source only
+    monitors directories, so expose the file through a temp dir of
+    symlinks (in production the source is a landing directory anyway).
+    """
     from mit_map_reduce_spark.catalog import normalize_nanos_ts
 
-    # Schema must be the RAW parquet schema (ts as epoch-nanos long —
-    # see catalog.normalize_nanos_ts); the conversion is applied on the
-    # streaming DataFrame.
-    # events.parquet is a single file; Spark's file-stream source only
-    # monitors directories, so expose the file through a temp dir of
-    # symlinks (in production the source is a landing directory anyway).
-    src = table_path(sf_dir, "events")
+    src = table_path(sf_dir, name)
     stream_dir = os.path.join(
         tempfile.gettempdir(), "mmrs_stream", hashlib.md5(src.encode()).hexdigest()[:12]
     )
     os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
+    link = os.path.join(stream_dir, f"{name}.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
+    # Schema must be the RAW parquet schema (events.ts is epoch-nanos
+    # long — see catalog.normalize_nanos_ts); conversion applies after.
     raw_schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
     return normalize_nanos_ts(stream)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _table_stream(spark, sf_dir, "events")
 
 
 def _run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
@@ -164,7 +170,53 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(out, mode="update")
 
 
+_DEDUP_OUT = "text_md5 string, first_doc_id bigint, n_seen bigint"
+_DEDUP_STATE = "first_doc_id bigint, n bigint"
+
+
+def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: as documents arrive, keep only the first
+    copy of each distinct text (by content hash) — the incremental
+    counterpart of the batch ``dedup_exact`` operator, the shape an
+    always-on ingestion pipeline needs.
+
+    State per content hash: the kept doc_id + copies seen. "First"
+    within a batch ties to the smallest doc_id (arrival order inside a
+    batch is nondeterministic under parallelism — same reason the
+    reference sorts inside reduce, SURVEY §1 invariant 2).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    docs = _table_stream(spark, sf_dir, "documents").select(
+        F.md5("text").alias("text_md5"), "doc_id"
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            first_doc, n = state.get
+        else:
+            first_doc, n = None, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            lo = int(pdf["doc_id"].min())
+            first_doc = lo if first_doc is None else min(first_doc, lo)
+        state.update((first_doc, n))
+        yield pd.DataFrame(
+            {"text_md5": [key[0]], "first_doc_id": [first_doc], "n_seen": [n]}
+        )
+
+    out = docs.groupBy("text_md5").applyInPandasWithState(
+        update, _DEDUP_OUT, _DEDUP_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+    return _run_to_completion(out, mode="update")
+
+
 QUERIES = {
+    "stream_dedup_first_seen": stream_dedup_first_seen,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
@@ -172,6 +224,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_dedup_first_seen": """
+        SELECT md5(text) AS text_md5,
+               min(doc_id) AS first_doc_id,
+               CAST(count(*) AS BIGINT) AS n_seen
+        FROM documents GROUP BY md5(text)
+    """,
     "stream_tumbling_counts": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
                CAST(count(*) AS BIGINT) AS n,
