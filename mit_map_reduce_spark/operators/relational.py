@@ -154,9 +154,13 @@ def rel_setops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rel_anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order — the complement of the semi
+    join below. (Predicate on the filtered order set: in this synthetic
+    data every customer has *some* order, which would make the
+    unfiltered anti join vacuously empty.)"""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
         "c_custkey", "c_name", "c_nationkey"
     )
 
@@ -221,6 +225,112 @@ def rel_distinct_aggs_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- outer joins --------------------------------------------------------
+
+
+def rel_q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer,
+    LEFT OUTER so zero-order customers land in the c_count=0 bucket.
+
+    The outer join shuffles on the customer key; the double aggregation
+    is two cheap reshuffles of already-tiny intermediates.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count skips nulls
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def rel_full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation counts of high-balance customers vs
+    high-balance suppliers — nations present on only one side survive
+    with nulls (the reconciliation-report join shape)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_rich_customers"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_rich_suppliers"))
+    )
+    return (
+        cust.join(supp, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"), "n_rich_customers", "n_rich_suppliers"
+        )
+    )
+
+
+# --- group-filter (HAVING) + join-back: TPC-H Q18 shape -----------------
+
+BIG_ORDER_QTY = 150.0
+
+
+def rel_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, with customer attribution.
+
+    The HAVING filter runs on the aggregated (small) side BEFORE the
+    join back to orders/customer — semi-join on a filtered aggregate,
+    never the raw fact table twice.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(round_half_up(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > BIG_ORDER_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            round_half_up("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+# --- scalar subquery + anti join: TPC-H Q22 shape -----------------------
+
+
+def rel_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO orders, rolled up per nation.
+
+    The scalar average is one tiny aggregate broadcast into the filter
+    (crossJoin of a 1-row DataFrame — no shuffle); the no-urgent-orders
+    predicate is a left-anti join (unfiltered "no orders" is vacuous in
+    this synthetic data — every customer has orders).
+    """
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        round_half_up(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+    )
+
+
 # --- cube ---------------------------------------------------------------
 
 
@@ -281,6 +391,10 @@ QUERIES = {
     "rel_distinct_aggs_per_segment": rel_distinct_aggs_per_segment,
     "rel_cube_orders": rel_cube_orders,
     "rel_salted_agg_events_per_type": rel_salted_agg_events_per_type,
+    "rel_q13_order_histogram": rel_q13_order_histogram,
+    "rel_full_outer_nation_presence": rel_full_outer_nation_presence,
+    "rel_q18_large_orders": rel_q18_large_orders,
+    "rel_q22_idle_rich_customers": rel_q22_idle_rich_customers,
 }
 
 ORACLES = {
@@ -360,7 +474,9 @@ ORACLES = {
     "rel_anti_join_customers_without_orders": """
         SELECT c_custkey, c_name, c_nationkey
         FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
     """,
     "rel_semi_join_urgent_buyers_per_nation": """
         SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
@@ -387,6 +503,53 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "rel_q13_order_histogram": """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "rel_full_outer_nation_presence": """
+        WITH c AS (
+            SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_rich_customers
+            FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+        ),
+        s AS (
+            SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_rich_suppliers
+            FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+        )
+        SELECT coalesce(c.nk, s.nk) AS nationkey, n_rich_customers, n_rich_suppliers
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    "rel_q18_large_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 > {BIG_ORDER_QTY}
+        )
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               floor((o_totalprice) * 100.0 + 0.5) / 100.0 AS o_totalprice,
+               total_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "rel_q22_idle_rich_customers": """
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
     """,
     "rel_cube_orders": """
         SELECT o_orderpriority, o_orderstatus,
