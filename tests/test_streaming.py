@@ -1,0 +1,86 @@
+"""Streaming semantics tests: watermark late-data handling.
+
+The oracle-checked streaming queries run in complete mode over finite
+input (see streaming/queries.py); this test drives the *production*
+configuration — append mode + watermark — through multiple
+micro-batches and asserts the two behaviors that matter at scale:
+
+1. a window is emitted exactly once, when the watermark passes its end
+   (bounded state: Spark can drop the window's state afterwards);
+2. an event arriving later than the watermark is DISCARDED, not
+   re-aggregated (no re-emission of a finalized window).
+
+Spark's watermark for batch N is computed from data seen in batches
+< N, which drives the write/process choreography below.
+"""
+
+import uuid
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _write_batch(spark, path, rows):
+    # coalesce(1): each logical batch must land as ONE file, or the
+    # file source may split it across micro-batches and advance the
+    # watermark mid-"batch".
+    spark.createDataFrame(rows, "ts timestamp, user_id int").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    return str(tmp_path / "landing")
+
+
+def test_append_mode_watermark_finalizes_and_drops_late(spark, landing, tmp_path):
+    from datetime import datetime
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+
+    # Batch 1: two on-time events in different 15-min windows.
+    _write_batch(spark, landing, [Row(ts=t(9, 0), user_id=1), Row(ts=t(10, 0), user_id=2)])
+
+    stream = spark.readStream.schema("ts timestamp, user_id int").parquet(landing)
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = "wm_sink_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # processAllAvailable drains the data batch AND the follow-up
+        # no-data batch Spark triggers after a watermark advance. After
+        # batch 1 the watermark is 10:00-30m = 09:30, so the 09:00
+        # window (ends 09:15) is finalized and emitted exactly once;
+        # the 10:00 window (ends 10:15 > 09:30) stays open.
+        q.processAllAvailable()
+        emitted = {(r.ws.hour, r.ws.minute): r.n for r in spark.table(name).collect()}
+        assert emitted == {(9, 0): 1}
+
+        # Batch 2: event at 11:00 advances the watermark to 10:30 ->
+        # the 10:00 window finalizes. 11:00's own window stays open.
+        _write_batch(spark, landing, [Row(ts=t(11, 0), user_id=3)])
+        q.processAllAvailable()
+        emitted = {(r.ws.hour, r.ws.minute): r.n for r in spark.table(name).collect()}
+        assert emitted == {(9, 0): 1, (10, 0): 1}
+
+        # Batch 3: a LATE event at 09:05 — behind the 10:30 watermark
+        # and inside an already-finalized window. It must be DROPPED:
+        # no new rows, no re-emission of the 09:00 window.
+        _write_batch(spark, landing, [Row(ts=t(9, 5), user_id=4)])
+        q.processAllAvailable()
+        emitted = {(r.ws.hour, r.ws.minute): r.n for r in spark.table(name).collect()}
+        assert emitted == {(9, 0): 1, (10, 0): 1}
+    finally:
+        q.stop()
