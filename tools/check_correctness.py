@@ -100,7 +100,10 @@ def main():
             failures.append(name)
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(status))
         else:
-            print(f"PASS {name} ({dt:.1f}s, {len(srows)} rows)")
+            # 0-row matches are vacuous — both engines agreeing on an
+            # empty result proves nothing about the operator.
+            warn = "  [WARN: 0 rows — vacuous match]" if not srows else ""
+            print(f"PASS {name} ({dt:.1f}s, {len(srows)} rows){warn}")
 
     print(f"\n{len(failures)} failures" + (": " + ", ".join(failures) if failures else ""))
     sys.exit(1 if failures else 0)
