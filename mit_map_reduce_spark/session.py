@@ -60,8 +60,17 @@ def get_spark(app_name: str = "mit_map_reduce_spark", *, master: str | None = No
         # nanosecond timestamp type, so read as long and convert in the
         # catalog (lossless: the data is microsecond-precision).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # --- local-mode-only knobs ---
+        # Small-SF testdata files are single-digit MB, far below the
+        # 128 MB production default for maxPartitionBytes — which would
+        # read each table on ONE core. 2 MB restores scan parallelism
+        # locally; at 100 TB files exceed 128 MB and the production
+        # default (the invariant: scan partitions >= cores) is correct,
+        # so a cluster deployment should drop this override.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(2 * 1024 * 1024)),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
