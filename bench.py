@@ -47,6 +47,42 @@ HEADLINE = (
 )
 
 
+def bench_mr_facade_wc(spark) -> tuple[float, int]:
+    """Reference-surface benchmark: the MapReduce facade running wc
+    over an 8-file ~3 MB text corpus — the reference's own flagship
+    workload and scale (8 pg-*.txt files, 3.3 MB, bound <= 45 s with 3
+    workers; reference src/main/test-mr.sh:51,87-99). Corpus text comes
+    from the documents table, doubled to match the reference's bytes.
+    """
+    import hashlib
+    import tempfile
+
+    from mit_map_reduce_spark.mapreduce import run_job
+    from mit_map_reduce_spark.mapreduce.apps import wc_map, wc_reduce
+
+    tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
+    corpus = os.path.join(tempfile.gettempdir(), f"mmrs_bench_corpus_{tag}")
+    if not os.path.isdir(corpus):
+        os.makedirs(corpus, exist_ok=True)
+        texts = [
+            r[0]
+            for r in spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+            .select("text")
+            .collect()
+        ]
+        parts: list[list[str]] = [[] for _ in range(8)]
+        for i, t in enumerate(texts):
+            parts[i % 8].append(t)
+            parts[i % 8].append(t)  # double: ~3 MB total, ref corpus scale
+        for i, chunk in enumerate(parts):
+            with open(os.path.join(corpus, f"pg-{i}.txt"), "w") as f:
+                f.write("\n".join(chunk))
+    t0 = time.time()
+    df = run_job(spark, wc_map, wc_reduce, [os.path.join(corpus, "pg-*.txt")], n_reduce=10)
+    n = df.count()
+    return round(time.time() - t0, 3), n
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -66,6 +102,10 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    dt, n = bench_mr_facade_wc(spark)
+    timings["mr_facade_wordcount_3mb"] = dt
+    print(f"# mr_facade_wordcount_3mb: {dt:.2f}s ({n} rows; ref bound 45s)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -65,7 +65,10 @@ def run_job(
     # across executors; at 100 TB each file is still one map record,
     # matching the reference's one-map-task-per-file plan
     # (src/mr/coordinator.go:242-253).
-    files = sc.wholeTextFiles(",".join(inputs))
+    # minPartitions: wholeTextFiles defaults to 2, which would cap map
+    # parallelism at 2 tasks regardless of file count; ask for one task
+    # per core (Spark still never splits a single file).
+    files = sc.wholeTextFiles(",".join(inputs), minPartitions=sc.defaultParallelism)
     if use_basename:
         files = files.map(lambda fc: (os.path.basename(fc[0]), fc[1]))
 
