@@ -142,6 +142,43 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP`` tf-idf terms per document.
+
+    tfidf = tf * ln(N / df). All three inputs are aggregates computed
+    in-engine (no driver-side collect): df broadcast per term, the
+    1-row corpus count cross-joined. Ranking uses the ROUNDED score
+    (tie-break by term) so the order is reproducible cross-engine —
+    raw doubles can differ by 1 ulp between Spark's and DuckDB's ln().
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(tokenize_letters(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "tfidf",
+            round_half_up(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
 def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rollup: token counts per labelled language (for corpus
     composition reports — the aggregate a data pipeline dashboards)."""
@@ -161,6 +198,7 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
+    "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_token_stats_by_lang": text_token_stats_by_lang,
 }
 
@@ -258,6 +296,29 @@ ORACLES = {
         SELECT doc_id, string_agg(hv, '|' ORDER BY hv) AS fingerprint
         FROM ranked WHERE rn <= {FP_KEEP}
         GROUP BY doc_id
+    """,
+    "text_tfidf_top_terms": f"""
+        WITH words AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(text, '[^a-zA-Z]+'), x -> x <> '')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        total AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, tf.term, tf,
+                   floor((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 10000.0 + 0.5)
+                       / 10000.0 AS tfidf
+            FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN total
+        )
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, tfidf,
+               CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+            FROM scored
+        ) WHERE rank <= {TFIDF_TOP}
     """,
     "text_token_count": f"""
         WITH t AS (
