@@ -144,6 +144,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Verification probes the persisted shingle stream with the tiny
+    # candidate set (broadcast joins — the shingle table itself never
+    # shuffles); a pre-filtering semi-join was measured slower here
+    # because its broadcast branch re-executes the band pipeline.
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
