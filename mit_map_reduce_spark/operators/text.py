@@ -142,6 +142,38 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Rabin-Karp parameters: base 257, modulus 1e9+7 — products stay
+#: under 2^63 so 64-bit signed arithmetic is exact in both engines.
+RK_BASE = 257
+RK_MOD = 1_000_000_007
+
+
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash document fingerprint (content-defined,
+    incremental — the hash an ingestion pipeline can maintain per chunk
+    and combine, unlike md5).
+
+    h = fold(chars, h * 257 + codepoint mod 1e9+7), computed entirely
+    in Catalyst (split to chars + aggregate); pure map-side, zero
+    shuffle. Also emits the hash of the first 64 chars — the prefix
+    fingerprint cheap near-dup triage uses.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rk(col):
+        return F.aggregate(
+            F.filter(F.split(col, ""), lambda c: c != ""),
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * RK_BASE + F.ascii(c)) % RK_MOD,
+        )
+
+    return docs.select(
+        "doc_id",
+        rk(F.col("text")).alias("rk_hash"),
+        rk(F.substring("text", 1, 64)).alias("rk_prefix64"),
+    )
+
+
 TFIDF_TOP = 3
 
 
@@ -199,6 +231,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_token_count": text_token_count,
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "text_rolling_hash": text_rolling_hash,
     "text_token_stats_by_lang": text_token_stats_by_lang,
 }
 
@@ -296,6 +329,18 @@ ORACLES = {
         SELECT doc_id, string_agg(hv, '|' ORDER BY hv) AS fingerprint
         FROM ranked WHERE rn <= {FP_KEEP}
         GROUP BY doc_id
+    """,
+    "text_rolling_hash": f"""
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * {RK_BASE} + b) % {RK_MOD}) AS rk_hash,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(substr(text, 1, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * {RK_BASE} + b) % {RK_MOD}) AS rk_prefix64
+        FROM documents
     """,
     "text_tfidf_top_terms": f"""
         WITH words AS (
