@@ -146,10 +146,77 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(sample_batches, schema=SAMPLE_SCHEMA)
 
 
+RESIZE_MAX = 256
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, new_width int, new_height int"
+
+
+def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing for image assets: cap the longer edge at
+    ``RESIZE_MAX`` preserving aspect ratio (integer arithmetic, so the
+    oracle reproduces it exactly). The geometry computation stands in
+    for the PIL call; batch shape and schema are the real pipeline.
+    """
+    assets = _assets(spark, sf_dir).filter(F.col("media_type") == "image")
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "new_width", "new_height")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                w, h, _ = stub_decode(len(content), "image")
+                longer = max(w, h)
+                if longer > RESIZE_MAX:
+                    nw, nh = (w * RESIZE_MAX) // longer, (h * RESIZE_MAX) // longer
+                else:
+                    nw, nh = w, h
+                for k, v in zip(rows, (doc_id, w, h, nw, nh)):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(resize_batches, schema=RESIZE_SCHEMA)
+
+
+N_FEATURES = 8
+
+FEATURE_SCHEMA = "doc_id bigint, features array<double>"
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction plumbing: an N-dim embedding per asset from
+    the content bytes (deterministic stand-in for a CLIP/audio encoder:
+    feature i = value of hex digit i of md5(content), scaled to [0,1]).
+    Arrow-batched, map-side, emits ``array<double>`` — the column shape
+    the similarity operators consume.
+    """
+    assets = _assets(spark, sf_dir)
+
+    def feat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                hx = hashlib.md5(bytes(content)).hexdigest()
+                feats.append(
+                    [
+                        # same floor(x*1e4+0.5)/1e4 as the oracle —
+                        # Python's round() is banker's rounding
+                        math.floor(int(c, 16) / 15.0 * 10000.0 + 0.5) / 10000.0
+                        for c in hx[:N_FEATURES]
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return assets.mapInPandas(feat_batches, schema=FEATURE_SCHEMA)
+
+
 QUERIES = {
     "mm_asset_stats": mm_asset_stats,
     "mm_decode_assets": mm_decode_assets,
     "mm_frame_sample": mm_frame_sample,
+    "mm_resize_images": mm_resize_images,
+    "mm_feature_extract": mm_feature_extract,
 }
 
 _MEDIA = """CASE CAST(doc_id % 3 AS INTEGER)
@@ -163,6 +230,31 @@ ORACLES = {
                floor((avg(octet_length(encode(text)))) * 10000.0 + 0.5) / 10000.0 AS avg_bytes
         FROM documents
         GROUP BY source, {_MEDIA}
+    """,
+    "mm_resize_images": f"""
+        WITH a AS (
+            SELECT doc_id,
+                   64 + octet_length(encode(text)) % 512 AS w,
+                   64 + (octet_length(encode(text)) * 7) % 512 AS h
+            FROM documents
+            WHERE CAST(doc_id % 3 AS INTEGER) = 0
+        )
+        SELECT doc_id,
+               CAST(w AS INTEGER) AS width,
+               CAST(h AS INTEGER) AS height,
+               CAST(CASE WHEN greatest(w, h) > {RESIZE_MAX}
+                    THEN (w * {RESIZE_MAX}) // greatest(w, h) ELSE w END AS INTEGER) AS new_width,
+               CAST(CASE WHEN greatest(w, h) > {RESIZE_MAX}
+                    THEN (h * {RESIZE_MAX}) // greatest(w, h) ELSE h END AS INTEGER) AS new_height
+        FROM a
+    """,
+    "mm_feature_extract": f"""
+        SELECT doc_id,
+               list_transform(range(1, {N_FEATURES + 1}),
+                   i -> floor(((strpos('0123456789abcdef',
+                            substr(md5(text), CAST(i AS INTEGER), 1)) - 1)
+                        / 15.0) * 10000.0 + 0.5) / 10000.0) AS features
+        FROM documents
     """,
     "mm_frame_sample": f"""
         WITH v AS (
