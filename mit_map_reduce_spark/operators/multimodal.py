@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mit_map_reduce_spark.functions.columns import round_half_up
-from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.catalog import load_table, spread
 
 DECODE_SCHEMA = "doc_id bigint, media_type string, width int, height int, n_frames int"
 
@@ -33,7 +33,9 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     In a real pipeline this is the parquet/lance scan of blob columns;
     here the blob is synthesized from text deterministically.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # spread: a small parquet file arrives as ONE partition, which
+    # would serialize every downstream decode batch onto one core.
+    docs = spread(load_table(spark, sf_dir, "documents"))
     media = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
