@@ -57,16 +57,30 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _table_stream(spark, sf_dir, "events")
 
 
-def _run_to_completion(agg: DataFrame, mode: str = "complete") -> DataFrame:
+def _run_to_completion(
+    agg: DataFrame, mode: str = "complete", shuffle_partitions: int | None = None
+) -> DataFrame:
+    spark = agg.sparkSession
     name = "stream_out_" + uuid.uuid4().hex[:8]
-    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    # Stateful operators instantiate one state store PER shuffle
+    # partition PER micro-batch; size that to key cardinality, not core
+    # count (the partition count is fixed at first checkpoint anyway).
+    # Scoped set/restore: the value is captured when the stream starts.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    finally:
+        if shuffle_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
     # The memory-sink table lives for the session; return it as a
     # plain batch DataFrame.
-    return agg.sparkSession.table(name)
+    return spark.table(name)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -167,7 +181,7 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.groupBy("user_id").applyInPandasWithState(
         update, _PROFILE_OUT, _PROFILE_STATE, "update", GroupStateTimeout.NoTimeout
     )
-    return _run_to_completion(out, mode="update")
+    return _run_to_completion(out, mode="update", shuffle_partitions=8)
 
 
 _DEDUP_OUT = "text_md5 string, first_doc_id bigint, n_seen bigint"
@@ -212,7 +226,7 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.groupBy("text_md5").applyInPandasWithState(
         update, _DEDUP_OUT, _DEDUP_STATE, "update", GroupStateTimeout.NoTimeout
     )
-    return _run_to_completion(out, mode="update")
+    return _run_to_completion(out, mode="update", shuffle_partitions=8)
 
 
 QUERIES = {
