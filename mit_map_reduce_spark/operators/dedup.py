@@ -47,14 +47,24 @@ JACCARD_THRESHOLD = 0.5
 COSINE_DUP_THRESHOLD = 0.35
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — distinct word-5-gram shingles per document."""
+def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array<string>, sz) — distinct word-5-gram
+    shingles per document, kept as one array row per doc so signature
+    derivation can stay map-side. Docs shorter than the shingle width
+    (empty array) are excluded."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_kgrams(tokenize_letters(F.col("text")), SHINGLE_K))
-        ).alias("shingle"),
+    arr = F.array_distinct(word_kgrams(tokenize_letters(F.col("text")), SHINGLE_K))
+    return (
+        docs.select("doc_id", arr.alias("shingles"))
+        .withColumn("sz", F.size("shingles"))
+        .filter(F.col("sz") > 0)
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — exploded form, for inverted-index joins."""
+    return _doc_shingle_arrays(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -72,23 +82,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_wide(
-    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, arrays: DataFrame | None = None
 ) -> DataFrame:
-    """(doc_id, m0..m{N-1}, sz): all N MinHashes + the shingle count in
-    ONE aggregation pass.
+    """(doc_id, m0..m{N-1}, sz): all N MinHashes + the shingle count,
+    computed ENTIRELY map-side.
 
-    Each row of the shingle stream computes N md5s, but the groupBy
-    carries them as N min-aggregates — map-side partial mins, a single
-    shuffle of N*32 bytes per document, no row multiplication. This is
-    the shuffle shape that survives a 100 TB corpus. The set size rides
-    along for free so Jaccard verification needs no second pass.
+    The h-th MinHash is ``array_min(transform(shingles, s ->
+    md5(h:s)))`` over the per-document shingle array — a pure
+    projection. No explode, no shuffle: at 100 TB the signature stage
+    is a single streaming scan, and only the (tiny) signatures ever
+    reach an exchange (the LSH band join).
     """
-    sh = shingles if shingles is not None else _doc_shingles(spark, sf_dir)
+    arrs = arrays if arrays is not None else _doc_shingle_arrays(spark, sf_dir)
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"m{i}")
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"m{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*mins, F.count("*").alias("sz"))
+    return arrs.select("doc_id", *mins, "sz")
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,16 +134,17 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is then computed ONLY for candidates, via the shingle
     inverted index.
 
-    Multi-pass plan hygiene: the shingle stream feeds three consumers
-    (signature agg, probe side a, probe side b), so it is persisted
-    (memory, spill-to-disk) rather than re-derived — at 100 TB the
-    equivalent is materializing shingles once to parquet before the
-    pair phase. Set sizes are aggregated in the same pass as the
-    signatures and carried through the band join, so Jaccard needs no
-    extra size joins.
+    Multi-pass plan hygiene: the per-document shingle arrays feed three
+    consumers (signature projection, probe side a, probe side b), so
+    the compact array form — one row per doc, not one per shingle — is
+    persisted (memory, spill-to-disk) rather than re-derived; at 100 TB
+    the equivalent is materializing it once to parquet before the pair
+    phase. Set sizes ride the same row and are carried through the band
+    join, so Jaccard needs no extra size joins.
     """
-    sh = _doc_shingles(spark, sf_dir).persist()
-    bands = _band_keys(_minhash_wide(spark, sf_dir, shingles=sh))
+    arrs = _doc_shingle_arrays(spark, sf_dir).persist()
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    bands = _band_keys(_minhash_wide(spark, sf_dir, arrays=arrs))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
