@@ -104,20 +104,22 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Docs shorter than the shingle width have no fingerprint (excluded),
     mirroring the dedup shingle semantics.
+
+    Fully map-side: sort + slice over the per-document shingle-hash
+    array — no explode, no window, zero shuffles (plan: scan ->
+    project; the earlier explode + row_number formulation shuffled the
+    whole shingle stream twice).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_kgrams(tokenize_letters(F.col("text")), FP_SHINGLE_K))
-        ).alias("shingle"),
-    ).select("doc_id", F.md5("shingle").alias("hv"))
-    w = W.partitionBy("doc_id").orderBy("hv")
+    shingles = F.array_distinct(word_kgrams(tokenize_letters(F.col("text")), FP_SHINGLE_K))
+    hashes = F.array_sort(F.transform(shingles, lambda s: F.md5(s)))
     return (
-        sh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= FP_KEEP)
-        .groupBy("doc_id")
-        .agg(F.array_join(F.array_sort(F.collect_list("hv")), "|").alias("fingerprint"))
+        docs.select("doc_id", hashes.alias("hv"))
+        .filter(F.size("hv") > 0)
+        .select(
+            "doc_id",
+            F.array_join(F.slice("hv", 1, FP_KEEP), "|").alias("fingerprint"),
+        )
     )
 
 
