@@ -184,42 +184,30 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bit b of md5(word) is extracted arithmetically from the hex digits
     so the oracle can reproduce it; contribution = word frequency *
     (2*bit - 1); fingerprint bit = sign of the sum.
+
+    Fully map-side: frequency * contribution == sum over individual
+    occurrences, so the per-bit sums fold directly over the token
+    array (md5 hashed once per token) — zero shuffles, where the
+    grouped formulation cost three.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    wc = (
-        docs.select("doc_id", F.explode(tokenize_letters(F.col("text"))).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
-    )
-    bits = F.array(*[F.lit(i) for i in range(32)])
-    digit = F.conv(
-        F.md5("word").substr(F.floor(F.col("b") / 4).cast("int") + 1, F.lit(1)),
-        16,
-        10,
-    ).cast("int")
-    # (digit >> (3 - b%4)) & 1, written as div/mod because the shift
-    # amount is a column (F.shiftright needs a literal).
-    bit = (
-        F.floor(digit / F.pow(F.lit(2.0), (3 - (F.col("b") % 4)).cast("double"))).cast("long") % 2
-    )
-    contrib = F.col("cnt") * (2 * bit - 1)
-    per_bit = (
-        spread(wc)  # AQE coalesces the tiny groupBy output; re-fan before x32 explode
-        .select("doc_id", "word", "cnt", F.explode(bits).alias("b"))
-        .select("doc_id", "b", contrib.alias("contrib"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .select(
-            "doc_id",
-            "b",
-            F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("c"),
-        )
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("b", "c"))), lambda s: s["c"]),
-            "",
-        ).alias("simhash")
+    tokens = tokenize_letters(F.col("text"))
+    hashed = F.transform(tokens, lambda w: F.md5(w))
+
+    def bit_char(b):
+        # sign of sum over tokens of (2 * bit(md5(token), b) - 1)
+        def contrib(h):
+            digit = F.conv(h.substr(F.lit(b // 4 + 1), F.lit(1)), 16, 10).cast("int")
+            bit = F.floor(digit / F.lit(2 ** (3 - b % 4))).cast("long") % 2
+            return 2 * bit - 1
+
+        s = F.aggregate(F.col("hs"), F.lit(0).cast("bigint"), lambda acc, h: acc + contrib(h))
+        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return (
+        docs.select("doc_id", hashed.alias("hs"))
+        .filter(F.size("hs") > 0)  # tokenless docs have no simhash (oracle parity)
+        .select("doc_id", F.concat(*[bit_char(b) for b in range(32)]).alias("simhash"))
     )
 
 
@@ -231,8 +219,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrases) are the skew risk at scale — AQE skew-join handles
     moderate cases; a frequency cap on shingles is the escape hatch.
     """
-    sh = _doc_shingles(spark, sf_dir).persist()  # 3 consumers: sizes, sa, sb
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # persist the compact array form; sizes come from its sz column
+    # (no aggregation), the two probe sides explode from cache.
+    arrs = _doc_shingle_arrays(spark, sf_dir).persist()
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = arrs.select("doc_id", "sz")
     sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
         sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
