@@ -86,3 +86,21 @@ def test_plan_report_shape(spark, sf_dir):
 def test_filter_pushdown_via_api(spark, sf_dir):
     df = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42)
     assert any(p.startswith("EqualTo(o_orderkey") for p in pushed_filters(df))
+
+
+def test_mapside_operators_have_no_hash_shuffle(spark, sf_dir):
+    # These operators are implemented as pure per-document projections
+    # (fold/sort/slice over arrays); the ONLY allowed exchange is the
+    # round-robin spread() fan-out of the small input — never a hash
+    # shuffle of derived rows. Regression guard for the map-side
+    # rewrites of fingerprint/simhash/minhash-signatures.
+    from mit_map_reduce_spark.operators.dedup import minhash_signatures, simhash_fingerprints
+    from mit_map_reduce_spark.operators.text import text_fingerprint, text_rolling_hash
+
+    for fn in (text_fingerprint, simhash_fingerprints, minhash_signatures):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "Exchange hashpartitioning" not in plan, fn.__name__
+        assert "Exchange rangepartitioning" not in plan, fn.__name__
+
+    # rolling hash reads one partition and needs no fan-out at all
+    assert count_shuffles(text_rolling_hash(spark, sf_dir)) == 0
