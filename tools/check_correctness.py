@@ -49,13 +49,22 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    spark = get_spark("check_correctness")
+    if vanilla:
+        # Simulate the grading driver: a bare session with none of our
+        # factory's configs (UTC, AQE, partition sizing, nanos flag...).
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[4]").appName("vanilla").getOrCreate()
+    else:
+        spark = get_spark("check_correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
