@@ -331,6 +331,50 @@ def rel_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nation-pair trade: TPC-H Q7 shape ----------------------------------
+
+TRADE_NATIONS = ("NATION_3", "NATION_7")
+
+
+def rel_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations per year,
+    both directions.
+
+    The nation dimension joins TWICE under different aliases (supplier
+    side / customer side) — both broadcast; the symmetric pair filter
+    applies post-join on broadcast columns, so the fact table shuffles
+    only for the orders join.
+    """
+    n1, n2 = TRADE_NATIONS
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nat_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.count("*").alias("n_items"),
+        round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"),
+    )
+
+
 # --- cube ---------------------------------------------------------------
 
 
@@ -389,6 +433,7 @@ QUERIES = {
     "rel_scalar_json_events": rel_scalar_json_events,
     "rel_rollup_acctbal": rel_rollup_acctbal,
     "rel_distinct_aggs_per_segment": rel_distinct_aggs_per_segment,
+    "rel_q7_nation_trade": rel_q7_nation_trade,
     "rel_cube_orders": rel_cube_orders,
     "rel_salted_agg_events_per_type": rel_salted_agg_events_per_type,
     "rel_q13_order_histogram": rel_q13_order_histogram,
@@ -550,6 +595,25 @@ ORACLES = {
               SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey
+    """,
+    "rel_q7_nation_trade": f"""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(count(*) AS BIGINT) AS n_items,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS volume
+        FROM (
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice, l_discount
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE (ns.n_name = '{TRADE_NATIONS[0]}' AND nc.n_name = '{TRADE_NATIONS[1]}')
+               OR (ns.n_name = '{TRADE_NATIONS[1]}' AND nc.n_name = '{TRADE_NATIONS[0]}')
+        )
+        GROUP BY supp_nation, cust_nation, l_year
     """,
     "rel_cube_orders": """
         SELECT o_orderpriority, o_orderstatus,
