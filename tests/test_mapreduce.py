@@ -71,6 +71,34 @@ def test_wordcount_values(spark, corpus_dir):
     assert result["under"] == "1" and result["scores"] == "1"  # '_' splits
 
 
+def test_job_chaining_via_text_sink(spark, corpus_dir, tmp_path):
+    # Classic multi-job MapReduce pipeline: job 2 consumes job 1's
+    # mr-out-* text files — the exact composition pattern reference
+    # users run by pointing a second mrcoordinator at mr-out* files.
+    out1 = str(tmp_path / "job1_out")
+    wc = run_job(spark, wc_map, wc_reduce, [os.path.join(corpus_dir, "pg-*.txt")], n_reduce=3)
+    save_text_output(wc, out1, n_reduce=3)
+
+    def hist_map(filename: str, contents: str):
+        # input lines are "word count"; emit (count, "1")
+        return [(line.split()[1], "1") for line in contents.splitlines() if line.strip()]
+
+    def hist_reduce(key: str, values: list[str]) -> str:
+        return str(len(values))
+
+    hist = dict(
+        (r["key"], r["value"])
+        for r in run_job(
+            spark, hist_map, hist_reduce, [os.path.join(out1, "part-*")], n_reduce=2
+        ).collect()
+    )
+    # independent truth: count words-per-frequency straight from job 1
+    expected: dict[str, int] = {}
+    for r in wc.collect():
+        expected[r["value"]] = expected.get(r["value"], 0) + 1
+    assert hist == {k: str(v) for k, v in expected.items()}
+
+
 def test_indexer_doc_lists_sorted(spark, corpus_dir):
     inputs = [os.path.join(corpus_dir, "pg-*.txt")]
     result = dict(
