@@ -53,11 +53,12 @@ def _doc_shingle_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation can stay map-side. Docs shorter than the shingle width
     (empty array) are excluded."""
     docs = spread(load_table(spark, sf_dir, "documents"))
-    arr = F.array_distinct(word_kgrams(tokenize_letters(F.col("text")), SHINGLE_K))
-    return (
-        docs.select("doc_id", arr.alias("shingles"))
-        .withColumn("sz", F.size("shingles"))
-        .filter(F.col("sz") > 0)
+    words = tokenize_letters(F.col("text"))
+    arr = F.array_distinct(word_kgrams(words, SHINGLE_K))
+    # filter on the token count, not the aliased array: a filter on the
+    # alias would inline (re-evaluate) the shingle expression
+    return docs.filter(F.size(words) >= SHINGLE_K).select(
+        "doc_id", arr.alias("shingles"), F.size(arr).alias("sz")
     )
 
 
@@ -105,8 +106,12 @@ def _minhash_wide(
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h, minhash): h-th MinHash = min over shingles of
-    md5(h || ':' || shingle), compared as a hex string."""
-    wide = _minhash_wide(spark, sf_dir)
+    md5(h || ':' || shingle), compared as a hex string.
+
+    The array form is persisted: the N min-projections each reference
+    the shingle array, and without materialization projection collapse
+    would re-derive it N times."""
+    wide = _minhash_wide(spark, sf_dir, arrays=_doc_shingle_arrays(spark, sf_dir).persist())
     stack_args = ", ".join(f"{i}, m{i}" for i in range(N_HASHES))
     return wide.selectExpr(
         "doc_id", f"stack({N_HASHES}, {stack_args}) AS (h, minhash)"
@@ -188,26 +193,37 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully map-side: frequency * contribution == sum over individual
     occurrences, so the per-bit sums fold directly over the token
     array (md5 hashed once per token) — zero shuffles, where the
-    grouped formulation cost three.
+    grouped formulation cost three. ONE fold accumulates an array of
+    all 32 bit-sums: 32 separate per-bit aggregates would each inline
+    (and re-evaluate) the token-hashing expression after projection
+    collapse — 32x the md5 work.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     tokens = tokenize_letters(F.col("text"))
     hashed = F.transform(tokens, lambda w: F.md5(w))
+    bits = F.sequence(F.lit(0), F.lit(31))
 
-    def bit_char(b):
-        # sign of sum over tokens of (2 * bit(md5(token), b) - 1)
-        def contrib(h):
-            digit = F.conv(h.substr(F.lit(b // 4 + 1), F.lit(1)), 16, 10).cast("int")
-            bit = F.floor(digit / F.lit(2 ** (3 - b % 4))).cast("long") % 2
+    def contribs(h):
+        # array of 32 contributions (+-1) for one token's md5 hex
+        def one(b):
+            digit = F.conv(
+                h.substr((F.floor(b / 4) + 1).cast("int"), F.lit(1)), 16, 10
+            ).cast("int")
+            bit = (
+                F.floor(digit / F.pow(F.lit(2.0), (3 - b % 4).cast("double"))).cast("long") % 2
+            )
             return 2 * bit - 1
 
-        s = F.aggregate(F.col("hs"), F.lit(0).cast("bigint"), lambda acc, h: acc + contrib(h))
-        return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+        return F.transform(bits, one)
 
+    zero = F.array_repeat(F.lit(0).cast("bigint"), 32)
+    sums = F.aggregate(hashed, zero, lambda acc, h: F.zip_with(acc, contribs(h), lambda x, y: x + y))
+    simhash = F.array_join(
+        F.transform(sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
     return (
-        docs.select("doc_id", hashed.alias("hs"))
-        .filter(F.size("hs") > 0)  # tokenless docs have no simhash (oracle parity)
-        .select("doc_id", F.concat(*[bit_char(b) for b in range(32)]).alias("simhash"))
+        docs.filter(F.size(tokens) > 0)  # tokenless docs: no simhash (oracle parity)
+        .select("doc_id", simhash.alias("simhash"))
     )
 
 

@@ -109,16 +109,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     array — no explode, no window, zero shuffles (plan: scan ->
     project; the earlier explode + row_number formulation shuffled the
     whole shingle stream twice).
+
+    The emptiness filter tests the TOKEN count (shingles nonempty iff
+    n_words >= k), not the hash array: filtering on an aliased heavy
+    expression makes CollapseProject inline it into both the filter
+    and the projection — measured 10x slower from double evaluation.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
-    shingles = F.array_distinct(word_kgrams(tokenize_letters(F.col("text")), FP_SHINGLE_K))
+    words = tokenize_letters(F.col("text"))
+    shingles = F.array_distinct(word_kgrams(words, FP_SHINGLE_K))
     hashes = F.array_sort(F.transform(shingles, lambda s: F.md5(s)))
     return (
-        docs.select("doc_id", hashes.alias("hv"))
-        .filter(F.size("hv") > 0)
+        docs.filter(F.size(words) >= FP_SHINGLE_K)
         .select(
             "doc_id",
-            F.array_join(F.slice("hv", 1, FP_KEEP), "|").alias("fingerprint"),
+            F.array_join(F.slice(hashes, 1, FP_KEEP), "|").alias("fingerprint"),
         )
     )
 
