@@ -284,8 +284,62 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the MinHash-LSH
+    near-dup pair graph — the step that turns pairwise matches into
+    keep/drop decisions (cluster id = smallest doc_id in the cluster).
+
+    Iterative min-label propagation, the Spark-idiomatic fixpoint loop:
+    each round every node adopts the smallest label among itself and
+    its neighbors; rounds = graph diameter (near-dup clusters are tiny,
+    so 2-4 rounds). Each round is one join + one aggregate; the loop
+    runs in the driver but all data stays distributed — at 100 TB this
+    is exactly GraphX/GraphFrames' CC algorithm shape. Persist per
+    round bounds lineage growth.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_connected_components": dedup_connected_components,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_simhash_fingerprints": simhash_fingerprints,
@@ -317,6 +371,36 @@ _SIG_CTE = f"""
     )
 """
 
+#: Shared CTE chain ending in the LSH near-dup `pairs` relation —
+#: used by both the pairs oracle and the connected-components oracle.
+_PAIRS_CTES = f"""{_SHINGLES_CTE}, {_SIG_CTE},
+    bands AS (
+        SELECT doc_id, h // {BAND_ROWS} AS band,
+               string_agg(minhash, '|' ORDER BY h) AS band_key
+        FROM sig GROUP BY doc_id, h // {BAND_ROWS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT doc_a, doc_b, count(*) AS inter
+        FROM cand
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+        GROUP BY doc_a, doc_b
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+               floor((inter / (za.sz + zb.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+        FROM inter
+        JOIN sizes za ON za.doc_id = doc_a
+        JOIN sizes zb ON zb.doc_id = doc_b
+        WHERE floor((inter / (za.sz + zb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= {JACCARD_THRESHOLD}
+    )"""
+
 ORACLES = {
     "dedup_exact": """
         SELECT md5(text) AS text_md5,
@@ -330,32 +414,24 @@ ORACLES = {
         SELECT doc_id, h, minhash FROM sig
     """,
     "dedup_minhash_lsh_pairs": f"""
-        WITH {_SHINGLES_CTE}, {_SIG_CTE},
-        bands AS (
-            SELECT doc_id, h // {BAND_ROWS} AS band,
-                   string_agg(minhash, '|' ORDER BY h) AS band_key
-            FROM sig GROUP BY doc_id, h // {BAND_ROWS}
-        ),
-        cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
-              ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        ),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT doc_a, doc_b, count(*) AS inter
-            FROM cand
-            JOIN sh sa ON sa.doc_id = doc_a
-            JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
-            GROUP BY doc_a, doc_b
-        )
-        SELECT doc_a, doc_b,
-               floor((inter / (za.sz + zb.sz - inter)) * 10000.0 + 0.5) / 10000.0 AS jaccard
-        FROM inter
-        JOIN sizes za ON za.doc_id = doc_a
-        JOIN sizes zb ON zb.doc_id = doc_b
-        WHERE floor((inter / (za.sz + zb.sz - inter)) * 10000.0 + 0.5) / 10000.0 >= {JACCARD_THRESHOLD}
+        WITH {_PAIRS_CTES}
+        SELECT doc_a, doc_b, jaccard FROM pairs
     """,
+    "dedup_connected_components": f"""
+        WITH RECURSIVE {_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+        )
+        SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
+    """,
+
     "dedup_simhash_fingerprints": f"""
         WITH words AS (
             SELECT doc_id, unnest({_WORDS}) AS word FROM documents
