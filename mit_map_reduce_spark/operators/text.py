@@ -149,6 +149,29 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_PCT = 10  # deterministic 10% sample
+
+
+def text_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling: doc is in the sample iff
+    ``hash_bucket(doc_id) < SAMPLE_PCT`` of 100 buckets.
+
+    Training pipelines need splits that are stable across runs,
+    engines, and partitionings — ``df.sample()`` is none of those
+    (seeded per-partition RNG). A hash-derived bucket is: the same
+    row lands in the same split everywhere, and the filter is
+    map-side-prunable. Bucket = first 4 hex digits of md5(doc_id)
+    mod 100.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    return docs.filter(bucket < SAMPLE_PCT).select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    )
+
+
 #: Rabin-Karp parameters: base 257, modulus 1e9+7 — products stay
 #: under 2^63 so 64-bit signed arithmetic is exact in both engines.
 RK_BASE = 257
@@ -239,6 +262,7 @@ QUERIES = {
     "text_token_count": text_token_count,
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_rolling_hash": text_rolling_hash,
+    "text_deterministic_sample": text_deterministic_sample,
     "text_token_stats_by_lang": text_token_stats_by_lang,
 }
 
@@ -336,6 +360,20 @@ ORACLES = {
         SELECT doc_id, string_agg(hv, '|' ORDER BY hv) AS fingerprint
         FROM ranked WHERE rn <= {FP_KEEP}
         GROUP BY doc_id
+    """,
+    "text_deterministic_sample": f"""
+        WITH b AS (
+            SELECT doc_id, lang, length(text) AS n_chars,
+                   -- value of the first 4 hex digits of md5(doc_id)
+                   ( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+                   ) % 100 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(n_chars AS INTEGER) AS n_chars
+        FROM b WHERE bucket < {SAMPLE_PCT}
     """,
     "text_rolling_hash": f"""
         SELECT doc_id,
