@@ -375,6 +375,44 @@ def rel_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MERGE / upsert ------------------------------------------------------
+
+PREMIUM_BAL = 8000.0
+
+
+def rel_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics as DataFrame ops: apply an updates batch to the
+    customer dimension — matched rows update (high-balance customers
+    re-segmented), unmatched update rows insert (suppliers onboarded as
+    customers under an offset key space).
+
+    WHEN MATCHED = left join + coalesce; WHEN NOT MATCHED = unionByName.
+    At scale the update join shuffles on the merge key once (or rides
+    bucketing); no table format needed for the semantics. The updates
+    batch here derives deterministically from the same tables so the
+    oracle can reproduce the merged state.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_acctbal") > PREMIUM_BAL).select(
+        F.col("c_custkey").alias("k"), F.lit("PREMIUM").alias("new_segment")
+    )
+    updated = cust.join(F.broadcast(updates), cust.c_custkey == updates.k, "left").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        round_half_up("c_acctbal", 2).alias("c_acctbal"),
+        F.coalesce("new_segment", "c_mktsegment").alias("c_mktsegment"),
+    )
+    inserted = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 1_000_000).alias("c_custkey"),
+        F.col("s_name").alias("c_name"),
+        F.col("s_nationkey").alias("c_nationkey"),
+        round_half_up("s_acctbal", 2).alias("c_acctbal"),
+        F.lit("SUPPLIER").alias("c_mktsegment"),
+    )
+    return updated.unionByName(inserted)
+
+
 # --- cube ---------------------------------------------------------------
 
 
@@ -434,6 +472,7 @@ QUERIES = {
     "rel_rollup_acctbal": rel_rollup_acctbal,
     "rel_distinct_aggs_per_segment": rel_distinct_aggs_per_segment,
     "rel_q7_nation_trade": rel_q7_nation_trade,
+    "rel_merge_upsert_customers": rel_merge_upsert_customers,
     "rel_cube_orders": rel_cube_orders,
     "rel_salted_agg_events_per_type": rel_salted_agg_events_per_type,
     "rel_q13_order_histogram": rel_q13_order_histogram,
@@ -595,6 +634,17 @@ ORACLES = {
               SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey
+    """,
+    "rel_merge_upsert_customers": f"""
+        SELECT c_custkey, c_name, c_nationkey,
+               floor((c_acctbal) * 100.0 + 0.5) / 100.0 AS c_acctbal,
+               CASE WHEN c_acctbal > {PREMIUM_BAL} THEN 'PREMIUM'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer
+        UNION ALL
+        SELECT s_suppkey + 1000000, s_name, s_nationkey,
+               floor((s_acctbal) * 100.0 + 0.5) / 100.0, 'SUPPLIER'
+        FROM supplier
     """,
     "rel_q7_nation_trade": f"""
         SELECT supp_nation, cust_nation, l_year,
