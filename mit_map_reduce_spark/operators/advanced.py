@@ -10,6 +10,8 @@ rather than the O(n*m) theta-join a naive translation would produce.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -146,8 +148,44 @@ def adv_pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv
 
 
+GAP_OUT = "user_id bigint, n_events bigint, median_gap_s double"
+
+
+def adv_grouped_map_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user median inter-event gap via ``applyInPandas`` — the
+    grouped-map UDF surface (whole group as one pandas DataFrame), for
+    order-sensitive statistics plain aggregates can't express.
+
+    This is the DataFrame-era descendant of the reference's reduce
+    contract — reducef(key, all values) (reference
+    ``src/mr/worker.go:211``) — with Arrow batching instead of a
+    per-key Python call over JSON-decoded lists. One shuffle on the
+    group key; group size bounds executor memory, same constraint as
+    the reference's in-memory value slice.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+
+    def median_gap(pdf):
+        import pandas as pd
+
+        ts = pdf["ts"].sort_values()
+        gaps = ts.diff().dropna().dt.total_seconds()
+        med = float(gaps.median()) if len(gaps) else None
+        med = None if med is None else math.floor(med * 10000.0 + 0.5) / 10000.0
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_gap_s": [med],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(median_gap, schema=GAP_OUT)
+
+
 QUERIES = {
     "adv_asof_join_last_click": adv_asof_join_last_click,
+    "adv_grouped_map_median_gap": adv_grouped_map_median_gap,
     "adv_range_join_price_bands": adv_range_join_price_bands,
     "adv_correlated_subquery_small_qty": adv_correlated_subquery_small_qty,
     "adv_grouping_sets_revenue": adv_grouping_sets_revenue,
@@ -155,6 +193,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_grouped_map_median_gap": """
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_s
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               floor((median(gap_s)) * 10000.0 + 0.5) / 10000.0 AS median_gap_s
+        FROM gaps GROUP BY user_id
+    """,
     # Window formulation (not DuckDB's native ASOF JOIN) so that
     # equal-timestamp ties break identically (by event_id) in both
     # engines; semantics otherwise match ASOF JOIN ... ON ts >= ts.
