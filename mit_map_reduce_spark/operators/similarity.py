@@ -58,47 +58,43 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane(h: int) -> list[float]:
+    """Hyperplane h: component j = hexval(md5(h || '_' || j)[0]) - 7.5.
+
+    Derived from indices only — plane constants, not data — so they
+    are computed driver-side (hashlib md5 == Spark md5 == DuckDB md5
+    on the same strings) and embedded as literals.
+    """
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{h}_{j}".encode()).hexdigest()[0], 16) - 7.5
+        for j in range(DIM)
+    ]
+
+
 def _signatures(emb: DataFrame, spark: SparkSession) -> DataFrame:
     """(vec_id, bucket): bucket = concat of hyperplane signs.
 
-    Plane component p(h, j) = hexval(md5(h || '_' || j)[0]) - 7.5,
-    h in [0, N_PLANES), j in [0, DIM). Computed via posexplode +
-    broadcast join with the tiny plane table, then re-aggregated — one
-    shuffle of (vec_id, h, partial-dot) rows, never the vectors
-    themselves.
+    Pure map-side projection: each sign is a fold of the embedding
+    against a literal plane vector. The earlier formulation
+    (posexplode + broadcast join + two aggregations) shuffled a
+    (vec_id, h, partial-dot) stream; hyperplanes being constants, no
+    shuffle is needed at all.
     """
-    planes = (
-        spark.range(N_PLANES)
-        .withColumnRenamed("id", "h")
-        .crossJoin(spark.range(DIM).withColumnRenamed("id", "j"))
-        .select(
-            "h",
-            "j",
-            (
-                F.conv(F.substring(F.md5(F.concat_ws("_", "h", "j")), 1, 1), 16, 10).cast("double")
-                - F.lit(7.5)
-            ).alias("p"),
+    del spark  # kept for signature compatibility
+
+    def sign(h: int):
+        plane = F.array(*[F.lit(p) for p in _plane(h)])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-    )
-    comps = emb.select("vec_id", F.posexplode("embedding").alias("j", "x"))
-    dots = (
-        comps.join(F.broadcast(planes), "j")
-        .groupBy("vec_id", "h")
-        .agg(F.sum(F.col("x").cast("double") * F.col("p")).alias("dot"))
-    )
-    return dots.groupBy("vec_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("h", F.when(F.col("dot") >= 0, F.lit("1")).otherwise(F.lit("0")).alias("s"))
-                    )
-                ),
-                lambda s: s["s"],
-            ),
-            "",
-        ).alias("bucket")
-    )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bucket = F.concat(*[sign(h) for h in range(N_PLANES)])
+    return emb.select("vec_id", bucket.alias("bucket"))
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
