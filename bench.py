@@ -37,6 +37,7 @@ HEADLINE = (
     "dedup_embedding_cosine_pairs",
     "sim_ann_bruteforce_topk",
     "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
     "text_quality",
     "text_fingerprint",
     "mm_decode_assets",
