@@ -149,6 +149,38 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIPE_MIN_QUALITY = 0.4
+PIPE_SAMPLE_PCT = 50
+
+
+def text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning in ONE composed plan: quality filter
+    -> exact-dedup to the canonical copy -> deterministic 50% sample.
+
+    The composition is what a training-data pipeline actually ships;
+    each stage reuses the standalone operator's logic, and Catalyst
+    fuses the three into a single job (quality + sampling are map-side
+    predicates; only the canonical-copy check shuffles, once, on the
+    content hash).
+    """
+    scored = text_quality(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    bucket = F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10).cast(
+        "int"
+    ) % 100
+    return (
+        docs.join(keep, F.md5(docs.text) == keep.h)
+        .filter(F.col("doc_id") == F.col("keep_doc_id"))
+        .join(scored, "doc_id")
+        .filter(F.col("quality") >= PIPE_MIN_QUALITY)
+        .filter(bucket < PIPE_SAMPLE_PCT)
+        .select("doc_id", "lang", "quality")
+    )
+
+
 SAMPLE_PCT = 10  # deterministic 10% sample
 
 
@@ -263,6 +295,7 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "text_rolling_hash": text_rolling_hash,
     "text_deterministic_sample": text_deterministic_sample,
+    "text_corpus_pipeline": text_corpus_pipeline,
     "text_token_stats_by_lang": text_token_stats_by_lang,
 }
 
@@ -360,6 +393,34 @@ ORACLES = {
         SELECT doc_id, string_agg(hv, '|' ORDER BY hv) AS fingerprint
         FROM ranked WHERE rn <= {FP_KEEP}
         GROUP BY doc_id
+    """,
+    "text_corpus_pipeline": f"""
+        WITH t AS (SELECT doc_id, {_WS_LOWER} AS ws FROM documents),
+        m AS (
+            SELECT doc_id, len(ws) AS n,
+                   len(list_filter(ws, x -> list_contains({_STOP_LIST}, x))) AS n_stop,
+                   CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                       / len(ws) AS avg_len
+            FROM t
+        ),
+        q AS (
+            SELECT doc_id,
+                   floor((CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                        + CAST(0.3 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / n)
+                        + CAST(0.3 AS DOUBLE) * (1 - abs(avg_len - 5) / 10)) * 10000.0 + 0.5) / 10000.0 AS quality
+            FROM m
+        ),
+        keep AS (SELECT min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text))
+        SELECT d.doc_id, d.lang, q.quality
+        FROM documents d
+        JOIN keep ON d.doc_id = keep.keep_doc_id
+        JOIN q ON q.doc_id = d.doc_id
+        WHERE q.quality >= {PIPE_MIN_QUALITY}
+          AND ( (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)
+              ) % 100 < {PIPE_SAMPLE_PCT}
     """,
     "text_deterministic_sample": f"""
         WITH b AS (
