@@ -148,6 +148,42 @@ def adv_pivot_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv
 
 
+def adv_lag_lead_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation: each event with its neighbors' types and
+    the seconds elapsed since the previous event, per user. One window
+    sort per user serves all three functions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)).alias(
+            "secs_since_prev"
+        ),
+    )
+
+
+def adv_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median and p90 of order value per market segment
+    (interpolated, matching SQL PERCENTILE_CONT / DuckDB
+    quantile_cont). Exact percentiles need a per-group sort — use
+    approx_percentile at 100 TB when exactness isn't required."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_half_up(F.median("o_totalprice"), 4).alias("median_value"),
+            round_half_up(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_value"),
+        )
+    )
+
+
 GAP_OUT = "user_id bigint, n_events bigint, median_gap_s double"
 
 
@@ -186,6 +222,8 @@ def adv_grouped_map_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "adv_asof_join_last_click": adv_asof_join_last_click,
     "adv_grouped_map_median_gap": adv_grouped_map_median_gap,
+    "adv_lag_lead_event_deltas": adv_lag_lead_event_deltas,
+    "adv_percentiles_order_value": adv_percentiles_order_value,
     "adv_range_join_price_bands": adv_range_join_price_bands,
     "adv_correlated_subquery_small_qty": adv_correlated_subquery_small_qty,
     "adv_grouping_sets_revenue": adv_grouping_sets_revenue,
@@ -193,6 +231,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_lag_lead_event_deltas": """
+        SELECT event_id, user_id, event_type,
+               lag(event_type) OVER w AS prev_type,
+               lead(event_type) OVER w AS next_type,
+               epoch(ts) - lag(epoch(ts)) OVER w AS secs_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "adv_percentiles_order_value": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_value,
+               floor((quantile_cont(o_totalprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90_value
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "adv_grouped_map_median_gap": """
         WITH gaps AS (
             SELECT user_id,
