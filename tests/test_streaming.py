@@ -35,6 +35,35 @@ def landing(tmp_path):
     return str(tmp_path / "landing")
 
 
+def test_streaming_parquet_sink_exactly_once(spark, landing, tmp_path):
+    # The production sink: writeStream -> parquet with checkpointing.
+    # availableNow drains the source and stops; the file sink's commit
+    # log gives exactly-once output. Restarting the query against the
+    # same checkpoint must NOT duplicate rows.
+    _write_batch(spark, landing, [Row(ts=None, user_id=i) for i in range(10)])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema("ts timestamp, user_id int")
+            .parquet(landing)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(out).count() == 10
+    run_once()  # no new input: restart re-reads nothing, emits nothing
+    assert spark.read.parquet(out).count() == 10
+    _write_batch(spark, landing, [Row(ts=None, user_id=99)])
+    run_once()  # only the new file is processed
+    assert spark.read.parquet(out).count() == 11
+
+
 def test_append_mode_watermark_finalizes_and_drops_late(spark, landing, tmp_path):
     from datetime import datetime
 
