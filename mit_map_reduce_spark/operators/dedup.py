@@ -6,15 +6,19 @@ large-scale training-data pipeline needs, each expressed as shuffles
 over derived keys so they scale horizontally:
 
 - exact dedup          — hash-groupBy on md5(text); one shuffle.
-- MinHash signatures   — shingle → per-hash min; LSH band buckets give
-  candidate pairs WITHOUT the O(n^2) cross join; verified by exact
-  Jaccard on candidates only.
-- SimHash              — 32-bit sign-of-weighted-sum fingerprint;
-  equal-fingerprint bucketing.
+- MinHash signatures   — map-side array_min folds over per-doc shingle
+  arrays (zero shuffles); LSH band buckets give candidate pairs
+  WITHOUT the O(n^2) cross join; verified by exact Jaccard on
+  candidates only.
+- connected components — iterative min-label propagation over the LSH
+  pair graph: pairwise matches → keep/drop clusters.
+- SimHash              — 32-bit sign-of-weighted-sum fingerprint, one
+  map-side fold per document (zero shuffles).
 - n-gram Jaccard       — sparse similarity join via the shingle
   inverted index (pairs must share >= 1 shingle).
 - embedding cosine     — exact all-pairs baseline at test SF; the
-  LSH-bucketed scale path lives in operators/similarity.py.
+  LSH/IVF scale paths live in operators/similarity.py.
+- streaming first-seen dedup lives in streaming/queries.py.
 
 Cross-engine determinism: all pseudo-randomness derives from md5 hex
 strings (identical in Spark and DuckDB) and "min over hex string"

@@ -1,10 +1,12 @@
 """Text-analysis operators over ``documents`` (beyond-reference).
 
-Per-document metrics for a training-data pipeline: token statistics,
-quality scoring, stopword-lexicon language ID, and content
-fingerprinting. Everything is a Catalyst expression or a shuffle on
-small derived keys — a 100 TB corpus streams through map-side until
-the final per-document (or per-word) aggregate.
+Per-document metrics for a training-data pipeline: token statistics
+(whitespace + BPE-ish), quality scoring, stopword-lexicon language ID,
+winnowing + Rabin-Karp content fingerprinting, tf-idf top terms,
+deterministic hash-bucket sampling, and the composed
+clean->dedup->sample pipeline. Everything is a Catalyst expression or
+a shuffle on small derived keys — a 100 TB corpus streams through
+map-side until the final per-document (or per-word) aggregate.
 """
 
 from __future__ import annotations
