@@ -64,6 +64,36 @@ def test_streaming_parquet_sink_exactly_once(spark, landing, tmp_path):
     assert spark.read.parquet(out).count() == 11
 
 
+def test_foreach_batch_custom_sink(spark, landing, tmp_path):
+    # foreachBatch: the hook for sinks Spark doesn't ship (JDBC upsert,
+    # MERGE into a table format...). Each micro-batch arrives as a
+    # batch DataFrame; here the "target" is a dict the upsert merges
+    # into, proving batch boundaries and per-batch aggregation.
+    target: dict[int, int] = {}
+
+    def upsert(batch_df, _batch_id):
+        for r in batch_df.groupBy("user_id").agg(F.count("*").alias("n")).collect():
+            target[r.user_id] = target.get(r.user_id, 0) + r.n
+
+    def run_once():
+        q = (
+            spark.readStream.schema("ts timestamp, user_id int")
+            .parquet(landing)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(spark, landing, [Row(ts=None, user_id=1), Row(ts=None, user_id=1), Row(ts=None, user_id=2)])
+    run_once()
+    assert target == {1: 2, 2: 1}
+    _write_batch(spark, landing, [Row(ts=None, user_id=2)])
+    run_once()  # checkpoint: only the new file is merged
+    assert target == {1: 2, 2: 2}
+
+
 def test_append_mode_watermark_finalizes_and_drops_late(spark, landing, tmp_path):
     from datetime import datetime
 
