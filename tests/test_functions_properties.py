@@ -1,0 +1,68 @@
+"""Property tests for the determinism-core column primitives.
+
+These primitives underpin every oracle comparison (rounding, shingles,
+tokenization); each is checked against an independent pure-Python
+reference over hypothesis-generated batches, evaluated through a real
+Spark plan (one DataFrame per batch, not one per example — Spark jobs
+are too slow for per-example runs).
+"""
+
+import math
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from mit_map_reduce_spark.catalog import load_table  # noqa: F401  (fixtures import chain)
+from mit_map_reduce_spark.functions.columns import (
+    round_half_up,
+    tokenize_letters,
+    word_kgrams,
+)
+
+FINITE = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9
+)
+
+
+def py_round_half_up(x: float, d: int) -> float:
+    f = float(10**d)
+    return math.floor(x * f + 0.5) / f
+
+
+@given(st.lists(FINITE, min_size=1, max_size=200))
+@settings(max_examples=5, deadline=None)
+def test_round_half_up_matches_python(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r.y for r in df.select(round_half_up(F.col("x"), 4).alias("y")).collect()]
+    exp = [py_round_half_up(x, 4) for x in xs]
+    assert got == exp
+
+
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("ab cd")), max_size=30), min_size=1, max_size=50
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_tokenize_letters_matches_re(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.w for r in df.select(tokenize_letters(F.col("t")).alias("w")).collect()]
+    exp = [re.findall(r"[a-zA-Z]+", t) for t in texts]
+    assert got == exp
+
+
+@given(
+    st.lists(st.lists(st.sampled_from(["a", "b", "c"]), max_size=12), min_size=1, max_size=30),
+    st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=5, deadline=None)
+def test_word_kgrams_matches_python(spark, token_lists, k):
+    df = spark.createDataFrame([(ts,) for ts in token_lists], "ts array<string>")
+    got = [r.g for r in df.select(word_kgrams(F.col("ts"), k).alias("g")).collect()]
+    exp = [
+        [" ".join(ts[i : i + k]) for i in range(len(ts) - k + 1)] if len(ts) >= k else []
+        for ts in token_lists
+    ]
+    assert got == exp
