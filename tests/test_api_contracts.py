@@ -1,0 +1,34 @@
+"""API-contract tests: the errors the engine promises to raise."""
+
+import pytest
+from pyspark.sql import Row
+
+from mit_map_reduce_spark.catalog import BROADCAST_TABLES, TABLES, load_table
+from mit_map_reduce_spark.sources import write_parquet
+
+
+def test_unknown_table_raises(spark, sf_dir):
+    with pytest.raises(KeyError, match="unknown table"):
+        load_table(spark, sf_dir, "no_such_table")
+
+
+def test_catalog_lists_all_driver_tables():
+    assert set(TABLES) == {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    assert set(BROADCAST_TABLES) <= set(TABLES)
+
+
+def test_bucketby_requires_table_name(spark, tmp_path):
+    df = spark.createDataFrame([Row(k=1)])
+    with pytest.raises(ValueError, match="table_name"):
+        write_parquet(df, str(tmp_path / "x"), bucket_by=(4, ["k"]))
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    # the TIMESTAMP(NANOS) normalization must hold on any session
+    from pyspark.sql import types as T
+
+    df = load_table(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
