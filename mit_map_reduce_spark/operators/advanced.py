@@ -184,6 +184,39 @@ def adv_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUZZY_MAX_DIST = 4
+
+
+def adv_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: fuzzy part-name matching with blocking.
+
+    Candidate pairs come from an equi-join on a blocking key (the
+    name's final token) — never the O(n^2) cross join; Levenshtein
+    (exact integer, identical in both engines) then scores within
+    blocks. Rolled up per block: the pattern behind dedup of product
+    catalogs / author names at scale.
+    """
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+    )
+    a, b = part.alias("a"), part.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(
+            F.col("a.blk").alias("blk"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+    return pairs.groupBy("blk").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("dist").alias("min_dist"),
+        round_half_up(F.avg("dist"), 4).alias("avg_dist"),
+    )
+
+
 GAP_OUT = "user_id bigint, n_events bigint, median_gap_s double"
 
 
@@ -222,6 +255,7 @@ def adv_grouped_map_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "adv_asof_join_last_click": adv_asof_join_last_click,
     "adv_grouped_map_median_gap": adv_grouped_map_median_gap,
+    "adv_fuzzy_blocked_match": adv_fuzzy_blocked_match,
     "adv_lag_lead_event_deltas": adv_lag_lead_event_deltas,
     "adv_percentiles_order_value": adv_percentiles_order_value,
     "adv_range_join_price_bands": adv_range_join_price_bands,
@@ -231,6 +265,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_fuzzy_blocked_match": f"""
+        WITH p AS (
+            SELECT p_partkey, p_name,
+                   list_extract(string_split(p_name, ' '), -1) AS blk
+            FROM part
+        ),
+        pairs AS (
+            SELECT a.blk, levenshtein(a.p_name, b.p_name) AS dist
+            FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+        )
+        SELECT blk,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(min(dist) AS INTEGER) AS min_dist,
+               floor((avg(dist)) * 10000.0 + 0.5) / 10000.0 AS avg_dist
+        FROM pairs GROUP BY blk
+    """,
     "adv_lag_lead_event_deltas": """
         SELECT event_id, user_id, event_type,
                lag(event_type) OVER w AS prev_type,
