@@ -150,6 +150,25 @@ def rel_setops_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def rel_setops_all_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) set operations — unionAll / intersectAll /
+    exceptAll keep duplicates, unlike the set-semantics variants above.
+    Counted over customer-keys-with-orders, where duplicates exist."""
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_custkey").alias("k"))
+    parts = [
+        ("union_all", big.unionAll(urgent)),
+        ("intersect_all", big.intersectAll(urgent)),
+        ("except_all", big.exceptAll(urgent)),
+    ]
+    out = None
+    for op, df in parts:
+        one = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
 # --- semi / anti joins --------------------------------------------------
 
 
@@ -189,6 +208,41 @@ def rel_scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.avg(k), 4).alias("avg_k"),
             F.max(k).alias("max_k"),
         )
+    )
+
+
+def rel_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function coverage in one projection: case, pad, reverse,
+    replace, substring, length, concat — all codegen'd, map-side."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.initcap("p_name").alias("name_title"),
+        F.reverse("p_name").alias("name_rev"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("brand_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+def rel_scalar_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part + math scalar coverage over orders: year/quarter/
+    month/day/weekday extraction and sqrt/pow/abs/log10 arithmetic.
+    weekday() is 0=Monday in Spark, matching DuckDB's isodow - 1."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.weekday("o_orderdate").alias("wd"),
+        round_half_up(F.sqrt("o_totalprice"), 4).alias("sqrt_price"),
+        round_half_up(F.log10("o_totalprice"), 4).alias("log10_price"),
+        round_half_up(F.pow(F.col("o_totalprice") / 100000.0, 2.0), 4).alias("price_sq"),
     )
 
 
@@ -466,6 +520,9 @@ QUERIES = {
     "rel_topk_parts_per_brand": rel_topk_parts_per_brand,
     "rel_window_running_spend": rel_window_running_spend,
     "rel_setops_summary": rel_setops_summary,
+    "rel_setops_all_summary": rel_setops_all_summary,
+    "rel_scalar_string_funcs": rel_scalar_string_funcs,
+    "rel_scalar_date_math_funcs": rel_scalar_date_math_funcs,
     "rel_anti_join_customers_without_orders": rel_anti_join_customers_without_orders,
     "rel_semi_join_urgent_buyers_per_nation": rel_semi_join_urgent_buyers_per_nation,
     "rel_scalar_json_events": rel_scalar_json_events,
@@ -554,6 +611,44 @@ ORACLES = {
         UNION ALL
         SELECT 'except', CAST(count(*) AS BIGINT)
             FROM (SELECT k FROM rich EXCEPT SELECT k FROM big)
+    """,
+    "rel_setops_all_summary": """
+        WITH big AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000),
+             urgent AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+        SELECT 'union_all' AS op, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT k FROM big UNION ALL SELECT k FROM urgent)
+        UNION ALL
+        SELECT 'intersect_all', CAST(count(*) AS BIGINT)
+            FROM (SELECT k FROM big INTERSECT ALL SELECT k FROM urgent)
+        UNION ALL
+        SELECT 'except_all', CAST(count(*) AS BIGINT)
+            FROM (SELECT k FROM big EXCEPT ALL SELECT k FROM urgent)
+    """,
+    "rel_scalar_string_funcs": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               -- DuckDB has no initcap; title-case word by word
+               array_to_string(list_transform(string_split(p_name, ' '),
+                   w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') AS name_title,
+               reverse(p_name) AS name_rev,
+               lpad(p_brand, 12, '*') AS brand_padded,
+               replace(p_name, ' ', '_') AS name_snake,
+               substr(p_type, 1, 3) AS type_prefix,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               p_brand || '/' || p_type AS brand_type
+        FROM part
+    """,
+    "rel_scalar_date_math_funcs": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(day(o_orderdate) AS INTEGER) AS d,
+               CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+               floor((sqrt(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS sqrt_price,
+               floor((log10(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS log10_price,
+               floor((pow(o_totalprice / 100000.0, 2.0)) * 10000.0 + 0.5) / 10000.0 AS price_sq
+        FROM orders
     """,
     "rel_anti_join_customers_without_orders": """
         SELECT c_custkey, c_name, c_nationkey
