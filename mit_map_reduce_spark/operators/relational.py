@@ -246,6 +246,23 @@ def rel_scalar_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function coverage over the ``array<float>`` embedding
+    column: size, slice, element max/min, sort, and a filtered count —
+    all map-side Catalyst higher-order functions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.transform(F.slice(as_double, 1, 3), lambda x: round_half_up(x, 4)).alias("head3"),
+        round_half_up(F.array_max(as_double), 4).alias("max_v"),
+        round_half_up(F.array_min(as_double), 4).alias("min_v"),
+        F.size(F.filter(as_double, lambda x: x > 0)).alias("n_positive"),
+        round_half_up(F.element_at(F.array_sort(as_double), -1), 4).alias("sorted_last"),
+    )
+
+
 # --- rollup ------------------------------------------------------------
 
 
@@ -523,6 +540,7 @@ QUERIES = {
     "rel_setops_all_summary": rel_setops_all_summary,
     "rel_scalar_string_funcs": rel_scalar_string_funcs,
     "rel_scalar_date_math_funcs": rel_scalar_date_math_funcs,
+    "rel_array_funcs_embeddings": rel_array_funcs_embeddings,
     "rel_anti_join_customers_without_orders": rel_anti_join_customers_without_orders,
     "rel_semi_join_urgent_buyers_per_nation": rel_semi_join_urgent_buyers_per_nation,
     "rel_scalar_json_events": rel_scalar_json_events,
@@ -649,6 +667,21 @@ ORACLES = {
                floor((log10(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS log10_price,
                floor((pow(o_totalprice / 100000.0, 2.0)) * 10000.0 + 0.5) / 10000.0 AS price_sq
         FROM orders
+    """,
+    "rel_array_funcs_embeddings": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        )
+        SELECT vec_id,
+               CAST(len(v) AS INTEGER) AS dim,
+               list_transform(v[1:3], x -> floor(x * 10000.0 + 0.5) / 10000.0) AS head3,
+               floor((list_max(v)) * 10000.0 + 0.5) / 10000.0 AS max_v,
+               floor((list_min(v)) * 10000.0 + 0.5) / 10000.0 AS min_v,
+               CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive,
+               floor((list_sort(v)[-1]) * 10000.0 + 0.5) / 10000.0 AS sorted_last
+        FROM e
     """,
     "rel_anti_join_customers_without_orders": """
         SELECT c_custkey, c_name, c_nationkey
