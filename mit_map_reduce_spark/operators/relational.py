@@ -263,6 +263,24 @@ def rel_array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide per-nation aggregates to long
+    (nationkey, metric, value) — the inverse of pivot, for feeding
+    metric stores that want one row per measurement."""
+    cust = _t(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_nationkey").agg(
+        F.count("*").cast("double").alias("n_customers"),
+        round_half_up(F.sum("c_acctbal"), 2).alias("total_bal"),
+        round_half_up(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["n_customers", "total_bal", "avg_bal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 # --- rollup ------------------------------------------------------------
 
 
@@ -541,6 +559,7 @@ QUERIES = {
     "rel_scalar_string_funcs": rel_scalar_string_funcs,
     "rel_scalar_date_math_funcs": rel_scalar_date_math_funcs,
     "rel_array_funcs_embeddings": rel_array_funcs_embeddings,
+    "rel_unpivot_nation_metrics": rel_unpivot_nation_metrics,
     "rel_anti_join_customers_without_orders": rel_anti_join_customers_without_orders,
     "rel_semi_join_urgent_buyers_per_nation": rel_semi_join_urgent_buyers_per_nation,
     "rel_scalar_json_events": rel_scalar_json_events,
@@ -667,6 +686,17 @@ ORACLES = {
                floor((log10(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS log10_price,
                floor((pow(o_totalprice / 100000.0, 2.0)) * 10000.0 + 0.5) / 10000.0 AS price_sq
         FROM orders
+    """,
+    "rel_unpivot_nation_metrics": """
+        WITH wide AS (
+            SELECT c_nationkey,
+                   CAST(count(*) AS DOUBLE) AS n_customers,
+                   floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_bal,
+                   floor((avg(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS avg_bal
+            FROM customer GROUP BY c_nationkey
+        )
+        SELECT c_nationkey, metric, value
+        FROM wide UNPIVOT (value FOR metric IN (n_customers, total_bal, avg_bal))
     """,
     "rel_array_funcs_embeddings": """
         WITH e AS (
