@@ -281,6 +281,43 @@ def rel_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_map_funcs_priority_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage: per segment, a priority->count map built with
+    map_from_entries, transformed with transform_values (share of
+    total), and canonicalized back to an entries string (maps are
+    unordered — order is pinned before the map is built so the oracle
+    can reproduce the rendering)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    counts = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    per_seg = counts.groupBy("c_mktsegment").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderpriority", "n")))
+        ).alias("m"),
+        F.sum("n").alias("total"),
+    )
+    share_map = F.transform_values(
+        F.col("m"), lambda _k, v: round_half_up(v.cast("double") / F.col("total"), 4)
+    )
+    # %.4f: fixed-width C-style formatting, identical in both engines
+    # (bare double-to-string shortest-repr rendering is not guaranteed
+    # identical between Java 17 and DuckDB)
+    rendered = F.array_join(
+        F.transform(
+            F.map_entries(share_map),
+            lambda e: F.concat_ws("=", e["key"], F.format_string("%.4f", e["value"])),
+        ),
+        ",",
+    )
+    return per_seg.select(
+        "c_mktsegment", F.col("total").alias("n_orders"), rendered.alias("priority_shares")
+    )
+
+
 # --- rollup ------------------------------------------------------------
 
 
@@ -560,6 +597,7 @@ QUERIES = {
     "rel_scalar_date_math_funcs": rel_scalar_date_math_funcs,
     "rel_array_funcs_embeddings": rel_array_funcs_embeddings,
     "rel_unpivot_nation_metrics": rel_unpivot_nation_metrics,
+    "rel_map_funcs_priority_profile": rel_map_funcs_priority_profile,
     "rel_anti_join_customers_without_orders": rel_anti_join_customers_without_orders,
     "rel_semi_join_urgent_buyers_per_nation": rel_semi_join_urgent_buyers_per_nation,
     "rel_scalar_json_events": rel_scalar_json_events,
@@ -686,6 +724,21 @@ ORACLES = {
                floor((log10(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS log10_price,
                floor((pow(o_totalprice / 100000.0, 2.0)) * 10000.0 + 0.5) / 10000.0 AS price_sq
         FROM orders
+    """,
+    "rel_map_funcs_priority_profile": """
+        WITH counts AS (
+            SELECT c_mktsegment, o_orderpriority, count(*) AS n
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment, o_orderpriority
+        ),
+        tot AS (SELECT c_mktsegment, sum(n) AS total FROM counts GROUP BY c_mktsegment)
+        SELECT counts.c_mktsegment,
+               CAST(any_value(total) AS BIGINT) AS n_orders,
+               string_agg(o_orderpriority || '=' ||
+                   printf('%.4f', floor((CAST(n AS DOUBLE) / total) * 10000.0 + 0.5) / 10000.0),
+                   ',' ORDER BY o_orderpriority) AS priority_shares
+        FROM counts JOIN tot ON counts.c_mktsegment = tot.c_mktsegment
+        GROUP BY counts.c_mktsegment
     """,
     "rel_unpivot_nation_metrics": """
         WITH wide AS (
