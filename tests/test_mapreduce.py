@@ -71,6 +71,23 @@ def test_wordcount_values(spark, corpus_dir):
     assert result["under"] == "1" and result["scores"] == "1"  # '_' splits
 
 
+def test_map_runs_exactly_once_per_input(spark, corpus_dir):
+    # The reference's jobcount test: in the failure-free case each
+    # input file's map function executes exactly once — no duplicate
+    # scheduling (reference src/mrapps/jobcount.go, test-mr.sh:203-225).
+    # Counted with an accumulator, the Spark analog of jobcount's
+    # side-effect marker files.
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_map(filename: str, contents: str):
+        acc.add(1)
+        return wc_map(filename, contents)
+
+    inputs = [os.path.join(corpus_dir, "pg-*.txt")]
+    run_job(spark, counting_map, wc_reduce, inputs, n_reduce=3).collect()
+    assert acc.value == len(CORPUS)
+
+
 def test_job_chaining_via_text_sink(spark, corpus_dir, tmp_path):
     # Classic multi-job MapReduce pipeline: job 2 consumes job 1's
     # mr-out-* text files — the exact composition pattern reference
