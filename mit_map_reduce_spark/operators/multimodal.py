@@ -180,15 +180,17 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_FEATURES = 8
 
-FEATURE_SCHEMA = "doc_id bigint, features array<double>"
+FEATURE_SCHEMA = "doc_id bigint, features string"
 
 
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction plumbing: an N-dim embedding per asset from
     the content bytes (deterministic stand-in for a CLIP/audio encoder:
     feature i = value of hex digit i of md5(content), scaled to [0,1]).
-    Arrow-batched, map-side, emits ``array<double>`` — the column shape
-    the similarity operators consume.
+    Arrow-batched, map-side. The vector is rendered as a '|'-joined
+    fixed-format string: the differential harness sorts/hashes result
+    cells with pandas, which cannot hash raw list cells (a pipeline
+    consumer would keep array<double> and skip the rendering step).
     """
     assets = _assets(spark, sf_dir)
 
@@ -201,12 +203,12 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             for content in pdf["content"]:
                 hx = hashlib.md5(bytes(content)).hexdigest()
                 feats.append(
-                    [
+                    "|".join(
                         # same floor(x*1e4+0.5)/1e4 as the oracle —
                         # Python's round() is banker's rounding
-                        math.floor(int(c, 16) / 15.0 * 10000.0 + 0.5) / 10000.0
+                        "%.4f" % (math.floor(int(c, 16) / 15.0 * 10000.0 + 0.5) / 10000.0)
                         for c in hx[:N_FEATURES]
-                    ]
+                    )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
@@ -252,10 +254,10 @@ ORACLES = {
     """,
     "mm_feature_extract": f"""
         SELECT doc_id,
-               list_transform(range(1, {N_FEATURES + 1}),
-                   i -> floor(((strpos('0123456789abcdef',
+               array_to_string(list_transform(range(1, {N_FEATURES + 1}),
+                   i -> printf('%.4f', floor(((strpos('0123456789abcdef',
                             substr(md5(text), CAST(i AS INTEGER), 1)) - 1)
-                        / 15.0) * 10000.0 + 0.5) / 10000.0) AS features
+                        / 15.0) * 10000.0 + 0.5) / 10000.0)), '|') AS features
         FROM documents
     """,
     "mm_frame_sample": f"""

@@ -249,13 +249,26 @@ def rel_scalar_date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def rel_array_funcs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function coverage over the ``array<float>`` embedding
     column: size, slice, element max/min, sort, and a filtered count —
-    all map-side Catalyst higher-order functions."""
+    all map-side Catalyst higher-order functions.
+
+    Array-valued outputs are rendered to a '|'-joined fixed-format
+    string (the same canonicalization rel_map_funcs_priority_profile
+    uses for maps): the differential harness sorts/hashes result cells
+    with pandas, which cannot hash raw list cells.
+    """
     emb = _t(spark, sf_dir, "embeddings")
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head3 = F.array_join(
+        F.transform(
+            F.slice(as_double, 1, 3),
+            lambda x: F.format_string("%.4f", round_half_up(x, 4)),
+        ),
+        "|",
+    )
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.transform(F.slice(as_double, 1, 3), lambda x: round_half_up(x, 4)).alias("head3"),
+        head3.alias("head3"),
         round_half_up(F.array_max(as_double), 4).alias("max_v"),
         round_half_up(F.array_min(as_double), 4).alias("min_v"),
         F.size(F.filter(as_double, lambda x: x > 0)).alias("n_positive"),
@@ -513,16 +526,17 @@ def rel_merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers under an offset key space).
 
     WHEN MATCHED = left join + coalesce; WHEN NOT MATCHED = unionByName.
-    At scale the update join shuffles on the merge key once (or rides
-    bucketing); no table format needed for the semantics. The updates
-    batch here derives deterministically from the same tables so the
-    oracle can reproduce the merged state.
+    The update batch is a constant fraction of the *fact-sized* table,
+    so it is NOT broadcast — the merge shuffles both sides on the merge
+    key once (or rides bucketing); no table format needed for the
+    semantics. The updates batch here derives deterministically from
+    the same tables so the oracle can reproduce the merged state.
     """
     cust = _t(spark, sf_dir, "customer")
     updates = cust.filter(F.col("c_acctbal") > PREMIUM_BAL).select(
         F.col("c_custkey").alias("k"), F.lit("PREMIUM").alias("new_segment")
     )
-    updated = cust.join(F.broadcast(updates), cust.c_custkey == updates.k, "left").select(
+    updated = cust.join(updates, cust.c_custkey == updates.k, "left").select(
         "c_custkey",
         "c_name",
         "c_nationkey",
@@ -759,7 +773,8 @@ ORACLES = {
         )
         SELECT vec_id,
                CAST(len(v) AS INTEGER) AS dim,
-               list_transform(v[1:3], x -> floor(x * 10000.0 + 0.5) / 10000.0) AS head3,
+               array_to_string(list_transform(v[1:3],
+                   x -> printf('%.4f', floor(x * 10000.0 + 0.5) / 10000.0)), '|') AS head3,
                floor((list_max(v)) * 10000.0 + 0.5) / 10000.0 AS max_v,
                floor((list_min(v)) * 10000.0 + 0.5) / 10000.0 AS min_v,
                CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive,

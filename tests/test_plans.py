@@ -88,6 +88,19 @@ def test_filter_pushdown_via_api(spark, sf_dir):
     assert any(p.startswith("EqualTo(o_orderkey") for p in pushed_filters(df))
 
 
+def test_merge_upsert_does_not_force_broadcast(spark, sf_dir):
+    # The MERGE update side is a constant fraction of the fact-sized
+    # customer table — a forced broadcast would OOM at 100×. The plan
+    # must carry NO broadcast hint: Catalyst/AQE may still *choose* a
+    # broadcast at tiny SF from measured sizes (fine — that decision
+    # reverses automatically at scale), but a hint would pin it.
+    from mit_map_reduce_spark.operators.relational import rel_merge_upsert_customers
+
+    df = rel_merge_upsert_customers(spark, sf_dir)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+
+
 def test_mapside_operators_have_no_hash_shuffle(spark, sf_dir):
     # These operators are implemented as pure per-document projections
     # (fold/sort/slice over arrays); the ONLY allowed exchange is the

@@ -38,8 +38,15 @@ def norm_cell(v):
         return v.isoformat()
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
-    if isinstance(v, list):
-        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, (list, dict)):
+        # The grading driver canonicalizes with pandas sort/hash, which
+        # dies on list/dict cells — mirror that as a hard failure here
+        # instead of masking it with a tuple conversion (round-1 lesson:
+        # rel_array_funcs_embeddings passed locally, failed the driver).
+        raise TypeError(
+            f"driver-unhashable cell of type {type(v).__name__}: render arrays/maps "
+            "as strings (see rel_map_funcs_priority_profile)"
+        )
     return v
 
 
@@ -99,11 +106,14 @@ def main():
         if sorted(scols) != sorted(dcols):
             status.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
         if not status:
-            sn, dn = norm_rows(scols, srows), norm_rows(dcols, drows)
-            if sn != dn:
-                diff_s = list((sn - dn).items())[:3]
-                diff_d = list((dn - sn).items())[:3]
-                status.append(f"values spark-only={diff_s} duckdb-only={diff_d}")
+            try:
+                sn, dn = norm_rows(scols, srows), norm_rows(dcols, drows)
+                if sn != dn:
+                    diff_s = list((sn - dn).items())[:3]
+                    diff_d = list((dn - sn).items())[:3]
+                    status.append(f"values spark-only={diff_s} duckdb-only={diff_d}")
+            except TypeError as e:
+                status.append(str(e))
         dt = time.time() - t0
         if status:
             failures.append(name)
