@@ -14,9 +14,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 #: Tokenization pattern matching the reference's non-letter split
-#: (reference src/mrapps/wc.go:21-24). ASCII letters suffice for the
-#: synthetic corpus; swap for \\p{L} when corpora are multilingual.
-LETTER_SPLIT = "[^a-zA-Z]+"
+#: (reference src/mrapps/wc.go:21-24, unicode.IsLetter): any run of
+#: non-Unicode-letters is a separator. \p{L} is the Unicode Letter
+#: category in BOTH Java regex (Spark) and RE2 (the DuckDB oracles),
+#: and matches the facade's Python [^\W\d_]+ (mapreduce/apps.py).
+LETTER_SPLIT = r"[^\p{L}]+"
 
 
 def tokenize_letters(text: Column) -> Column:

@@ -354,7 +354,7 @@ QUERIES = {
 # Shared SQL fragments (DuckDB). range(1, n) is end-exclusive and
 # yields an empty list when n <= 1, which drops docs shorter than the
 # shingle width — same as the Spark side.
-_WORDS = "list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'), x -> x <> '')"
+_WORDS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')"
 _SHINGLES_CTE = f"""
     words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
     sh AS (

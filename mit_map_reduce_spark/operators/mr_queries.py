@@ -65,7 +65,7 @@ QUERIES = {
     "mr_inverted_index": mr_inverted_index,
 }
 
-_TOKENS = "list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'), x -> x <> '')"
+_TOKENS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')"
 
 ORACLES = {
     "mr_wordcount": f"""

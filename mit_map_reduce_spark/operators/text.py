@@ -303,7 +303,7 @@ QUERIES = {
 
 _WS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 _WS_LOWER = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
-_LETTERS_LOWER = "list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z]+'), x -> x <> '')"
+_LETTERS_LOWER = r"list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')"
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 _LEX_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang, words in LANG_LEXICON.items() for w in words
@@ -373,10 +373,10 @@ ORACLES = {
         SELECT doc_id, cand_lang AS pred_lang, CAST(hits AS BIGINT) AS lex_hits
         FROM ranked WHERE rn = 1
     """,
-    "text_fingerprint": f"""
+    "text_fingerprint": rf"""
         WITH words AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'), x -> x <> '') AS ws
+                   list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'), x -> x <> '') AS ws
             FROM documents
         ),
         sh AS (
@@ -450,10 +450,10 @@ ORACLES = {
                    (a, b) -> (a * {RK_BASE} + b) % {RK_MOD}) AS rk_prefix64
         FROM documents
     """,
-    "text_tfidf_top_terms": f"""
+    "text_tfidf_top_terms": rf"""
         WITH words AS (
             SELECT doc_id, unnest(list_filter(
-                regexp_split_to_array(text, '[^a-zA-Z]+'), x -> x <> '')) AS term
+                regexp_split_to_array(text, '[^\p{{L}}]+'), x -> x <> '')) AS term
             FROM documents
         ),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),

@@ -42,14 +42,44 @@ def test_round_half_up_matches_python(spark, xs):
 
 @given(
     st.lists(
-        st.text(alphabet=st.sampled_from(list("ab cd")), max_size=30), min_size=1, max_size=50
+        # Unicode letters (Latin-1, Cyrillic, CJK) + digits + punctuation:
+        # the tokenizer must match the reference's unicode.IsLetter split
+        # (src/mrapps/wc.go:21-24), i.e. Python's letters-only class.
+        st.text(alphabet=st.sampled_from(list("ab cd éß щ中 1_-")), max_size=30),
+        min_size=1,
+        max_size=50,
     )
 )
 @settings(max_examples=5, deadline=None)
 def test_tokenize_letters_matches_re(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     got = [r.w for r in df.select(tokenize_letters(F.col("t")).alias("w")).collect()]
-    exp = [re.findall(r"[a-zA-Z]+", t) for t in texts]
+    exp = [re.findall(r"[^\W\d_]+", t) for t in texts]
+    assert got == exp
+
+
+def test_tokenize_letters_matches_duckdb_re2(spark):
+    # Three-engine agreement on Unicode tokenization: Spark's Java-regex
+    # \p{L} split (tokenize_letters) must equal DuckDB's RE2 \p{L} split
+    # (the fragment every text/dedup oracle uses) on non-ASCII corpora.
+    import duckdb
+
+    texts = [
+        "Füchse über den Zaun — Привет мир!",
+        "中文词 and ASCII mixed, naïve café touché",
+        "digits 123 and under_scores split; ß and Ω are letters",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [r.w for r in df.select(tokenize_letters(F.col("t")).alias("w")).collect()]
+    con = duckdb.connect()
+    exp = [
+        con.execute(
+            r"SELECT list_filter(regexp_split_to_array(?, '[^\p{L}]+'), x -> x <> '')",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
     assert got == exp
 
 

@@ -25,6 +25,9 @@ CORPUS = {
     "pg-beta.txt": "Lorem ipsum dolor sit amet, consectetur adipiscing elit. Dolor!",
     "pg-gamma.txt": "fox and dog and fox and dog\nnumbers 123 and under_scores ignored",
     "pg-delta.txt": "",
+    # Non-ASCII letters: the reference splits on unicode.IsLetter
+    # (wc.go:21-24), so accented/Cyrillic/CJK runs are single tokens.
+    "pg-epsilon.txt": "Füchse über den Zaun — Привет мир! 中文词 naïve café",
 }
 
 
@@ -69,6 +72,11 @@ def test_wordcount_values(spark, corpus_dir):
     assert result["and"] == "4"
     assert "123" not in result
     assert result["under"] == "1" and result["scores"] == "1"  # '_' splits
+    # unicode.IsLetter semantics: non-ASCII letter runs are whole tokens
+    assert result["Füchse"] == "1"
+    assert result["Привет"] == "1"
+    assert result["中文词"] == "1"
+    assert result["naïve"] == "1" and result["café"] == "1"
 
 
 def test_map_runs_exactly_once_per_input(spark, corpus_dir):
