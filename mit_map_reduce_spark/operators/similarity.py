@@ -125,35 +125,87 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: IVF coarse quantizer: seed vectors picked by a fixed predicate (no
-#: k-means iterations — deterministic, so the oracle reproduces cells
-#: exactly; in production swap for trained centroids, the plan shape is
-#: identical). Disjoint from the query set (% 100 == 0).
-CENTROID_FILTER = "vec_id % 50 = 1"
+#: IVF coarse quantizer: k-means-trained centroids with FIXED k — the
+#: centroid count no longer grows with the corpus (round-1 weakness:
+#: ``vec_id % 50`` seeds meant k = n/50, unbounded at 100 TB). Training
+#: is deterministic end-to-end (hash-picked seeds, Lloyd updates with
+#: means rounded to 6 dp) so the DuckDB oracle reproduces the cells
+#: exactly; the 6-dp rounding also absorbs cross-engine float-sum-order
+#: ulps before they can flip an assignment.
+K_CELLS = 16
+KMEANS_ITERS = 2
+MEAN_DIGITS = 6  # centroid means rounded to this many decimals
 N_PROBE = 2
 
 
-def _centroid_scores(embs: DataFrame) -> DataFrame:
-    """(vec_id, cent_id, c): cosine of every vector to every centroid.
-
-    Centroids broadcast (they are ~n/50 rows); the corpus is scanned
-    once, map-side — the O(n * k) assignment pass of IVF-Flat.
-    """
-    cents = embs.filter(F.expr(CENTROID_FILTER)).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
-    return embs.crossJoin(F.broadcast(cents)).select(
+def _assign_cells(embs: DataFrame, cents: DataFrame, n_best: int = 1) -> DataFrame:
+    """(vec_id, cell): each vector's ``n_best`` nearest centroids by
+    cosine, ties to the lower centroid id. Centroids broadcast (k rows);
+    the corpus is scanned once, map-side — the O(n*k) IVF assignment."""
+    scored = embs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
         (dot_product(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))).alias("c"),
     )
+    w = W.partitionBy("vec_id").orderBy(F.col("c").desc(), "cent_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_best)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+
+
+def _trained_centroids(emb: DataFrame) -> DataFrame:
+    """K-means coarse quantizer: (cent_id, c_emb, c_nrm), ``K_CELLS``
+    rows after ``KMEANS_ITERS`` Lloyd iterations.
+
+    - Seeds: the k vectors with the smallest md5(vec_id) — a
+      deterministic pseudo-random sample with fixed k, picked via a
+      distributed top-k (orderBy+limit -> TakeOrdered), never a global
+      one-partition sort.
+    - Each iteration: broadcast-assign (map-side O(n*k)), then a
+      per-(cell, dim) mean — the only shuffle, and its output is k*dim
+      rows regardless of corpus size.
+    - At 100 TB you would train on a hash-sampled subset and raise k;
+      the plan shape (broadcast assign + tiny mean shuffle) is
+      unchanged. The search path never depends on corpus-sized k.
+    """
+    seeds = (
+        emb.select(
+            "vec_id", "embedding", "nrm", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(K_CELLS)
+    )
+    cents = seeds.select(
+        (F.row_number().over(W.orderBy("h", "vec_id")) - 1).alias("cent_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    for _ in range(KMEANS_ITERS):
+        assign = _assign_cells(emb, cents)
+        comps = emb.join(assign, "vec_id").select(
+            "cell", F.posexplode("embedding").alias("j", "x")
+        )
+        means = comps.groupBy("cell", "j").agg(
+            round_half_up(F.avg(F.col("x").cast("double")), MEAN_DIGITS).alias("m")
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "m"))).alias("jm"))
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.transform("jm", lambda s: s["m"]).alias("c_emb"),
+            )
+            .withColumn("c_nrm", vec_norm(F.col("c_emb")))
+        )
+    return cents
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat top-k: assign every vector to its nearest centroid
-    (cell); probe only the ``N_PROBE`` cells nearest each query.
+    """IVF-Flat top-k over trained cells: assign every vector to its
+    nearest k-means centroid; probe only the ``N_PROBE`` cells nearest
+    each query.
 
     The inverted-file structure is the (cell -> vectors) partitioning;
     search is an equi-join on the cell key — like the LSH path, the
@@ -161,23 +213,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lower centroid id in both engines.
     """
     emb = _emb_with_norm(spark, sf_dir)
-    scores = _centroid_scores(emb)
-    w_assign = W.partitionBy("vec_id").orderBy(F.col("c").desc(), "cent_id")
-    assign = (
-        scores.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
+    # The trained centroid table is k rows but its lineage is the whole
+    # training run; persist so the assign and probe subtrees don't each
+    # re-train (same per-round persist discipline as the CC loop).
+    cents = _trained_centroids(emb).persist()
+    assign = _assign_cells(emb, cents)
     queries = emb.filter(F.expr(QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    probe = (
-        scores.filter(F.expr(QUERY_FILTER))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") <= N_PROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    probe = _assign_cells(emb.filter(F.expr(QUERY_FILTER)), cents, n_best=N_PROBE).select(
+        F.col("vec_id").alias("query_id"), "cell"
     )
     corpus = emb.join(assign, "vec_id")
     cand = corpus.join(F.broadcast(probe), "cell").filter(
@@ -213,44 +260,74 @@ _NRM_CTE = """
     )
 """
 
-ORACLES = {
-    "sim_ann_bruteforce_topk": f"""
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of the trained-centroid IVF search, Lloyd iterations
+    unrolled as chained CTEs (c0 -> a1/m1/c1 -> a2/m2/c2 -> search).
+    Centroid means round to MEAN_DIGITS on both engines, which is what
+    makes the float-accumulated averages comparable."""
+    mean_f = float(10**MEAN_DIGITS)
+    # cosine of corpus vector v against a trained-centroid list c.c_emb
+    # (already double), accumulated in index order like dot_product
+    vc_dot = (
+        f"list_sum(list_transform(range(1, {DIM + 1}),"
+        " i -> CAST(v.embedding[i] AS DOUBLE) * c.c_emb[i]))"
+    )
+    sql = f"""
         WITH {_NRM_CTE},
-        scored AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                   {_DOT.format(dim1=DIM + 1)} / (q.nrm * c.nrm) AS c
-            FROM nrm q JOIN nrm c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        seeds AS (
+            SELECT vec_id, embedding, nrm, md5(CAST(vec_id AS VARCHAR)) AS h
+            FROM nrm ORDER BY h, vec_id LIMIT {K_CELLS}
         ),
-        ranked AS (
-            SELECT query_id, neighbor_id,
-                   CAST(row_number() OVER (
-                       PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
-                   floor((c) * 10000.0 + 0.5) / 10000.0 AS cos
-            FROM scored
-        )
-        SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
-    """,
-    "sim_ann_ivf_topk": f"""
-        WITH {_NRM_CTE},
-        cscore AS (
-            SELECT v.vec_id, ct.vec_id AS cent_id,
-                   list_sum(list_transform(range(1, {DIM + 1}),
-                        i -> CAST(v.embedding[i] AS DOUBLE) * CAST(ct.embedding[i] AS DOUBLE)))
-                       / (v.nrm * ct.nrm) AS c
-            FROM nrm v JOIN nrm ct ON ct.vec_id % 50 = 1
+        c0 AS (
+            SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cent_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c_emb,
+                   nrm AS c_nrm
+            FROM seeds
+        )"""
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        sql += f""",
+        a{i} AS (
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cent_id AS cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {vc_dot} / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
+                FROM nrm v CROSS JOIN {prev} c
+            ) WHERE rn = 1
         ),
+        m{i} AS (
+            SELECT cell, j, floor(avg(x) * {mean_f} + 0.5) / {mean_f} AS m
+            FROM (
+                SELECT a{i}.cell,
+                       generate_subscripts(v.embedding, 1) AS j,
+                       CAST(unnest(v.embedding) AS DOUBLE) AS x
+                FROM nrm v JOIN a{i} ON v.vec_id = a{i}.vec_id
+            )
+            GROUP BY cell, j
+        ),
+        c{i} AS (
+            SELECT cent_id, c_emb,
+                   sqrt(list_sum(list_transform(c_emb, x -> x * x))) AS c_nrm
+            FROM (SELECT cell AS cent_id, list(m ORDER BY j) AS c_emb
+                  FROM m{i} GROUP BY cell)
+        )"""
+        prev = f"c{i}"
+    sql += f""",
         assign AS (
-            SELECT vec_id, cent_id AS cell FROM (
-                SELECT vec_id, cent_id,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
-                FROM cscore
+            SELECT vec_id, cell FROM (
+                SELECT v.vec_id, c.cent_id AS cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {vc_dot} / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
+                FROM nrm v CROSS JOIN {prev} c
             ) WHERE rn = 1
         ),
         probe AS (
-            SELECT vec_id AS query_id, cent_id AS cell FROM (
-                SELECT vec_id, cent_id,
-                       row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cent_id) AS rn
-                FROM cscore WHERE vec_id % 100 = 0
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT v.vec_id, c.cent_id AS cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {vc_dot} / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
+                FROM nrm v CROSS JOIN {prev} c
+                WHERE v.vec_id % 100 = 0
             ) WHERE rn <= {N_PROBE}
         ),
         scored AS (
@@ -269,7 +346,28 @@ ORACLES = {
             FROM scored
         )
         SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
+    """
+    return sql
+
+
+ORACLES = {
+    "sim_ann_bruteforce_topk": f"""
+        WITH {_NRM_CTE},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_DOT.format(dim1=DIM + 1)} / (q.nrm * c.nrm) AS c
+            FROM nrm q JOIN nrm c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS INTEGER) AS rank,
+                   floor((c) * 10000.0 + 0.5) / 10000.0 AS cos
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
     """,
+    "sim_ann_ivf_topk": _ivf_oracle_sql(),
     "sim_ann_lsh_topk": f"""
         WITH {_NRM_CTE},
         planes AS (

@@ -35,3 +35,40 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert df.columns == ["word", "cnt"]
+
+
+def test_ivf_trained_cells_recall_vs_bruteforce(spark, sf_dir):
+    # The trained-k-means IVF is approximate by design (fixed k cells,
+    # N_PROBE probes); this pins a recall@k floor against the exact
+    # brute-force path so a broken quantizer (e.g. all vectors in one
+    # cell, empty probes) fails loudly. Synthetic embeddings are
+    # near-random, so the floor is modest; measured ~0.32 at sf0.001,
+    # ~0.40 at sf0.01 with k=16, n_probe=2.
+    from mit_map_reduce_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    exact: dict[int, set] = {}
+    for r in ann_bruteforce_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx: dict[int, set] = {}
+    for r in ann_ivf_topk(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.25
+
+
+def test_ivf_centroid_count_fixed(spark, sf_dir):
+    # The round-1 quantizer grew centroids with the corpus (vec_id % 50
+    # -> k = n/50); the trained quantizer must keep k = K_CELLS at any
+    # scale factor (the property that makes the assignment broadcast
+    # safe at 100 TB).
+    from mit_map_reduce_spark.operators.similarity import (
+        K_CELLS,
+        _emb_with_norm,
+        _trained_centroids,
+    )
+
+    cents = _trained_centroids(_emb_with_norm(spark, sf_dir))
+    assert cents.count() <= K_CELLS
