@@ -231,20 +231,38 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard for every pair sharing >= 1 shingle.
+#: Hot-shingle cap: shingles appearing in more than this many documents
+#: (stop phrases, boilerplate) are dropped BEFORE the inverted-index
+#: self-join. A shingle with document frequency d contributes d^2 join
+#: rows, so one viral phrase in 1M docs is a 10^12-row key; the cap
+#: bounds every key's fan-out at HOT_SHINGLE_MAX_DF^2. Observed max df
+#: in the synthetic corpus is 4 (sf0.1), so the cap never bites at test
+#: SF — output is unchanged there, by construction and by test.
+HOT_SHINGLE_MAX_DF = 64
 
-    The inverted-index join makes this sparse: cost is sum over
-    shingles of (docs-per-shingle)^2, not n^2. Hot shingles (stop
-    phrases) are the skew risk at scale — AQE skew-join handles
-    moderate cases; a frequency cap on shingles is the escape hatch.
+
+def _jaccard_pairs_from_shingles(arrs: DataFrame, max_df: int = HOT_SHINGLE_MAX_DF) -> DataFrame:
+    """Pair computation over (doc_id, shingles, sz) arrays — split out
+    so tests can feed a synthetic corpus with a planted stop-phrase.
+
+    When the cap drops a shared shingle, ``n_shared`` counts only the
+    surviving ones while the sizes stay full — the reported Jaccard is
+    then a lower bound (capped shingles are, by definition, near-
+    useless evidence of duplication).
     """
-    # persist the compact array form; sizes come from its sz column
-    # (no aggregation), the two probe sides explode from cache.
-    arrs = _doc_shingle_arrays(spark, sf_dir).persist()
     sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    # df per shingle: partial (map-side) aggregation collapses hot keys
+    # before the exchange, so this pass is skew-proof; the hot list is
+    # tiny (only above-cap shingles) and broadcast into an anti-join.
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = arrs.select("doc_id", "sz")
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    sa, sb = capped.alias("sa"), capped.alias("sb")
     inter = (
         sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
         .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
@@ -261,6 +279,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")), 4).alias("jaccard"),
         )
     )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing >= 1 surviving
+    shingle.
+
+    The inverted-index join makes this sparse: cost is sum over
+    shingles of (docs-per-shingle)^2, not n^2. Hot shingles (stop
+    phrases) are the skew risk at scale — the df cap
+    (``HOT_SHINGLE_MAX_DF``) bounds every join key's fan-out; AQE
+    skew-join smooths whatever remains below the cap.
+    """
+    # persist the compact array form; sizes come from its sz column
+    # (no aggregation), the two probe sides explode from cache.
+    arrs = _doc_shingle_arrays(spark, sf_dir).persist()
+    return _jaccard_pairs_from_shingles(arrs)
 
 
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,9 +490,13 @@ ORACLES = {
     "dedup_ngram_jaccard_pairs": f"""
         WITH {_SHINGLES_CTE},
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        capped AS (
+            SELECT doc_id, shingle FROM sh
+            QUALIFY count(*) OVER (PARTITION BY shingle) <= {HOT_SHINGLE_MAX_DF}
+        ),
         inter AS (
             SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter
-            FROM sh sa JOIN sh sb
+            FROM capped sa JOIN capped sb
               ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
             GROUP BY sa.doc_id, sb.doc_id
         )

@@ -72,3 +72,28 @@ def test_ivf_centroid_count_fixed(spark, sf_dir):
 
     cents = _trained_centroids(_emb_with_norm(spark, sf_dir))
     assert cents.count() <= K_CELLS
+
+
+def test_hot_shingle_cap_bounds_pair_count(spark):
+    # A planted stop-phrase shared by every document must not generate
+    # O(n^2) pairs once its document frequency exceeds the cap. 40 docs
+    # share ONE hot shingle; each also has a unique shingle, and one
+    # genuine near-dup pair shares a second (cool) shingle.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.operators.dedup import _jaccard_pairs_from_shingles
+
+    rows = []
+    for i in range(40):
+        shingles = ["every doc has this stop phrase", f"unique shingle number {i} here"]
+        if i in (0, 1):
+            shingles.append("genuine duplicate content shingle x")
+        rows.append((i, shingles, len(shingles)))
+    arrs = spark.createDataFrame(rows, "doc_id long, shingles array<string>, sz int")
+
+    uncapped = _jaccard_pairs_from_shingles(arrs, max_df=10**9).count()
+    assert uncapped == 40 * 39 // 2  # the quadratic blowup the cap prevents
+
+    capped = _jaccard_pairs_from_shingles(arrs, max_df=10)
+    got = {(r.doc_a, r.doc_b): r.n_shared for r in capped.collect()}
+    # Only the genuine pair survives, counting only its cool shingle.
+    assert got == {(0, 1): 1}
