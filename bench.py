@@ -45,6 +45,12 @@ HEADLINE = (
     "adv_asof_join_last_click",
     "rel_salted_agg_events_per_type",
     "stream_stateful_user_profile",
+    # round 2 additions
+    "rel_q2_min_cost_supplier",
+    "rel_q8_market_share",
+    "sketch_approx_distinct_buyers",
+    "stream_append_tumbling_file_sink",
+    "dedup_ngram_jaccard_pairs",
 )
 
 

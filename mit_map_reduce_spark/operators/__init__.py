@@ -12,11 +12,12 @@ from mit_map_reduce_spark.operators import (  # noqa: F401
     advanced,
     dedup,
     similarity,
+    sketch,
     text,
     multimodal,
 )
 
-ALL_MODULES = (mr_queries, relational, advanced, dedup, similarity, text, multimodal)
+ALL_MODULES = (mr_queries, relational, advanced, dedup, similarity, sketch, text, multimodal)
 
 
 def all_queries():

@@ -514,6 +514,115 @@ def rel_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- correlated min over a dim subquery: TPC-H Q2 shape ------------------
+
+Q2_REGION = "EUROPE"
+Q2_PTYPE = "PROMO"
+Q2_MAX_SIZE = 10
+
+
+def rel_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier in a
+    region offering it at the minimum cost (correlated-min subquery).
+
+    There is no partsupp table in this schema, so the part-supplier
+    cost relation derives from lineitem: cost(part, supp) = min unit
+    price ever shipped. The correlated ``cost = (SELECT min ...)``
+    becomes a per-part min aggregate joined back on equality — min over
+    doubles is order-independent, so the float equi-join is exact on
+    both engines. Dims (part-filter, supplier, nation, region)
+    broadcast; the only fact shuffle is the (partkey, suppkey) agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == Q2_PTYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    eligible_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(eligible_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    min_cost = cost.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.p_partkey == min_cost.mk) & (cost.cost == min_cost.min_cost),
+        )
+        .select(
+            round_half_up("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            round_half_up("cost", 4).alias("supply_cost"),
+        )
+    )
+
+
+# --- two-level agg + conditional sum: TPC-H Q8 shape ---------------------
+
+Q8_REGION = "AMERICA"
+Q8_NATION = "NATION_3"
+Q8_PTYPE = "ECONOMY"
+
+
+def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the market share of one supplier nation within a
+    customer region, per year — a conditional sum over a grouped sum.
+
+    Inner level: revenue per (year, supplier nation) for qualifying
+    orders (customer in region, part type filter). Outer level: share =
+    sum(volume WHERE nation = X) / sum(volume) per year. All dims
+    broadcast; the fact shuffles once for the orders join and once for
+    the tiny year agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == Q8_PTYPE)
+    nat_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q8_REGION)
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat_c), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), supp.s_nationkey == F.col("s_nk"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_year = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(F.lit(0.0))).alias("nation_vol"),
+        F.sum(vol).alias("total_vol"),
+    )
+    return per_year.select(
+        "o_year",
+        round_half_up(F.col("nation_vol") / F.col("total_vol"), 4).alias("mkt_share"),
+        round_half_up("total_vol", 2).alias("total_volume"),
+    )
+
+
 # --- MERGE / upsert ------------------------------------------------------
 
 PREMIUM_BAL = 8000.0
@@ -625,6 +734,8 @@ QUERIES = {
     "rel_full_outer_nation_presence": rel_full_outer_nation_presence,
     "rel_q18_large_orders": rel_q18_large_orders,
     "rel_q22_idle_rich_customers": rel_q22_idle_rich_customers,
+    "rel_q2_min_cost_supplier": rel_q2_min_cost_supplier,
+    "rel_q8_market_share": rel_q8_market_share,
 }
 
 ORACLES = {
@@ -907,6 +1018,53 @@ ORACLES = {
                floor((sum(value) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value
         FROM events
         GROUP BY event_type
+    """,
+    "rel_q2_min_cost_supplier": f"""
+        WITH eligible AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = '{Q2_REGION}'
+        ),
+        cost AS (
+            SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+                   min(l_extendedprice / l_quantity) AS cost
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN eligible ON l_suppkey = s_suppkey
+            WHERE p_type = '{Q2_PTYPE}' AND p_size <= {Q2_MAX_SIZE}
+            GROUP BY p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+        )
+        SELECT floor((s_acctbal) * 100.0 + 0.5) / 100.0 AS s_acctbal,
+               s_name, n_name, p_partkey, p_brand,
+               floor((cost) * 10000.0 + 0.5) / 10000.0 AS supply_cost
+        FROM cost c
+        WHERE cost = (SELECT min(cost) FROM cost c2 WHERE c2.p_partkey = c.p_partkey)
+    """,
+    "rel_q8_market_share": f"""
+        WITH vols AS (
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS vol,
+                   ns.n_name AS supp_nation
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            JOIN region ON nc.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_PTYPE}'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+        )
+        SELECT o_year,
+               floor((sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN vol ELSE 0.0 END)
+                      / sum(vol)) * 10000.0 + 0.5) / 10000.0 AS mkt_share,
+               floor((sum(vol)) * 100.0 + 0.5) / 100.0 AS total_volume
+        FROM vols
+        GROUP BY o_year
     """,
     "rel_distinct_aggs_per_segment": """
         SELECT c_mktsegment,

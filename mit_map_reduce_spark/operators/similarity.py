@@ -136,6 +136,11 @@ K_CELLS = 16
 KMEANS_ITERS = 2
 MEAN_DIGITS = 6  # centroid means rounded to this many decimals
 N_PROBE = 2
+#: Training runs on a deterministic 1-in-4 sample of the corpus — the
+#: standard IVF recipe (the quantizer needs the density shape, not
+#: every point; faiss trains on ~1e5-1e6 samples regardless of corpus
+#: size). Only the single final assignment pass touches every vector.
+TRAIN_SAMPLE_MOD = 4
 
 
 def _assign_cells(embs: DataFrame, cents: DataFrame, n_best: int = 1) -> DataFrame:
@@ -147,6 +152,15 @@ def _assign_cells(embs: DataFrame, cents: DataFrame, n_best: int = 1) -> DataFra
         "cent_id",
         (dot_product(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))).alias("c"),
     )
+    if n_best == 1:
+        # argmax as max_by with a (c, -cent_id) order struct: same
+        # semantics as the rank-1 window (max cosine, ties to lower
+        # cent_id) but map-side partial aggregation collapses the n*k
+        # score stream to one row per vector per partition — no sort,
+        # and the exchange carries n rows instead of n*k.
+        return scored.groupBy("vec_id").agg(
+            F.expr("max_by(cent_id, struct(c, -cent_id))").alias("cell")
+        )
     w = W.partitionBy("vec_id").orderBy(F.col("c").desc(), "cent_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -159,19 +173,20 @@ def _trained_centroids(emb: DataFrame) -> DataFrame:
     """K-means coarse quantizer: (cent_id, c_emb, c_nrm), ``K_CELLS``
     rows after ``KMEANS_ITERS`` Lloyd iterations.
 
-    - Seeds: the k vectors with the smallest md5(vec_id) — a
-      deterministic pseudo-random sample with fixed k, picked via a
-      distributed top-k (orderBy+limit -> TakeOrdered), never a global
+    - Trains on the deterministic 1-in-TRAIN_SAMPLE_MOD sample (at
+      100 TB: a fixed-size hash sample) — the corpus-sized passes are
+      confined to the single final assignment.
+    - Seeds: the k sample vectors with the smallest md5(vec_id) — a
+      deterministic pseudo-random pick with fixed k, via a distributed
+      top-k (orderBy+limit -> TakeOrdered), never a global
       one-partition sort.
-    - Each iteration: broadcast-assign (map-side O(n*k)), then a
+    - Each iteration: broadcast-assign (map-side O(n_sample*k)), then a
       per-(cell, dim) mean — the only shuffle, and its output is k*dim
       rows regardless of corpus size.
-    - At 100 TB you would train on a hash-sampled subset and raise k;
-      the plan shape (broadcast assign + tiny mean shuffle) is
-      unchanged. The search path never depends on corpus-sized k.
     """
+    sample = emb.filter(F.col("vec_id") % TRAIN_SAMPLE_MOD == 0)
     seeds = (
-        emb.select(
+        sample.select(
             "vec_id", "embedding", "nrm", F.md5(F.col("vec_id").cast("string")).alias("h")
         )
         .orderBy("h", "vec_id")
@@ -183,8 +198,8 @@ def _trained_centroids(emb: DataFrame) -> DataFrame:
         F.col("nrm").alias("c_nrm"),
     )
     for _ in range(KMEANS_ITERS):
-        assign = _assign_cells(emb, cents)
-        comps = emb.join(assign, "vec_id").select(
+        assign = _assign_cells(sample, cents)
+        comps = sample.join(assign, "vec_id").select(
             "cell", F.posexplode("embedding").alias("j", "x")
         )
         means = comps.groupBy("cell", "j").agg(
@@ -212,7 +227,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus never cross-joins itself. Tie-breaks (equal cosine) go to
     the lower centroid id in both engines.
     """
-    emb = _emb_with_norm(spark, sf_dir)
+    # The normed corpus feeds ~7 consumers (2 training assigns, 2 mean
+    # passes, final assign, query set, probe set); persist it so each is
+    # a cache read, not a rescan+renorm. MEMORY_AND_DISK at corpus scale
+    # — and at 100 TB training moves to a hash-sampled subset, where the
+    # sample (not the corpus) is what persists.
+    emb = _emb_with_norm(spark, sf_dir).persist()
     # The trained centroid table is k rows but its lineage is the whole
     # training run; persist so the assign and probe subtrees don't each
     # re-train (same per-round persist discipline as the CC loop).
@@ -276,7 +296,8 @@ def _ivf_oracle_sql() -> str:
         WITH {_NRM_CTE},
         seeds AS (
             SELECT vec_id, embedding, nrm, md5(CAST(vec_id AS VARCHAR)) AS h
-            FROM nrm ORDER BY h, vec_id LIMIT {K_CELLS}
+            FROM nrm WHERE vec_id % {TRAIN_SAMPLE_MOD} = 0
+            ORDER BY h, vec_id LIMIT {K_CELLS}
         ),
         c0 AS (
             SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cent_id,
@@ -293,6 +314,7 @@ def _ivf_oracle_sql() -> str:
                        row_number() OVER (PARTITION BY v.vec_id
                            ORDER BY {vc_dot} / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
                 FROM nrm v CROSS JOIN {prev} c
+                WHERE v.vec_id % {TRAIN_SAMPLE_MOD} = 0
             ) WHERE rn = 1
         ),
         m{i} AS (

@@ -1,0 +1,127 @@
+"""Approximate/sketching aggregates (beyond-reference; SURVEY §2c
+"extensions" row).
+
+At 100 TB the exact forms of COUNT(DISTINCT) and percentile are the
+expensive outliers — a full shuffle of every distinct key, a per-group
+sort — while the sketch forms (HyperLogLog++, Greenwald-Khanna) are
+single-pass, fixed-memory, and mergeable map-side. These queries ship
+both side by side: the exact value (which the DuckDB oracle verifies
+bit-for-bit) and a WITHIN-TOLERANCE boolean for the sketch (which the
+oracle asserts as a literal TRUE). The differential gate is exact
+hashing, so the sketch itself cannot be hash-compared across engines —
+the boolean turns "approx is close to exact" into a hashable fact,
+with the tolerance set many sigma above the sketch's configured error
+so the check is deterministic in practice.
+
+No reference analog: the reference's only aggregate is reducef over
+grouped values (src/mr/worker.go:201-210); sketches require mergeable
+partial state the reference cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.functions.columns import round_half_up
+
+#: HLL++ relative standard deviation; the acceptance tolerance is 5
+#: sigma above it, so a correct sketch fails the boolean with
+#: probability ~1e-6 per group.
+HLL_RSD = 0.01
+HLL_TOL = 0.05
+
+#: approx_percentile accuracy: rank error <= 1/PCT_ACCURACY. Group
+#: sizes at every test SF are far below this, where the GK sketch
+#: degenerates to exact; at scale the rank error stays 1e-4.
+PCT_ACCURACY = 10_000
+PCT_TOL = 0.01
+
+
+def sketch_approx_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct buyers per segment, exact AND HyperLogLog++.
+
+    The exact countDistinct shuffles every distinct (segment, custkey)
+    pair; approx_count_distinct carries a fixed ~kilobyte HLL register
+    set per group through map-side partial aggregation — the form to
+    use at 100 TB. The oracle verifies the exact column and pins the
+    sketch to within HLL_TOL of it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_seg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias("n_approx"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    ok = (
+        F.abs(F.col("n_approx").cast("double") - F.col("n_buyers").cast("double"))
+        <= F.lit(HLL_TOL) * F.col("n_buyers").cast("double")
+    )
+    return per_seg.select("c_mktsegment", "n_buyers", "n_orders", ok.alias("hll_within_tol"))
+
+
+def sketch_approx_percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / p90 of order value per segment, exact AND
+    Greenwald-Khanna approx_percentile.
+
+    Exact percentiles need the per-group sort; the GK sketch is a
+    bounded-memory single pass. Exact values hash-match the oracle
+    (PERCENTILE_CONT semantics = DuckDB quantile_cont); the sketch
+    values must land within PCT_TOL of them.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_seg = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.median("o_totalprice").alias("exact_p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("exact_p90"),
+            F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(PCT_ACCURACY)).alias("ap50"),
+            F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(PCT_ACCURACY)).alias("ap90"),
+        )
+    )
+
+    def within(approx, exact):
+        return F.abs(F.col(approx) - F.col(exact)) <= F.lit(PCT_TOL) * F.abs(F.col(exact))
+
+    return per_seg.select(
+        "c_mktsegment",
+        round_half_up("exact_p50", 4).alias("median_value"),
+        round_half_up("exact_p90", 4).alias("p90_value"),
+        (within("ap50", "exact_p50") & within("ap90", "exact_p90")).alias("gk_within_tol"),
+    )
+
+
+QUERIES = {
+    "sketch_approx_distinct_buyers": sketch_approx_distinct_buyers,
+    "sketch_approx_percentile_order_value": sketch_approx_percentile_order_value,
+}
+
+ORACLES = {
+    # The oracle states the exact semantics plus the *contract* for the
+    # sketch columns: a correct HLL/GK implementation always lands
+    # within tolerance, so the hashable truth is a literal TRUE.
+    "sketch_approx_distinct_buyers": """
+        SELECT c_mktsegment,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               TRUE AS hll_within_tol
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "sketch_approx_percentile_order_value": """
+        SELECT c_mktsegment,
+               floor((quantile_cont(o_totalprice, 0.5)) * 10000.0 + 0.5) / 10000.0 AS median_value,
+               floor((quantile_cont(o_totalprice, 0.9)) * 10000.0 + 0.5) / 10000.0 AS p90_value,
+               TRUE AS gk_within_tol
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+}

@@ -9,10 +9,12 @@ is driven to completion over the finite parquet input (the
 ``availableNow`` pattern), so its result equals the batch aggregation
 the DuckDB oracle computes.
 
-Watermark note: results are emitted in *complete* mode here so the
-final (still-open) windows are included, matching the batch oracle.
-In production append mode + watermark bounds state; the watermark
-calls are kept in the plan so that switch is a one-line change.
+Watermark note: the windowed-agg queries come in both output modes —
+*complete* (every window incl. the still-open tail, matching the plain
+batch oracle) and *append with a file sink*
+(``stream_append_tumbling_file_sink``: watermark-closed windows only,
+state evicted, exactly-once file commit — the production shape; its
+oracle drops the open tail explicitly).
 """
 
 from __future__ import annotations
@@ -46,6 +48,12 @@ def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     link = os.path.join(stream_dir, f"{name}.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): without this flag even
+        # reading the SCHEMA throws PARQUET_TYPE_ILLEGAL on a vanilla
+        # session (the grading driver's), same defensive set as
+        # catalog.load_table.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Schema must be the RAW parquet schema (events.ts is epoch-nanos
     # long — see catalog.normalize_nanos_ts); conversion applies after.
     raw_schema = spark.read.parquet(src).schema
@@ -58,7 +66,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_completion(
-    agg: DataFrame, mode: str = "complete", shuffle_partitions: int | None = None
+    agg: DataFrame,
+    mode: str = "complete",
+    shuffle_partitions: int | None = None,
+    latest_by: tuple[list[str], str] | None = None,
 ) -> DataFrame:
     spark = agg.sparkSession
     name = "stream_out_" + uuid.uuid4().hex[:8]
@@ -80,7 +91,71 @@ def _run_to_completion(
         q.stop()
     # The memory-sink table lives for the session; return it as a
     # plain batch DataFrame.
-    return spark.table(name)
+    out = spark.table(name)
+    if latest_by is not None:
+        # Update mode appends one row per key per emitting micro-batch
+        # to the memory sink; keep only each key's LAST emission. The
+        # stateful queries carry a monotone per-key counter, so "last"
+        # = max counter — correct for any batch split of the input, not
+        # just the single-batch case a one-file source happens to give.
+        from pyspark.sql import Window as W
+
+        keys, counter = latest_by
+        w = W.partitionBy(*keys).orderBy(F.col(counter).desc())
+        out = (
+            out.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return out
+
+
+def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production streaming semantics end-to-end: APPEND mode + a real
+    watermark + a parquet FILE sink (not the test-only memory sink).
+
+    Append mode only emits a window once the watermark passes its end —
+    the still-open final day never reaches the sink, and its state is
+    evicted rather than kept forever (complete mode keeps every window
+    in state, which is unbounded on an unbounded stream). The oracle
+    reproduces exactly that: day windows whose end <= max(ts) - the
+    1-hour watermark delay. Rows come back by reading the sink files,
+    so this also exercises exactly-once file commit (the sink's
+    _spark_metadata log), the streaming analog of the reference's
+    atomic-rename output commit (src/mr/worker.go:219-224,
+    test-mr.sh:266-282 output-stability check).
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), round_half_up(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
+    )
+    run_dir = os.path.join(
+        tempfile.gettempdir(), "mmrs_append", uuid.uuid4().hex[:12]
+    )
+    sink, ckpt = os.path.join(run_dir, "out"), os.path.join(run_dir, "ckpt")
+    # Same state-store sizing rule as _run_to_completion: one store per
+    # shuffle partition per batch, so size to the window-key cardinality
+    # (the partition count pins at first checkpoint).
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(sink)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,7 +256,9 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.groupBy("user_id").applyInPandasWithState(
         update, _PROFILE_OUT, _PROFILE_STATE, "update", GroupStateTimeout.NoTimeout
     )
-    return _run_to_completion(out, mode="update", shuffle_partitions=8)
+    return _run_to_completion(
+        out, mode="update", shuffle_partitions=8, latest_by=(["user_id"], "n_events")
+    )
 
 
 _DEDUP_OUT = "text_md5 string, first_doc_id bigint, n_seen bigint"
@@ -226,10 +303,13 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.groupBy("text_md5").applyInPandasWithState(
         update, _DEDUP_OUT, _DEDUP_STATE, "update", GroupStateTimeout.NoTimeout
     )
-    return _run_to_completion(out, mode="update", shuffle_partitions=8)
+    return _run_to_completion(
+        out, mode="update", shuffle_partitions=8, latest_by=(["text_md5"], "n_seen")
+    )
 
 
 QUERIES = {
+    "stream_append_tumbling_file_sink": stream_append_tumbling_file_sink,
     "stream_dedup_first_seen": stream_dedup_first_seen,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_counts": stream_sliding_counts,
@@ -238,6 +318,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Late-data / open-window dropping: only windows CLOSED by the
+    # watermark (end <= max event time - 1h delay) reach an append-mode
+    # sink; the final still-open day must be absent.
+    "stream_append_tumbling_file_sink": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events, wm
+        GROUP BY 1, event_type, wm.w
+        HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+    """,
     "stream_dedup_first_seen": """
         SELECT md5(text) AS text_md5,
                min(doc_id) AS first_doc_id,
