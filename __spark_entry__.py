@@ -59,6 +59,7 @@ _PRIORITY = [
     # new this round
     "sketch_approx_distinct_buyers",
     "sketch_approx_percentile_order_value",
+    "dedup_embedding_lsh_pairs",
     "rel_q2_min_cost_supplier",
     "rel_q8_market_share",
     # behavior changed this round (de-broadcast merge; Unicode

@@ -322,6 +322,77 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Banded random-hyperplane LSH for embedding dedup: a pair is a
+#: candidate if it matches in ANY band of EMB_LSH_ROWS plane-signs —
+#: the OR-construction that trades candidate count for recall
+#: (P[candidate] = 1 - (1 - s^rows)^bands for sign-agreement rate s).
+EMB_LSH_BANDS = 4
+EMB_LSH_ROWS = 4
+
+
+def _emb_band_keys(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bucket): per-band sign-bucket of each embedding.
+
+    Plane h = band*ROWS + r is the same md5-derived literal hyperplane
+    the similarity module uses — map-side folds, zero shuffle; stack
+    pivots the wide band columns into rows for the equi-join.
+    """
+    from mit_map_reduce_spark.operators.similarity import _plane
+
+    def sign(h: int):
+        plane = F.array(*[F.lit(p) for p in _plane(h)])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    bands = [
+        F.concat(*[sign(b * EMB_LSH_ROWS + r) for r in range(EMB_LSH_ROWS)]).alias(f"b{b}")
+        for b in range(EMB_LSH_BANDS)
+    ]
+    wide = emb.select("vec_id", *bands)
+    stack = ", ".join(f"{b}, b{b}" for b in range(EMB_LSH_BANDS))
+    return wide.selectExpr("vec_id", f"stack({EMB_LSH_BANDS}, {stack}) AS (band, bucket)")
+
+
+def embedding_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, banded-LSH — the 100 TB path for
+    :func:`embedding_dup_pairs` (which stays as the exact quadratic
+    audit baseline).
+
+    Candidates come from equi-joins on (band, bucket) — never a cross
+    join; exact cosine then scores candidates only. Same output shape
+    as the exact baseline; recall < 1 by design (tune bands/rows).
+    The oracle computes the same band-restricted semantics.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm")
+    ).persist()
+    keys = _emb_band_keys(emb)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"))
+    cos = dot_product(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", round_half_up(cos, 4).alias("cos"))
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+    )
+
+
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the MinHash-LSH
     near-dup pair graph — the step that turns pairwise matches into
@@ -383,6 +454,7 @@ QUERIES = {
     "dedup_simhash_fingerprints": simhash_fingerprints,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_embedding_cosine_pairs": embedding_dup_pairs,
+    "dedup_embedding_lsh_pairs": embedding_lsh_dup_pairs,
 }
 
 # Shared SQL fragments (DuckDB). range(1, n) is end-exclusive and
@@ -507,6 +579,10 @@ ORACLES = {
         JOIN sizes za ON za.doc_id = doc_a
         JOIN sizes zb ON zb.doc_id = doc_b
     """,
+    # Bucket-restricted near-dup semantics: the oracle reproduces the
+    # hyperplane signatures (same md5-derived planes as the Spark side;
+    # see operators/similarity.py) and only scores bucket-mates.
+    "dedup_embedding_lsh_pairs": "__SET_BELOW__",
     "dedup_embedding_cosine_pairs": f"""
         WITH nrm AS (
             SELECT vec_id, embedding,
@@ -525,3 +601,62 @@ ORACLES = {
         FROM pairs WHERE floor((c) * 10000.0 + 0.5) / 10000.0 >= {COSINE_DUP_THRESHOLD}
     """,
 }
+
+
+def _embedding_lsh_oracle_sql() -> str:
+    """DuckDB twin of embedding_lsh_dup_pairs, sharing the hyperplane
+    derivation with the similarity LSH oracle (md5-hex-digit planes);
+    per-band buckets, candidates = match in ANY band (distinct)."""
+    from mit_map_reduce_spark.operators.similarity import DIM
+
+    n_planes = EMB_LSH_BANDS * EMB_LSH_ROWS
+    return f"""
+        WITH nrm AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ),
+        planes AS (
+            SELECT t.h, u.j,
+                   CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(t.h AS VARCHAR) || '_' || CAST(u.j AS VARCHAR)), 1, 1)) - 1
+                        AS DOUBLE) - 7.5 AS p
+            FROM range({n_planes}) t(h) CROSS JOIN range({DIM}) u(j)
+        ),
+        comps AS (
+            SELECT vec_id, j - 1 AS j, CAST(x AS DOUBLE) AS x
+            FROM (SELECT vec_id, unnest(embedding) AS x,
+                         generate_subscripts(embedding, 1) AS j
+                  FROM embeddings)
+        ),
+        dots AS (
+            SELECT vec_id, h, sum(x * p) AS dot
+            FROM comps JOIN planes ON comps.j = planes.j
+            GROUP BY vec_id, h
+        ),
+        sig AS (
+            SELECT vec_id, h // {EMB_LSH_ROWS} AS band,
+                   string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
+            FROM dots GROUP BY vec_id, h // {EMB_LSH_ROWS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM sig a JOIN sig b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ),
+        pairs AS (
+            SELECT vec_a, vec_b,
+                   list_sum(list_transform(range(1, {DIM + 1}),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (a.nrm * b.nrm) AS c
+            FROM cand
+            JOIN nrm a ON a.vec_id = vec_a
+            JOIN nrm b ON b.vec_id = vec_b
+        )
+        SELECT vec_a, vec_b, floor((c) * 10000.0 + 0.5) / 10000.0 AS cos
+        FROM pairs WHERE floor((c) * 10000.0 + 0.5) / 10000.0 >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+ORACLES["dedup_embedding_lsh_pairs"] = _embedding_lsh_oracle_sql()
