@@ -62,6 +62,9 @@ _PRIORITY = [
     "dedup_embedding_lsh_pairs",
     "rel_q2_min_cost_supplier",
     "rel_q8_market_share",
+    "rel_q4_late_orders",
+    "rel_q16_supplier_variety",
+    "adv_ntile_balance_quartiles",
     # behavior changed this round (de-broadcast merge; Unicode
     # tokenization touches every mr/text/dedup query; trained IVF)
     "rel_merge_upsert_customers",

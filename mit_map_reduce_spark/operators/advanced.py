@@ -166,6 +166,24 @@ def adv_lag_lead_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window coverage: customers bucketed into acctbal quartiles
+    per nation, rolled up to (nation, quartile) stats.
+
+    The window order includes the unique custkey so tile assignment is
+    deterministic in both engines (ntile splits by row position, not
+    value — ties would otherwise land nondeterministically).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    tiled = cust.withColumn("quartile", F.ntile(4).over(w))
+    return tiled.groupBy("c_nationkey", "quartile").agg(
+        F.count("*").alias("n_customers"),
+        round_half_up(F.min("c_acctbal"), 2).alias("min_bal"),
+        round_half_up(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
 def adv_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median and p90 of order value per market segment
     (interpolated, matching SQL PERCENTILE_CONT / DuckDB
@@ -258,6 +276,7 @@ QUERIES = {
     "adv_fuzzy_blocked_match": adv_fuzzy_blocked_match,
     "adv_lag_lead_event_deltas": adv_lag_lead_event_deltas,
     "adv_percentiles_order_value": adv_percentiles_order_value,
+    "adv_ntile_balance_quartiles": adv_ntile_balance_quartiles,
     "adv_range_join_price_bands": adv_range_join_price_bands,
     "adv_correlated_subquery_small_qty": adv_correlated_subquery_small_qty,
     "adv_grouping_sets_revenue": adv_grouping_sets_revenue,
@@ -289,6 +308,19 @@ ORACLES = {
                epoch(ts) - lag(epoch(ts)) OVER w AS secs_since_prev
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "adv_ntile_balance_quartiles": """
+        SELECT c_nationkey, CAST(quartile AS INTEGER) AS quartile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               floor((min(c_acctbal)) * 100.0 + 0.5) / 100.0 AS min_bal,
+               floor((max(c_acctbal)) * 100.0 + 0.5) / 100.0 AS max_bal
+        FROM (
+            SELECT c_nationkey, c_acctbal,
+                   ntile(4) OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal, c_custkey) AS quartile
+            FROM customer
+        )
+        GROUP BY c_nationkey, quartile
     """,
     "adv_percentiles_order_value": """
         SELECT c_mktsegment,

@@ -514,6 +514,59 @@ def rel_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- correlated EXISTS with cross-table predicate: TPC-H Q4 shape --------
+
+LATE_DAYS = 90
+
+
+def rel_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one late lineitem, counted
+    per priority.
+
+    The correlated EXISTS becomes a left-semi join whose condition
+    spans BOTH tables (l_shipdate > o_orderdate + interval) — the
+    predicate rides the join, so each order is emitted at most once
+    regardless of how many lineitems are late. One fact-fact shuffle on
+    the order key; the count is a tiny 5-row aggregate.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late_orders"))
+
+
+# --- NOT IN exclusion + distinct count: TPC-H Q16 shape ------------------
+
+Q16_MIN_BAL = 500.0
+
+
+def rel_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers ship each
+    (brand, type), excluding a NOT-IN supplier set (low-balance
+    suppliers standing in for Q16's complaints subquery).
+
+    NOT IN over a non-nullable key = broadcast left-anti join (the
+    exclusion list is dimension-sized); the distinct count shuffles
+    (brand, type, suppkey) triples once.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    excluded = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < Q16_MIN_BAL
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 # --- correlated min over a dim subquery: TPC-H Q2 shape ------------------
 
 Q2_REGION = "EUROPE"
@@ -736,6 +789,8 @@ QUERIES = {
     "rel_q22_idle_rich_customers": rel_q22_idle_rich_customers,
     "rel_q2_min_cost_supplier": rel_q2_min_cost_supplier,
     "rel_q8_market_share": rel_q8_market_share,
+    "rel_q4_late_orders": rel_q4_late_orders,
+    "rel_q16_supplier_variety": rel_q16_supplier_variety,
 }
 
 ORACLES = {
@@ -1018,6 +1073,24 @@ ORACLES = {
                floor((sum(value) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value
         FROM events
         GROUP BY event_type
+    """,
+    "rel_q4_late_orders": f"""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY)
+        GROUP BY o_orderpriority
+    """,
+    "rel_q16_supplier_variety": f"""
+        SELECT p_brand, p_type,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_MIN_BAL})
+        GROUP BY p_brand, p_type
     """,
     "rel_q2_min_cost_supplier": f"""
         WITH eligible AS (

@@ -101,6 +101,27 @@ def test_merge_upsert_does_not_force_broadcast(spark, sf_dir):
     assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
 
 
+def test_q8_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
+    # Q8 joins 6 dimensions around the lineitem fact; every dim is
+    # hint-broadcast so the fact shuffles only for the orders join plus
+    # the tiny per-year aggregate.
+    from mit_map_reduce_spark.operators.relational import rel_q8_market_share
+
+    rpt = plan_report(rel_q8_market_share(spark, sf_dir))
+    assert rpt["broadcast_joins"] >= 4
+    assert rpt["shuffles"] <= 2
+
+
+def test_q16_prunes_and_broadcasts_exclusion(spark, sf_dir):
+    from mit_map_reduce_spark.operators.relational import rel_q16_supplier_variety
+
+    df = rel_q16_supplier_variety(spark, sf_dir)
+    rpt = plan_report(df)
+    assert rpt["broadcast_joins"] >= 2  # part dim + NOT-IN exclusion list
+    read = scan_read_schema(df)
+    assert "l_extendedprice" not in read  # fact scan pruned to join keys
+
+
 def test_mapside_operators_have_no_hash_shuffle(spark, sf_dir):
     # These operators are implemented as pure per-document projections
     # (fold/sort/slice over arrays); the ONLY allowed exchange is the
