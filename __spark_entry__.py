@@ -65,6 +65,8 @@ _PRIORITY = [
     "rel_q4_late_orders",
     "rel_q16_supplier_variety",
     "adv_ntile_balance_quartiles",
+    "adv_window_range_frame_spend",
+    "adv_time_resample_daily",
     # behavior changed this round (de-broadcast merge; Unicode
     # tokenization touches every mr/text/dedup query; trained IVF)
     "rel_merge_upsert_customers",

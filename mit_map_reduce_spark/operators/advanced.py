@@ -184,6 +184,70 @@ def adv_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAILING_SECONDS = 3 * 86400
+
+
+def adv_window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: each event with its user's trailing 3-day
+    value sum — a value-based frame (rows whose *timestamp* falls in
+    the window), unlike the row-count frames elsewhere.
+
+    Both engines order by epoch MICROS (a long): Spark's rangeBetween
+    needs a numeric sort key, and using whole microseconds makes the
+    frame boundary bit-identical to DuckDB's numeric RANGE (an interval
+    bound against sub-second timestamps would disagree at second
+    granularity). Peers (equal timestamps) are in-frame in both.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-TRAILING_SECONDS * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("event_ts"),
+        F.count("*").over(w).alias("n_trailing"),
+        round_half_up(F.sum("value").over(w), 2).alias("trailing_value"),
+    )
+
+
+def adv_time_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample / gap-fill: a dense (day x event_type) grid
+    over the events table's full date range, zero-filled where no
+    events landed — the hypertable-rollup shape feeding dashboards and
+    training-data stats.
+
+    The spine is sequence(min_day, max_day) exploded from a 1-row
+    bounds aggregate (broadcast — never a driver collect), cross-joined
+    with the distinct type dimension; the left join against the per-day
+    aggregate is the only fact-sized shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    bounds = ev.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select(F.col("event_type").alias("etype")).distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    per_day = ev.groupBy(
+        day.alias("day"), F.col("event_type").alias("etype")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+    return (
+        spine.join(per_day, ["day", "etype"], "left")
+        .select(
+            "day",
+            F.col("etype").alias("event_type"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            round_half_up(F.coalesce("tv", F.lit(0.0)), 2).alias("total_value"),
+        )
+    )
+
+
 def adv_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median and p90 of order value per market segment
     (interpolated, matching SQL PERCENTILE_CONT / DuckDB
@@ -277,6 +341,8 @@ QUERIES = {
     "adv_lag_lead_event_deltas": adv_lag_lead_event_deltas,
     "adv_percentiles_order_value": adv_percentiles_order_value,
     "adv_ntile_balance_quartiles": adv_ntile_balance_quartiles,
+    "adv_window_range_frame_spend": adv_window_range_frame_spend,
+    "adv_time_resample_daily": adv_time_resample_daily,
     "adv_range_join_price_bands": adv_range_join_price_bands,
     "adv_correlated_subquery_small_qty": adv_correlated_subquery_small_qty,
     "adv_grouping_sets_revenue": adv_grouping_sets_revenue,
@@ -308,6 +374,36 @@ ORACLES = {
                epoch(ts) - lag(epoch(ts)) OVER w AS secs_since_prev
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "adv_window_range_frame_spend": f"""
+        SELECT event_id, user_id, ts AS event_ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+               floor((sum(value) OVER w) * 100.0 + 0.5) / 100.0 AS trailing_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {TRAILING_SECONDS * 1_000_000} PRECEDING
+                           AND CURRENT ROW)
+    """,
+    "adv_time_resample_daily": """
+        WITH bounds AS (
+            SELECT CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS lo,
+                   CAST(max(date_trunc('day', ts)) AS TIMESTAMP) AS hi
+            FROM events
+        ),
+        days AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        per_day AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                   count(*) AS n, sum(value) AS tv
+            FROM events GROUP BY 1, 2
+        )
+        SELECT days.day, types.event_type,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+               floor((coalesce(tv, 0.0)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM days CROSS JOIN types
+        LEFT JOIN per_day ON per_day.day = days.day AND per_day.event_type = types.event_type
     """,
     "adv_ntile_balance_quartiles": """
         SELECT c_nationkey, CAST(quartile AS INTEGER) AS quartile,
