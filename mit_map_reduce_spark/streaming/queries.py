@@ -158,6 +158,58 @@ def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.read.parquet(sink)
 
 
+ATTRIBUTION_WINDOW = "1 hour"
+
+
+def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: purchases joined to the same user's
+    clicks within the trailing attribution window — the two-unbounded-
+    sides join class (distinct from stream-static and as-of joins).
+
+    Both sides carry watermarks and the join condition bounds click_ts
+    to [purchase_ts - window, purchase_ts], so Spark can evict buffered
+    state once the watermark passes the bound — without the time bound
+    a stream-stream join must buffer both streams forever. Driven to
+    completion over the finite input, the emitted matches equal the
+    batch theta-join the oracle computes.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user = c_user
+                AND click_ts >= purchase_ts - INTERVAL {ATTRIBUTION_WINDOW}
+                AND click_ts <= purchase_ts"""
+        ),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )
+    return _run_to_completion(joined, mode="append", shuffle_partitions=8)
+
+
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-day tumbling window counts per event_type, via readStream."""
     ev = _events_stream(spark, sf_dir)
@@ -310,6 +362,7 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "stream_append_tumbling_file_sink": stream_append_tumbling_file_sink,
+    "stream_stream_join_attribution": stream_stream_join_attribution,
     "stream_dedup_first_seen": stream_dedup_first_seen,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_counts": stream_sliding_counts,
@@ -329,6 +382,19 @@ ORACLES = {
         FROM events, wm
         GROUP BY 1, event_type, wm.w
         HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+    """,
+    "stream_stream_join_attribution": f"""
+        SELECT p.event_id AS purchase_id,
+               p.user_id,
+               p.ts AS purchase_ts,
+               c.event_id AS click_id,
+               c.ts AS click_ts
+        FROM events p
+        JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW}
+         AND c.ts <= p.ts
     """,
     "stream_dedup_first_seen": """
         SELECT md5(text) AS text_md5,
