@@ -8,7 +8,7 @@ with the MapReduce facade (:mod:`mit_map_reduce_spark.mapreduce.job`).
 
 This package is the *general* connector surface a Spark-native engine
 exposes beyond that: schema-explicit readers (no inference scans) and
-scale-aware writers for text / CSV / JSON / parquet.
+scale-aware writers for text / CSV / JSON / parquet / ORC.
 """
 
 from mit_map_reduce_spark.sources.io import (  # noqa: F401
@@ -17,8 +17,10 @@ from mit_map_reduce_spark.sources.io import (  # noqa: F401
     read_csv,
     read_json,
     read_parquet,
+    read_orc,
     write_text_kv,
     write_csv,
     write_json,
     write_parquet,
+    write_orc,
 )

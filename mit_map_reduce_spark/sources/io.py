@@ -98,6 +98,16 @@ def read_parquet(
     return df.select(*columns) if columns else df
 
 
+def read_orc(
+    spark: SparkSession, paths: list[str] | str, columns: list[str] | None = None
+) -> DataFrame:
+    """ORC scan — the other columnar format Spark ships natively;
+    self-describing like parquet, with the same pushdown/pruning via
+    DataSource v2."""
+    df = spark.read.orc(*(paths if isinstance(paths, list) else [paths]))
+    return df.select(*columns) if columns else df
+
+
 # ---------------------------------------------------------------- writers
 
 
@@ -153,3 +163,12 @@ def write_parquet(
         )
     else:
         w.parquet(out_dir)
+
+
+def write_orc(
+    df: DataFrame, out_dir: str, *, partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(out_dir)

@@ -14,11 +14,13 @@ from pyspark.sql import functions as F
 from mit_map_reduce_spark.sources import (
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     read_text_lines,
     read_whole_text,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
     write_text_kv,
 )
@@ -89,3 +91,17 @@ def test_parquet_partitioned_write_prunes(spark, kv_df, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert back.count() == sum(1 for i in range(100) if i % 7 == 3)
     assert "PartitionFilters: [isnotnull(key" in plan or "key=k3" in plan
+
+
+def test_orc_roundtrip_partitioned(spark, kv_df, tmp_path):
+    # ORC is the second native columnar format; partitioned write must
+    # prune directories on read just like parquet.
+    out = str(tmp_path / "orc_out")
+    write_orc(kv_df, out, partition_by=["key"])
+    back = read_orc(spark, out)
+    assert back.count() == kv_df.count()
+    one = read_orc(spark, out).filter(F.col("key") == "k3")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == kv_df.filter(F.col("key") == "k3").count()
+    # partition filter reached the scan (pruned, not post-filtered)
+    assert "PartitionFilters: [isnotnull(key" in plan or "k3" in plan
