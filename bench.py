@@ -50,7 +50,9 @@ HEADLINE = (
     "rel_q8_market_share",
     "sketch_approx_distinct_buyers",
     "stream_append_tumbling_file_sink",
+    "stream_stream_join_attribution",
     "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_lsh_pairs",
 )
 
 

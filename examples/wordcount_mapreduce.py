@@ -19,9 +19,29 @@ from mit_map_reduce_spark.mapreduce.apps import wc_map, wc_reduce
 from mit_map_reduce_spark.session import get_spark
 
 
+def _default_corpus(spark) -> str:
+    """No-args demo corpus: 4 pg-*.txt files synthesized from the
+    documents table (same trick bench.py uses for the facade workload)."""
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "mmrs_example_corpus")
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        texts = [
+            r[0]
+            for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("text")
+            .collect()
+        ]
+        for i in range(4):
+            with open(os.path.join(d, f"pg-{i}.txt"), "w") as f:
+                f.write("\n".join(texts[i::4]))
+    return os.path.join(d, "pg-*.txt")
+
+
 def main() -> None:
-    inputs = sys.argv[1:] or ["/root/testdata/README-like-corpus-goes-here/*.txt"]
     spark = get_spark("wordcount_example")
+    inputs = sys.argv[1:] or [_default_corpus(spark)]
 
     # map/reduce contract identical to the reference:
     #   wc_map(filename, contents) -> [(word, "1"), ...]
