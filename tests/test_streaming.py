@@ -143,3 +143,54 @@ def test_append_mode_watermark_finalizes_and_drops_late(spark, landing, tmp_path
         assert emitted == {(9, 0): 1, (10, 0): 1}
     finally:
         q.stop()
+
+def test_stateful_window_state_survives_restart(spark, landing, tmp_path):
+    # The streaming analog of the reference's worker-crash recovery
+    # (src/mr/coordinator.go reissues tasks; here the state store
+    # recovers from the checkpoint): a window accumulated across a
+    # stop/restart must emit ONCE with the combined count — pre-restart
+    # events must not be lost, and the emission must not duplicate.
+    from datetime import datetime
+
+    t = lambda h, m: datetime(2024, 1, 1, h, m)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("ts timestamp, user_id int").parquet(landing)
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "15 minutes").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Run 1: two events in the 09:00 window; watermark ends at 08:40 —
+    # the window stays OPEN, its n=2 lives only in checkpointed state.
+    _write_batch(spark, landing, [Row(ts=t(9, 0), user_id=1), Row(ts=t(9, 10), user_id=2)])
+    run_once()
+
+    # Run 2 (fresh query instance, same checkpoint): one more event in
+    # the same window — merged into the RECOVERED state — plus one at
+    # 10:30 that advances the watermark past the window's end.
+    _write_batch(spark, landing, [Row(ts=t(9, 5), user_id=3), Row(ts=t(10, 30), user_id=4)])
+    run_once()
+
+    # Run 3: a further event forces one more batch in case run 2's
+    # trigger stopped before the post-watermark emission batch.
+    _write_batch(spark, landing, [Row(ts=t(11, 0), user_id=5)])
+    run_once()
+
+    emitted = {(r.ws.hour, r.ws.minute): r.n for r in spark.read.parquet(out).collect()}
+    assert emitted[(9, 0)] == 3  # 2 pre-restart + 1 post-restart, once
+    # exactly-once: no duplicate rows for any window
+    rows = spark.read.parquet(out).groupBy("ws").count().filter("count > 1").count()
+    assert rows == 0
