@@ -326,6 +326,10 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: candidate if it matches in ANY band of EMB_LSH_ROWS plane-signs —
 #: the OR-construction that trades candidate count for recall
 #: (P[candidate] = 1 - (1 - s^rows)^bands for sign-agreement rate s).
+#: Scale note: bucket count is 2^rows per band, so bucket OCCUPANCY —
+#: and the within-bucket join fan-out — grows linearly with the corpus;
+#: at 100x, raise rows (and bands, to hold recall) so buckets stay
+#: bounded, exactly like raising K_CELLS in the IVF quantizer.
 EMB_LSH_BANDS = 4
 EMB_LSH_ROWS = 4
 

@@ -98,7 +98,16 @@ def _signatures(emb: DataFrame, spark: SparkSession) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    """Approximate top-k with MULTI-PROBE: candidates come from the
+    query's own LSH bucket plus every bucket at Hamming distance 1
+    (one sign flipped).
+
+    Multi-probe is the standard recall lever that does NOT cost extra
+    hash tables or corpus passes: only the (tiny) query side fans out
+    to 1 + N_PLANES probe rows; the corpus keeps one signature and the
+    search is still a bucket equi-join. Near neighbors that fall just
+    across one hyperplane — the dominant LSH miss mode — are recovered.
+    """
     emb = _emb_with_norm(spark, sf_dir)
     sig = _signatures(emb, spark)
     embs = emb.join(sig, "vec_id")
@@ -108,10 +117,25 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
         F.col("bucket").alias("q_bucket"),
     )
-    cand = embs.join(
-        F.broadcast(queries),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+
+    def flip(b: int):
+        # bucket with bit b inverted ('0' <-> '1' at position b+1)
+        bit = F.substring(F.col("q_bucket"), b + 1, 1)
+        inv = F.when(bit == "1", F.lit("0")).otherwise(F.lit("1"))
+        return F.concat(
+            F.substring(F.col("q_bucket"), 1, b),
+            inv,
+            F.substring(F.col("q_bucket"), b + 2, N_PLANES - b - 1),
+        )
+
+    probes = queries.withColumn(
+        "probe",
+        F.explode(F.array(F.col("q_bucket"), *[flip(b) for b in range(N_PLANES)])),
     )
+    cand = embs.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    ).drop("probe").dropDuplicates(["query_id", "vec_id"])
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -416,11 +440,30 @@ ORACLES = {
             FROM dots GROUP BY vec_id
         ),
         embs AS (SELECT nrm.*, sig.bucket FROM nrm JOIN sig USING (vec_id)),
+        -- multi-probe: the query's own bucket (b = -1) plus each
+        -- bucket at Hamming distance 1 (bit b flipped)
+        probes AS (
+            SELECT q.vec_id AS query_id,
+                   CASE WHEN t.b = -1 THEN q.bucket
+                        ELSE substr(q.bucket, 1, t.b) ||
+                             (CASE WHEN substr(q.bucket, t.b + 1, 1) = '1'
+                                   THEN '0' ELSE '1' END) ||
+                             substr(q.bucket, t.b + 2)
+                   END AS probe
+            FROM embs q CROSS JOIN range(-1, {N_PLANES}) t(b)
+            WHERE q.vec_id % 100 = 0
+        ),
+        cand AS (
+            SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+            FROM probes p JOIN embs c
+              ON c.bucket = p.probe AND c.vec_id <> p.query_id
+        ),
         scored AS (
-            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            SELECT cand.query_id, cand.neighbor_id,
                    {_DOT.format(dim1=DIM + 1)} / (q.nrm * c.nrm) AS c
-            FROM embs q JOIN embs c
-              ON q.vec_id % 100 = 0 AND c.bucket = q.bucket AND c.vec_id <> q.vec_id
+            FROM cand
+            JOIN embs q ON q.vec_id = cand.query_id
+            JOIN embs c ON c.vec_id = cand.neighbor_id
         ),
         ranked AS (
             SELECT query_id, neighbor_id,

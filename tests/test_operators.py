@@ -114,3 +114,23 @@ def test_embedding_lsh_pairs_recall_vs_exact(spark, sf_dir):
     assert lsh <= exact  # no false positives
     if exact:
         assert len(lsh & exact) / len(exact) >= 0.3
+
+
+def test_lsh_multiprobe_recall_vs_bruteforce(spark, sf_dir):
+    # Multi-probe (own bucket + all Hamming-1 buckets) is what makes
+    # the single-table LSH usable: recall was 0.16 probing one bucket,
+    # ~0.52-0.60 with multi-probe. Floor well below measured, far above
+    # the single-probe regime, so losing the probe fan-out fails this.
+    from mit_map_reduce_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    exact: dict[int, set] = {}
+    for r in ann_bruteforce_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx: dict[int, set] = {}
+    for r in ann_lsh_topk(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.4
