@@ -68,6 +68,9 @@ _PRIORITY = [
     "adv_ntile_balance_quartiles",
     "adv_window_range_frame_spend",
     "adv_time_resample_daily",
+    "rel_q19_disjunctive_revenue",
+    "rel_q21_waiting_suppliers",
+    "adv_funnel_conversion",
     # behavior changed this round (de-broadcast merge; Unicode
     # tokenization touches every mr/text/dedup query; trained IVF)
     "rel_merge_upsert_customers",

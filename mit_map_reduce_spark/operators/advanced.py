@@ -184,6 +184,52 @@ def adv_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def adv_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: per user, the earliest signup, the
+    earliest click AFTER that signup, and the earliest purchase AFTER
+    that click; rolled up to per-stage user counts.
+
+    Each stage is a conditional min over the user's events, conditioned
+    on the previous stage's timestamp — three per-user aggregates
+    chained by broadcastable (user, ts) joins; the events table is
+    scanned once per stage with the stage filter pushed to the scan.
+    The ordered-sequence semantics (stage N strictly after stage N-1)
+    is what plain per-type counts get wrong.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        s1.agg(F.count("*").alias("n")).select(F.lit(1).alias("stage"), F.lit(FUNNEL_STAGES[0]).alias("event_type"), "n"),
+        s2.agg(F.count("*").alias("n")).select(F.lit(2).alias("stage"), F.lit(FUNNEL_STAGES[1]).alias("event_type"), "n"),
+        s3.agg(F.count("*").alias("n")).select(F.lit(3).alias("stage"), F.lit(FUNNEL_STAGES[2]).alias("event_type"), "n"),
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
 TRAILING_SECONDS = 3 * 86400
 
 
@@ -342,6 +388,7 @@ QUERIES = {
     "adv_percentiles_order_value": adv_percentiles_order_value,
     "adv_ntile_balance_quartiles": adv_ntile_balance_quartiles,
     "adv_window_range_frame_spend": adv_window_range_frame_spend,
+    "adv_funnel_conversion": adv_funnel_conversion,
     "adv_time_resample_daily": adv_time_resample_daily,
     "adv_range_join_price_bands": adv_range_join_price_bands,
     "adv_correlated_subquery_small_qty": adv_correlated_subquery_small_qty,
@@ -374,6 +421,25 @@ ORACLES = {
                epoch(ts) - lag(epoch(ts)) OVER w AS secs_since_prev
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "adv_funnel_conversion": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+        )
+        SELECT 1 AS stage, 'signup' AS event_type, CAST(count(*) AS BIGINT) AS n FROM s1
+        UNION ALL
+        SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
     """,
     "adv_window_range_frame_spend": f"""
         SELECT event_id, user_id, ts AS event_ts,

@@ -676,6 +676,94 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- disjunctive join predicates: TPC-H Q19 shape ------------------------
+
+
+def rel_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of conjunctive
+    (brand, size, quantity) clauses.
+
+    The join itself stays a plain equi-join on the part key — the
+    disjunction is a post-join filter, NOT part of the join condition,
+    so Catalyst keeps the hash join (a disjunctive join condition
+    degenerates to nested-loop). The common conjunct (the part-key
+    match) is what Q19 tests an optimizer on.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & (F.col("p_size").between(10, 30))
+            & (F.col("l_quantity").between(10, 40))
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    return joined.filter(clause).agg(
+        F.count("*").alias("n_items"),
+        round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+# --- nested EXISTS / NOT EXISTS: TPC-H Q21 shape --------------------------
+
+Q21_NATION_KEY = 5
+
+
+def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one nation whose lineitem was LATE
+    on a multi-supplier order where every OTHER supplier shipped on
+    time — EXISTS(other supplier) AND NOT EXISTS(other late supplier).
+
+    Late = shipped more than LATE_DAYS after the order date (this
+    schema has no commit/receipt dates). Both correlated subqueries
+    become self-joins of the lineitem-order relation on the order key:
+    EXISTS -> left-semi, NOT EXISTS -> left-anti, each with the
+    "different supplier" predicate riding the join.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey") == Q21_NATION_KEY
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")).alias("late"),
+    )
+    mine = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = lo.select(
+        F.col("l_orderkey").alias("o_key"),
+        F.col("l_suppkey").alias("o_supp"),
+        "late",
+    )
+    with_others = mine.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    )
+    no_other_late = with_others.join(
+        others.filter(F.col("late")),
+        (F.col("l_orderkey") == F.col("o_key")) & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    return (
+        no_other_late.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 # --- MERGE / upsert ------------------------------------------------------
 
 PREMIUM_BAL = 8000.0
@@ -791,6 +879,8 @@ QUERIES = {
     "rel_q8_market_share": rel_q8_market_share,
     "rel_q4_late_orders": rel_q4_late_orders,
     "rel_q16_supplier_variety": rel_q16_supplier_variety,
+    "rel_q19_disjunctive_revenue": rel_q19_disjunctive_revenue,
+    "rel_q21_waiting_suppliers": rel_q21_waiting_suppliers,
 }
 
 ORACLES = {
@@ -1073,6 +1163,37 @@ ORACLES = {
                floor((sum(value) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value
         FROM events
         GROUP BY event_type
+    """,
+    "rel_q19_disjunctive_revenue": """
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+               AND l_quantity BETWEEN 20 AND 50)
+    """,
+    "rel_q21_waiting_suppliers": f"""
+        WITH lo AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM lo l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.late
+          AND s_nationkey = {Q21_NATION_KEY}
+          AND EXISTS (
+              SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lo l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.late)
+        GROUP BY s_name
     """,
     "rel_q4_late_orders": f"""
         SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
