@@ -61,6 +61,7 @@ _PRIORITY = [
     "sketch_approx_distinct_buyers",
     "sketch_approx_percentile_order_value",
     "dedup_embedding_lsh_pairs",
+    "graph_pagerank_trade",
     "rel_q2_min_cost_supplier",
     "rel_q8_market_share",
     "rel_q4_late_orders",

@@ -11,13 +11,16 @@ from mit_map_reduce_spark.operators import (  # noqa: F401
     relational,
     advanced,
     dedup,
+    graph,
     similarity,
     sketch,
     text,
     multimodal,
 )
 
-ALL_MODULES = (mr_queries, relational, advanced, dedup, similarity, sketch, text, multimodal)
+ALL_MODULES = (
+    mr_queries, relational, advanced, dedup, graph, similarity, sketch, text, multimodal
+)
 
 
 def all_queries():

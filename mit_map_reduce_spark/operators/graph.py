@@ -1,0 +1,176 @@
+"""Iterative graph analytics over the trade graph (beyond-reference).
+
+The reference cannot express iteration at all — one map phase, one
+reduce phase, done (SURVEY §2a; the closest it gets to a graph is the
+indexer's posting lists). Connected components (dedup.py) covered the
+fixpoint-loop shape; this module adds the fixed-iteration shape:
+PageRank over the bipartite customer<->supplier graph (an edge per
+distinct trading pair), the canonical "joins + aggregations in a loop"
+workload that GraphX/Pregel exist for.
+
+Spark-first plan per iteration: one equi-join of the edge list with
+the current rank vector (both keyed by node) + one aggregation by
+destination — the exact message-passing shape that scales to
+billions of edges. Ranks round to RANK_DIGITS each iteration so the
+DuckDB oracle (the same iterations unrolled as chained CTEs, like the
+IVF k-means oracle) matches bit-for-bit despite engine-specific
+float-sum order.
+
+Graph construction notes: customer nodes are offset by NODE_OFFSET to
+disjoin the key spaces; edges are DIRECTED BOTH WAYS, which makes the
+graph symmetric — every node has out-degree >= 1, so there is no
+dangling-node mass to redistribute (the standard simplification for
+link graphs that are naturally bidirectional, like trade relations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.functions.columns import round_half_up
+
+DAMPING = 0.85
+PR_ITERS = 3
+RANK_DIGITS = 8
+NODE_OFFSET = 1_000_000  # customer node id = c_custkey + NODE_OFFSET
+GRAPH_SHUFFLE_PARTITIONS = 32  # size to node count, not session default
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (src, dst) edges, both directions, between customer
+    nodes (offset) and supplier nodes — one edge per trading pair.
+    The distinct is the only fact-sized shuffle; everything after runs
+    on the (much smaller) edge list."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") + NODE_OFFSET).alias("cust_node"),
+            F.col("l_suppkey").alias("supp_node"),
+        )
+        .distinct()
+    )
+    fwd = pairs.select(F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"))
+    rev = pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
+    return fwd.unionAll(rev)
+
+
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, PR_ITERS fixed iterations) over the
+    trade graph; returns every node's rank plus its side of the graph.
+
+    rank_{i+1}(v) = (1-d)/N + d * sum_{u->v} rank_i(u) / outdeg(u),
+    ranks rounded to RANK_DIGITS per iteration (determinism contract —
+    see module docstring). The edge list is persisted once and reused
+    by all iterations; N and the degree table derive from it.
+
+    Each iteration materializes eagerly (persist + count — the CC-loop
+    pattern) under a scoped shuffle-partition setting sized to the
+    node count, not the session default: an iterative job on a small
+    graph otherwise runs hundreds of near-empty reduce tasks per round
+    on a stock session, and eager materialization is also what keeps
+    the lineage from nesting 3 iterations deep. On a 10^9-edge graph,
+    raise GRAPH_SHUFFLE_PARTITIONS with the data (or drop the override
+    and let AQE coalesce).
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
+    try:
+        edges = _trade_edges(spark, sf_dir).persist()
+        edges.count()
+        deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        n_total = nodes.agg(F.count("*").alias("n"))
+        # rank_0 = 1/N for every node (N rides along via a broadcast
+        # 1-row crossJoin — no driver-side collect)
+        pr = nodes.crossJoin(F.broadcast(n_total)).select(
+            "node", round_half_up(F.lit(1.0) / F.col("n"), RANK_DIGITS).alias("rank")
+        )
+        for _ in range(PR_ITERS):
+            contrib = (
+                edges.join(pr, edges.src == pr.node)
+                .join(deg, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
+            )
+            new_pr = (
+                nodes.crossJoin(F.broadcast(n_total))
+                .join(contrib, nodes.node == contrib.dst, "left")
+                .select(
+                    "node",
+                    round_half_up(
+                        (1.0 - DAMPING) / F.col("n")
+                        + DAMPING * F.coalesce("mass", F.lit(0.0)),
+                        RANK_DIGITS,
+                    ).alias("rank"),
+                )
+                .persist()
+            )
+            new_pr.count()
+            pr = new_pr
+        return pr.select(
+            "node",
+            F.when(F.col("node") >= NODE_OFFSET, "customer").otherwise("supplier").alias("side"),
+            "rank",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _pagerank_oracle_sql() -> str:
+    """DuckDB twin: the same iterations unrolled as chained CTEs."""
+    rf = float(10**RANK_DIGITS)
+    sql = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust_node, l_suppkey AS supp_node
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT cust_node AS src, supp_node AS dst FROM pairs
+            UNION ALL
+            SELECT supp_node, cust_node FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        n_total AS (SELECT count(*) AS n FROM nodes),
+        pr0 AS (
+            SELECT node, floor((1.0 / n) * {rf} + 0.5) / {rf} AS rank
+            FROM nodes, n_total
+        )"""
+    prev = "pr0"
+    for i in range(1, PR_ITERS + 1):
+        sql += f""",
+        m{i} AS (
+            SELECT e.dst, sum(p.rank / d.outdeg) AS mass
+            FROM edges e
+            JOIN {prev} p ON e.src = p.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        pr{i} AS (
+            SELECT nodes.node,
+                   floor(((1.0 - {DAMPING}) / n_total.n
+                          + {DAMPING} * coalesce(m{i}.mass, 0.0)) * {rf} + 0.5) / {rf} AS rank
+            FROM nodes CROSS JOIN n_total
+            LEFT JOIN m{i} ON nodes.node = m{i}.dst
+        )"""
+        prev = f"pr{i}"
+    sql += f"""
+        SELECT node,
+               CASE WHEN node >= {NODE_OFFSET} THEN 'customer' ELSE 'supplier' END AS side,
+               rank
+        FROM {prev}
+    """
+    return sql
+
+
+QUERIES = {
+    "graph_pagerank_trade": graph_pagerank_trade,
+}
+
+ORACLES = {
+    "graph_pagerank_trade": _pagerank_oracle_sql(),
+}

@@ -134,3 +134,16 @@ def test_lsh_multiprobe_recall_vs_bruteforce(spark, sf_dir):
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.4
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    # On a symmetric graph with no dangling nodes the total rank mass
+    # stays ~1 every iteration (up to the per-iteration rounding); a
+    # broken degree join or lost contribution shows up here instantly.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.operators.graph import graph_pagerank_trade
+
+    pr = graph_pagerank_trade(spark, sf_dir)
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-3
+    assert pr.filter(F.col("rank") <= 0).count() == 0
