@@ -81,7 +81,7 @@ _PRIORITY = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
-    "dedup_exact",
+    "text_cooccurrence_pairs",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_connected_components",
@@ -89,9 +89,11 @@ _PRIORITY = [
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine_pairs",
     "sim_ann_ivf_topk",
-    # unchanged, round-1 green — representatives fill the window
-    "sim_ann_bruteforce_topk",
     "sim_ann_lsh_topk",
+    # unchanged, round-1 green — representatives fill the window
+    # (dedup_exact hashes raw text — untouched by the tokenizer change)
+    "dedup_exact",
+    "sim_ann_bruteforce_topk",
     "adv_asof_join_last_click",
     "adv_grouped_map_median_gap",
     "adv_range_join_price_bands",

@@ -288,7 +288,49 @@ def text_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COOC_VOCAB_K = 30
+COOC_MIN_COUNT = 5
+
+
+def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence counts — the classic MapReduce "pairs"
+    pattern (the canonical example after wordcount in the MapReduce
+    literature), Spark-first.
+
+    Unbounded pair generation is quadratic in document length, so the
+    pair space is bounded FIRST: a corpus-wide top-``COOC_VOCAB_K``
+    vocabulary (deterministic tie-break by word) is computed with one
+    aggregation and broadcast; each document then contributes ordered
+    pairs only over its distinct in-vocab words (<= K^2/2 per doc).
+    Same broadcast-the-small-side discipline as every dim join here.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokenize_letters(F.lower(F.col("text"))))).alias("word")
+    )
+    all_words = docs.select(F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word"))
+    vocab = (
+        all_words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(COOC_VOCAB_K)
+        .select("word")
+    )
+    in_vocab = words.join(F.broadcast(vocab), "word")
+    a = in_vocab.select("doc_id", F.col("word").alias("w1"))
+    b = in_vocab.select(F.col("doc_id").alias("doc_b"), F.col("word").alias("w2"))
+    pairs = a.join(
+        b, (F.col("doc_id") == F.col("doc_b")) & (F.col("w1") < F.col("w2"))
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= COOC_MIN_COUNT)
+    )
+
+
 QUERIES = {
+    "text_cooccurrence_pairs": text_cooccurrence_pairs,
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -311,6 +353,25 @@ _LEX_VALUES = ", ".join(
 _LANG_VALUES = ", ".join(f"('{lang}')" for lang in LANG_LEXICON)
 
 ORACLES = {
+    "text_cooccurrence_pairs": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_LETTERS_LOWER}) AS word FROM documents
+        ),
+        vocab AS (
+            SELECT word FROM (
+                SELECT word, count(*) AS freq FROM words GROUP BY word
+                ORDER BY freq DESC, word LIMIT {COOC_VOCAB_K}
+            )
+        ),
+        dw AS (
+            SELECT DISTINCT doc_id, word FROM words
+            WHERE word IN (SELECT word FROM vocab)
+        )
+        SELECT a.word AS w1, b.word AS w2, CAST(count(*) AS BIGINT) AS n_docs
+        FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+        GROUP BY a.word, b.word
+        HAVING count(*) >= {COOC_MIN_COUNT}
+    """,
     "text_stats": f"""
         WITH t AS (SELECT doc_id, lang, text, {_WS} AS ws FROM documents)
         SELECT doc_id, lang,
