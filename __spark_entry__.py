@@ -46,6 +46,7 @@ _PRIORITY = [
     "mm_resize_images",
     "stream_append_tumbling_file_sink",
     "stream_stream_join_attribution",
+    "stream_static_enrich_by_segment",
     "stream_dedup_first_seen",
     "stream_tumbling_counts",
     "stream_sliding_counts",

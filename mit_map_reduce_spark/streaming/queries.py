@@ -158,6 +158,31 @@ def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.read.parquet(sink)
 
 
+def stream_static_enrich_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the
+    static customer dimension, rolled up per market segment — the
+    third join class next to stream-stream (attribution) and batch.
+
+    The static side needs no watermark and no state: each micro-batch
+    plans a fresh broadcast-hash join against the dimension (which may
+    be re-read per batch — how slowly-changing dims get picked up).
+    Complete mode keeps the tiny per-segment aggregate.
+    """
+    ev = _events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_half_up(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return _run_to_completion(agg, shuffle_partitions=8)
+
+
 ATTRIBUTION_WINDOW = "1 hour"
 
 
@@ -363,6 +388,7 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "stream_append_tumbling_file_sink": stream_append_tumbling_file_sink,
     "stream_stream_join_attribution": stream_stream_join_attribution,
+    "stream_static_enrich_by_segment": stream_static_enrich_by_segment,
     "stream_dedup_first_seen": stream_dedup_first_seen,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_sliding_counts": stream_sliding_counts,
@@ -382,6 +408,13 @@ ORACLES = {
         FROM events, wm
         GROUP BY 1, event_type, wm.w
         HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+    """,
+    "stream_static_enrich_by_segment": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
     """,
     "stream_stream_join_attribution": f"""
         SELECT p.event_id AS purchase_id,
