@@ -78,9 +78,9 @@ _PRIORITY = [
     "rel_merge_upsert_customers",
     "mr_wordcount",
     "mr_inverted_index",
+    "mr_distributed_grep",
     "text_stats",
     "text_quality",
-    "text_langid",
     "text_fingerprint",
     "text_cooccurrence_pairs",
     "dedup_minhash_signatures",
@@ -92,7 +92,10 @@ _PRIORITY = [
     "sim_ann_ivf_topk",
     "sim_ann_lsh_topk",
     # unchanged, round-1 green — representatives fill the window
-    # (dedup_exact hashes raw text — untouched by the tokenizer change)
+    # (dedup_exact hashes raw text — untouched by the tokenizer change;
+    # text_langid matches tokens against unchanged ASCII lexicons, the
+    # least tokenizer-sensitive of the text four)
+    "text_langid",
     "dedup_exact",
     "sim_ann_bruteforce_topk",
     "adv_asof_join_last_click",

@@ -60,14 +60,48 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GREP_PATTERN = r"data \w+ (scan|sort)"
+
+
+def mr_distributed_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep — the FIRST example in the original MapReduce
+    paper (Dean & Ghemawat 2004, §2.3: "supplied pattern -> emit the
+    line"): documents matching a regex, counted per source with the
+    earliest matching doc id.
+
+    Pure map-side filter + tiny aggregate: the regex predicate cannot
+    push into parquet, but column pruning still holds the scan to
+    (text, source, doc_id), and the only exchange carries one partial
+    row per (partition, source).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike(GREP_PATTERN))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+    )
+
+
 QUERIES = {
     "mr_wordcount": mr_wordcount,
     "mr_inverted_index": mr_inverted_index,
+    "mr_distributed_grep": mr_distributed_grep,
 }
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')"
 
 ORACLES = {
+    "mr_distributed_grep": f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               min(doc_id) AS first_doc_id
+        FROM documents
+        WHERE regexp_matches(text, '{GREP_PATTERN}')
+        GROUP BY source
+    """,
     "mr_wordcount": f"""
         SELECT word, CAST(count(*) AS BIGINT) AS cnt
         FROM (SELECT unnest({_TOKENS}) AS word FROM documents)

@@ -105,3 +105,38 @@ def test_orc_roundtrip_partitioned(spark, kv_df, tmp_path):
     assert one.count() == kv_df.filter(F.col("key") == "k3").count()
     # partition filter reached the scan (pruned, not post-filtered)
     assert "PartitionFilters: [isnotnull(key" in plan or "k3" in plan
+
+
+def test_range_partitioned_global_sort(spark, tmp_path):
+    # Distributed sort (the MapReduce paper's TeraSort shape): range
+    # partitioning + per-partition sort gives a TOTAL order across
+    # output files with NO single-reducer bottleneck — file part-i's
+    # max must not exceed part-(i+1)'s min, and each file is sorted.
+    from mit_map_reduce_spark.catalog import load_table
+    import glob
+    import os
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    out = str(tmp_path / "sorted")
+    (
+        li.repartitionByRange(8, F.col("l_extendedprice"))
+        .sortWithinPartitions("l_extendedprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    parts = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert len(parts) >= 2  # actually distributed, not one reducer
+    prev_max = None
+    total = 0
+    for p in parts:
+        vals = [r.l_extendedprice for r in spark.read.parquet(p).collect()]
+        if not vals:
+            continue
+        assert vals == sorted(vals)  # sorted within the file
+        if prev_max is not None:
+            assert prev_max <= vals[0]  # ranges don't overlap
+        prev_max = vals[-1]
+        total += len(vals)
+    assert total == li.count()  # nothing lost or duplicated
