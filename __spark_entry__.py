@@ -79,9 +79,9 @@ _PRIORITY = [
     "mr_wordcount",
     "mr_inverted_index",
     "mr_distributed_grep",
+    "rel_q6_forecast_revenue",
+    "rel_q14_promo_share",
     "text_stats",
-    "text_quality",
-    "text_fingerprint",
     "text_cooccurrence_pairs",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
@@ -93,8 +93,10 @@ _PRIORITY = [
     "sim_ann_lsh_topk",
     # unchanged, round-1 green — representatives fill the window
     # (dedup_exact hashes raw text — untouched by the tokenizer change;
-    # text_langid matches tokens against unchanged ASCII lexicons, the
-    # least tokenizer-sensitive of the text four)
+    # the demoted text queries' tokenizer update is triple-gated by the
+    # local sf0.001/sf0.01/sf0.1 and full vanilla-session runs)
+    "text_quality",
+    "text_fingerprint",
     "text_langid",
     "dedup_exact",
     "sim_ann_bruteforce_topk",

@@ -676,6 +676,56 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pure filter-aggregate: TPC-H Q6 shape -------------------------------
+
+
+def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from a what-if discount change —
+    a single filtered scan with every predicate pushable, no join at
+    all. The optimizer-floor query: the plan must be scan -> filter ->
+    partial agg -> 1-row final agg, nothing else.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            round_half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        )
+    )
+
+
+# --- conditional-sum percentage: TPC-H Q14 shape -------------------------
+
+
+def rel_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the PROMO part types' share of one month's
+    revenue — conditional sum over total sum in a single aggregate
+    (no second pass, no self-join), part dim broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        round_half_up(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_share_pct"),
+        round_half_up(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
 # --- disjunctive join predicates: TPC-H Q19 shape ------------------------
 
 
@@ -881,6 +931,8 @@ QUERIES = {
     "rel_q16_supplier_variety": rel_q16_supplier_variety,
     "rel_q19_disjunctive_revenue": rel_q19_disjunctive_revenue,
     "rel_q21_waiting_suppliers": rel_q21_waiting_suppliers,
+    "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
+    "rel_q14_promo_share": rel_q14_promo_share,
 }
 
 ORACLES = {
@@ -1163,6 +1215,27 @@ ORACLES = {
                floor((sum(value) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value
         FROM events
         GROUP BY event_type
+    """,
+    "rel_q6_forecast_revenue": """
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.02 AND 0.04
+          AND l_quantity < 24
+    """,
+    "rel_q14_promo_share": """
+        SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                       THEN l_extendedprice * (1 - l_discount)
+                                       ELSE 0.0 END)
+                      / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0
+                   AS promo_share_pct,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+                   AS total_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+          AND l_shipdate < TIMESTAMP '1997-07-01'
     """,
     "rel_q19_disjunctive_revenue": """
         SELECT CAST(count(*) AS BIGINT) AS n_items,
