@@ -53,6 +53,10 @@ HEADLINE = (
     "stream_stream_join_attribution",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_lsh_pairs",
+    # round 3 additions
+    "sim_ann_bruteforce_topk_np",  # vectorized twin of sim_ann_bruteforce_topk
+    "rel_q9_product_profit",
+    "text_hash_features",
 )
 
 

@@ -22,11 +22,18 @@ from mit_map_reduce_spark.session import get_spark
 def _default_corpus(spark) -> str:
     """No-args demo corpus: 4 pg-*.txt files synthesized from the
     documents table (same trick bench.py uses for the facade workload)."""
+    import shutil
     import tempfile
+    import uuid
 
     d = os.path.join(tempfile.gettempdir(), "mmrs_example_corpus")
-    if not os.path.isdir(d):
-        os.makedirs(d, exist_ok=True)
+    expected = [os.path.join(d, f"pg-{i}.txt") for i in range(4)]
+    # Regenerate unless all 4 files are present (a crash mid-write must
+    # not leave a partial corpus that later runs silently reuse); write
+    # to a unique temp dir and atomically rename into place so two
+    # concurrent runs can't interleave.
+    if not all(os.path.exists(p) for p in expected):
+        tmp = tempfile.mkdtemp(prefix=f"mmrs_example_corpus_{uuid.uuid4().hex[:8]}_")
         texts = [
             r[0]
             for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
@@ -34,8 +41,13 @@ def _default_corpus(spark) -> str:
             .collect()
         ]
         for i in range(4):
-            with open(os.path.join(d, f"pg-{i}.txt"), "w") as f:
+            with open(os.path.join(tmp, f"pg-{i}.txt"), "w") as f:
                 f.write("\n".join(texts[i::4]))
+        shutil.rmtree(d, ignore_errors=True)
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost a benign race
     return os.path.join(d, "pg-*.txt")
 
 

@@ -71,13 +71,61 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+#: Session-scoped registry of shared persisted intermediates, keyed by
+#: (session id, logical name, sf_dir). Multi-consumer derivations (the
+#: per-doc shingle arrays, the normed embedding corpus) used to call
+#: ``.persist()`` inside every query that needed them; across an
+#: 87-query session that accumulated duplicate cached copies of the
+#: same lineage and spammed ``CacheManager: asked to cache already
+#: cached data`` warnings. One registry entry per logical dataset keeps
+#: exactly one persisted copy per session, shared by every consumer
+#: (the pair queries and connected components now probe the SAME cache)
+#: — the single-JVM analog of materializing the intermediate to parquet
+#: once at 100 TB.
+_SHARED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def shared_persist(spark: SparkSession, name: str, sf_dir: str, factory) -> DataFrame:
+    """Return the session's persisted copy of ``name`` for ``sf_dir``,
+    building it via ``factory()`` on first use."""
+    key = (id(spark), name, sf_dir)
+    df = _SHARED_CACHE.get(key)
+    if df is None:
+        df = factory().persist()
+        _SHARED_CACHE[key] = df
+    return df
+
+
+def clear_shared_caches() -> None:
+    """Unpersist and forget every registry entry (tests / shutdown)."""
+    for df in _SHARED_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SHARED_CACHE.clear()
+
+
+def ensure_nanos_flag(spark: SparkSession) -> None:
+    """The ONE place that sets ``spark.sql.legacy.parquet.nanosAsLong``.
+
+    events.parquet stores TIMESTAMP(NANOS), which Spark cannot read at
+    all without this flag (even schema inference throws). Sessions from
+    our factory set it at construction (session.py); this defensive set
+    covers vanilla sessions (the grading driver's). It is session-wide
+    and deliberately never restored — the package's read path
+    (``load_table`` / ``normalize_nanos_ts``) is flag-proof either way,
+    and a half-restored flag mid-stream would break lazy stream plans.
+    Anyone raw-reading events.parquet must use ``load_table``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # Runtime-settable; required even when the session wasn't built
-        # by our factory (e.g. the verification driver's own session).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ensure_nanos_flag(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         df = normalize_nanos_ts(df)

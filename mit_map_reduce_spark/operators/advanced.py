@@ -294,6 +294,59 @@ def adv_time_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_time_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with LINEAR INTERPOLATION: the dense
+    (day x event_type) grid again, but gap days carry the linear
+    interpolation between the nearest observed daily averages instead
+    of zero — the standard fill for continuous metrics (sensor values,
+    rates) where zero-fill (``adv_time_resample_daily``) is only right
+    for additive counts.
+
+    Carried values come from two IGNORE-NULLS window passes per series
+    (last observed before / first observed after — one shuffle on the
+    series key, linear in grid size); edge gaps clamp to the nearest
+    observation. The interpolation arithmetic is spelled identically in
+    the oracle so IEEE results match bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    bounds = ev.agg(F.min(day).alias("lo"), F.max(day).alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    types = ev.select(F.col("event_type").alias("etype")).distinct()
+    spine = days.crossJoin(F.broadcast(types))
+    per_day = ev.groupBy(day.alias("day"), F.col("event_type").alias("etype")).agg(
+        F.avg("value").alias("v")
+    )
+    grid = spine.join(per_day, ["day", "etype"], "left")
+    w_prev = W.partitionBy("etype").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.partitionBy("etype").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    g = grid.select(
+        "day",
+        "etype",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    frac = F.datediff("day", "pd").cast("double") / F.datediff("nd", "pd").cast("double")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return g.select(
+        "day",
+        F.col("etype").alias("event_type"),
+        round_half_up(interp, 4).alias("avg_value"),
+        F.col("v").isNotNull().alias("observed"),
+    )
+
+
 def adv_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact median and p90 of order value per market segment
     (interpolated, matching SQL PERCENTILE_CONT / DuckDB
@@ -390,6 +443,7 @@ QUERIES = {
     "adv_window_range_frame_spend": adv_window_range_frame_spend,
     "adv_funnel_conversion": adv_funnel_conversion,
     "adv_time_resample_daily": adv_time_resample_daily,
+    "adv_time_resample_interp": adv_time_resample_interp,
     "adv_range_join_price_bands": adv_range_join_price_bands,
     "adv_correlated_subquery_small_qty": adv_correlated_subquery_small_qty,
     "adv_grouping_sets_revenue": adv_grouping_sets_revenue,
@@ -470,6 +524,50 @@ ORACLES = {
                floor((coalesce(tv, 0.0)) * 100.0 + 0.5) / 100.0 AS total_value
         FROM days CROSS JOIN types
         LEFT JOIN per_day ON per_day.day = days.day AND per_day.event_type = types.event_type
+    """,
+    "adv_time_resample_interp": """
+        WITH bounds AS (
+            SELECT CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS lo,
+                   CAST(max(date_trunc('day', ts)) AS TIMESTAMP) AS hi
+            FROM events
+        ),
+        days AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        per_day AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+                   avg(value) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        grid AS (
+            SELECT days.day, types.event_type AS etype, per_day.v
+            FROM days CROSS JOIN types
+            LEFT JOIN per_day ON per_day.day = days.day
+                             AND per_day.event_type = types.event_type
+        ),
+        g AS (
+            SELECT day, etype, v,
+                   last_value(v IGNORE NULLS) OVER wp AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS pd,
+                   first_value(v IGNORE NULLS) OVER wn AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS nd
+            FROM grid
+            WINDOW wp AS (PARTITION BY etype ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wn AS (PARTITION BY etype ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT day, etype AS event_type,
+               floor((CASE
+                   WHEN v IS NOT NULL THEN v
+                   WHEN pv IS NULL THEN nv
+                   WHEN nv IS NULL THEN pv
+                   ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                          / CAST(date_diff('day', pd, nd) AS DOUBLE))
+               END) * 10000.0 + 0.5) / 10000.0 AS avg_value,
+               v IS NOT NULL AS observed
+        FROM g
     """,
     "adv_ntile_balance_quartiles": """
         SELECT c_nationkey, CAST(quartile AS INTEGER) AS quartile,

@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table, spread
+from mit_map_reduce_spark.catalog import load_table, shared_persist, spread
 from mit_map_reduce_spark.functions.columns import (
     round_half_up,
     dot_product,
@@ -70,6 +70,19 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingle) — exploded form, for inverted-index joins."""
     return _doc_shingle_arrays(spark, sf_dir).select(
         "doc_id", F.explode("shingles").alias("shingle")
+    )
+
+
+def _shingle_arrays_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-doc shingle arrays, persisted once per session.
+
+    Signature derivation, both probe sides of the candidate-verification
+    joins, AND the connected-components rerun all consume this same
+    lineage; the shared registry keeps exactly one cached copy (round 2
+    persisted a fresh copy inside each query — correct but accumulating,
+    and the source of the CacheManager re-cache warnings)."""
+    return shared_persist(
+        spark, "doc_shingle_arrays", sf_dir, lambda: _doc_shingle_arrays(spark, sf_dir)
     )
 
 
@@ -112,10 +125,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h, minhash): h-th MinHash = min over shingles of
     md5(h || ':' || shingle), compared as a hex string.
 
-    The array form is persisted: the N min-projections each reference
-    the shingle array, and without materialization projection collapse
-    would re-derive it N times."""
-    wide = _minhash_wide(spark, sf_dir, arrays=_doc_shingle_arrays(spark, sf_dir).persist())
+    The array form is persisted (session-shared cache): the N
+    min-projections each reference the shingle array, and without
+    materialization projection collapse would re-derive it N times."""
+    wide = _minhash_wide(spark, sf_dir, arrays=_shingle_arrays_cached(spark, sf_dir))
     stack_args = ", ".join(f"{i}, m{i}" for i in range(N_HASHES))
     return wide.selectExpr(
         "doc_id", f"stack({N_HASHES}, {stack_args}) AS (h, minhash)"
@@ -146,12 +159,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Multi-pass plan hygiene: the per-document shingle arrays feed three
     consumers (signature projection, probe side a, probe side b), so
     the compact array form — one row per doc, not one per shingle — is
-    persisted (memory, spill-to-disk) rather than re-derived; at 100 TB
-    the equivalent is materializing it once to parquet before the pair
-    phase. Set sizes ride the same row and are carried through the band
-    join, so Jaccard needs no extra size joins.
+    persisted via the session-shared cache rather than re-derived; at
+    100 TB the equivalent is materializing it once to parquet before
+    the pair phase. Set sizes ride the same row and are carried through
+    the band join, so Jaccard needs no extra size joins.
     """
-    arrs = _doc_shingle_arrays(spark, sf_dir).persist()
+    arrs = _shingle_arrays_cached(spark, sf_dir)
     sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
     bands = _band_keys(_minhash_wide(spark, sf_dir, arrays=arrs))
     a, b = bands.alias("a"), bands.alias("b")
@@ -291,9 +304,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``HOT_SHINGLE_MAX_DF``) bounds every join key's fan-out; AQE
     skew-join smooths whatever remains below the cap.
     """
-    # persist the compact array form; sizes come from its sz column
-    # (no aggregation), the two probe sides explode from cache.
-    arrs = _doc_shingle_arrays(spark, sf_dir).persist()
+    # compact array form from the session-shared cache; sizes come from
+    # its sz column (no aggregation), the probe sides explode from it.
+    arrs = _shingle_arrays_cached(spark, sf_dir)
     return _jaccard_pairs_from_shingles(arrs)
 
 
@@ -371,9 +384,10 @@ def embedding_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the exact baseline; recall < 1 by design (tune bands/rows).
     The oracle computes the same band-restricted semantics.
     """
-    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm")
-    ).persist()
+    from mit_map_reduce_spark.operators.similarity import _emb_with_norm
+
+    # session-shared normed corpus (same cache every ANN query probes)
+    emb = _emb_with_norm(spark, sf_dir)
     keys = _emb_band_keys(emb)
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
@@ -450,8 +464,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
+def near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the near-dup pipeline: a per-document
+    keep/drop decision over the WHOLE corpus — what a training-data
+    build actually consumes (filter the corpus to ``keep``).
+
+    Every document gets its duplicate-cluster id (its own doc_id when
+    it has no near-dups); ``keep`` marks the cluster representative
+    (smallest doc_id). One equi-join of the corpus against the CC label
+    table — the label side is bounded by the number of near-dup
+    documents, so this stays a plain shuffled hash join (NOT broadcast:
+    at 100 TB a heavily-duplicated crawl can make it corpus-sized).
+    """
+    labels = dedup_connected_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    cluster = F.coalesce("cluster_id", "doc_id")
+    return docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("keep"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_near_dup_keep_list": near_dup_keep_list,
     "dedup_connected_components": dedup_connected_components,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
@@ -546,6 +583,24 @@ ORACLES = {
         SELECT node, min(label) AS cluster_id FROM walk GROUP BY node
     """,
 
+    "dedup_near_dup_keep_list": f"""
+        WITH RECURSIVE {_PAIRS_CTES},
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        walk(node, label) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+        ),
+        cc AS (SELECT node, min(label) AS cluster_id FROM walk GROUP BY node)
+        SELECT d.doc_id,
+               coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+               coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS keep
+        FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """,
     "dedup_simhash_fingerprints": f"""
         WITH words AS (
             SELECT doc_id, unnest({_WORDS}) AS word FROM documents

@@ -636,9 +636,11 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Inner level: revenue per (year, supplier nation) for qualifying
     orders (customer in region, part type filter). Outer level: share =
-    sum(volume WHERE nation = X) / sum(volume) per year. All dims
-    broadcast; the fact shuffles once for the orders join and once for
-    the tiny year agg.
+    sum(volume WHERE nation = X) / sum(volume) per year. The true dims
+    (part/nation/region/supplier) are hint-broadcast; orders and
+    customer are fact-sized at scale (15 M rows per TPC-H SF), so the
+    plan carries two fact-side shuffle joins plus the tiny year agg —
+    at test SF, AQE converts them to broadcasts on its own.
     """
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").filter(
@@ -899,6 +901,176 @@ def rel_salted_agg_events_per_type(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# --- profit decomposition: TPC-H Q9 shape --------------------------------
+
+
+def rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) for
+    parts matching a name substring — revenue minus a cost term,
+    decomposed along two dims of a multi-way join.
+
+    The testdata has no partsupp table, so cost uses the part's list
+    price (p_retailprice * quantity * 0.6) instead of ps_supplycost —
+    same join graph and agg shape as Q9 (reference has no relational
+    surface at all; TPC-H spec Q9 is the model). part/supplier/nation
+    broadcast; lineitem shuffles once for the orders join, then the
+    tiny (nation x year) agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("a"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.6
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(round_half_up(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+# --- join + top-k customers: TPC-H Q10 shape ------------------------------
+
+
+def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue
+    in a quarter — fact-fact join, dim enrich, top-k by aggregate.
+
+    Orders prune to one quarter BEFORE the join (predicate pushdown to
+    the scan); returnflag prunes lineitem the same way; nation
+    broadcasts. Ties on revenue break by c_custkey so the limit is
+    deterministic in both engines.
+    """
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            round_half_up(F.first("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- value-share HAVING vs scalar total: TPC-H Q11 shape ------------------
+
+
+def rel_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fixed
+    fraction of the global total — a per-group agg HAVING-compared
+    against a scalar-subquery total.
+
+    (No partsupp table in the testdata: value = sum of extendedprice
+    per part over lineitem; the threshold is 1.5x the MEAN part value —
+    TPC-H's literal 0.0001/SF fraction is scale-dependent and returns
+    nothing at small SF, so the scale-free form keeps the same
+    two-level agg + scalar broadcast shape while being non-vacuous at
+    every SF.) The global total is a 1-row aggregate cross-joined
+    (broadcast) into the HAVING filter — never a driver-side collect;
+    both levels reuse ONE scan lineage.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum("part_value").alias("total_value"), F.count("*").alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value") > 1.5 * F.col("total_value") / F.col("n_parts")
+        )
+        .select(
+            "l_partkey",
+            round_half_up("part_value", 2).alias("part_value"),
+            round_half_up(F.col("part_value") / F.col("total_value"), 6).alias("share"),
+        )
+    )
+
+
+# --- conditional counts by class: TPC-H Q12 shape -------------------------
+
+
+def rel_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: for late shipments (> 90 days after the order
+    date), count critical- vs normal-priority orders per line status —
+    the CASE-sum pivot over a fact-fact join.
+
+    (The testdata lineitem has no shipmode column; l_linestatus plays
+    the grouping role, the priority CASE-sums are verbatim Q12.) The
+    late filter runs on the joined row (it references both tables);
+    everything else pushes to the scans.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~crit, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+# --- agg vs its own max (top-1 group): TPC-H Q15 shape --------------------
+
+
+def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue over a
+    quarter — an aggregate compared against the max of the same
+    aggregate (the view + scalar subquery formulation).
+
+    The per-supplier revenue is computed once; its 1-row max is
+    broadcast back (no second scan of lineitem, no driver collect).
+    Equality compares the engine's own sums against the engine's own
+    max, so cross-engine float ulps cancel.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            round_half_up("total_revenue", 2).alias("total_revenue"),
+        )
+    )
+
+
 QUERIES = {
     "rel_q1_pricing_summary": rel_q1_pricing_summary,
     "rel_q3_shipping_priority": rel_q3_shipping_priority,
@@ -933,9 +1105,79 @@ QUERIES = {
     "rel_q21_waiting_suppliers": rel_q21_waiting_suppliers,
     "rel_q6_forecast_revenue": rel_q6_forecast_revenue,
     "rel_q14_promo_share": rel_q14_promo_share,
+    "rel_q9_product_profit": rel_q9_product_profit,
+    "rel_q10_returned_items": rel_q10_returned_items,
+    "rel_q11_important_parts": rel_q11_important_parts,
+    "rel_q12_late_shipment_priority": rel_q12_late_shipment_priority,
+    "rel_q15_top_supplier": rel_q15_top_supplier,
 }
 
 ORACLES = {
+    "rel_q9_product_profit": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               floor((sum(l_extendedprice * (1 - l_discount)
+                          - p_retailprice * l_quantity * 0.6)) * 100.0 + 0.5) / 100.0
+                   AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    "rel_q10_returned_items": """
+        SELECT c_custkey, c_name, n_name, c_mktsegment,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+                   AS revenue,
+               floor((any_value(c_acctbal)) * 100.0 + 0.5) / 100.0 AS c_acctbal
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+                   AND o_orderdate >= TIMESTAMP '1997-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-04-01'
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name, c_mktsegment
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "rel_q11_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey, sum(l_extendedprice) AS part_value
+            FROM lineitem GROUP BY l_partkey
+        ),
+        total AS (SELECT sum(part_value) AS total_value,
+                         count(*) AS n_parts FROM per_part)
+        SELECT l_partkey,
+               floor((part_value) * 100.0 + 0.5) / 100.0 AS part_value,
+               floor((part_value / total_value) * 1000000.0 + 0.5) / 1000000.0 AS share
+        FROM per_part CROSS JOIN total
+        WHERE part_value > 1.5 * total_value / n_parts
+    """,
+    "rel_q12_late_shipment_priority": """
+        SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        GROUP BY l_linestatus
+    """,
+    "rel_q15_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT l_suppkey AS s_suppkey, s_name,
+               floor((total_revenue) * 100.0 + 0.5) / 100.0 AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
     "rel_q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table, spread
+from mit_map_reduce_spark.catalog import load_table, shared_persist, spread
 from mit_map_reduce_spark.functions.columns import round_half_up, dot_product, vec_norm
 
 TOP_K = 5
@@ -32,8 +32,18 @@ QUERY_FILTER = "vec_id % 100 = 0"  # deterministic small query set
 
 
 def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
-    return emb.select("vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"))
+    """The normed embedding corpus, persisted ONCE per session via the
+    shared-cache registry: every similarity/dedup consumer (bruteforce
+    scan, LSH buckets, IVF training + assignment, banded dedup) probes
+    the same cached copy instead of re-scanning and re-norming — and no
+    query re-persists an identical lineage (the round-2 CacheManager
+    warning source)."""
+
+    def build() -> DataFrame:
+        emb = spread(load_table(spark, sf_dir, "embeddings"))
+        return emb.select("vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm"))
+
+    return shared_persist(spark, "emb_norm", sf_dir, build)
 
 
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,6 +65,70 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", round_half_up("c", 4).alias("cos"))
+    )
+
+
+def ann_bruteforce_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k, Arrow/NumPy scoring path.
+
+    Identical plan shape and output to :func:`ann_bruteforce_topk`
+    (pinned by test), but the O(|corpus| * |queries|) dot products run
+    as a vectorized pandas UDF instead of an interpreted Catalyst fold
+    — the fast path for embedding-heavy pipelines (~100 ns/element HOF
+    cost vs one NumPy batch op; see ``functions/vectorized.py``, which
+    also documents why the accumulation order is bit-identical). Norms
+    are still the corpus-cached HOF values, computed once per vector.
+    """
+    from mit_map_reduce_spark.functions.vectorized import cosine_np
+
+    emb = _emb_with_norm(spark, sf_dir)
+    queries = emb.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_np(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")).alias("c"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank", round_half_up("c", 4).alias("cos"))
+    )
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label vote: each query vector's predicted label is the
+    majority label among its exact top-k cosine neighbors — the
+    label-propagation / weak-supervision primitive of a training-data
+    pipeline (auto-labeling new samples from a labeled corpus).
+
+    Composes the exact top-k (one corpus scan, broadcast queries) with
+    a broadcast label lookup and a tiny per-query vote; ties break to
+    the smaller label id in both engines.
+    """
+    topk = ann_bruteforce_topk(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    q_labels = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        topk.join(F.broadcast(labels), topk.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), F.col("label"))
+    pick = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+    return pick.join(F.broadcast(q_labels), "query_id").select(
+        "query_id", "true_label", "pred_label", "n_votes"
     )
 
 
@@ -241,6 +315,38 @@ def _trained_centroids(emb: DataFrame) -> DataFrame:
     return cents
 
 
+def _centroids_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once centroid artifact: the k-means quantizer trains on
+    the first call per corpus and is materialized as a parquet
+    side-output; every later search (same process or a later one on the
+    same machine) reads the 16-row artifact instead of re-running the
+    Lloyd iterations inside the query — the faiss ``train()`` /
+    ``search()`` split. Keyed by the corpus path; written to a temp dir
+    and atomically renamed so a crashed writer can never leave a
+    half-artifact that later runs silently trust.
+    """
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    art = os.path.join(tempfile.gettempdir(), "mmrs_ivf_centroids", tag)
+    if not os.path.isdir(art):
+        cents = _trained_centroids(_emb_with_norm(spark, sf_dir))
+        tmp = art + "." + uuid.uuid4().hex[:8]
+        cents.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(os.path.dirname(art), exist_ok=True)
+        try:
+            os.rename(tmp, art)
+        except OSError:
+            # lost the race to a concurrent trainer; its artifact is
+            # identical (training is deterministic) — keep it
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(art)
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat top-k over trained cells: assign every vector to its
     nearest k-means centroid; probe only the ``N_PROBE`` cells nearest
@@ -249,18 +355,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The inverted-file structure is the (cell -> vectors) partitioning;
     search is an equi-join on the cell key — like the LSH path, the
     corpus never cross-joins itself. Tie-breaks (equal cosine) go to
-    the lower centroid id in both engines.
+    the lower centroid id in both engines. Training happens at most
+    once per corpus (``_centroids_artifact``); the search itself is a
+    single corpus scan + two broadcast joins.
     """
-    # The normed corpus feeds ~7 consumers (2 training assigns, 2 mean
-    # passes, final assign, query set, probe set); persist it so each is
-    # a cache read, not a rescan+renorm. MEMORY_AND_DISK at corpus scale
-    # — and at 100 TB training moves to a hash-sampled subset, where the
-    # sample (not the corpus) is what persists.
-    emb = _emb_with_norm(spark, sf_dir).persist()
-    # The trained centroid table is k rows but its lineage is the whole
-    # training run; persist so the assign and probe subtrees don't each
-    # re-train (same per-round persist discipline as the CC loop).
-    cents = _trained_centroids(emb).persist()
+    # Normed corpus comes from the session-shared cache (one persisted
+    # copy feeds training, assignment, query and probe subtrees — and
+    # every other embedding operator in the session).
+    emb = _emb_with_norm(spark, sf_dir)
+    cents = _centroids_artifact(spark, sf_dir)
     assign = _assign_cells(emb, cents)
     queries = emb.filter(F.expr(QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
@@ -289,8 +392,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sim_ann_bruteforce_topk": ann_bruteforce_topk,
+    "sim_ann_bruteforce_topk_np": ann_bruteforce_topk_np,
     "sim_ann_lsh_topk": ann_lsh_topk,
     "sim_ann_ivf_topk": ann_ivf_topk,
+    "sim_knn_label_vote": knn_label_vote,
 }
 
 _DOT = """list_sum(list_transform(range(1, {dim1}),
@@ -414,6 +519,35 @@ ORACLES = {
         SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
     """,
     "sim_ann_ivf_topk": _ivf_oracle_sql(),
+    "sim_knn_label_vote": f"""
+        WITH {_NRM_CTE},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_DOT.format(dim1=DIM + 1)} / (q.nrm * c.nrm) AS c
+            FROM nrm q JOIN nrm c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+            FROM scored
+        ),
+        votes AS (
+            SELECT query_id, e.label, CAST(count(*) AS BIGINT) AS n_votes
+            FROM ranked JOIN embeddings e ON e.vec_id = ranked.neighbor_id
+            WHERE rank <= {TOP_K}
+            GROUP BY query_id, e.label
+        ),
+        pick AS (
+            SELECT query_id, label AS pred_label, n_votes,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY n_votes DESC, label) AS rn
+            FROM votes
+        )
+        SELECT p.query_id, q.label AS true_label, p.pred_label, p.n_votes
+        FROM pick p JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE p.rn = 1
+    """,
     "sim_ann_lsh_topk": f"""
         WITH {_NRM_CTE},
         planes AS (
@@ -475,3 +609,8 @@ ORACLES = {
         SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
     """,
 }
+
+# The NumPy path must produce bit-identical output to the HOF path
+# (same sequential float64 accumulation — functions/vectorized.py), so
+# it shares the exact-top-k oracle verbatim.
+ORACLES["sim_ann_bruteforce_topk_np"] = ORACLES["sim_ann_bruteforce_topk"]

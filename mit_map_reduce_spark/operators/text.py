@@ -329,7 +329,43 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HASH_FEATURE_DIM = 16
+
+
+def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer (the "hashing trick"): each document
+    becomes a fixed ``HASH_FEATURE_DIM``-dim term-count vector, bucket
+    = first md5 hex digit of the token — no vocabulary table, no
+    shuffle, which is the whole point at 100 TB (a real vocabulary
+    needs a corpus-wide distinct + broadcast; the hash vectorizer is
+    pure map-side and its output width is fixed).
+
+    One fold accumulates all 16 bucket counts per document (same
+    single-pass discipline as SimHash — per-bucket aggregates would
+    re-hash the token array 16x). Rendered '|'-joined (driver-hashable,
+    like the other array outputs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = tokenize_letters(F.lower(F.col("text")))
+    buckets = F.sequence(F.lit(0), F.lit(HASH_FEATURE_DIM - 1))
+
+    def one_hot(tok):
+        digit = F.conv(F.md5(tok).substr(1, 1), 16, 10).cast("int")
+        return F.transform(buckets, lambda b: F.when(digit == b, 1).otherwise(0).cast("bigint"))
+
+    zero = F.array_repeat(F.lit(0).cast("bigint"), HASH_FEATURE_DIM)
+    counts = F.aggregate(
+        tokens, zero, lambda acc, t: F.zip_with(acc, one_hot(t), lambda x, y: x + y)
+    )
+    return docs.select(
+        "doc_id",
+        F.size(tokens).alias("n_tokens"),
+        F.array_join(F.transform(counts, lambda c: c.cast("string")), "|").alias("features"),
+    )
+
+
 QUERIES = {
+    "text_hash_features": text_hash_features,
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -353,6 +389,29 @@ _LEX_VALUES = ", ".join(
 _LANG_VALUES = ", ".join(f"('{lang}')" for lang in LANG_LEXICON)
 
 ORACLES = {
+    "text_hash_features": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_LETTERS_LOWER}) AS word FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id,
+                   strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1 AS b,
+                   count(*) AS c
+            FROM words GROUP BY doc_id, b
+        ),
+        grid AS (
+            SELECT d.doc_id, t.b, coalesce(bucketed.c, 0) AS c
+            FROM documents d CROSS JOIN range({HASH_FEATURE_DIM}) t(b)
+            LEFT JOIN bucketed ON bucketed.doc_id = d.doc_id AND bucketed.b = t.b
+        ),
+        feats AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS INTEGER) AS n_tokens,
+                   string_agg(CAST(c AS VARCHAR), '|' ORDER BY b) AS features
+            FROM grid GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, features FROM feats
+    """,
     "text_cooccurrence_pairs": f"""
         WITH words AS (
             SELECT doc_id, unnest({_LETTERS_LOWER}) AS word FROM documents

@@ -19,8 +19,10 @@ oracle drops the open tail explicitly).
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -28,7 +30,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mit_map_reduce_spark.functions.columns import round_half_up
-from mit_map_reduce_spark.catalog import load_table, table_path
+from mit_map_reduce_spark.catalog import ensure_nanos_flag, load_table, table_path
+
+#: All per-run scratch (stream-source symlink dirs, file-sink output,
+#: checkpoints, upsert snapshots) lives under this one base dir, swept
+#: at interpreter exit — repeated bench/correctness runs no longer
+#: accumulate unbounded parquet + state files in tempdir. Sweeping at
+#: exit (not per query) keeps returned DataFrames readable: they are
+#: lazy over the sink files until the caller finishes collecting.
+_SCRATCH_BASE = os.path.join(
+    tempfile.gettempdir(), f"mmrs_stream_scratch_{os.getpid()}"
+)
+atexit.register(shutil.rmtree, _SCRATCH_BASE, ignore_errors=True)
+
+
+def _scratch_dir(*parts: str) -> str:
+    d = os.path.join(_SCRATCH_BASE, *parts)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -41,19 +60,16 @@ def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from mit_map_reduce_spark.catalog import normalize_nanos_ts
 
     src = table_path(sf_dir, name)
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), "mmrs_stream", hashlib.md5(src.encode()).hexdigest()[:12]
-    )
-    os.makedirs(stream_dir, exist_ok=True)
+    stream_dir = _scratch_dir("src", hashlib.md5(src.encode()).hexdigest()[:12])
     link = os.path.join(stream_dir, f"{name}.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): without this flag even
-        # reading the SCHEMA throws PARQUET_TYPE_ILLEGAL on a vanilla
-        # session (the grading driver's), same defensive set as
-        # catalog.load_table.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts is parquet TIMESTAMP(NANOS): without the legacy
+        # flag even reading the SCHEMA throws PARQUET_TYPE_ILLEGAL on a
+        # vanilla session (the grading driver's). Centralized setter —
+        # see catalog.ensure_nanos_flag for why it is never restored.
+        ensure_nanos_flag(spark)
     # Schema must be the RAW parquet schema (events.ts is epoch-nanos
     # long — see catalog.normalize_nanos_ts); conversion applies after.
     raw_schema = spark.read.parquet(src).schema
@@ -69,7 +85,6 @@ def _run_to_completion(
     agg: DataFrame,
     mode: str = "complete",
     shuffle_partitions: int | None = None,
-    latest_by: tuple[list[str], str] | None = None,
 ) -> DataFrame:
     spark = agg.sparkSession
     name = "stream_out_" + uuid.uuid4().hex[:8]
@@ -90,24 +105,9 @@ def _run_to_completion(
     finally:
         q.stop()
     # The memory-sink table lives for the session; return it as a
-    # plain batch DataFrame.
-    out = spark.table(name)
-    if latest_by is not None:
-        # Update mode appends one row per key per emitting micro-batch
-        # to the memory sink; keep only each key's LAST emission. The
-        # stateful queries carry a monotone per-key counter, so "last"
-        # = max counter — correct for any batch split of the input, not
-        # just the single-batch case a one-file source happens to give.
-        from pyspark.sql import Window as W
-
-        keys, counter = latest_by
-        w = W.partitionBy(*keys).orderBy(F.col(counter).desc())
-        out = (
-            out.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-    return out
+    # plain batch DataFrame. (Update-mode stateful queries do NOT run
+    # through here — they use the production _run_to_upsert_sink.)
+    return spark.table(name)
 
 
 def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,9 +132,7 @@ def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count("*").alias("n"), round_half_up(F.sum("value"), 2).alias("total_value"))
         .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
     )
-    run_dir = os.path.join(
-        tempfile.gettempdir(), "mmrs_append", uuid.uuid4().hex[:12]
-    )
+    run_dir = _scratch_dir("append", uuid.uuid4().hex[:12])
     sink, ckpt = os.path.join(run_dir, "out"), os.path.join(run_dir, "ckpt")
     # Same state-store sizing rule as _run_to_completion: one store per
     # shuffle partition per batch, so size to the window-key cardinality
@@ -155,6 +153,12 @@ def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFr
         q.processAllAvailable()
     finally:
         q.stop()
+    # A stream whose watermark never closed a single window commits no
+    # files; surface that as an empty result, not a read error.
+    if not os.path.isdir(sink) or not any(
+        f.endswith(".parquet") for f in os.listdir(sink) if not f.startswith("_")
+    ):
+        return spark.createDataFrame([], agg.schema)
     return spark.read.parquet(sink)
 
 
@@ -278,6 +282,77 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _run_to_upsert_sink(
+    out: DataFrame, keys: list[str], shuffle_partitions: int = 8
+) -> DataFrame:
+    """Drive an update-mode stateful stream into a PRODUCTION parquet
+    sink via ``foreachBatch`` upsert — the pattern that replaces the
+    test-only memory sink for ``applyInPandasWithState`` queries.
+
+    Each micro-batch emits one refreshed row per touched key; the
+    upsert merges them into a key-unique snapshot table:
+
+    - read the current snapshot (if any), anti-join away keys the batch
+      replaces, union the batch rows, write a NEW versioned snapshot
+      dir, then atomically swap a CURRENT pointer file — readers never
+      see a half-written table, the same atomic-rename commit discipline
+      as the reference's output files (src/mr/worker.go:219-224).
+    - re-running a batch after a crash rewrites the same version dir
+      and re-swaps the pointer, so the sink is idempotent per batch id
+      (exactly-once output, like the file sink's _spark_metadata log).
+    - with a table format (Delta/Iceberg/Hudi) this whole function is
+      one MERGE INTO; plain parquet needs the snapshot+pointer dance.
+      Snapshot rewrite cost is bounded by key cardinality (state-store
+      sized), not stream length.
+
+    All work inside ``upsert`` runs as distributed Spark jobs; the
+    driver only swaps the pointer.
+    """
+    spark = out.sparkSession
+    run_dir = _scratch_dir("upsert", uuid.uuid4().hex[:12])
+    ckpt = os.path.join(run_dir, "ckpt")
+    current = os.path.join(run_dir, "CURRENT")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.columns:
+            return
+        snap = None
+        if os.path.exists(current):
+            with open(current) as fh:
+                snap = fh.read().strip()
+        merged = batch_df
+        if snap:
+            prev = spark.read.parquet(snap)
+            keep = prev.join(batch_df.select(*keys), keys, "left_anti")
+            merged = keep.unionByName(batch_df)
+        vdir = os.path.join(run_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(vdir)
+        tmp = current + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        os.replace(tmp, current)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if not os.path.exists(current):  # zero batches -> empty result
+        return out.sparkSession.createDataFrame([], out.schema)
+    with open(current) as fh:
+        return spark.read.parquet(fh.read().strip())
+
+
 #: applyInPandasWithState schemas — state is a single struct row.
 _PROFILE_OUT = (
     "user_id bigint, n_events bigint, n_types int, first_ts timestamp, last_ts timestamp"
@@ -294,9 +369,11 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     State per user: running event count, the distinct event-type set,
     first/last event time (kept as epoch-micros longs — state structs
     round-trip through Arrow, primitives are cheapest). Each trigger
-    emits the updated profile row (update semantics); driven to
-    completion over the finite input the final emission per user equals
-    the batch aggregate, which is what the SQL oracle checks.
+    emits the updated profile row (update semantics) into the
+    production ``foreachBatch``-upsert parquet sink
+    (:func:`_run_to_upsert_sink`): the sink holds one current row per
+    user, so the result read back from files equals the batch
+    aggregate, which is what the SQL oracle checks.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -333,9 +410,7 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ev.groupBy("user_id").applyInPandasWithState(
         update, _PROFILE_OUT, _PROFILE_STATE, "update", GroupStateTimeout.NoTimeout
     )
-    return _run_to_completion(
-        out, mode="update", shuffle_partitions=8, latest_by=(["user_id"], "n_events")
-    )
+    return _run_to_upsert_sink(out, keys=["user_id"])
 
 
 _DEDUP_OUT = "text_md5 string, first_doc_id bigint, n_seen bigint"
@@ -351,7 +426,10 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     State per content hash: the kept doc_id + copies seen. "First"
     within a batch ties to the smallest doc_id (arrival order inside a
     batch is nondeterministic under parallelism — same reason the
-    reference sorts inside reduce, SURVEY §1 invariant 2).
+    reference sorts inside reduce, SURVEY §1 invariant 2). Emissions
+    land in the ``foreachBatch``-upsert parquet sink — one current row
+    per content hash, read back from files (production shape, no
+    memory-sink collect).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -380,9 +458,7 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.groupBy("text_md5").applyInPandasWithState(
         update, _DEDUP_OUT, _DEDUP_STATE, "update", GroupStateTimeout.NoTimeout
     )
-    return _run_to_completion(
-        out, mode="update", shuffle_partitions=8, latest_by=(["text_md5"], "n_seen")
-    )
+    return _run_to_upsert_sink(out, keys=["text_md5"])
 
 
 QUERIES = {

@@ -102,9 +102,12 @@ def test_merge_upsert_does_not_force_broadcast(spark, sf_dir):
 
 
 def test_q8_broadcasts_dims_single_fact_shuffle(spark, sf_dir):
-    # Q8 joins 6 dimensions around the lineitem fact; every dim is
-    # hint-broadcast so the fact shuffles only for the orders join plus
-    # the tiny per-year aggregate.
+    # Q8 joins 6 tables around the lineitem fact; the 4 true dims
+    # (part/nation x2/region/supplier) are hint-broadcast. Orders and
+    # customer are fact-sized at scale, so the static plan keeps two
+    # fact-side shuffle joins (plus the tiny year agg); at test SF AQE
+    # auto-broadcasts them, which is why the shuffle bound below is
+    # loose rather than asserting the exact production shuffle count.
     from mit_map_reduce_spark.operators.relational import rel_q8_market_share
 
     rpt = plan_report(rel_q8_market_share(spark, sf_dir))
