@@ -73,10 +73,17 @@ def bench_mr_facade_wc(spark) -> tuple[float, int]:
     from mit_map_reduce_spark.mapreduce import run_job
     from mit_map_reduce_spark.mapreduce.apps import wc_map, wc_reduce
 
+    import shutil
+    import uuid
+
     tag = hashlib.md5(SF_DIR.encode()).hexdigest()[:8]
     corpus = os.path.join(tempfile.gettempdir(), f"mmrs_bench_corpus_{tag}")
-    if not os.path.isdir(corpus):
-        os.makedirs(corpus, exist_ok=True)
+    expected = [os.path.join(corpus, f"pg-{i}.txt") for i in range(8)]
+    # regenerate unless complete; build in a temp dir + atomic rename so
+    # a crashed writer can't leave a partial corpus later runs reuse
+    if not all(os.path.exists(p) for p in expected):
+        tmp = corpus + "." + uuid.uuid4().hex[:8]
+        os.makedirs(tmp, exist_ok=True)
         texts = [
             r[0]
             for r in spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
@@ -88,8 +95,13 @@ def bench_mr_facade_wc(spark) -> tuple[float, int]:
             parts[i % 8].append(t)
             parts[i % 8].append(t)  # double: ~3 MB total, ref corpus scale
         for i, chunk in enumerate(parts):
-            with open(os.path.join(corpus, f"pg-{i}.txt"), "w") as f:
+            with open(os.path.join(tmp, f"pg-{i}.txt"), "w") as f:
                 f.write("\n".join(chunk))
+        shutil.rmtree(corpus, ignore_errors=True)
+        try:
+            os.rename(tmp, corpus)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
     t0 = time.time()
     df = run_job(spark, wc_map, wc_reduce, [os.path.join(corpus, "pg-*.txt")], n_reduce=10)
     n = df.count()

@@ -69,30 +69,32 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_bruteforce_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k, Arrow/NumPy scoring path.
+    """Exact cosine top-k, Arrow/NumPy scoring path — bit-identical
+    output to :func:`ann_bruteforce_topk` (pinned by test), several
+    times faster on the scoring stage.
 
-    Identical plan shape and output to :func:`ann_bruteforce_topk`
-    (pinned by test), but the O(|corpus| * |queries|) dot products run
-    as a vectorized pandas UDF instead of an interpreted Catalyst fold
-    — the fast path for embedding-heavy pipelines (~100 ns/element HOF
-    cost vs one NumPy batch op; see ``functions/vectorized.py``, which
-    also documents why the accumulation order is bit-identical). Norms
-    are still the corpus-cached HOF values, computed once per vector.
+    The HOF path broadcast-joins queries against the corpus, so the
+    JVM evaluates |corpus| * |queries| interpreted folds. Here the
+    corpus streams through ``mapInPandas`` ONCE; each Arrow batch is
+    scored against the closure-captured query matrix with one NumPy op
+    per dimension (see ``functions/vectorized.py`` for why that
+    accumulation order is bit-identical to the fold). The query set is
+    gathered to the driver first — the same tiny relation the HOF path
+    broadcasts (F.broadcast does the identical collect internally);
+    at 100 TB the query matrix is a fixed-size artifact shipped with
+    the task closure, while the corpus still never shuffles.
     """
-    from mit_map_reduce_spark.functions.vectorized import cosine_np
+    from mit_map_reduce_spark.functions.vectorized import SCORED_SCHEMA, batch_query_scorer
 
     emb = _emb_with_norm(spark, sf_dir)
-    queries = emb.filter(F.expr(QUERY_FILTER)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
+    qrows = emb.filter(F.expr(QUERY_FILTER)).select("vec_id", "embedding", "nrm").collect()
+    scorer = batch_query_scorer(
+        [r.vec_id for r in qrows],
+        [r.embedding for r in qrows],
+        [r.nrm for r in qrows],
+        topk=TOP_K,  # per-batch pre-selection; lossless for global top-k
     )
-    pairs = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine_np(F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")).alias("c"),
-    )
+    scored = emb.mapInPandas(scorer, schema=SCORED_SCHEMA)
     w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
