@@ -97,8 +97,12 @@ _PRIORITY = [
     "rel_q11_important_parts",
     "rel_q12_late_shipment_priority",
     "rel_q15_top_supplier",
-    # ---- tier D (positions 51+): round-2-verified, unchanged — their
-    # r2 rows stand; they rotate back into the window next round.
+    # ---- tier D (positions 51+): first the two queries added in round
+    # 3 after the 50-row window was already full (they lead round 4's
+    # queue as never-verified), then the round-2-verified unchanged
+    # queries whose r2 rows stand until they rotate back next round.
+    "rel_q17_small_quantity_revenue",
+    "rel_q20_excess_stock_suppliers",
     "rel_array_funcs_embeddings",
     "mm_feature_extract",
     "mm_asset_stats",

@@ -1071,6 +1071,113 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- correlated avg over a windowed single scan: TPC-H Q17 shape ----------
+
+Q17_BRAND = "Brand#3"
+Q17_MAX_SIZE = 15
+Q17_QTY_FRACTION = 0.2
+
+
+def rel_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders for one brand's small parts were no longer taken — the
+    correlated scalar subquery ``l_quantity < 0.2 * avg(l_quantity per
+    part)``.
+
+    (This schema has no p_container; p_size < {Q17_MAX_SIZE} plays the
+    container filter's role.) Instead of the textbook two-scan plan
+    (one lineitem pass for the per-part averages, a second for the
+    outer filter), the correlated average is a window over l_partkey on
+    the part-filtered stream: ONE lineitem scan, one shuffle on the
+    part key, and the tiny part filter rides a broadcast join. The
+    comparison is float-stable across engines because l_quantity values
+    are integral doubles — the per-part sums are exact, so both engines
+    compute bit-identical averages.
+
+    Reference analog: the two-phase grouped aggregation is the same
+    map-shuffle-reduce shape as the wc pipeline (reference
+    src/mrapps/wc.go:19-40); the correlated comparison is the extension.
+    """
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == Q17_BRAND) & (F.col("p_size") < Q17_MAX_SIZE))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = W.partitionBy("l_partkey")
+    small = li.withColumn("part_avg_qty", F.avg("l_quantity").over(w)).filter(
+        F.col("l_quantity") < Q17_QTY_FRACTION * F.col("part_avg_qty")
+    )
+    return small.agg(
+        round_half_up(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+# --- nested agg + relative HAVING + semi-join: TPC-H Q20 shape ------------
+
+Q20_NAME_PREFIX = "small%"
+Q20_EXCESS_FACTOR = 2.0
+Q20_MIN_EXCESS_PARTS = 2
+
+
+def rel_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding excess stock of promo-named
+    parts — the nested IN-subquery chain (part filter -> grouped
+    lineitem agg -> HAVING -> supplier semi-join).
+
+    (No partsupp/ps_availqty in this schema, and TPC-H's absolute
+    ``0.5 * sum(qty)`` threshold is scale-dependent; the scale-free
+    adaptation keeps the nested shape: a supplier qualifies when its
+    shipped quantity of a part exceeds {Q20_EXCESS_FACTOR}x the
+    average supplier's flow for that part, on at least
+    {Q20_MIN_EXCESS_PARTS} distinct parts.) Plan: the date filter
+    pushes to the lineitem scan, the part-name filter rides a
+    broadcast join, one shuffle on (suppkey, partkey) with map-side
+    partial aggregation, a per-part average over the (already tiny)
+    pair relation, and the qualifying-supplier set broadcasts into the
+    final supplier semi-join. The relative comparison is float-stable:
+    quantity sums are integral doubles, exact in both engines.
+    """
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pairs = (
+        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_avg = pairs.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("qty").alias("part_avg")
+    )
+    excess = (
+        pairs.join(part_avg, pairs.l_partkey == F.col("pk"))
+        .filter(F.col("qty") > Q20_EXCESS_FACTOR * F.col("part_avg"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_excess_parts"))
+        .filter(F.col("n_excess_parts") >= Q20_MIN_EXCESS_PARTS)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(excess), supp.s_suppkey == excess.l_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_excess_parts",
+        )
+    )
+
+
 QUERIES = {
     "rel_q1_pricing_summary": rel_q1_pricing_summary,
     "rel_q3_shipping_priority": rel_q3_shipping_priority,
@@ -1110,6 +1217,8 @@ QUERIES = {
     "rel_q11_important_parts": rel_q11_important_parts,
     "rel_q12_late_shipment_priority": rel_q12_late_shipment_priority,
     "rel_q15_top_supplier": rel_q15_top_supplier,
+    "rel_q17_small_quantity_revenue": rel_q17_small_quantity_revenue,
+    "rel_q20_excess_stock_suppliers": rel_q20_excess_stock_suppliers,
 }
 
 ORACLES = {
@@ -1164,6 +1273,41 @@ ORACLES = {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
         GROUP BY l_linestatus
+    """,
+    "rel_q17_small_quantity_revenue": f"""
+        SELECT floor((sum(l.l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0
+                   AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = '{Q17_BRAND}' AND p.p_size < {Q17_MAX_SIZE}
+          AND l.l_quantity < (
+              SELECT {Q17_QTY_FRACTION} * avg(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+    """,
+    "rel_q20_excess_stock_suppliers": f"""
+        WITH pairs AS (
+            SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE '{Q20_NAME_PREFIX}'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_suppkey, l_partkey
+        ),
+        part_avg AS (
+            SELECT l_partkey, avg(qty) AS part_avg FROM pairs GROUP BY l_partkey
+        ),
+        excess AS (
+            SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_excess_parts
+            FROM pairs JOIN part_avg USING (l_partkey)
+            WHERE qty > {Q20_EXCESS_FACTOR} * part_avg
+            GROUP BY l_suppkey
+            HAVING count(*) >= {Q20_MIN_EXCESS_PARTS}
+        )
+        SELECT s_suppkey, s_name, n_name AS nation, n_excess_parts
+        FROM supplier
+        JOIN excess ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
     """,
     "rel_q15_top_supplier": """
         WITH revenue AS (
