@@ -103,6 +103,7 @@ _PRIORITY = [
     # queries whose r2 rows stand until they rotate back next round.
     "rel_q17_small_quantity_revenue",
     "rel_q20_excess_stock_suppliers",
+    "dedup_embedding_cosine_pairs_np",
     "rel_array_funcs_embeddings",
     "mm_feature_extract",
     "mm_asset_stats",

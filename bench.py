@@ -55,6 +55,7 @@ HEADLINE = (
     "dedup_embedding_lsh_pairs",
     # round 3 additions
     "sim_ann_bruteforce_topk_np",  # vectorized twin of sim_ann_bruteforce_topk
+    "dedup_embedding_cosine_pairs_np",  # vectorized twin of the all-pairs audit
     "rel_q9_product_profit",
     "text_hash_features",
 )

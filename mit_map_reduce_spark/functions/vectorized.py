@@ -95,6 +95,60 @@ def batch_query_scorer(q_ids, q_mat, q_nrm, topk=None):
     return score
 
 
+#: output schema of all_pairs_scorer emissions (raw cosine; the caller
+#: applies the engine's round_half_up + threshold filter in Catalyst)
+PAIR_SCHEMA = "vec_a bigint, vec_b bigint, c double"
+
+
+def all_pairs_scorer(get_corpus, select_floor):
+    """Build a ``mapInPandas`` function emitting candidate near-dup
+    pairs (a < b) from an all-pairs cosine comparison.
+
+    ``get_corpus`` is a zero-arg callable returning ``(ids, mat, nrm)``
+    — typically ``lambda: bc.value`` over a ``sc.broadcast`` handle, so
+    the corpus matrix ships to each executor ONCE via the torrent
+    protocol instead of riding every task's pickled closure. This is
+    the same data movement as the HOF path's ``F.broadcast(emb)``
+    nested-loop join (which also materializes the build side on the
+    driver first); the op stays audit-scale by design — the quadratic
+    scale path is the banded LSH in ``operators/dedup.py``.
+
+    Each Arrow batch plays the "a" side against the full corpus matrix
+    "b": one BLAS matmul selects candidates with BLAS cosine >=
+    ``select_floor``; the survivors are rescored with the sequential
+    cumsum accumulation, so every emitted value is bit-identical to the
+    Catalyst fold / DuckDB oracle. ``select_floor`` must sit below the
+    caller's post-rounding threshold by at least the rounding half-step
+    plus the BLAS-vs-sequential error (~1e-12): with a 4-dp
+    ``round_half_up(c) >= T`` filter downstream, ``T - 1e-4`` is safe —
+    a pair passing the rounded filter has exact c >= T - 0.5e-4, hence
+    BLAS c >= T - 0.5e-4 - 1e-12 > select_floor.
+    """
+
+    def score(batches):
+        ids, mat, nrm = get_corpus()
+        ids = np.asarray(ids, dtype=np.int64)
+        mat = np.asarray(mat, dtype=np.float64)
+        nrm = np.asarray(nrm, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            a_ids = pdf["vec_id"].to_numpy()
+            a_nrm = pdf["nrm"].to_numpy()
+            blas_cos = (a_mat @ mat.T) / np.outer(a_nrm, nrm)
+            rows, cols = np.nonzero(
+                (blas_cos >= select_floor) & (a_ids[:, None] < ids[None, :])
+            )
+            prod = a_mat[rows] * mat[cols]
+            exact = prod.cumsum(axis=1)[:, -1] / (a_nrm[rows] * nrm[cols])
+            yield pd.DataFrame(
+                {"vec_a": a_ids[rows], "vec_b": ids[cols], "c": exact}
+            )
+
+    return score
+
+
 @pandas_udf("double")
 def dot_product_np(a: pd.Series, b: pd.Series) -> pd.Series:
     """Pairwise vectorized dot product (two array columns -> double).

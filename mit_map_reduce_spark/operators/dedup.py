@@ -335,6 +335,43 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dup_pairs_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine near-dup pairs, Arrow/NumPy scoring path —
+    bit-identical output to :func:`embedding_dup_pairs` (pinned by
+    test), several times faster: the O(n^2) comparisons run as one BLAS
+    matmul per Arrow batch instead of n interpreted Catalyst folds per
+    row, and only candidates above the threshold floor cross back into
+    the JVM (see ``functions.vectorized.all_pairs_scorer`` for the
+    select-then-rescore parity contract).
+
+    Same audit-scale label as the HOF form: the corpus matrix rides an
+    ``sc.broadcast`` (the identical driver-collect + per-executor ship
+    that ``F.broadcast(emb)`` performs in the HOF join); the plan that
+    survives 100 TB is the banded LSH path below.
+    """
+    from mit_map_reduce_spark.functions.vectorized import PAIR_SCHEMA, all_pairs_scorer
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", vec_norm(F.col("embedding")).alias("nrm")
+    )
+    rows = emb.collect()
+    bc = spark.sparkContext.broadcast(
+        (
+            [r.vec_id for r in rows],
+            [r.embedding for r in rows],
+            [r.nrm for r in rows],
+        )
+    )
+    # factor=1 (not the HOF path's 4): one BLAS matmul amortizes over a
+    # whole Arrow batch, so fewer-but-bigger batches win — extra
+    # fan-out just multiplies per-task Python-worker overhead.
+    scorer = all_pairs_scorer(lambda: bc.value, COSINE_DUP_THRESHOLD - 1e-4)
+    pairs = spread(emb).mapInPandas(scorer, PAIR_SCHEMA)
+    return pairs.select(
+        "vec_a", "vec_b", round_half_up("c", 4).alias("cos")
+    ).filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+
+
 #: Banded random-hyperplane LSH for embedding dedup: a pair is a
 #: candidate if it matches in ANY band of EMB_LSH_ROWS plane-signs —
 #: the OR-construction that trades candidate count for recall
@@ -495,6 +532,7 @@ QUERIES = {
     "dedup_simhash_fingerprints": simhash_fingerprints,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_embedding_cosine_pairs": embedding_dup_pairs,
+    "dedup_embedding_cosine_pairs_np": embedding_dup_pairs_np,
     "dedup_embedding_lsh_pairs": embedding_lsh_dup_pairs,
 }
 
@@ -719,3 +757,7 @@ def _embedding_lsh_oracle_sql() -> str:
 
 
 ORACLES["dedup_embedding_lsh_pairs"] = _embedding_lsh_oracle_sql()
+
+# The NumPy path is bit-identical to the HOF form (sequential float64
+# accumulation — functions/vectorized.py), so it shares its oracle.
+ORACLES["dedup_embedding_cosine_pairs_np"] = ORACLES["dedup_embedding_cosine_pairs"]

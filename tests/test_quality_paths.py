@@ -65,6 +65,14 @@ def test_vectorized_bruteforce_bit_identical(spark, sf_dir):
     assert hof == vec  # includes the rounded cosine — bit parity, not approx
 
 
+def test_vectorized_all_pairs_bit_identical(spark, sf_dir):
+    from mit_map_reduce_spark.operators import dedup as D
+
+    hof = sorted(map(tuple, D.embedding_dup_pairs(spark, sf_dir).collect()))
+    vec = sorted(map(tuple, D.embedding_dup_pairs_np(spark, sf_dir).collect()))
+    assert hof and hof == vec
+
+
 def test_ivf_centroid_artifact_trained_once(spark, sf_dir, monkeypatch):
     # first call trains and materializes the artifact
     S.ann_ivf_topk(spark, sf_dir).count()
