@@ -149,6 +149,49 @@ def all_pairs_scorer(get_corpus, select_floor):
     return score
 
 
+#: output schema of cell_assign_scorer emissions
+ASSIGN_SCHEMA = "vec_id bigint, cell int"
+
+
+def cell_assign_scorer(c_ids, c_mat, c_nrm, n_best=1):
+    """Build a ``mapInPandas`` function assigning every vector to its
+    ``n_best`` nearest centroids by cosine — the IVF coarse-quantizer
+    assignment, vectorized.
+
+    With k <= a few dozen centroids there is no select/rescore split:
+    ALL k dots are computed with the exact sequential accumulation
+    directly (one cumsum over a (batch, k, dim) product tensor), so
+    every cosine — and therefore every assignment and tie-break — is
+    bit-identical to the Catalyst fold the HOF path evaluates, at
+    NumPy speed. ``c_ids`` must be ascending: ties then resolve to the
+    lower centroid id via the stable argsort, the same rule as the HOF
+    path's ``max_by(cent_id, struct(c, -cent_id))`` / its rank window.
+    """
+    c_ids = np.asarray(c_ids, dtype=np.int64)
+    assert (np.diff(c_ids) > 0).all(), "centroid ids must be ascending"
+    c_mat = np.asarray(c_mat, dtype=np.float64)
+    c_nrm = np.asarray(c_nrm, dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+            ids = pdf["vec_id"].to_numpy()
+            nrm = pdf["nrm"].to_numpy()
+            prod = a[:, None, :] * c_mat[None, :, :]
+            cos = prod.cumsum(axis=2)[:, :, -1] / (nrm[:, None] * c_nrm[None, :])
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :n_best]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, order.shape[1]),
+                    "cell": c_ids[order].ravel().astype(np.int32),
+                }
+            )
+
+    return assign
+
+
 @pandas_udf("double")
 def dot_product_np(a: pd.Series, b: pd.Series) -> pd.Series:
     """Pairwise vectorized dot product (two array columns -> double).

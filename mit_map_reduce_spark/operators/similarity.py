@@ -245,28 +245,29 @@ TRAIN_SAMPLE_MOD = 4
 
 def _assign_cells(embs: DataFrame, cents: DataFrame, n_best: int = 1) -> DataFrame:
     """(vec_id, cell): each vector's ``n_best`` nearest centroids by
-    cosine, ties to the lower centroid id. Centroids broadcast (k rows);
-    the corpus is scanned once, map-side — the O(n*k) IVF assignment."""
-    scored = embs.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cent_id",
-        (dot_product(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))).alias("c"),
+    cosine, ties to the lower centroid id — the O(n*k) IVF assignment.
+
+    Vectorized: the k <= 16 centroid rows collect to the driver (the
+    same materialization ``F.broadcast(cents)`` performs internally)
+    and each corpus Arrow batch computes all k dots in NumPy with the
+    exact sequential accumulation, so assignments and tie-breaks are
+    bit-identical to the earlier Catalyst-fold formulation (crossJoin
+    with broadcast centroids + ``max_by(cent_id, struct(c, -cent_id))``)
+    while the corpus still streams through exactly once, map-side, and
+    only (vec_id, cell) rows ever reach an exchange.
+    """
+    from mit_map_reduce_spark.functions.vectorized import ASSIGN_SCHEMA, cell_assign_scorer
+
+    rows = sorted(
+        cents.select("cent_id", "c_emb", "c_nrm").collect(), key=lambda r: r.cent_id
     )
-    if n_best == 1:
-        # argmax as max_by with a (c, -cent_id) order struct: same
-        # semantics as the rank-1 window (max cosine, ties to lower
-        # cent_id) but map-side partial aggregation collapses the n*k
-        # score stream to one row per vector per partition — no sort,
-        # and the exchange carries n rows instead of n*k.
-        return scored.groupBy("vec_id").agg(
-            F.expr("max_by(cent_id, struct(c, -cent_id))").alias("cell")
-        )
-    w = W.partitionBy("vec_id").orderBy(F.col("c").desc(), "cent_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_best)
-        .select("vec_id", F.col("cent_id").alias("cell"))
+    scorer = cell_assign_scorer(
+        [r.cent_id for r in rows],
+        [r.c_emb for r in rows],
+        [r.c_nrm for r in rows],
+        n_best=n_best,
     )
+    return embs.select("vec_id", "embedding", "nrm").mapInPandas(scorer, ASSIGN_SCHEMA)
 
 
 def _trained_centroids(emb: DataFrame) -> DataFrame:
@@ -379,10 +380,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = corpus.join(F.broadcast(probe), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # Candidate scoring rides the pairwise Arrow/NumPy dot (the pair
+    # set is already materialized by the cell join and bounded by
+    # n_probe * cell occupancy — no broadcast blow-up), bit-identical
+    # to the fold per functions/vectorized.py.
+    from mit_map_reduce_spark.functions.vectorized import cosine_np
+
     scored = cand.join(F.broadcast(queries), "query_id").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        (dot_product(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias("c"),
+        cosine_np(
+            F.col("q_emb"), F.col("embedding"), F.col("q_nrm"), F.col("nrm")
+        ).alias("c"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
     return (
