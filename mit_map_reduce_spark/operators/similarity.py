@@ -334,7 +334,12 @@ def _centroids_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    # The key includes every training parameter: a code change that
+    # alters training must never silently reuse an artifact trained by
+    # the old code (the artifact would win any staleness race against
+    # the oracle, which always reflects current parameters).
+    params = f"{os.path.abspath(sf_dir)}|k={K_CELLS}|it={KMEANS_ITERS}|dp={MEAN_DIGITS}|mod={TRAIN_SAMPLE_MOD}"
+    tag = hashlib.md5(params.encode()).hexdigest()[:12]
     art = os.path.join(tempfile.gettempdir(), "mmrs_ivf_centroids", tag)
     if not os.path.isdir(art):
         cents = _trained_centroids(_emb_with_norm(spark, sf_dir))
