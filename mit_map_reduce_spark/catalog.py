@@ -56,18 +56,30 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
 
 
 def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """Convert a TIMESTAMP(NANOS)-read-as-long column to timestamp.
+    """Normalize the events timestamp column to ``TimestampType``.
 
-    Spark has no nanosecond timestamp; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the parquet NANOS column
-    arrives as epoch-nanos long. Integer ``div`` keeps full precision
-    (the values exceed double's 2^53 mantissa).
+    The driver's parquet encoding has varied across rounds, so accept
+    both forms and converge on one engine-facing type:
+
+    - TIMESTAMP(NANOS): Spark has no nanosecond timestamp; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+      epoch-nanos long. Integer ``div`` keeps full precision (the
+      values exceed double's 2^53 mantissa).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+      ``TimestampNTZType``; the wall clock IS the UTC instant (the
+      generator and the DuckDB oracle are both tz-naive), so a cast
+      under the session's pinned UTC timezone is lossless.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+    if col not in df.columns:
+        return df
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
 
 
