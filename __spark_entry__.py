@@ -36,15 +36,31 @@ def entry(spark: SparkSession) -> DataFrame:
 #: come last. Every entry is still verified by the full local gate
 #: (tools/check_correctness.py) regardless of position.
 _PRIORITY = [
-    # ---- tier A: the 37 queries whose newest official row is round-1
-    # (everything round 2 verified dropped to tier B, per the rotation
-    # rule: no registered query's newest row older than 2 rounds).
-    # Led by the three tokenizer-touched text queries whose r1 rows
-    # describe pre-Unicode behavior — text_langid above all (it sat
-    # outside round 2's recorded window entirely).
+    # ---- tier A lead: the three tokenizer-touched text queries whose
+    # newest official rows are round-1 (pre-Unicode behavior) —
+    # text_langid above all (it sat outside round 2's recorded window
+    # entirely).
     "text_langid",
     "text_quality",
     "text_fingerprint",
+    # ---- never driver-verified: new operator families this round
+    # (corpus filters + SimHash banding), then the round-3 additions
+    # that predate them. rel_q9 stands in for its TPC-H batch
+    # (q10/q11/q12/q15 lead tier D below — siblings of 18 green TPC-H
+    # rows, so a 4th fresh sibling row is worth less than any
+    # first-ever row for a new family).
+    "dedup_simhash_band_pairs",
+    "text_repetition",
+    "text_contamination",
+    "text_stratified_sample",
+    "sim_ann_bruteforce_topk_np",
+    "sim_knn_label_vote",
+    "dedup_near_dup_keep_list",
+    "adv_time_resample_interp",
+    "text_hash_features",
+    "rel_q9_product_profit",
+    # ---- rest of the round-1-dated tier (rotation rule: no registered
+    # query's newest row older than 2 rounds).
     "dedup_exact",
     "sim_ann_bruteforce_topk",
     "adv_asof_join_last_click",
@@ -79,28 +95,21 @@ _PRIORITY = [
     "rel_full_outer_nation_presence",
     "rel_q18_large_orders",
     "rel_q22_idle_rich_customers",
-    # ---- tier B: behavior changed this round — the two stateful
-    # streaming queries moved from the memory sink to the production
-    # foreachBatch-upsert parquet sink; IVF now trains once into a
-    # materialized centroid artifact.
+    # ---- behavior changed this round (r2 rows describe retired code):
+    # the two stateful streaming queries moved from the memory sink to
+    # the production foreachBatch-upsert parquet sink; IVF now trains
+    # once into a materialized centroid artifact.
     "stream_stateful_user_profile",
     "stream_dedup_first_seen",
     "sim_ann_ivf_topk",
-    # ---- tier C: new this round (never driver-verified).
-    "sim_ann_bruteforce_topk_np",
-    "sim_knn_label_vote",
-    "dedup_near_dup_keep_list",
-    "adv_time_resample_interp",
-    "text_hash_features",
-    "rel_q9_product_profit",
+    # ---- tier D (positions 51+): never-verified overflow leads round
+    # 4's queue (TPC-H siblings + the HOF-parity NumPy pair path), then
+    # the round-2-verified unchanged queries whose r2 rows stand until
+    # they rotate back next round.
     "rel_q10_returned_items",
     "rel_q11_important_parts",
     "rel_q12_late_shipment_priority",
     "rel_q15_top_supplier",
-    # ---- tier D (positions 51+): first the two queries added in round
-    # 3 after the 50-row window was already full (they lead round 4's
-    # queue as never-verified), then the round-2-verified unchanged
-    # queries whose r2 rows stand until they rotate back next round.
     "rel_q17_small_quantity_revenue",
     "rel_q20_excess_stock_suppliers",
     "dedup_embedding_cosine_pairs_np",

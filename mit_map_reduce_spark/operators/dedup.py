@@ -244,6 +244,80 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SimHash banding: 32 bits split into 4 bands of 8. By pigeonhole a
+#: pair within Hamming distance <= SIMHASH_MAX_HAMMING (3) differs in
+#: at most 3 bands, so it agrees EXACTLY on at least one band — the
+#: band equi-join finds every such pair with zero false negatives.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 8
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via band-blocked candidate generation —
+    the scale path that turns the 32-bit fingerprints into pairs
+    without an all-pairs comparison.
+
+    Plan shape (the same banding discipline as MinHash-LSH): each
+    fingerprint emits ``SIMHASH_BANDS`` (band, 8-bit-substring) keys;
+    candidates come from a per-band equi-join (doc_a < doc_b); exact
+    Hamming distance is computed only on the candidates and filtered
+    to <= ``SIMHASH_MAX_HAMMING``. At 100 TB the join keys are
+    (band, 8 bits) buckets — 1024 logical buckets whose occupancy
+    scales linearly with corpus size; a skewed bucket (many docs with
+    identical band bytes) is the algorithm saying those docs are
+    near-identical, and AQE's skew-join split handles the residue.
+
+    The fingerprint lineage is computed once and shared through the
+    session persist registry (both join sides probe the same cache).
+    """
+    fp = shared_persist(
+        spark,
+        "simhash_fp",
+        sf_dir,
+        lambda: simhash_fingerprints(spark, sf_dir),
+    )
+    bands = F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
+    keyed = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.transform(
+                bands,
+                lambda b: F.struct(
+                    b.cast("int").alias("band"),
+                    F.col("simhash")
+                    .substr(b * SIMHASH_BAND_BITS + 1, F.lit(SIMHASH_BAND_BITS))
+                    .alias("band_key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.band_key")
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_key"
+    )
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(F.split("sim_a", ""), F.split("sim_b", ""), lambda x, y: x != y),
+            lambda d: d,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 #: Hot-shingle cap: shingles appearing in more than this many documents
 #: (stop phrases, boilerplate) are dropped BEFORE the inverted-index
 #: self-join. A shingle with document frequency d contributes d^2 join
@@ -530,6 +604,7 @@ QUERIES = {
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
     "dedup_simhash_fingerprints": simhash_fingerprints,
+    "dedup_simhash_band_pairs": simhash_band_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_embedding_cosine_pairs": embedding_dup_pairs,
     "dedup_embedding_cosine_pairs_np": embedding_dup_pairs_np,
@@ -639,23 +714,8 @@ ORACLES = {
                coalesce(cc.cluster_id, d.doc_id) = d.doc_id AS keep
         FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
     """,
-    "dedup_simhash_fingerprints": f"""
-        WITH words AS (
-            SELECT doc_id, unnest({_WORDS}) AS word FROM documents
-        ),
-        wc AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word),
-        per_bit AS (
-            SELECT doc_id, b,
-                   sum(cnt * (2 * (((strpos('0123456789abcdef',
-                            substr(md5(word), CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
-                        >> (3 - CAST(b % 4 AS INTEGER))) & 1) - 1)) AS s
-            FROM wc CROSS JOIN range(32) t(b)
-            GROUP BY doc_id, b
-        )
-        SELECT doc_id,
-               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
-        FROM per_bit GROUP BY doc_id
-    """,
+    "dedup_simhash_fingerprints": "__SET_BELOW__",
+    "dedup_simhash_band_pairs": "__SET_BELOW__",
     "dedup_ngram_jaccard_pairs": f"""
         WITH {_SHINGLES_CTE},
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -757,6 +817,56 @@ def _embedding_lsh_oracle_sql() -> str:
 
 
 ORACLES["dedup_embedding_lsh_pairs"] = _embedding_lsh_oracle_sql()
+
+#: SimHash fingerprint CTE chain ending in `fp(doc_id, simhash)` —
+#: shared by the fingerprint oracle and the band-pairs oracle.
+_SIMHASH_FP_CTES = f"""
+    words AS (
+        SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+    ),
+    wc AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY doc_id, word),
+    per_bit AS (
+        SELECT doc_id, b,
+               sum(cnt * (2 * (((strpos('0123456789abcdef',
+                        substr(md5(word), CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
+                    >> (3 - CAST(b % 4 AS INTEGER))) & 1) - 1)) AS s
+        FROM wc CROSS JOIN range(32) t(b)
+        GROUP BY doc_id, b
+    ),
+    fp AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+        FROM per_bit GROUP BY doc_id
+    )"""
+
+ORACLES["dedup_simhash_fingerprints"] = f"""
+    WITH {_SIMHASH_FP_CTES}
+    SELECT doc_id, simhash FROM fp
+"""
+
+ORACLES["dedup_simhash_band_pairs"] = f"""
+    WITH {_SIMHASH_FP_CTES},
+    bands AS (
+        SELECT doc_id, simhash, t.b AS band,
+               substr(simhash, CAST(t.b AS INTEGER) * {SIMHASH_BAND_BITS} + 1,
+                      {SIMHASH_BAND_BITS}) AS band_key
+        FROM fp CROSS JOIN range({SIMHASH_BANDS}) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sim_a, b.simhash AS sim_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(len(list_filter(range(1, 33),
+                i -> substr(sim_a, CAST(i AS INTEGER), 1)
+                     <> substr(sim_b, CAST(i AS INTEGER), 1))) AS INTEGER) AS hamming
+    FROM cand
+    WHERE len(list_filter(range(1, 33),
+          i -> substr(sim_a, CAST(i AS INTEGER), 1)
+               <> substr(sim_b, CAST(i AS INTEGER), 1))) <= {SIMHASH_MAX_HAMMING}
+"""
 
 # The NumPy path is bit-identical to the HOF form (sequential float64
 # accumulation — functions/vectorized.py), so it shares its oracle.

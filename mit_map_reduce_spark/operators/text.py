@@ -364,7 +364,145 @@ def text_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Repetition flags (Gopher-style corpus filters): a doc is repetitive
+#: when its most frequent bigram dominates or its vocabulary collapses.
+REP_TOP_BIGRAM_MAX = 0.2
+REP_DISTINCT_MIN = 0.3
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals — the Gopher/MassiveText-family
+    quality filters (duplicate-n-gram dominance), which catch boiler-
+    plate and degenerate generations that length/stopword scores miss.
+
+    Emits distinct-token ratio, the top token's share, and the top
+    bigram's share, plus the keep/drop flag a pipeline filters on.
+
+    Shape: explode -> count per (doc, gram) -> max/sum per doc. The
+    shuffle keys are doc-local (doc_id, gram) pairs, so partial
+    aggregation absorbs the explosion map-side and key cardinality
+    scales with corpus size, not corpus length — no global hot key is
+    possible (a gram is counted within its document only).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = tokenize_letters(F.lower(F.col("text")))
+    base = docs.select("doc_id", words.alias("ws")).filter(F.size("ws") >= 2)
+    tok_counts = (
+        base.select("doc_id", F.explode("ws").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_tok"),
+    )
+    bg_counts = (
+        base.select("doc_id", F.explode(word_kgrams(F.col("ws"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg")
+    )
+    distinct_ratio = round_half_up(F.col("n_distinct") / F.col("n_tokens"), 4)
+    top_token_share = round_half_up(F.col("top_tok") / F.col("n_tokens"), 4)
+    top_bigram_share = round_half_up(F.col("top_bg") / F.col("n_bigrams"), 4)
+    return tok_stats.join(bg_stats, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        top_token_share.alias("top_token_share"),
+        top_bigram_share.alias("top_bigram_share"),
+        (
+            (top_bigram_share >= REP_TOP_BIGRAM_MAX)
+            | (distinct_ratio <= REP_DISTINCT_MIN)
+        ).alias("repetitive"),
+    )
+
+
+CONTAM_NGRAM_K = 8
+CONTAM_BENCH_MOD = 17  # doc_id % 17 == 0 -> held-out "benchmark" slice
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination audit: flag training documents sharing
+    any word-``CONTAM_NGRAM_K``-gram with a held-out eval set — the
+    decontamination step every LLM data pipeline runs before training.
+
+    The eval set here is the deterministic ``doc_id % 17 == 0`` slice
+    standing in for a real benchmark suite. Its distinct n-grams are
+    BROADCAST (eval suites are tiny next to a 100 TB corpus — this side
+    never scales with the crawl); the corpus side explodes its distinct
+    grams map-side and probes the broadcast hash table, so the whole
+    audit is one scan of the corpus with no corpus-sized shuffle. Per
+    surviving doc: how many distinct grams are contaminated and how
+    many benchmark docs it overlaps.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = tokenize_letters(F.lower(F.col("text")))
+    grams = F.array_distinct(word_kgrams(words, CONTAM_NGRAM_K))
+    is_bench = F.col("doc_id") % CONTAM_BENCH_MOD == 0
+    bench = docs.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc"), F.explode(grams).alias("gram")
+    )
+    corpus = docs.filter(~is_bench)
+    corpus_grams = corpus.select("doc_id", F.explode(grams).alias("gram"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_contaminated_ngrams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .fillna(0, subset=["n_contaminated_ngrams", "n_bench_docs"])
+        .select(
+            "doc_id",
+            "n_contaminated_ngrams",
+            "n_bench_docs",
+            (F.col("n_contaminated_ngrams") > 0).alias("contaminated"),
+        )
+    )
+
+
+STRATA_TARGET = 30  # ~docs kept per language
+
+
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced deterministic sample: ~``STRATA_TARGET`` docs
+    per language regardless of stratum size — the mixing step that
+    stops a web-scale corpus from drowning low-resource languages.
+
+    Keep rule: ``bucket(doc_id) * n_lang < 10000 * STRATA_TARGET``
+    with a 10000-bucket md5 hash — pure INTEGER arithmetic, so the
+    decision is bit-exact across engines (no float rate to disagree
+    on) and reproducible across runs and partitionings, like
+    ``text_deterministic_sample``. Per-stratum counts are one tiny
+    aggregate broadcast back onto the corpus scan; strata smaller than
+    the target pass through whole.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    bucket = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10).cast("long")
+        % 10000
+    )
+    return (
+        docs.join(F.broadcast(sizes), "lang")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") * F.col("n_lang") < 10000 * STRATA_TARGET)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
 QUERIES = {
+    "text_repetition": text_repetition,
+    "text_contamination": text_contamination,
+    "text_stratified_sample": text_stratified_sample,
     "text_hash_features": text_hash_features,
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
     "text_stats": text_stats,
@@ -388,7 +526,86 @@ _LEX_VALUES = ", ".join(
 )
 _LANG_VALUES = ", ".join(f"('{lang}')" for lang in LANG_LEXICON)
 
+#: Hex-bucket SQL fragment: value of the first 4 md5 hex digits of the
+#: stringified doc_id (same arithmetic as the sampling oracles).
+_HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
+
 ORACLES = {
+    "text_repetition": f"""
+        WITH t AS (SELECT doc_id, {_LETTERS_LOWER} AS ws FROM documents),
+        base AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
+        tc AS (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS g FROM base)
+            GROUP BY doc_id, g
+        ),
+        ts AS (
+            SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+                   max(c) AS top_tok
+            FROM tc GROUP BY doc_id
+        ),
+        bc AS (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(ws)),
+                                i -> ws[i] || ' ' || ws[i + 1])) AS g
+                  FROM base)
+            GROUP BY doc_id, g
+        ),
+        bs AS (
+            SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg
+            FROM bc GROUP BY doc_id
+        ),
+        j AS (
+            SELECT ts.doc_id, ts.n_tokens,
+                   floor((CAST(n_distinct AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0 AS distinct_ratio,
+                   floor((CAST(top_tok AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0 AS top_token_share,
+                   floor((CAST(top_bg AS DOUBLE) / n_bigrams) * 10000.0 + 0.5) / 10000.0 AS top_bigram_share
+            FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               distinct_ratio, top_token_share, top_bigram_share,
+               (top_bigram_share >= {REP_TOP_BIGRAM_MAX}
+                OR distinct_ratio <= {REP_DISTINCT_MIN}) AS repetitive
+        FROM j
+    """,
+    "text_contamination": f"""
+        WITH t AS (SELECT doc_id, {_LETTERS_LOWER} AS ws FROM documents),
+        g AS (
+            SELECT doc_id, unnest(list_distinct(
+                       list_transform(range(1, len(ws) - {CONTAM_NGRAM_K - 2}),
+                              i -> array_to_string(ws[i:i + {CONTAM_NGRAM_K - 1}], ' ')))) AS gram
+            FROM t
+        ),
+        bench AS (SELECT doc_id AS bench_doc, gram FROM g WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+        corp AS (SELECT doc_id, gram FROM g WHERE doc_id % {CONTAM_BENCH_MOD} <> 0),
+        hits AS (
+            SELECT c.doc_id,
+                   count(DISTINCT c.gram) AS n_grams,
+                   count(DISTINCT b.bench_doc) AS n_docs
+            FROM corp c JOIN bench b ON b.gram = c.gram
+            GROUP BY c.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_grams, 0) AS BIGINT) AS n_contaminated_ngrams,
+               CAST(coalesce(h.n_docs, 0) AS BIGINT) AS n_bench_docs,
+               coalesce(h.n_grams, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % {CONTAM_BENCH_MOD} <> 0
+    """,
+    "text_stratified_sample": f"""
+        WITH sizes AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        b AS (
+            SELECT doc_id, lang, {_HEX_BUCKET} % 10000 AS bucket
+            FROM documents
+        )
+        SELECT b.doc_id, b.lang, CAST(b.bucket AS BIGINT) AS bucket
+        FROM b JOIN sizes ON sizes.lang = b.lang
+        WHERE b.bucket * sizes.n_lang < 10000 * {STRATA_TARGET}
+    """,
     "text_hash_features": f"""
         WITH words AS (
             SELECT doc_id, unnest({_LETTERS_LOWER}) AS word FROM documents

@@ -1,0 +1,112 @@
+"""Semantic tests for the corpus-filter operators added in round 3:
+repetition flags, benchmark-contamination audit, stratified sampling,
+and SimHash band-blocked near-dup pairs.
+
+The differential (vs-DuckDB) check for each runs in test_operators.py;
+these tests pin the SEMANTICS — planted inputs must be flagged, the
+banding must be lossless at the Hamming radius it guarantees, and the
+sampler must actually balance strata.
+"""
+
+import itertools
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mit_map_reduce_spark.operators import dedup as D
+from mit_map_reduce_spark.operators import text as T
+
+
+def _write_documents(tmp_path, rows):
+    """Write a documents.parquet shaped like the testdata tables so
+    operators can load the tmp dir as an sf_dir."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array(["synthetic"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_simhash_banding_is_lossless_within_radius(spark, sf_dir):
+    # Pigeonhole: 4 bands x 8 bits find EVERY pair within Hamming <= 3.
+    # Compare the operator against a brute-force all-pairs scan of the
+    # fingerprints themselves — banding may only add no pairs, never
+    # miss one inside the radius.
+    fps = {r.doc_id: r.simhash for r in D.simhash_fingerprints(spark, sf_dir).collect()}
+    want = set()
+    for (a, sa), (b, sb) in itertools.combinations(sorted(fps.items()), 2):
+        ham = sum(x != y for x, y in zip(sa, sb))
+        if ham <= D.SIMHASH_MAX_HAMMING:
+            want.add((a, b, ham))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in D.simhash_band_pairs(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_contamination_planted_overlap(spark, tmp_path):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    sf = _write_documents(
+        tmp_path,
+        [
+            # doc 0: benchmark member (0 % 17 == 0)
+            (0, f"benchmark question about {shared} end of prompt", "en"),
+            # doc 1: training doc leaking the full benchmark 8-gram
+            (1, f"some crawl page copying {shared} plus more text", "en"),
+            # doc 2: clean training doc, no 8-token overlap
+            (2, "totally unrelated content with its own distinct words here", "en"),
+        ],
+    )
+    got = {r.doc_id: r for r in T.text_contamination(spark, sf).collect()}
+    assert set(got) == {1, 2}  # benchmark docs excluded from the audit
+    assert got[1].contaminated and got[1].n_contaminated_ngrams >= 1
+    assert got[1].n_bench_docs == 1
+    assert not got[2].contaminated and got[2].n_contaminated_ngrams == 0
+
+
+def test_repetition_flags_degenerate_doc(spark, tmp_path):
+    sf = _write_documents(
+        tmp_path,
+        [
+            (1, "buy now " * 50, "en"),  # one bigram dominates
+            (
+                2,
+                "a genuinely varied document where nearly every token "
+                "differs from the previous one so no single bigram or "
+                "token can possibly dominate the distribution",
+                "en",
+            ),
+        ],
+    )
+    got = {r.doc_id: r for r in T.text_repetition(spark, sf).collect()}
+    assert got[1].repetitive
+    assert got[1].top_bigram_share > 0.4
+    assert not got[2].repetitive
+    assert got[2].distinct_ratio > 0.5
+
+
+def test_stratified_sample_balances_strata(spark, tmp_path):
+    # 200-doc majority lang vs a 10-doc minority: the minority stratum
+    # passes through whole (n_lang <= target keeps every bucket), the
+    # majority is cut to ~STRATA_TARGET.
+    rows = [(i, f"majority document number {i} text", "en") for i in range(200)]
+    rows += [(1000 + i, f"minority document number {i} text", "sw") for i in range(10)]
+    sf = _write_documents(tmp_path, rows)
+    kept = T.text_stratified_sample(spark, sf).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["sw"]) == 10  # small stratum: kept whole
+    # majority: hash-binomial around 200 * 30/200 = 30; generous bounds
+    assert 10 <= len(by_lang["en"]) <= 60
+    # determinism: a second run keeps the identical doc set
+    again = {r.doc_id for r in T.text_stratified_sample(spark, sf).collect()}
+    assert again == {r.doc_id for r in kept}
