@@ -53,7 +53,7 @@ _PRIORITY = [
     "text_repetition",
     "text_contamination",
     "text_stratified_sample",
-    "sim_ann_bruteforce_topk_np",
+    "stream_windowed_distinct_users",
     "sim_knn_label_vote",
     "dedup_near_dup_keep_list",
     "adv_time_resample_interp",
@@ -103,9 +103,12 @@ _PRIORITY = [
     "stream_dedup_first_seen",
     "sim_ann_ivf_topk",
     # ---- tier D (positions 51+): never-verified overflow leads round
-    # 4's queue (TPC-H siblings + the HOF-parity NumPy pair path), then
-    # the round-2-verified unchanged queries whose r2 rows stand until
-    # they rotate back next round.
+    # 4's queue — TPC-H siblings plus the two NumPy paths whose
+    # bit-parity with already-verified HOF queries is test-pinned
+    # (their fresh rows are the most redundant of the never-verified
+    # set) — then the round-2-verified unchanged queries whose r2 rows
+    # stand until they rotate back next round.
+    "sim_ann_bruteforce_topk_np",
     "rel_q10_returned_items",
     "rel_q11_important_parts",
     "rel_q12_late_shipment_priority",

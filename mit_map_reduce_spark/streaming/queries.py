@@ -251,6 +251,36 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(agg)
 
 
+def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct users per event type on the stream — COUNT
+    (DISTINCT) is not a streaming-legal aggregate, so it is rewritten
+    as chained stateful aggregations (Spark 3.4+ multiple-stateful-
+    operator support): a first windowed group on (window, type, user)
+    deduplicates, a second counts the survivors. Both stages share the
+    event-time window column, so the watermark flows through and both
+    state stores evict closed windows; append mode emits each window
+    exactly once when it closes (the still-open final day never
+    surfaces, matching the oracle's HAVING bound).
+
+    At 100 TB the first stage's state is bounded by distinct
+    (window, type, user) keys per open window — the exact-distinct
+    memory floor; the fixed-memory alternative is
+    approx_count_distinct, shipped batch-side in operators/sketch.py.
+    """
+    ev = _events_stream(spark, sf_dir)
+    per_user = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type", "user_id")
+        .agg(F.count("*").alias("n_ev"))
+    )
+    agg = (
+        per_user.groupBy("w", "event_type")
+        .agg(F.count("*").alias("n_users"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n_users")
+    )
+    return _run_to_completion(agg, mode="append", shuffle_partitions=8)
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-day windows sliding by 1 day — each event lands in 2 windows."""
     ev = _events_stream(spark, sf_dir)
@@ -467,6 +497,7 @@ QUERIES = {
     "stream_static_enrich_by_segment": stream_static_enrich_by_segment,
     "stream_dedup_first_seen": stream_dedup_first_seen,
     "stream_tumbling_counts": stream_tumbling_counts,
+    "stream_windowed_distinct_users": stream_windowed_distinct_users,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
     "stream_stateful_user_profile": stream_stateful_user_profile,
@@ -510,6 +541,14 @@ ORACLES = {
                min(doc_id) AS first_doc_id,
                CAST(count(*) AS BIGINT) AS n_seen
         FROM documents GROUP BY md5(text)
+    """,
+    "stream_windowed_distinct_users": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events, wm
+        GROUP BY 1, event_type, wm.w
+        HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
     """,
     "stream_tumbling_counts": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
