@@ -50,6 +50,7 @@ _PRIORITY = [
     # rows, so a 4th fresh sibling row is worth less than any
     # first-ever row for a new family).
     "dedup_simhash_band_pairs",
+    "dedup_ngram_containment_pairs",
     "text_repetition",
     "text_contamination",
     "text_stratified_sample",
@@ -57,7 +58,6 @@ _PRIORITY = [
     "sim_knn_label_vote",
     "dedup_near_dup_keep_list",
     "adv_time_resample_interp",
-    "text_hash_features",
     "rel_q9_product_profit",
     # ---- rest of the round-1-dated tier (rotation rule: no registered
     # query's newest row older than 2 rounds).
@@ -109,6 +109,7 @@ _PRIORITY = [
     # set) — then the round-2-verified unchanged queries whose r2 rows
     # stand until they rotate back next round.
     "sim_ann_bruteforce_topk_np",
+    "text_hash_features",
     "rel_q10_returned_items",
     "rel_q11_important_parts",
     "rel_q12_late_shipment_priority",

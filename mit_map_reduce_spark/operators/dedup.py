@@ -384,6 +384,55 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_from_shingles(arrs)
 
 
+#: Containment floor: report pairs where either doc's shingle set is
+#: at least this contained in the other.
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment — the inclusion detector Jaccard
+    misses: a short document pasted inside a long one scores
+    inter/|short| ~ 1 here but a near-zero Jaccard (the union is
+    dominated by the long side). Training pipelines use this to catch
+    quote-wrapping and boilerplate-template inclusion, not just
+    near-identical twins.
+
+    Same sparse inverted-index join as ``ngram_jaccard_pairs`` (shared
+    shingle cache, df-capped keys), different final math: containment
+    in both directions plus the symmetric max the filter applies.
+    """
+    arrs = _shingle_arrays_cached(spark, sf_dir)
+    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > HOT_SHINGLE_MAX_DF)
+        .select("shingle")
+    )
+    capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sa, sb = capped.alias("sa"), capped.alias("sb")
+    inter = (
+        sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = arrs.select("doc_id", "sz")
+    za, zb = sizes.alias("za"), sizes.alias("zb")
+    c_a = round_half_up(F.col("inter") / F.col("za.sz"), 4)
+    c_b = round_half_up(F.col("inter") / F.col("zb.sz"), 4)
+    return (
+        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
+        .filter(F.greatest("containment_a", "containment_b") >= CONTAINMENT_THRESHOLD)
+    )
+
+
 def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine near-dup pairs (baseline; quadratic by design).
 
@@ -606,6 +655,7 @@ QUERIES = {
     "dedup_simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash_band_pairs": simhash_band_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "dedup_ngram_containment_pairs": ngram_containment_pairs,
     "dedup_embedding_cosine_pairs": embedding_dup_pairs,
     "dedup_embedding_cosine_pairs_np": embedding_dup_pairs_np,
     "dedup_embedding_lsh_pairs": embedding_lsh_dup_pairs,
@@ -716,6 +766,31 @@ ORACLES = {
     """,
     "dedup_simhash_fingerprints": "__SET_BELOW__",
     "dedup_simhash_band_pairs": "__SET_BELOW__",
+    "dedup_ngram_containment_pairs": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        capped AS (
+            SELECT doc_id, shingle FROM sh
+            QUALIFY count(*) OVER (PARTITION BY shingle) <= {HOT_SHINGLE_MAX_DF}
+        ),
+        inter AS (
+            SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter
+            FROM capped sa JOIN capped sb
+              ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+            GROUP BY sa.doc_id, sb.doc_id
+        ),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   floor((inter / za.sz) * 10000.0 + 0.5) / 10000.0 AS containment_a,
+                   floor((inter / zb.sz) * 10000.0 + 0.5) / 10000.0 AS containment_b
+            FROM inter
+            JOIN sizes za ON za.doc_id = doc_a
+            JOIN sizes zb ON zb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, containment_a, containment_b
+        FROM scored
+        WHERE greatest(containment_a, containment_b) >= {CONTAINMENT_THRESHOLD}
+    """,
     "dedup_ngram_jaccard_pairs": f"""
         WITH {_SHINGLES_CTE},
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -93,6 +93,34 @@ def test_repetition_flags_degenerate_doc(spark, tmp_path):
     assert got[2].distinct_ratio > 0.5
 
 
+def test_containment_catches_inclusion_jaccard_misses(spark, tmp_path):
+    # A short doc pasted verbatim inside a much longer one: containment
+    # of the short side is ~1 while Jaccard stays below the near-dup
+    # threshold — the case this operator exists for.
+    quote = " ".join(f"quoted token number{i}" for i in range(10))  # 30 tokens
+    filler = " ".join(f"host body word number{i} extra" for i in range(60))
+    sf = _write_documents(
+        tmp_path,
+        [
+            (1, quote, "en"),
+            (2, f"{filler} {quote}", "en"),
+            (3, "entirely different third document with its own words", "en"),
+        ],
+    )
+    pairs = {(r.doc_a, r.doc_b): r for r in D.ngram_containment_pairs(spark, sf).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)].containment_a >= 0.95  # short side fully contained
+    assert pairs[(1, 2)].containment_b < 0.5  # long side is not
+    jrows = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(spark, sf).collect()
+    }
+    # Jaccard sees the same pair but scores it under the near-dup
+    # threshold — inclusion is invisible to symmetric similarity.
+    if (1, 2) in jrows:
+        assert jrows[(1, 2)] < D.JACCARD_THRESHOLD
+
+
 def test_stratified_sample_balances_strata(spark, tmp_path):
     # 200-doc majority lang vs a 10-doc minority: the minority stratum
     # passes through whole (n_lang <= target keeps every bucket), the
