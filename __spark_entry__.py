@@ -54,8 +54,8 @@ _PRIORITY = [
     "text_repetition",
     "text_contamination",
     "text_stratified_sample",
+    "text_training_mix",
     "stream_windowed_distinct_users",
-    "sim_knn_label_vote",
     "dedup_near_dup_keep_list",
     "adv_time_resample_interp",
     "rel_q9_product_profit",
@@ -109,6 +109,7 @@ _PRIORITY = [
     # set) — then the round-2-verified unchanged queries whose r2 rows
     # stand until they rotate back next round.
     "sim_ann_bruteforce_topk_np",
+    "sim_knn_label_vote",
     "text_hash_features",
     "rel_q10_returned_items",
     "rel_q11_important_parts",

@@ -63,6 +63,7 @@ HEADLINE = (
     "text_repetition",
     "text_contamination",
     "stream_windowed_distinct_users",
+    "text_training_mix",
 )
 
 

@@ -499,8 +499,61 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data build, composed from this round's filter
+    set in ONE declarative plan — what a pipeline actually ships, and
+    the successor to ``text_corpus_pipeline``:
+
+      quality >= PIPE_MIN_QUALITY        (length/stopword/shape score)
+      AND NOT repetitive                 (duplicate-n-gram dominance)
+      AND NOT contaminated               (no benchmark 8-gram overlap;
+                                          the benchmark slice itself
+                                          never enters training)
+      AND canonical copy only            (exact-dedup keep rule)
+      -> language-balanced sample        (integer-exact bucket rule
+                                          over the SURVIVOR strata)
+
+    Each stage is the standalone operator's logic on doc_id-keyed
+    aggregates, so Catalyst plans one job: the map-side metric
+    derivations fuse over a single documents scan, and the only
+    shuffles are the per-doc gram aggregations and the final tiny
+    per-lang count. Degenerate docs (< 2 tokens) drop with the
+    repetitive set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    qual = text_quality(spark, sf_dir).select("doc_id", "quality")
+    rep = text_repetition(spark, sf_dir).select("doc_id", "repetitive")
+    contam = text_contamination(spark, sf_dir).select("doc_id", "contaminated")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_doc_id"))
+    survivors = (
+        docs.join(qual, "doc_id")
+        .join(rep, "doc_id")
+        .join(contam, "doc_id")
+        .join(keep, F.md5(F.col("text")) == F.col("h"))
+        .filter(
+            (F.col("quality") >= PIPE_MIN_QUALITY)
+            & ~F.col("repetitive")
+            & ~F.col("contaminated")
+            & (F.col("doc_id") == F.col("keep_doc_id"))
+        )
+        .select("doc_id", "lang", "quality")
+    )
+    sizes = survivors.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    bucket = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10).cast("long")
+        % 10000
+    )
+    return (
+        survivors.join(F.broadcast(sizes), "lang")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") * F.col("n_lang") < 10000 * STRATA_TARGET)
+        .select("doc_id", "lang", "quality")
+    )
+
+
 QUERIES = {
     "text_repetition": text_repetition,
+    "text_training_mix": text_training_mix,
     "text_contamination": text_contamination,
     "text_stratified_sample": text_stratified_sample,
     "text_hash_features": text_hash_features,
@@ -833,3 +886,86 @@ ORACLES = {
         FROM t GROUP BY lang
     """,
 }
+
+# Composed oracle for the full training-data build: the quality,
+# repetition, contamination, exact-dedup, and stratified-sample CTE
+# chains of the standalone oracles above, joined on doc_id in the same
+# order the Spark plan applies them.
+ORACLES["text_training_mix"] = f"""
+    WITH tq AS (SELECT doc_id, {_WS_LOWER} AS ws FROM documents),
+    qm AS (
+        SELECT doc_id, len(ws) AS n,
+               len(list_filter(ws, x -> list_contains({_STOP_LIST}, x))) AS n_stop,
+               CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                   / len(ws) AS avg_len
+        FROM tq
+    ),
+    q AS (
+        SELECT doc_id,
+               floor((CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                    + CAST(0.3 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / n)
+                    + CAST(0.3 AS DOUBLE) * (1 - abs(avg_len - 5) / 10)) * 10000.0 + 0.5) / 10000.0 AS quality
+        FROM qm
+    ),
+    tl AS (SELECT doc_id, {_LETTERS_LOWER} AS ws FROM documents),
+    rbase AS (SELECT doc_id, ws FROM tl WHERE len(ws) >= 2),
+    rtc AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS g FROM rbase)
+        GROUP BY doc_id, g
+    ),
+    rts AS (
+        SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok
+        FROM rtc GROUP BY doc_id
+    ),
+    rbc AS (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1])) AS g
+              FROM rbase)
+        GROUP BY doc_id, g
+    ),
+    rbs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg FROM rbc GROUP BY doc_id),
+    rep AS (
+        SELECT rts.doc_id,
+               (floor((CAST(top_bg AS DOUBLE) / n_bigrams) * 10000.0 + 0.5) / 10000.0 >= {REP_TOP_BIGRAM_MAX}
+                OR floor((CAST(n_distinct AS DOUBLE) / n_tokens) * 10000.0 + 0.5) / 10000.0 <= {REP_DISTINCT_MIN}) AS repetitive
+        FROM rts JOIN rbs ON rts.doc_id = rbs.doc_id
+    ),
+    g AS (
+        SELECT doc_id, unnest(list_distinct(
+                   list_transform(range(1, len(ws) - {CONTAM_NGRAM_K - 2}),
+                          i -> array_to_string(ws[i:i + {CONTAM_NGRAM_K - 1}], ' ')))) AS gram
+        FROM tl
+    ),
+    bench AS (SELECT doc_id AS bench_doc, gram FROM g WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+    corp AS (SELECT doc_id, gram FROM g WHERE doc_id % {CONTAM_BENCH_MOD} <> 0),
+    hits AS (
+        SELECT c.doc_id, count(DISTINCT c.gram) AS n_grams
+        FROM corp c JOIN bench b ON b.gram = c.gram
+        GROUP BY c.doc_id
+    ),
+    contam AS (
+        SELECT d.doc_id, coalesce(h.n_grams, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE d.doc_id % {CONTAM_BENCH_MOD} <> 0
+    ),
+    keep AS (SELECT min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text)),
+    surv AS (
+        SELECT d.doc_id, d.lang, q.quality
+        FROM documents d
+        JOIN q ON q.doc_id = d.doc_id
+        JOIN rep ON rep.doc_id = d.doc_id
+        JOIN contam c ON c.doc_id = d.doc_id
+        JOIN keep k ON d.doc_id = k.keep_doc_id
+        WHERE q.quality >= {PIPE_MIN_QUALITY}
+          AND NOT rep.repetitive
+          AND NOT c.contaminated
+    ),
+    sizes AS (SELECT lang, count(*) AS n_lang FROM surv GROUP BY lang)
+    SELECT surv.doc_id, surv.lang, surv.quality
+    FROM surv JOIN sizes ON sizes.lang = surv.lang
+    WHERE ({_HEX_BUCKET.replace("doc_id", "surv.doc_id")} % 10000) * sizes.n_lang
+          < 10000 * {STRATA_TARGET}
+"""
