@@ -108,6 +108,8 @@ _PRIORITY = [
     # (their fresh rows are the most redundant of the never-verified
     # set) — then the round-2-verified unchanged queries whose r2 rows
     # stand until they rotate back next round.
+    "adv_sessionize_events",
+    "text_unigram_logprob",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",
     "text_hash_features",

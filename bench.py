@@ -64,6 +64,8 @@ HEADLINE = (
     "text_contamination",
     "stream_windowed_distinct_users",
     "text_training_mix",
+    "adv_sessionize_events",
+    "text_unigram_logprob",
 )
 
 

@@ -166,6 +166,45 @@ def adv_lag_lead_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MS = 30 * 60 * 1000  # 30-minute inactivity gap
+
+
+def adv_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: the classic gap-based session assignment
+    (new session when > 30 min since the user's previous event) as two
+    chained windows — lag for the gap, a running sum of session-start
+    flags for the session number — then one rollup per session. The
+    batch twin of ``stream_session_windows`` (which uses the engine's
+    native session windows); this shape is what you run over historical
+    logs where the full per-user ordering is already on disk.
+
+    Per-user windows partition-prune cleanly at scale: both windows and
+    the final aggregate share the user_id hash partitioning, so the
+    whole query is ONE exchange. Time math rides integer epoch-millis
+    (identical truncation in both engines) — no float timestamps.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gap = ms - F.lag(ms).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ms.alias("ms"),
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int")
+        .alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        (F.max("ms") - F.min("ms")).alias("duration_ms"),
+    )
+
+
 def adv_ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile window coverage: customers bucketed into acctbal quartiles
     per nation, rolled up to (nation, quartile) stats.
@@ -435,6 +474,7 @@ def adv_grouped_map_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "adv_asof_join_last_click": adv_asof_join_last_click,
+    "adv_sessionize_events": adv_sessionize_events,
     "adv_grouped_map_median_gap": adv_grouped_map_median_gap,
     "adv_fuzzy_blocked_match": adv_fuzzy_blocked_match,
     "adv_lag_lead_event_deltas": adv_lag_lead_event_deltas,
@@ -451,6 +491,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_sessionize_events": f"""
+        WITH e AS (
+            SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events
+        ),
+        g AS (
+            SELECT *, ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM e
+        ),
+        s AS (
+            SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MS} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+            FROM g
+        )
+        SELECT user_id, session_seq,
+               min(ts) AS session_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms
+        FROM s GROUP BY user_id, session_seq
+    """,
     "adv_fuzzy_blocked_match": f"""
         WITH p AS (
             SELECT p_partkey, p_name,

@@ -499,6 +499,44 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM pseudo-perplexity — the CCNet-style language-model
+    quality signal (docs whose tokens are improbable under the corpus
+    distribution read as noise; docs that are too probable read as
+    boilerplate). The LM here is the corpus's own unigram distribution;
+    in production you'd swap in a frozen reference LM table — the plan
+    shape (token stream joined to a frequency table, per-doc mean) is
+    identical.
+
+    Float discipline: each token's -ln p rounds to integer micronats
+    FIRST, so the per-document sum is exact integer arithmetic —
+    immune to float-accumulation order (Spark's partial aggregation
+    sums in partition order, which is nondeterministic; summing raw
+    doubles could flip the 4th decimal between runs and engines). One
+    ulp of ln() divergence would need to land within 5e-7 of a
+    half-micronat to flip a token — the same exposure the tf-idf
+    ranking already carries.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = words.agg(F.count("*").alias("total"))
+    nl_micro = F.floor(
+        -F.log(F.col("c") / F.col("total")) * 1_000_000.0 + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        words.join(freq, "word")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nl_micro.alias("nlm"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        round_half_up(F.sum("nlm") / 1_000_000.0 / F.count("*"), 4).alias("avg_neg_logp"),
+    )
+
+
 def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data build, composed from this round's filter
     set in ONE declarative plan — what a pipeline actually ships, and
@@ -553,6 +591,7 @@ def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_repetition": text_repetition,
+    "text_unigram_logprob": text_unigram_logprob,
     "text_training_mix": text_training_mix,
     "text_contamination": text_contamination,
     "text_stratified_sample": text_stratified_sample,
@@ -587,6 +626,21 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_unigram_logprob": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_LETTERS_LOWER}) AS word FROM documents
+        ),
+        freq AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+        tot AS (SELECT count(*) AS total FROM words),
+        nl AS (
+            SELECT doc_id,
+                   CAST(floor((-ln(c / CAST(total AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS nlm
+            FROM words JOIN freq USING (word) CROSS JOIN tot
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               floor((sum(nlm) / 1000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_neg_logp
+        FROM nl GROUP BY doc_id
+    """,
     "text_repetition": f"""
         WITH t AS (SELECT doc_id, {_LETTERS_LOWER} AS ws FROM documents),
         base AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
