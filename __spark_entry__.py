@@ -110,6 +110,7 @@ _PRIORITY = [
     # stand until they rotate back next round.
     "adv_sessionize_events",
     "text_unigram_logprob",
+    "text_langid_ngram",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",
     "text_hash_features",

@@ -100,6 +100,59 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_PROFILE_K = 40  # trigrams kept per language profile
+
+
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID — the Cavnar-Trenkle n-gram
+    profile heuristic, complementing the stopword-lexicon
+    :func:`text_langid` (profiles catch languages with no curated
+    lexicon and survive unsegmented scripts).
+
+    Profiles are the top-``NGRAM_PROFILE_K`` trigrams per language,
+    trained from the corpus's own labels (in production: a frozen
+    labeled seed corpus — identical plan). Prediction is argmax of
+    distinct-trigram overlap with each profile, ties to the
+    alphabetically first language.
+
+    Scale shape: profile training is one (lang, trigram) aggregation
+    whose output is fixed-size (|langs| * K rows, broadcast); scoring
+    is a map-side explode joined against that broadcast — the corpus
+    never shuffles by content, only the tiny (doc, lang) hit counts do.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.lower(F.col("text"))
+    tri = F.when(F.length(t) < 3, F.array()).otherwise(
+        F.transform(F.sequence(F.lit(1), F.length(t) - 2), lambda i: F.substr(t, i, F.lit(3)))
+    )
+    doc_tri = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(tri)).alias("tg")
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "tg")
+    profile = (
+        doc_tri.groupBy("lang", "tg")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= NGRAM_PROFILE_K)
+        .select(F.col("lang").alias("cand_lang"), "tg")
+    )
+    hits = (
+        doc_tri.select("doc_id", "tg")
+        .join(F.broadcast(profile), "tg")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("hits"))
+    )
+    langs = docs.select(F.col("lang").alias("cand_lang")).distinct()
+    grid = docs.select("doc_id").crossJoin(F.broadcast(langs))
+    full = grid.join(hits, ["doc_id", "cand_lang"], "left").fillna(0, subset=["hits"])
+    w2 = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand_lang"))
+    return (
+        full.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), F.col("hits").alias("n_hits"))
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: the FP_KEEP smallest md5 values of
     the document's word-5-gram shingles, '|'-joined ascending.
@@ -591,6 +644,7 @@ def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_repetition": text_repetition,
+    "text_langid_ngram": text_langid_ngram,
     "text_unigram_logprob": text_unigram_logprob,
     "text_training_mix": text_training_mix,
     "text_contamination": text_contamination,
@@ -640,6 +694,43 @@ ORACLES = {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
                floor((sum(nlm) / 1000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_neg_logp
         FROM nl GROUP BY doc_id
+    """,
+    "text_langid_ngram": f"""
+        WITH tg AS (
+            SELECT DISTINCT doc_id, lang, tg FROM (
+                SELECT doc_id, lang,
+                       unnest(list_transform(range(1, length(lower(text)) - 1),
+                              i -> substr(lower(text), CAST(i AS INTEGER), 3))) AS tg
+                FROM documents WHERE length(text) >= 3
+            )
+        ),
+        prof AS (
+            SELECT lang AS cand_lang, tg FROM (
+                SELECT lang, tg, count(*) AS n,
+                       row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tg) AS rk
+                FROM tg GROUP BY lang, tg
+            ) WHERE rk <= {NGRAM_PROFILE_K}
+        ),
+        hits AS (
+            SELECT tg.doc_id, prof.cand_lang, count(*) AS h
+            FROM tg JOIN prof ON tg.tg = prof.tg
+            GROUP BY tg.doc_id, prof.cand_lang
+        ),
+        langs AS (SELECT DISTINCT lang AS cand_lang FROM documents),
+        grid AS (
+            SELECT d.doc_id, l.cand_lang, coalesce(h.h, 0) AS hits
+            FROM (SELECT doc_id FROM documents) d
+            CROSS JOIN langs l
+            LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cand_lang = l.cand_lang
+        ),
+        ranked AS (
+            SELECT doc_id, cand_lang, hits,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+            FROM grid
+        )
+        SELECT doc_id, cand_lang AS pred_lang, CAST(hits AS BIGINT) AS n_hits
+        FROM ranked WHERE rn = 1
     """,
     "text_repetition": f"""
         WITH t AS (SELECT doc_id, {_LETTERS_LOWER} AS ws FROM documents),
