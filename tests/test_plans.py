@@ -141,3 +141,35 @@ def test_mapside_operators_have_no_hash_shuffle(spark, sf_dir):
 
     # rolling hash reads one partition and needs no fan-out at all
     assert count_shuffles(text_rolling_hash(spark, sf_dir)) == 0
+
+
+def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
+    # The eval-set gram table must BROADCAST: at 100 TB the corpus side
+    # is the crawl and cannot be the build side of a shuffle join.
+    from mit_map_reduce_spark.operators.text import text_contamination
+
+    assert broadcast_join_count(text_contamination(spark, sf_dir)) >= 1
+
+
+def test_langid_ngram_broadcasts_profiles(spark, sf_dir):
+    # Profile table is fixed-size (|langs| * K rows): scoring must be a
+    # broadcast HASH probe of the corpus gram stream (the corpus's gram
+    # explosion must never be shuffled by content). The doc x lang grid
+    # rides a BroadcastNestedLoopJoin (cross with the tiny lang list),
+    # which broadcast_join_count does not include.
+    from mit_map_reduce_spark.operators.text import text_langid_ngram
+
+    df = text_langid_ngram(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def test_repetition_has_partial_aggregation(spark, sf_dir):
+    # The (doc_id, gram) counting must show a partial hash aggregate
+    # before its exchange, so document-length explosion is absorbed
+    # map-side (same combine discipline as wordcount).
+    from mit_map_reduce_spark.operators.text import text_repetition
+
+    plan = physical_plan(text_repetition(spark, sf_dir))
+    first_exchange = plan.index("Exchange")
+    assert "HashAggregate" in plan[:first_exchange]
