@@ -43,6 +43,15 @@ def main() -> None:
     print("kept docs:", kept.count(), "of", docs.count())
     kept.select("doc_id", "lang", "quality").show(5)
 
+    # The one-call version: quality + repetition + benchmark
+    # decontamination + exact-dedup canonical + language-balanced
+    # sample, as a single composed plan (operators/text.py).
+    from mit_map_reduce_spark.operators.text import text_training_mix
+
+    mix = text_training_mix(spark, sf_dir)
+    print("training mix rows:", mix.count())
+    mix.groupBy("lang").count().orderBy("lang").show()
+
 
 if __name__ == "__main__":
     main()
