@@ -111,6 +111,7 @@ _PRIORITY = [
     "adv_sessionize_events",
     "text_unigram_logprob",
     "text_langid_ngram",
+    "sketch_cms_heavy_hitters",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",
     "text_hash_features",

@@ -66,6 +66,7 @@ HEADLINE = (
     "text_training_mix",
     "adv_sessionize_events",
     "text_unigram_logprob",
+    "sketch_cms_heavy_hitters",
 )
 
 

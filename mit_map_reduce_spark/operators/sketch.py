@@ -99,12 +99,145 @@ def sketch_approx_percentile_order_value(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
+#: Count-min sketch geometry: DEPTH independent hash rows x WIDTH
+#: counters = a fixed 256-cell table regardless of corpus size. Row-i
+#: hash = first two md5 hex digits of "i:key" mod WIDTH (256 % 64 == 0,
+#: so the modulus is unbiased).
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_TOP = 20
+
+
+def _cms_bucket(i: int, key):
+    h = F.md5(F.concat(F.lit(f"{i}:"), key))
+    return (
+        F.conv(h.substr(1, 2), 16, 10).cast("int") % CMS_WIDTH
+    )
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream + heavy-hitter
+    readout — the custom sketch the builtins don't provide, and the
+    streaming-friendly answer to "top words without a full word
+    shuffle".
+
+    Build: every token occurrence increments DEPTH counters; the
+    sketch is the (row, bucket) -> count table — 256 cells total, so
+    the aggregation's OUTPUT is constant-size no matter how many
+    tokens flow through (the partial aggregate absorbs the stream
+    map-side; at 100 TB this is the only aggregation whose exchange
+    carries 256 rows). Readout: est(key) = min over rows of its
+    bucket's counter; CMS never underestimates, so est >= exact always
+    — the oracle pins that invariant as a literal TRUE per key, and
+    because the hashes are md5-derived (not RNG), the oracle rebuilds
+    the SAME sketch and verifies the estimates bit-for-bit, which the
+    HLL/GK queries cannot do.
+
+    The candidate set read out here is the exact top-CMS_TOP tokens
+    (so overcount is visible next to truth); a production flow keeps
+    candidates from a stream (e.g. a lossy-counting pass) and probes
+    the same table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from mit_map_reduce_spark.functions.columns import tokenize_letters
+
+    words = docs.select(
+        F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+    )
+    rows = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_bucket(i, F.col("word")).alias("b")
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("ib")
+    ).select("ib.i", "ib.b")
+    sketch = rows.groupBy("i", "b").agg(F.count("*").alias("n"))
+    cand = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "word")
+        .limit(CMS_TOP)
+    )
+    probes = cand.select(
+        "word",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), _cms_bucket(i, F.col("word")).alias("b")
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("ib"),
+    ).select("word", "exact_count", "ib.i", "ib.b")
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return est.select(
+        "word",
+        "exact_count",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_count")).alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_count")).alias("no_underestimate"),
+    )
+
+
 QUERIES = {
     "sketch_approx_distinct_buyers": sketch_approx_distinct_buyers,
     "sketch_approx_percentile_order_value": sketch_approx_percentile_order_value,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
 }
 
+#: hex value of the first two md5 digits of "i:word", mod CMS_WIDTH
+_CMS_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(t.i AS VARCHAR) || ':' || word), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(t.i AS VARCHAR) || ':' || word), 2, 1)) - 1))"
+    f" % {CMS_WIDTH}"
+)
+
 ORACLES = {
+    # The md5-derived CMS is fully deterministic, so the oracle
+    # rebuilds the identical sketch and verifies the ESTIMATES exactly
+    # — a stronger check than the tolerance booleans below.
+    "sketch_cms_heavy_hitters": f"""
+        WITH words AS (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+                          x -> x <> '')) AS word
+            FROM documents
+        ),
+        buckets AS (
+            SELECT t.i, {_CMS_BUCKET_SQL} AS b
+            FROM words CROSS JOIN range({CMS_DEPTH}) t(i)
+        ),
+        sketch AS (SELECT i, b, count(*) AS n FROM buckets GROUP BY i, b),
+        cand AS (
+            SELECT word, count(*) AS exact_count FROM words GROUP BY word
+            ORDER BY exact_count DESC, word LIMIT {CMS_TOP}
+        ),
+        probes AS (
+            SELECT word, exact_count, t.i, {_CMS_BUCKET_SQL} AS b
+            FROM cand CROSS JOIN range({CMS_DEPTH}) t(i)
+        ),
+        est AS (
+            SELECT word, exact_count, min(s.n) AS cms_est
+            FROM probes p JOIN sketch s ON s.i = p.i AND s.b = p.b
+            GROUP BY word, exact_count
+        )
+        SELECT word, CAST(exact_count AS BIGINT) AS exact_count,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(cms_est - exact_count AS BIGINT) AS overcount,
+               cms_est >= exact_count AS no_underestimate
+        FROM est
+    """,
     # The oracle states the exact semantics plus the *contract* for the
     # sketch columns: a correct HLL/GK implementation always lands
     # within tolerance, so the hashable truth is a literal TRUE.
