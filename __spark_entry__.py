@@ -112,6 +112,7 @@ _PRIORITY = [
     "text_unigram_logprob",
     "text_langid_ngram",
     "sketch_cms_heavy_hitters",
+    "rel_bucketed_join_revenue",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",
     "text_hash_features",

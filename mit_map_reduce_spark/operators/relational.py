@@ -874,6 +874,61 @@ def rel_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SALTS = 16
 
 
+BUCKET_JOIN_MIN_QTY = 150
+
+
+def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join on BUCKETED layout — the zero-exchange join at
+    100 TB, exposed as a query (the plan property itself is pinned in
+    tests/test_bucketing.py).
+
+    Neither lineitem nor orders can broadcast at scale; bucketing both
+    on the join key at write time pre-shuffles them ONCE (the ingest-
+    time cost a warehouse pays), after which this join AND the
+    same-key aggregation plan with no exchange at all. The bucketed
+    copies are written once per (session, corpus) into a scratch
+    warehouse path; repeated queries reuse the registered tables.
+    Values are identical to the plain-layout join, which is exactly
+    what the oracle checks — bucketing must change the plan, never
+    the answer.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    t_li, t_ord = f"b_lineitem_{tag}", f"b_orders_{tag}"
+    base = os.path.join(tempfile.gettempdir(), "mmrs_bucketed", tag)
+    if not spark.catalog.tableExists(t_li) or not spark.catalog.tableExists(t_ord):
+        from mit_map_reduce_spark.sources.io import write_parquet
+
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+        )
+        orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        write_parquet(li, os.path.join(base, "li"), bucket_by=(8, ["l_orderkey"]), table_name=t_li)
+        write_parquet(orders, os.path.join(base, "ord"), bucket_by=(8, ["o_orderkey"]), table_name=t_ord)
+    a, b = spark.table(t_li), spark.table(t_ord)
+    joined = a.join(b, a.l_orderkey == b.o_orderkey)
+    return (
+        joined.groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.max("o_totalprice").alias("header_price"),
+        )
+        .filter(F.col("total_qty") >= BUCKET_JOIN_MIN_QTY)
+        .select(
+            "l_orderkey",
+            "total_qty",
+            "revenue",
+            round_half_up("header_price", 2).alias("header_price"),
+        )
+    )
+
+
 def rel_salted_agg_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """High-skew aggregation via salting: events per event_type where
     the key space is tiny (5 types), so a naive groupBy sends ~1/5 of a
@@ -1200,6 +1255,7 @@ QUERIES = {
     "rel_merge_upsert_customers": rel_merge_upsert_customers,
     "rel_cube_orders": rel_cube_orders,
     "rel_salted_agg_events_per_type": rel_salted_agg_events_per_type,
+    "rel_bucketed_join_revenue": rel_bucketed_join_revenue,
     "rel_q13_order_histogram": rel_q13_order_histogram,
     "rel_full_outer_nation_presence": rel_full_outer_nation_presence,
     "rel_q18_large_orders": rel_q18_large_orders,
@@ -1594,6 +1650,15 @@ ORACLES = {
     """,
     # The salt is an implementation detail; the oracle states the
     # *semantics* — a plain per-type aggregate.
+    "rel_bucketed_join_revenue": f"""
+        SELECT l_orderkey,
+               sum(l_quantity) AS total_qty,
+               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+               floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS header_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey
+        HAVING sum(l_quantity) >= {BUCKET_JOIN_MIN_QTY}
+    """,
     "rel_salted_agg_events_per_type": """
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_events,
