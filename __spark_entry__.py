@@ -113,6 +113,7 @@ _PRIORITY = [
     "text_langid_ngram",
     "sketch_cms_heavy_hitters",
     "rel_bucketed_join_revenue",
+    "stream_cms_user_sketch",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",
     "text_hash_features",

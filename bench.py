@@ -67,6 +67,7 @@ HEADLINE = (
     "adv_sessionize_events",
     "text_unigram_logprob",
     "sketch_cms_heavy_hitters",
+    "rel_bucketed_join_revenue",
 )
 
 

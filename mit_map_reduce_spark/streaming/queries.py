@@ -281,6 +281,52 @@ def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     return _run_to_completion(agg, mode="append", shuffle_partitions=8)
 
 
+def stream_cms_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch maintained INSIDE the stream: a per-day CMS of
+    user activity. Every event increments ``CMS_DEPTH`` md5-hashed
+    counters, so the windowed aggregation's state AND output are fixed
+    at 256 cells per open window no matter the event volume — the
+    sketch is the aggregate. A consumer estimates any user's daily
+    event count as min-over-rows of its buckets without a per-user
+    shuffle ever happening (the batch-side readout pattern is
+    ``sketch_cms_heavy_hitters``).
+
+    Append mode + watermark: each day's sketch is emitted once, when
+    the watermark closes it, and its state is evicted — the streaming
+    twin of the batch sketch, with the same md5-deterministic cells the
+    oracle rebuilds exactly.
+    """
+    from mit_map_reduce_spark.operators.sketch import CMS_DEPTH, CMS_WIDTH
+
+    ev = _events_stream(spark, sf_dir)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (
+                    F.conv(
+                        F.md5(
+                            F.concat(F.lit(f"{i}:"), F.col("user_id").cast("string"))
+                        ).substr(1, 2),
+                        16,
+                        10,
+                    ).cast("int")
+                    % CMS_WIDTH
+                ).alias("b"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .select("ts", F.explode(structs).alias("ib"))
+        .groupBy(F.window("ts", "1 day").alias("w"), "ib.i", "ib.b")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "i", "b", "n")
+    )
+    return _run_to_completion(agg, mode="append", shuffle_partitions=8)
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-day windows sliding by 1 day — each event lands in 2 windows."""
     ev = _events_stream(spark, sf_dir)
@@ -498,6 +544,7 @@ QUERIES = {
     "stream_dedup_first_seen": stream_dedup_first_seen,
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_windowed_distinct_users": stream_windowed_distinct_users,
+    "stream_cms_user_sketch": stream_cms_user_sketch,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
     "stream_stateful_user_profile": stream_stateful_user_profile,
@@ -541,6 +588,23 @@ ORACLES = {
                min(doc_id) AS first_doc_id,
                CAST(count(*) AS BIGINT) AS n_seen
         FROM documents GROUP BY md5(text)
+    """,
+    "stream_cms_user_sketch": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        cells AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+                   CAST(t.i AS INTEGER) AS i,
+                   CAST(((strpos('0123456789abcdef',
+                            substr(md5(CAST(t.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef',
+                            substr(md5(CAST(t.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 2, 1)) - 1))
+                       % 64 AS INTEGER) AS b
+            FROM events CROSS JOIN range(4) t(i)
+        )
+        SELECT ws, i, b, CAST(count(*) AS BIGINT) AS n
+        FROM cells, wm
+        GROUP BY ws, i, b, wm.w
+        HAVING ws + INTERVAL 1 DAY <= wm.w
     """,
     "stream_windowed_distinct_users": """
         WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
