@@ -114,6 +114,7 @@ _PRIORITY = [
     "sketch_cms_heavy_hitters",
     "rel_bucketed_join_revenue",
     "stream_cms_user_sketch",
+    "mr_secondary_sort",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",
     "text_hash_features",

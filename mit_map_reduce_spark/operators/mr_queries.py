@@ -85,15 +85,53 @@ def mr_distributed_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic MapReduce *secondary sort* pattern: per-key groups
+    whose VALUES arrive in a defined order. The reference's reduce
+    sees key-sorted but value-unsorted groups (src/mr/worker.go:193
+    sorts by key only); classic MR encodes (key, sort-field) composite
+    keys plus a custom partitioner/grouper to get ordered values.
+    Spark-first that collapses to one aggregation: collect the group,
+    ``array_sort`` on a (ts, event_id, ...) struct — deterministic
+    total order — and derive order-sensitive outputs (the user's
+    event-type journey and first/last timestamps). One shuffle on the
+    group key; no window double-sort; order is in-group, never global.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = F.struct("ts", "event_id", "event_type")
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(s)).alias("arr")
+    )
+    return grouped.select(
+        "user_id",
+        F.size("arr").alias("n_events"),
+        F.array_join(
+            F.transform("arr", lambda x: x["event_type"]), ">"
+        ).alias("journey"),
+        F.element_at("arr", 1)["ts"].alias("first_ts"),
+        F.element_at("arr", -1)["ts"].alias("last_ts"),
+    )
+
+
 QUERIES = {
     "mr_wordcount": mr_wordcount,
     "mr_inverted_index": mr_inverted_index,
     "mr_distributed_grep": mr_distributed_grep,
+    "mr_secondary_sort": mr_secondary_sort,
 }
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')"
 
 ORACLES = {
+    "mr_secondary_sort": """
+        SELECT user_id,
+               CAST(count(*) AS INTEGER) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts
+        FROM events
+        GROUP BY user_id
+    """,
     "mr_distributed_grep": f"""
         SELECT source,
                CAST(count(*) AS BIGINT) AS n_matches,
