@@ -115,6 +115,7 @@ _PRIORITY = [
     "rel_bucketed_join_revenue",
     "stream_cms_user_sketch",
     "mr_secondary_sort",
+    "graph_degree_distribution",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",
     "text_hash_features",

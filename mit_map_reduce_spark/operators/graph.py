@@ -167,10 +167,48 @@ def _pagerank_oracle_sql() -> str:
     return sql
 
 
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the trade graph — the first diagnostic
+    run on any production graph (degree skew predicts which joins need
+    salting and whether a Pregel superstep will straggle).
+
+    Two aggregations: per-node out-degree over the edge list, then the
+    histogram (degree -> node count) per side. Both shuffles carry
+    node-sized then degree-sized keys — nothing fact-sized after the
+    edge build, which is shared with PageRank.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    side = F.when(F.col("src") >= NODE_OFFSET, "customer").otherwise("supplier")
+    return (
+        deg.withColumn("side", side)
+        .groupBy("side", "degree")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+
 QUERIES = {
     "graph_pagerank_trade": graph_pagerank_trade,
+    "graph_degree_distribution": graph_degree_distribution,
 }
 
 ORACLES = {
     "graph_pagerank_trade": _pagerank_oracle_sql(),
+    "graph_degree_distribution": f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust_node, l_suppkey AS supp_node
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT cust_node AS src FROM pairs
+            UNION ALL
+            SELECT supp_node FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+        SELECT CASE WHEN src >= {NODE_OFFSET} THEN 'customer' ELSE 'supplier' END AS side,
+               CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg
+        GROUP BY 1, degree
+    """,
 }
