@@ -116,6 +116,8 @@ _PRIORITY = [
     "stream_cms_user_sketch",
     "mr_secondary_sort",
     "graph_degree_distribution",
+    "src_csv_roundtrip_orders",
+    "src_orc_roundtrip_lineitem",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",
     "text_hash_features",

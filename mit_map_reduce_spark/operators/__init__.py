@@ -16,10 +16,12 @@ from mit_map_reduce_spark.operators import (  # noqa: F401
     sketch,
     text,
     multimodal,
+    sources_queries,
 )
 
 ALL_MODULES = (
-    mr_queries, relational, advanced, dedup, graph, similarity, sketch, text, multimodal
+    mr_queries, relational, advanced, dedup, graph, similarity, sketch, text,
+    multimodal, sources_queries,
 )
 
 

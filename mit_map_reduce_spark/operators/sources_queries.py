@@ -1,0 +1,139 @@
+"""Driver-verified round trips through the non-parquet sources.
+
+The source layer (:mod:`mit_map_reduce_spark.sources.io`) is pytest-
+covered, but these queries put it under the differential harness too:
+each writes a table out through a format, reads it back with an
+EXPLICIT schema (no inference pass — at 100 TB schema inference is a
+second full scan), and aggregates; the oracle computes the same
+aggregate straight from the parquet. A lossless round trip is exactly
+"the numbers don't change because the bytes took a detour".
+
+Scratch copies are written once per (corpus, format) under tempdir and
+reused across sessions (same keyed-artifact discipline as the IVF
+centroids; atomic rename so a crashed writer cannot publish a partial
+copy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.functions.columns import round_half_up
+from mit_map_reduce_spark.sources.io import read_csv, read_orc, write_csv, write_orc
+
+#: The testdata date columns are TIMESTAMP_NTZ (naive, like the DuckDB
+#: oracle reads them), and CSV handles NTZ columns through the
+#: timestampNTZFormat option — whose default keeps milliseconds only.
+#: Pin a full-microsecond format on BOTH sides of the trip.
+CSV_TS_FORMAT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+CSV_TS_OPTS = {"timestampNTZFormat": CSV_TS_FORMAT}
+
+ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+
+def _artifact_dir(sf_dir: str, fmt: str) -> str:
+    # fmt doubles as a params/version key: changing the serialization
+    # options must never silently reuse an artifact written with the
+    # old ones (same rule as the IVF centroid artifact).
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fmt}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), "mmrs_source_rt", tag)
+
+
+def _ensure_written(write_fn, out_dir: str) -> None:
+    if os.path.isdir(out_dir) and any(
+        not f.startswith(("_", ".")) for f in os.listdir(out_dir)
+    ):
+        return
+    tmp = out_dir + "." + uuid.uuid4().hex[:8]
+    write_fn(tmp)
+    os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+
+
+def src_csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> CSV -> explicit-schema read -> per-priority rollup.
+
+    Exercises header emission, full-precision timestamp round trip,
+    and the schema-first read path. The rollup must match the oracle's
+    parquet-direct aggregate exactly — any formatting loss (precision,
+    quoting, nulls) breaks the hash.
+    """
+    out = _artifact_dir(sf_dir, f"csv|ntz|{CSV_TS_FORMAT}")
+    _ensure_written(
+        lambda d: write_csv(
+            load_table(spark, sf_dir, "orders"), d, options=CSV_TS_OPTS
+        ),
+        out,
+    )
+    back = read_csv(spark, out, ORDERS_SCHEMA, options=CSV_TS_OPTS)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+
+
+def src_orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> ORC -> read -> Q6-shaped filter-aggregate.
+
+    ORC is self-describing (types survive natively); the filter also
+    checks predicate evaluation over the round-tripped columns.
+    """
+    out = _artifact_dir(sf_dir, "orc")
+    _ensure_written(
+        lambda d: write_orc(load_table(spark, sf_dir, "lineitem"), d), out
+    )
+    back = read_orc(spark, out)
+    return (
+        back.filter((F.col("l_discount") >= 0.05) & (F.col("l_quantity") < 24))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            round_half_up(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("discount_revenue"),
+        )
+    )
+
+
+QUERIES = {
+    "src_csv_roundtrip_orders": src_csv_roundtrip_orders,
+    "src_orc_roundtrip_lineitem": src_orc_roundtrip_lineitem,
+}
+
+ORACLES = {
+    # Oracles read the ORIGINAL parquet: the round trip must be
+    # value-lossless or the hashes diverge.
+    "src_csv_roundtrip_orders": """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price,
+               min(o_orderdate) AS first_order,
+               max(o_orderdate) AS last_order
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "src_orc_roundtrip_lineitem": """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS discount_revenue
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_quantity < 24
+        GROUP BY l_returnflag
+    """,
+}

@@ -68,16 +68,22 @@ def read_csv(
     *,
     header: bool = True,
     delimiter: str = ",",
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """CSV with a REQUIRED schema; malformed rows are captured, not
-    dropped silently (PERMISSIVE + columnNameOfCorruptRecord)."""
-    return (
+    dropped silently (PERMISSIVE + columnNameOfCorruptRecord).
+    ``options`` passes reader options through (e.g. timestampFormat —
+    pin it on BOTH sides of a round trip; the default format carries
+    only millisecond precision)."""
+    r = (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("sep", delimiter)
         .option("mode", "PERMISSIVE")
-        .csv(paths if isinstance(paths, list) else [paths])
     )
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    return r.csv(paths if isinstance(paths, list) else [paths])
 
 
 def read_json(
@@ -121,9 +127,15 @@ def write_text_kv(df: DataFrame, out_dir: str, n_partitions: int | None = None) 
 
 
 def write_csv(
-    df: DataFrame, out_dir: str, *, partition_by: list[str] | None = None
+    df: DataFrame,
+    out_dir: str,
+    *,
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
 ) -> None:
     w = df.write.mode("overwrite").option("header", "true")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.csv(out_dir)
