@@ -118,6 +118,7 @@ _PRIORITY = [
     "graph_degree_distribution",
     "src_csv_roundtrip_orders",
     "src_orc_roundtrip_lineitem",
+    "adv_window_rank_functions",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",
     "text_hash_features",

@@ -166,6 +166,31 @@ def adv_lag_lead_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window functions in one pass:
+    percent_rank, cume_dist, and nth_value over the per-nation
+    account-balance ordering. One window sort serves all three
+    (plus the dense_rank the ordering implies).
+
+    Determinism: the order includes the unique custkey, so rank
+    positions — and therefore the small-rational percent_rank /
+    cume_dist values — are identical in both engines; 6-dp rounding
+    absorbs any double-division ulp.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        round_half_up("c_acctbal", 2).alias("acctbal"),
+        round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+        round_half_up(F.cume_dist().over(w), 6).alias("cume_dist"),
+        round_half_up(
+            F.nth_value("c_acctbal", 2).over(w), 2
+        ).alias("second_lowest_bal"),
+    )
+
+
 SESSION_GAP_MS = 30 * 60 * 1000  # 30-minute inactivity gap
 
 
@@ -475,6 +500,7 @@ def adv_grouped_map_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "adv_asof_join_last_click": adv_asof_join_last_click,
     "adv_sessionize_events": adv_sessionize_events,
+    "adv_window_rank_functions": adv_window_rank_functions,
     "adv_grouped_map_median_gap": adv_grouped_map_median_gap,
     "adv_fuzzy_blocked_match": adv_fuzzy_blocked_match,
     "adv_lag_lead_event_deltas": adv_lag_lead_event_deltas,
@@ -491,6 +517,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_window_rank_functions": """
+        SELECT c_custkey, c_nationkey,
+               floor((c_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal,
+               floor((percent_rank() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+               floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cume_dist,
+               floor((nth_value(c_acctbal, 2) OVER w) * 100.0 + 0.5) / 100.0 AS second_lowest_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
     "adv_sessionize_events": f"""
         WITH e AS (
             SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events
