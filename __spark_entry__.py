@@ -103,11 +103,15 @@ _PRIORITY = [
     "stream_dedup_first_seen",
     "sim_ann_ivf_topk",
     # ---- tier D (positions 51+): never-verified overflow leads round
-    # 4's queue — TPC-H siblings plus the two NumPy paths whose
-    # bit-parity with already-verified HOF queries is test-pinned
-    # (their fresh rows are the most redundant of the never-verified
-    # set) — then the round-2-verified unchanged queries whose r2 rows
-    # stand until they rotate back next round.
+    # 4's queue — first the operators added after round 3's window was
+    # already full (sessionization, LM scoring, trigram langid, CMS
+    # batch + streaming, bucketed join, MR secondary sort, graph
+    # degrees, source round trips, rank windows), then the TPC-H
+    # siblings and the two NumPy paths whose bit-parity with already-
+    # verified HOF queries is test-pinned (their fresh rows are the
+    # most redundant of the never-verified set), then the round-2-
+    # verified unchanged queries whose r2 rows stand until they rotate
+    # back. All of tier D is green under the full local vanilla gate.
     "adv_sessionize_events",
     "text_unigram_logprob",
     "text_langid_ngram",
@@ -118,6 +122,7 @@ _PRIORITY = [
     "graph_degree_distribution",
     "src_csv_roundtrip_orders",
     "src_orc_roundtrip_lineitem",
+    "src_json_roundtrip_events",
     "adv_window_rank_functions",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",

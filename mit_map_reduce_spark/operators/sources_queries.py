@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 
 from mit_map_reduce_spark.catalog import load_table
 from mit_map_reduce_spark.functions.columns import round_half_up
-from mit_map_reduce_spark.sources.io import read_csv, read_orc, write_csv, write_orc
+from mit_map_reduce_spark.sources.io import (
+    read_csv,
+    read_json,
+    read_orc,
+    write_csv,
+    write_json,
+    write_orc,
+)
 
 #: The testdata date columns are TIMESTAMP_NTZ (naive, like the DuckDB
 #: oracle reads them), and CSV handles NTZ columns through the
@@ -112,9 +119,47 @@ def src_orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: JSON's default timestampFormat also keeps milliseconds only; pin a
+#: full-microsecond zoned format for the (TimestampType) events.ts.
+JSON_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def src_json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> JSON lines -> explicit-schema read -> per-type rollup.
+
+    The interesting hazards JSON adds over CSV: the ``props`` column is
+    itself a JSON string (escaping must round-trip), and ``ts`` is a
+    zoned TimestampType needing a full-microsecond format pinned on
+    both sides. The rollup extracts a field from the round-tripped
+    props (its "k" field) to prove the nested payload survived
+    byte-exact.
+    """
+    out = _artifact_dir(sf_dir, f"json|{JSON_TS_OPTS['timestampFormat']}")
+    _ensure_written(
+        lambda d: write_json(
+            load_table(spark, sf_dir, "events"), d, options=JSON_TS_OPTS
+        ),
+        out,
+    )
+    back = read_json(spark, out, EVENTS_SCHEMA, options=JSON_TS_OPTS)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        round_half_up(F.sum("value"), 2).alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max(F.get_json_object("props", "$.k").cast("int")).alias("max_k"),
+    )
+
+
 QUERIES = {
     "src_csv_roundtrip_orders": src_csv_roundtrip_orders,
     "src_orc_roundtrip_lineitem": src_orc_roundtrip_lineitem,
+    "src_json_roundtrip_events": src_json_roundtrip_events,
 }
 
 ORACLES = {
@@ -127,6 +172,15 @@ ORACLES = {
                min(o_orderdate) AS first_order,
                max(o_orderdate) AS last_order
         FROM orders GROUP BY o_orderpriority
+    """,
+    "src_json_roundtrip_events": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+               min(ts) AS first_ts,
+               max(ts) AS last_ts,
+               max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        FROM events GROUP BY event_type
     """,
     "src_orc_roundtrip_lineitem": """
         SELECT l_returnflag,

@@ -87,12 +87,17 @@ def read_csv(
 
 
 def read_json(
-    spark: SparkSession, paths: list[str] | str, schema: StructType | str
+    spark: SparkSession,
+    paths: list[str] | str,
+    schema: StructType | str,
+    *,
+    options: dict[str, str] | None = None,
 ) -> DataFrame:
     """JSON-lines with a REQUIRED schema (no sampling inference pass)."""
-    return spark.read.schema(schema).json(
-        paths if isinstance(paths, list) else [paths]
-    )
+    r = spark.read.schema(schema)
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    return r.json(paths if isinstance(paths, list) else [paths])
 
 
 def read_parquet(
@@ -142,9 +147,15 @@ def write_csv(
 
 
 def write_json(
-    df: DataFrame, out_dir: str, *, partition_by: list[str] | None = None
+    df: DataFrame,
+    out_dir: str,
+    *,
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
 ) -> None:
     w = df.write.mode("overwrite")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.json(out_dir)
