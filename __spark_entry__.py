@@ -124,6 +124,7 @@ _PRIORITY = [
     "src_orc_roundtrip_lineitem",
     "src_json_roundtrip_events",
     "adv_window_rank_functions",
+    "mm_pipeline",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",
     "text_hash_features",

@@ -220,7 +220,40 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(feat_batches, schema=FEATURE_SCHEMA)
 
 
+def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed multimodal ingest pass — decode metadata, resize
+    geometry (images), embedding features — joined into the one
+    per-asset row a downstream trainer consumes (the multimodal twin
+    of ``text_training_mix``).
+
+    All three stages are map-side ``mapInPandas`` over the same asset
+    scan; the only shuffles are the doc_id equi-joins stitching their
+    outputs, which at 100 TB ride the same hash partitioning once the
+    first join sets it. Non-image assets carry null resize columns —
+    part of the contract, not a bug (audio/video skip the resize
+    stage).
+    """
+    dec = mm_decode_assets(spark, sf_dir)
+    feats = mm_feature_extract(spark, sf_dir)
+    rsz = mm_resize_images(spark, sf_dir).select("doc_id", "new_width", "new_height")
+    return (
+        dec.join(feats, "doc_id")
+        .join(rsz, "doc_id", "left")
+        .select(
+            "doc_id",
+            "media_type",
+            "width",
+            "height",
+            "n_frames",
+            "new_width",
+            "new_height",
+            "features",
+        )
+    )
+
+
 QUERIES = {
+    "mm_pipeline": mm_pipeline,
     "mm_asset_stats": mm_asset_stats,
     "mm_decode_assets": mm_decode_assets,
     "mm_frame_sample": mm_frame_sample,
@@ -232,6 +265,41 @@ _MEDIA = """CASE CAST(doc_id % 3 AS INTEGER)
                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"""
 
 ORACLES = {
+    "mm_pipeline": f"""
+        WITH a AS (
+            SELECT doc_id, {_MEDIA} AS media_type,
+                   octet_length(encode(text)) AS nb, text
+            FROM documents
+        ),
+        dec AS (
+            SELECT doc_id, media_type,
+                   CAST(64 + nb % 512 AS INTEGER) AS width,
+                   CAST(64 + (nb * 7) % 512 AS INTEGER) AS height,
+                   CAST(CASE media_type
+                        WHEN 'image' THEN 1
+                        WHEN 'audio' THEN nb % 100
+                        ELSE nb % 240 END AS INTEGER) AS n_frames,
+                   nb, text
+            FROM a
+        ),
+        rsz AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN greatest(width, height) > {RESIZE_MAX}
+                        THEN (width * {RESIZE_MAX}) // greatest(width, height)
+                        ELSE width END AS INTEGER) AS new_width,
+                   CAST(CASE WHEN greatest(width, height) > {RESIZE_MAX}
+                        THEN (height * {RESIZE_MAX}) // greatest(width, height)
+                        ELSE height END AS INTEGER) AS new_height
+            FROM dec WHERE media_type = 'image'
+        )
+        SELECT dec.doc_id, dec.media_type, dec.width, dec.height, dec.n_frames,
+               rsz.new_width, rsz.new_height,
+               array_to_string(list_transform(range(1, {N_FEATURES + 1}),
+                   i -> printf('%.4f', floor(((strpos('0123456789abcdef',
+                            substr(md5(dec.text), CAST(i AS INTEGER), 1)) - 1)
+                        / 15.0) * 10000.0 + 0.5) / 10000.0)), '|') AS features
+        FROM dec LEFT JOIN rsz ON rsz.doc_id = dec.doc_id
+    """,
     "mm_asset_stats": f"""
         SELECT source, {_MEDIA} AS media_type,
                CAST(count(*) AS BIGINT) AS n_assets,
