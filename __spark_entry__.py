@@ -123,6 +123,7 @@ _PRIORITY = [
     "src_csv_roundtrip_orders",
     "src_orc_roundtrip_lineitem",
     "src_json_roundtrip_events",
+    "src_partitioned_pruning_events",
     "adv_window_rank_functions",
     "mm_pipeline",
     "sim_ann_bruteforce_topk_np",

@@ -156,10 +156,42 @@ def src_json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Partition filter for the pruning round trip: directory-level pruning
+#: means the scan never opens the other types' files.
+PRUNE_TYPES = ("click", "purchase")
+
+
+def src_partitioned_pruning_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> parquet partitioned by event_type -> filtered read.
+
+    ``partitionBy`` turns the filter into DIRECTORY pruning: the scan
+    plans only the matching partitions' files and the predicate never
+    even reaches a row (tests/test_plans.py pins ``PartitionFilters``
+    non-empty and an empty data filter). At 100 TB this is the
+    difference between scanning 2/5 of the table and all of it. The
+    per-day rollup must match the oracle's direct aggregate — pruning
+    changes I/O, never values.
+    """
+    out = _artifact_dir(sf_dir, "parquet|partition_by=event_type")
+    _ensure_written(
+        lambda d: load_table(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(d),
+        out,
+    )
+    back = spark.read.parquet(out).filter(F.col("event_type").isin(*PRUNE_TYPES))
+    return back.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        round_half_up(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 QUERIES = {
     "src_csv_roundtrip_orders": src_csv_roundtrip_orders,
     "src_orc_roundtrip_lineitem": src_orc_roundtrip_lineitem,
     "src_json_roundtrip_events": src_json_roundtrip_events,
+    "src_partitioned_pruning_events": src_partitioned_pruning_events,
 }
 
 ORACLES = {
@@ -181,6 +213,14 @@ ORACLES = {
                max(ts) AS last_ts,
                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         FROM events GROUP BY event_type
+    """,
+    "src_partitioned_pruning_events": f"""
+        SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+        FROM events
+        WHERE event_type IN {PRUNE_TYPES!r}
+        GROUP BY event_type, day
     """,
     "src_orc_roundtrip_lineitem": """
         SELECT l_returnflag,

@@ -173,3 +173,18 @@ def test_repetition_has_partial_aggregation(spark, sf_dir):
     plan = physical_plan(text_repetition(spark, sf_dir))
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[:first_exchange]
+
+
+def test_partitioned_scan_prunes_directories(spark, sf_dir):
+    # The event_type filter must become directory-level PartitionFilters
+    # on the partitioned layout — no per-row data filter remains.
+    from mit_map_reduce_spark.operators.sources_queries import (
+        src_partitioned_pruning_events,
+    )
+
+    plan = physical_plan(src_partitioned_pruning_events(spark, sf_dir))
+    assert "PartitionFilters: [" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1)
