@@ -125,6 +125,7 @@ _PRIORITY = [
     "src_json_roundtrip_events",
     "src_partitioned_pruning_events",
     "adv_window_rank_functions",
+    "adv_asof_join_next_purchase",
     "mm_pipeline",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",

@@ -53,6 +53,43 @@ def adv_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONVERT_WINDOW_S = 24 * 3600  # count a conversion within one day
+
+
+def adv_asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the mirror of ``adv_asof_join_last_click``:
+    for each click, the same user's NEXT purchase at or after it, and
+    the seconds-to-conversion if it lands inside ``CONVERT_WINDOW_S``.
+
+    Same merge-pattern scale shape, opposite frame direction: one
+    union, one window sort per user, ``first_value(ignore nulls)``
+    over the FOLLOWING frame. Still exactly one shuffle on user_id —
+    never a per-row range probe. Ties on ts break by event_id.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    carried = ev.withColumn(
+        "next_purchase_ts",
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    secs = F.unix_micros("next_purchase_ts") / 1_000_000.0 - F.unix_micros("ts") / 1_000_000.0
+    return carried.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        "next_purchase_ts",
+        F.when(secs <= CONVERT_WINDOW_S, round_half_up(secs, 6)).alias("secs_to_convert"),
+    )
+
+
 def adv_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range join: orders against a price-band dimension
     [b*W, (b+1)*W).
@@ -499,6 +536,7 @@ def adv_grouped_map_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "adv_asof_join_last_click": adv_asof_join_last_click,
+    "adv_asof_join_next_purchase": adv_asof_join_next_purchase,
     "adv_sessionize_events": adv_sessionize_events,
     "adv_window_rank_functions": adv_window_rank_functions,
     "adv_grouped_map_median_gap": adv_grouped_map_median_gap,
@@ -699,6 +737,25 @@ ORACLES = {
     # Window formulation (not DuckDB's native ASOF JOIN) so that
     # equal-timestamp ties break identically (by event_id) in both
     # engines; semantics otherwise match ASOF JOIN ... ON ts >= ts.
+    "adv_asof_join_next_purchase": f"""
+        WITH ev AS (
+            SELECT event_id, user_id, ts, event_type FROM events
+            WHERE event_type IN ('click', 'purchase')
+        ),
+        carried AS (
+            SELECT event_id, user_id, ts, event_type,
+                   first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_purchase_ts
+            FROM ev
+        )
+        SELECT event_id AS click_id, user_id, ts AS click_ts, next_purchase_ts,
+               CASE WHEN (epoch_us(next_purchase_ts) - epoch_us(ts)) / 1000000.0 <= {CONVERT_WINDOW_S}
+                    THEN floor(((epoch_us(next_purchase_ts) - epoch_us(ts)) / 1000000.0) * 1000000.0 + 0.5) / 1000000.0
+               END AS secs_to_convert
+        FROM carried WHERE event_type = 'click'
+    """,
     "adv_asof_join_last_click": """
         WITH ev AS (
             SELECT event_id, user_id, ts, event_type FROM events
