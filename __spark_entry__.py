@@ -126,6 +126,7 @@ _PRIORITY = [
     "src_partitioned_pruning_events",
     "adv_window_rank_functions",
     "adv_asof_join_next_purchase",
+    "adv_gaps_and_islands",
     "mm_pipeline",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",

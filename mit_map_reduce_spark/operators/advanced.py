@@ -228,6 +228,36 @@ def adv_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_gaps_and_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: compress each user's consecutive ACTIVE DAYS
+    into contiguous ranges — the classic streak/validity-interval
+    pattern (SCD2 interval building and uptime reporting are the same
+    shape).
+
+    The anchor trick: within a user, ``active_day - row_number`` days
+    is constant exactly while days are consecutive, so grouping on the
+    anchor yields one row per streak. One shuffle on user_id serves
+    the distinct, the window, and the final group (they share the hash
+    partitioning); day arithmetic is integer (date_diff from a fixed
+    epoch), identical cross-engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        anchored.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count("*").alias("n_days"),
+        )
+        .select("user_id", "streak_start", "streak_end", "n_days")
+    )
+
+
 SESSION_GAP_MS = 30 * 60 * 1000  # 30-minute inactivity gap
 
 
@@ -538,6 +568,7 @@ QUERIES = {
     "adv_asof_join_last_click": adv_asof_join_last_click,
     "adv_asof_join_next_purchase": adv_asof_join_next_purchase,
     "adv_sessionize_events": adv_sessionize_events,
+    "adv_gaps_and_islands": adv_gaps_and_islands,
     "adv_window_rank_functions": adv_window_rank_functions,
     "adv_grouped_map_median_gap": adv_grouped_map_median_gap,
     "adv_fuzzy_blocked_match": adv_fuzzy_blocked_match,
@@ -555,6 +586,21 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_gaps_and_islands": """
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        anchored AS (
+            SELECT user_id, day,
+                   day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+            FROM days
+        )
+        SELECT user_id,
+               min(day) AS streak_start,
+               max(day) AS streak_end,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM anchored GROUP BY user_id, anchor
+    """,
     "adv_window_rank_functions": """
         SELECT c_custkey, c_nationkey,
                floor((c_acctbal) * 100.0 + 0.5) / 100.0 AS acctbal,
