@@ -127,6 +127,7 @@ _PRIORITY = [
     "adv_window_rank_functions",
     "adv_asof_join_next_purchase",
     "adv_gaps_and_islands",
+    "dedup_span_clean",
     "mm_pipeline",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",

@@ -384,6 +384,66 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs_from_shingles(arrs)
 
 
+SPAN_K = 8  # duplicated-span width (words)
+
+
+def span_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span REMOVAL — the transformation the pair
+    detectors above only flag: every word-``SPAN_K``-gram that appears
+    in more than one document is removed from every document except
+    the gram's canonical owner (smallest doc_id containing it), and
+    the cleaned text is reconstructed in word order.
+
+    Plan shape, all linear in corpus size: positional gram explode ->
+    one aggregation per gram (distinct-doc count + owner, partial agg
+    absorbs hot grams map-side) -> join back per occurrence (one
+    2-column row per gram key, so a viral boilerplate gram fans out
+    only to its own occurrences, never quadratically) -> covered
+    positions explode (<= K rows per duplicated occurrence) ->
+    anti-join against the word stream -> per-doc ordered
+    reconstruction via array_sort over collected (pos, word) structs.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = tokenize_letters(F.col("text"))
+    base = docs.select("doc_id", ws.alias("ws"))
+    words_pos = base.select(
+        "doc_id", F.posexplode("ws").alias("pos", "word")
+    )
+    grams = base.select(
+        "doc_id", F.posexplode(word_kgrams(F.col("ws"), SPAN_K)).alias("gpos", "gram")
+    )
+    owners = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("owner")
+    )
+    dup_spans = (
+        grams.join(owners, "gram")
+        .filter((F.col("nd") > 1) & (F.col("doc_id") != F.col("owner")))
+        .select("doc_id", "gpos")
+    )
+    covered = dup_spans.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("gpos"), F.col("gpos") + (SPAN_K - 1))).alias("pos"),
+    ).distinct()
+    kept = words_pos.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    orig = docs.select("doc_id", F.size(ws).alias("n_words"))
+    return orig.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )
+
+
 #: Containment floor: report pairs where either doc's shingle set is
 #: at least this contained in the other.
 CONTAINMENT_THRESHOLD = 0.5
@@ -656,6 +716,7 @@ QUERIES = {
     "dedup_simhash_band_pairs": simhash_band_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
     "dedup_ngram_containment_pairs": ngram_containment_pairs,
+    "dedup_span_clean": span_dedup_clean,
     "dedup_embedding_cosine_pairs": embedding_dup_pairs,
     "dedup_embedding_cosine_pairs_np": embedding_dup_pairs_np,
     "dedup_embedding_lsh_pairs": embedding_lsh_dup_pairs,
@@ -766,6 +827,46 @@ ORACLES = {
     """,
     "dedup_simhash_fingerprints": "__SET_BELOW__",
     "dedup_simhash_band_pairs": "__SET_BELOW__",
+    "dedup_span_clean": f"""
+        WITH t AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+        wp AS (
+            SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS word
+            FROM t
+        ),
+        g AS (
+            SELECT doc_id, CAST(i AS INTEGER) - 1 AS gpos,
+                   array_to_string(ws[i:i + {SPAN_K - 1}], ' ') AS gram
+            FROM t, LATERAL (SELECT unnest(range(1, len(ws) - {SPAN_K - 2})) AS i)
+        ),
+        owners AS (
+            SELECT gram, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+            FROM g GROUP BY gram
+        ),
+        rm AS (
+            SELECT g.doc_id, g.gpos
+            FROM g JOIN owners ON g.gram = owners.gram
+            WHERE owners.nd > 1 AND g.doc_id <> owners.owner
+        ),
+        cov AS (
+            SELECT DISTINCT doc_id, gpos + CAST(o AS INTEGER) AS pos
+            FROM rm, LATERAL (SELECT unnest(range({SPAN_K})) AS o)
+        ),
+        kept AS (
+            SELECT wp.doc_id, wp.pos, wp.word
+            FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+            WHERE cov.doc_id IS NULL
+        ),
+        rebuilt AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(word, ' ' ORDER BY pos) AS text_clean
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.ws) AS INTEGER) AS n_words,
+               CAST(len(t.ws) - coalesce(rebuilt.n_kept, 0) AS BIGINT) AS n_removed,
+               coalesce(rebuilt.text_clean, '') AS text_clean
+        FROM t LEFT JOIN rebuilt ON rebuilt.doc_id = t.doc_id
+    """,
     "dedup_ngram_containment_pairs": f"""
         WITH {_SHINGLES_CTE},
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -121,6 +121,24 @@ def test_containment_catches_inclusion_jaccard_misses(spark, tmp_path):
         assert jrows[(1, 2)] < D.JACCARD_THRESHOLD
 
 
+def test_span_dedup_removes_copy_keeps_owner(spark, tmp_path):
+    span = " ".join(f"boiler plate token number{i}" for i in range(4))  # 12 tokens
+    sf = _write_documents(
+        tmp_path,
+        [
+            (1, f"owner document starts here {span} and then continues onward", "en"),
+            (2, f"copying document prefix words {span} with its own unique suffix", "en"),
+            (3, "a third document sharing nothing with the other two at all", "en"),
+        ],
+    )
+    got = {r.doc_id: r for r in D.span_dedup_clean(spark, sf).collect()}
+    assert got[1].n_removed == 0  # canonical owner keeps the span
+    assert got[2].n_removed >= 12  # the copied span is stripped
+    assert "boiler" not in got[2].text_clean
+    assert "unique suffix" in got[2].text_clean  # non-span words survive
+    assert got[3].n_removed == 0
+
+
 def test_stratified_sample_balances_strata(spark, tmp_path):
     # 200-doc majority lang vs a 10-doc minority: the minority stratum
     # passes through whole (n_lang <= target keeps every bucket), the
