@@ -48,3 +48,14 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path, no_broadcast):
     # control: the same join on plain (unbucketed) parquet shuffles.
     plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
     assert count_shuffles(plain) >= 2
+
+
+def test_bucketed_join_query_zero_exchange(spark, sf_dir, no_broadcast):
+    # The registered query (not just the raw mechanism above) must plan
+    # its join + same-key aggregation with no exchange once the
+    # bucketed tables exist.
+    from mit_map_reduce_spark.operators.relational import rel_bucketed_join_revenue
+
+    df = rel_bucketed_join_revenue(spark, sf_dir)  # first call writes tables
+    df2 = rel_bucketed_join_revenue(spark, sf_dir)  # plan over existing tables
+    assert count_shuffles(df2) == 0
