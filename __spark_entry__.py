@@ -128,6 +128,7 @@ _PRIORITY = [
     "adv_asof_join_next_purchase",
     "adv_gaps_and_islands",
     "dedup_span_clean",
+    "text_weighted_sample",
     "mm_pipeline",
     "sim_ann_bruteforce_topk_np",
     "sim_knn_label_vote",

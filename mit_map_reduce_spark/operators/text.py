@@ -590,6 +590,35 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling: each document's keep
+    probability IS its quality score — the soft alternative to the
+    hard quality cutoff (high-quality docs are kept almost surely,
+    low-quality docs survive at reduced rate instead of vanishing,
+    preserving distributional coverage).
+
+    Keep rule: ``bucket(doc_id) < quality * 10000`` over the 10000-
+    bucket md5 hash. The quality score is already rounded to 4 dp (an
+    exact multiple of 1/10000 in both engines), so the comparison is
+    exact — no float threshold ambiguity — and the decision is
+    reproducible across runs, engines, and partitionings like every
+    sampler here. Map-side: one scan, no shuffle beyond the quality
+    derivation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    qual = text_quality(spark, sf_dir).select("doc_id", "quality")
+    bucket = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10).cast("long")
+        % 10000
+    )
+    return (
+        docs.join(qual, "doc_id")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < F.col("quality") * 10000)
+        .select("doc_id", "lang", "quality", "bucket")
+    )
+
+
 def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data build, composed from this round's filter
     set in ONE declarative plan — what a pipeline actually ships, and
@@ -649,6 +678,7 @@ QUERIES = {
     "text_training_mix": text_training_mix,
     "text_contamination": text_contamination,
     "text_stratified_sample": text_stratified_sample,
+    "text_weighted_sample": text_weighted_sample,
     "text_hash_features": text_hash_features,
     "text_cooccurrence_pairs": text_cooccurrence_pairs,
     "text_stats": text_stats,
@@ -793,6 +823,29 @@ ORACLES = {
                coalesce(h.n_grams, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         WHERE d.doc_id % {CONTAM_BENCH_MOD} <> 0
+    """,
+    "text_weighted_sample": f"""
+        WITH tq AS (SELECT doc_id, {_WS_LOWER} AS ws FROM documents),
+        m AS (
+            SELECT doc_id, len(ws) AS n,
+                   len(list_filter(ws, x -> list_contains({_STOP_LIST}, x))) AS n_stop,
+                   CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                       / len(ws) AS avg_len
+            FROM tq
+        ),
+        q AS (
+            SELECT doc_id,
+                   floor((CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                        + CAST(0.3 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / n)
+                        + CAST(0.3 AS DOUBLE) * (1 - abs(avg_len - 5) / 10)) * 10000.0 + 0.5) / 10000.0 AS quality
+            FROM m
+        ),
+        b AS (
+            SELECT d.doc_id, d.lang, q.quality, {_HEX_BUCKET.replace("doc_id", "d.doc_id")} % 10000 AS bucket
+            FROM documents d JOIN q ON q.doc_id = d.doc_id
+        )
+        SELECT doc_id, lang, quality, CAST(bucket AS BIGINT) AS bucket
+        FROM b WHERE bucket < quality * 10000
     """,
     "text_stratified_sample": f"""
         WITH sizes AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
