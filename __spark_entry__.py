@@ -120,6 +120,7 @@ _PRIORITY = [
     "stream_cms_user_sketch",
     "mr_secondary_sort",
     "graph_degree_distribution",
+    "graph_kcore_prune",
     "src_csv_roundtrip_orders",
     "src_orc_roundtrip_lineitem",
     "src_json_roundtrip_events",

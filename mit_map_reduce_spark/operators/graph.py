@@ -167,6 +167,63 @@ def _pagerank_oracle_sql() -> str:
     return sql
 
 
+KCORE_K = 8
+KCORE_ROUNDS = 3
+
+
+def graph_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core pruning — the third iterative-graph shape next
+    to PageRank (fixed-iteration propagation) and connected components
+    (fixpoint labels): repeatedly drop nodes whose degree among the
+    REMAINING nodes falls below ``KCORE_K``. Removing a node lowers
+    its neighbors' degrees, so each round exposes new victims; after
+    ``KCORE_ROUNDS`` rounds the survivors approximate the k-core (a
+    production run loops to fixpoint — the deterministic fixed unroll
+    is the same contract the PageRank oracle uses).
+
+    Each round: one semi-join of the edge list against the surviving
+    nodes on BOTH endpoints, one degree aggregation — linear per
+    round, shuffles scoped to the graph's partition count.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
+    try:
+        edges = _trade_edges(spark, sf_dir).persist()
+        edges.count()
+        alive = edges.select(F.col("src").alias("node")).distinct()
+        for _ in range(KCORE_ROUNDS):
+            a_src = alive.select(F.col("node").alias("src"))
+            a_dst = alive.select(F.col("node").alias("dst"))
+            live_edges = edges.join(a_src, "src", "left_semi").join(
+                a_dst, "dst", "left_semi"
+            )
+            deg = live_edges.groupBy("src").agg(F.count("*").alias("degree"))
+            new_alive = (
+                deg.filter(F.col("degree") >= KCORE_K)
+                .select(F.col("src").alias("node"))
+                .persist()
+            )
+            new_alive.count()
+            alive = new_alive
+        a_src = alive.select(F.col("node").alias("src"))
+        a_dst = alive.select(F.col("node").alias("dst"))
+        final_deg = (
+            edges.join(a_src, "src", "left_semi")
+            .join(a_dst, "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("core_degree"))
+        )
+        return alive.join(final_deg, alive.node == final_deg.src).select(
+            "node",
+            F.when(F.col("node") >= NODE_OFFSET, "customer")
+            .otherwise("supplier")
+            .alias("side"),
+            "core_degree",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the trade graph — the first diagnostic
     run on any production graph (degree skew predicts which joins need
@@ -187,13 +244,55 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle_sql() -> str:
+    """DuckDB twin of the fixed-round k-core pruning, rounds unrolled
+    as chained CTEs (same contract as the PageRank oracle)."""
+    sql = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust_node, l_suppkey AS supp_node
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT cust_node AS src, supp_node AS dst FROM pairs
+            UNION ALL
+            SELECT supp_node, cust_node FROM pairs
+        ),
+        alive0 AS (SELECT DISTINCT src AS node FROM edges)"""
+    prev = "alive0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+        deg{i} AS (
+            SELECT e.src, count(*) AS d FROM edges e
+            JOIN {prev} a ON e.src = a.node
+            JOIN {prev} b ON e.dst = b.node
+            GROUP BY e.src
+        ),
+        alive{i} AS (SELECT src AS node FROM deg{i} WHERE d >= {KCORE_K})"""
+        prev = f"alive{i}"
+    sql += f""",
+        fdeg AS (
+            SELECT e.src, count(*) AS core_degree FROM edges e
+            JOIN {prev} a ON e.src = a.node
+            JOIN {prev} b ON e.dst = b.node
+            GROUP BY e.src
+        )
+        SELECT a.node,
+               CASE WHEN a.node >= {NODE_OFFSET} THEN 'customer' ELSE 'supplier' END AS side,
+               CAST(fdeg.core_degree AS BIGINT) AS core_degree
+        FROM {prev} a JOIN fdeg ON fdeg.src = a.node
+    """
+    return sql
+
+
 QUERIES = {
     "graph_pagerank_trade": graph_pagerank_trade,
+    "graph_kcore_prune": graph_kcore_prune,
     "graph_degree_distribution": graph_degree_distribution,
 }
 
 ORACLES = {
     "graph_pagerank_trade": _pagerank_oracle_sql(),
+    "graph_kcore_prune": _kcore_oracle_sql(),
     "graph_degree_distribution": f"""
         WITH pairs AS (
             SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust_node, l_suppkey AS supp_node
