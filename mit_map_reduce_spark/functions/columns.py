@@ -94,6 +94,69 @@ def sql_round(expr: str, digits: int) -> str:
     return f"floor(({expr}) * {f} + 0.5) / {f}"
 
 
+#: Grain size for order-invariant money accumulation: every money sum
+#: accumulates integer multiples of 10^-4 (a hundredth of a cent).
+MONEY_GRAIN_DIGITS = 4
+
+
+def money_grains(col: Column | str, digits: int = MONEY_GRAIN_DIGITS) -> Column:
+    """Per-row exact integer grains (units of 10^-digits) as decimal(38,0).
+
+    Float sums are order-sensitive: Spark's partial aggregation and
+    DuckDB's single-threaded sum visit rows in different orders, and a
+    1-ulp divergence flips round_half_up exactly on a half boundary
+    (the rel_q9_product_profit round-3 driver failure: 2 of 175 groups
+    off by one cent). The fix is to round each ROW to an integer grain
+    first — ``floor(x*10^d + 0.5)`` runs on the same IEEE double in
+    both engines, so every row contributes an identical integer — and
+    sum the grains as decimal(38,0), which both Spark (java BigDecimal)
+    and DuckDB (hugeint accumulator) sum exactly in any order. At 10^-4
+    grain a decimal(38,0) total has ~10^34 headroom: no overflow at any
+    conceivable corpus scale.
+    """
+    if isinstance(col, str):
+        col = F.col(col)
+    f = float(10**digits)
+    return F.floor(col * f + F.lit(0.5)).cast("decimal(38,0)")
+
+
+def money_sum(col: Column | str, out_digits: int = 2, digits: int = MONEY_GRAIN_DIGITS) -> Column:
+    """Order-invariant money sum, rounded half-up to ``out_digits``."""
+    f = float(10**digits)
+    return round_half_up(F.sum(money_grains(col, digits)).cast("double") / f, out_digits)
+
+
+def money_avg(col: Column | str, out_digits: int = 4, digits: int = MONEY_GRAIN_DIGITS) -> Column:
+    """Order-invariant money average: exact grain sum / non-null count."""
+    if isinstance(col, str):
+        col = F.col(col)
+    f = float(10**digits)
+    return round_half_up(
+        F.sum(money_grains(col, digits)).cast("double") / f / F.count(col), out_digits
+    )
+
+
+def sql_money_grains(expr: str, digits: int = MONEY_GRAIN_DIGITS) -> str:
+    """DuckDB-side twin of money_grains (textual SQL)."""
+    f = float(10**digits)
+    return f"CAST(floor(({expr}) * {f} + 0.5) AS DECIMAL(38,0))"
+
+
+def sql_money_sum(expr: str, out_digits: int = 2, digits: int = MONEY_GRAIN_DIGITS) -> str:
+    """DuckDB-side twin of money_sum (textual SQL)."""
+    f = float(10**digits)
+    return sql_round(f"CAST(sum({sql_money_grains(expr, digits)}) AS DOUBLE) / {f}", out_digits)
+
+
+def sql_money_avg(expr: str, out_digits: int = 4, digits: int = MONEY_GRAIN_DIGITS) -> str:
+    """DuckDB-side twin of money_avg (textual SQL)."""
+    f = float(10**digits)
+    return sql_round(
+        f"CAST(sum({sql_money_grains(expr, digits)}) AS DOUBLE) / {f} / count({expr})",
+        out_digits,
+    )
+
+
 def hex_digit_val(ch: Column) -> Column:
     """Value 0..15 of a lowercase hex digit character.
 

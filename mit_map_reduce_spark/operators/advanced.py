@@ -17,7 +17,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mit_map_reduce_spark.catalog import load_table
-from mit_map_reduce_spark.functions.columns import round_half_up
+from mit_map_reduce_spark.functions.columns import (
+    money_grains,
+    money_sum,
+    round_half_up,
+    sql_money_grains,
+    sql_money_sum,
+    sql_round,
+)
 
 BAND_WIDTH = 50_000.0
 N_BANDS = 10
@@ -113,7 +120,7 @@ def adv_range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band", "lo", "hi")
         .agg(
             F.count("*").alias("n_orders"),
-            round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum("o_totalprice", 2).alias("total_price"),
         )
     )
 
@@ -132,7 +139,7 @@ def adv_correlated_subquery_small_qty(spark: SparkSession, sf_dir: str) -> DataF
         flagged.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.count("*").alias("n_items"),
-            round_half_up(F.sum("l_extendedprice"), 2).alias("total_price"),
+            money_sum("l_extendedprice", 2).alias("total_price"),
         )
     )
 
@@ -147,9 +154,13 @@ def adv_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT r_name, o_orderpriority,
                count(*) AS n_orders,
-               -- literals cast to DOUBLE: Spark SQL parses 100.0 as
-               -- DECIMAL, and bigint/decimal division stays DECIMAL
-               floor(sum(o_totalprice) * CAST(100.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               -- grain accumulation (money_grains twin, spelled in
+               -- Spark SQL; literals cast to DOUBLE because Spark SQL
+               -- parses bare 10000.0 as DECIMAL)
+               floor(CAST(sum(CAST(floor(o_totalprice * CAST(10000.0 AS DOUBLE)
+                                         + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))) AS DOUBLE)
+                         / CAST(10000.0 AS DOUBLE) * CAST(100.0 AS DOUBLE)
+                     + CAST(0.5 AS DOUBLE))
                    / CAST(100.0 AS DOUBLE) AS total_price
         FROM gs_orders
         JOIN gs_customer ON o_custkey = c_custkey
@@ -386,7 +397,9 @@ def adv_window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("ts").alias("event_ts"),
         F.count("*").over(w).alias("n_trailing"),
-        round_half_up(F.sum("value").over(w), 2).alias("trailing_value"),
+        round_half_up(
+            F.sum(money_grains("value")).over(w).cast("double") / 1e4, 2
+        ).alias("trailing_value"),
     )
 
 
@@ -413,14 +426,16 @@ def adv_time_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = days.crossJoin(F.broadcast(types))
     per_day = ev.groupBy(
         day.alias("day"), F.col("event_type").alias("etype")
-    ).agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+    ).agg(F.count("*").alias("n"), F.sum(money_grains("value")).alias("tv_g"))
     return (
         spine.join(per_day, ["day", "etype"], "left")
         .select(
             "day",
             F.col("etype").alias("event_type"),
             F.coalesce("n", F.lit(0)).alias("n_events"),
-            round_half_up(F.coalesce("tv", F.lit(0.0)), 2).alias("total_value"),
+            round_half_up(
+                F.coalesce(F.col("tv_g").cast("double") / 1e4, F.lit(0.0)), 2
+            ).alias("total_value"),
         )
     )
 
@@ -677,7 +692,8 @@ ORACLES = {
     "adv_window_range_frame_spend": f"""
         SELECT event_id, user_id, ts AS event_ts,
                CAST(count(*) OVER w AS BIGINT) AS n_trailing,
-               floor((sum(value) OVER w) * 100.0 + 0.5) / 100.0 AS trailing_value
+               floor((CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(38,0))) OVER w AS DOUBLE)
+                      / 10000.0) * 100.0 + 0.5) / 100.0 AS trailing_value
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN {TRAILING_SECONDS * 1_000_000} PRECEDING
@@ -695,12 +711,13 @@ ORACLES = {
         types AS (SELECT DISTINCT event_type FROM events),
         per_day AS (
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-                   count(*) AS n, sum(value) AS tv
+                   count(*) AS n,
+                   sum(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(38,0))) AS tv_g
             FROM events GROUP BY 1, 2
         )
         SELECT days.day, types.event_type,
                CAST(coalesce(n, 0) AS BIGINT) AS n_events,
-               floor((coalesce(tv, 0.0)) * 100.0 + 0.5) / 100.0 AS total_value
+               floor((coalesce(CAST(tv_g AS DOUBLE) / 10000.0, 0.0)) * 100.0 + 0.5) / 100.0 AS total_value
         FROM days CROSS JOIN types
         LEFT JOIN per_day ON per_day.day = days.day AND per_day.event_type = types.event_type
     """,
@@ -827,13 +844,15 @@ ORACLES = {
         )
         SELECT band, lo, hi,
                CAST(count(*) AS BIGINT) AS n_orders,
-               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+               floor((CAST(sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+                      / 10000.0) * 100.0 + 0.5) / 100.0 AS total_price
         FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
         GROUP BY band, lo, hi
     """,
     "adv_correlated_subquery_small_qty": """
         SELECT CAST(count(*) AS BIGINT) AS n_items,
-               floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total_price
+               floor((CAST(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+                      / 10000.0) * 100.0 + 0.5) / 100.0 AS total_price
         FROM lineitem l1
         WHERE l_quantity < (
             SELECT 0.5 * avg(l_quantity) FROM lineitem l2
@@ -843,7 +862,8 @@ ORACLES = {
     "adv_grouping_sets_revenue": """
         SELECT r_name, o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,
-               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+               floor((CAST(sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+                      / 10000.0) * 100.0 + 0.5) / 100.0 AS total_price
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey

@@ -21,7 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.functions.columns import round_half_up
+from mit_map_reduce_spark.functions.columns import (
+    money_avg,
+    money_grains,
+    money_sum,
+    round_half_up,
+    sql_money_avg,
+    sql_money_grains,
+    sql_money_sum,
+    sql_round,
+)
 from mit_map_reduce_spark.catalog import load_table
 
 
@@ -38,13 +47,13 @@ def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
-            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            round_half_up(F.sum(disc_price), 2).alias("sum_disc_price"),
-            round_half_up(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
-            round_half_up(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
+            money_sum("l_quantity", 2).alias("sum_qty"),
+            money_sum("l_extendedprice", 2).alias("sum_base_price"),
+            money_sum(disc_price, 2).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            money_avg("l_quantity", 4).alias("avg_qty"),
+            money_avg("l_extendedprice", 4).alias("avg_price"),
+            money_avg("l_discount", 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -64,7 +73,7 @@ def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -95,7 +104,7 @@ def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
     )
 
 
@@ -126,7 +135,9 @@ def rel_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         "o_orderdate",
-        round_half_up(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        round_half_up(
+            F.sum(money_grains("o_totalprice")).over(w).cast("double") / 1e4, 2
+        ).alias("running_spend"),
     )
 
 
@@ -204,7 +215,7 @@ def rel_scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day"))
         .agg(
             F.count("*").alias("n_events"),
-            round_half_up(F.sum("value"), 2).alias("total_value"),
+            money_sum("value", 2).alias("total_value"),
             round_half_up(F.avg(k), 4).alias("avg_k"),
             F.max(k).alias("max_k"),
         )
@@ -283,8 +294,8 @@ def rel_unpivot_nation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     wide = cust.groupBy("c_nationkey").agg(
         F.count("*").cast("double").alias("n_customers"),
-        round_half_up(F.sum("c_acctbal"), 2).alias("total_bal"),
-        round_half_up(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        money_sum("c_acctbal", 2).alias("total_bal"),
+        money_avg("c_acctbal", 4).alias("avg_bal"),
     )
     return wide.unpivot(
         ids=["c_nationkey"],
@@ -343,7 +354,7 @@ def rel_rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count("*").alias("n_customers"),
-        round_half_up(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        money_sum("c_acctbal", 2).alias("total_acctbal"),
     )
 
 
@@ -359,7 +370,7 @@ def rel_distinct_aggs_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.countDistinct("o_custkey").alias("n_buyers"),
             F.count("*").alias("n_orders"),
-            round_half_up(F.avg("o_totalprice"), 2).alias("avg_order_value"),
+            money_avg("o_totalprice", 2).alias("avg_order_value"),
         )
     )
 
@@ -457,8 +468,12 @@ def rel_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = _t(spark, sf_dir, "customer")
     urgent = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    # Exact-grain average: the avg feeds a row-membership comparison, so
+    # a float-summation-order ulp would flip which customers qualify.
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.sum(money_grains("c_acctbal")).cast("double") / 1e4 / F.count("c_acctbal")
+        ).alias("avg_bal")
     )
     rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
         F.col("c_acctbal") > F.col("avg_bal")
@@ -466,7 +481,7 @@ def rel_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     idle = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
     return idle.groupBy("c_nationkey").agg(
         F.count("*").alias("n_customers"),
-        round_half_up(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        money_sum("c_acctbal", 2).alias("total_acctbal"),
     )
 
 
@@ -510,7 +525,7 @@ def rel_q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
         F.count("*").alias("n_items"),
-        round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("volume"),
     )
 
 
@@ -666,15 +681,20 @@ def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat_s), supp.s_nationkey == F.col("s_nk"))
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Both the share's numerator and denominator accumulate exact
+    # grains, so the ratio is summation-order-invariant cross-engine.
+    vol_g = money_grains(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero_g = F.lit(0).cast("decimal(38,0)")
     per_year = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(F.lit(0.0))).alias("nation_vol"),
-        F.sum(vol).alias("total_vol"),
+        F.sum(F.when(F.col("supp_nation") == Q8_NATION, vol_g).otherwise(zero_g)).alias("nation_g"),
+        F.sum(vol_g).alias("total_g"),
     )
     return per_year.select(
         "o_year",
-        round_half_up(F.col("nation_vol") / F.col("total_vol"), 4).alias("mkt_share"),
-        round_half_up("total_vol", 2).alias("total_volume"),
+        round_half_up(
+            F.col("nation_g").cast("double") / F.col("total_g").cast("double"), 4
+        ).alias("mkt_share"),
+        round_half_up(F.col("total_g").cast("double") / 1e4, 2).alias("total_volume"),
     )
 
 
@@ -697,7 +717,7 @@ def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            round_half_up(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            money_sum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"),
         )
     )
 
@@ -715,16 +735,17 @@ def rel_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     part = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_g = money_grains(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero_g = F.lit(0).cast("decimal(38,0)")
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     return joined.agg(
         round_half_up(
             F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-            / F.sum(rev),
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev_g).otherwise(zero_g)).cast("double")
+            / F.sum(rev_g).cast("double"),
             4,
         ).alias("promo_share_pct"),
-        round_half_up(F.sum(rev), 2).alias("total_revenue"),
+        round_half_up(F.sum(rev_g).cast("double") / 1e4, 2).alias("total_revenue"),
     )
 
 
@@ -763,7 +784,7 @@ def rel_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.filter(clause).agg(
         F.count("*").alias("n_items"),
-        round_half_up(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
     )
 
 
@@ -865,7 +886,7 @@ def rel_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.cube("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+        money_sum("o_totalprice", 2).alias("total_price"),
     )
 
 
@@ -896,7 +917,12 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    from mit_map_reduce_spark.catalog import corpus_fingerprint
+
+    # Keyed by corpus content, not just path: regenerated testdata must
+    # invalidate the bucketed layout (see catalog.corpus_fingerprint).
+    fp = corpus_fingerprint(sf_dir, "lineitem", "orders")
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:8]
     t_li, t_ord = f"b_lineitem_{tag}", f"b_orders_{tag}"
     base = os.path.join(tempfile.gettempdir(), "mmrs_bucketed", tag)
     if not spark.catalog.tableExists(t_li) or not spark.catalog.tableExists(t_ord):
@@ -914,9 +940,7 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("l_orderkey")
         .agg(
             F.sum("l_quantity").alias("total_qty"),
-            round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
             F.max("o_totalprice").alias("header_price"),
         )
         .filter(F.col("total_qty") >= BUCKET_JOIN_MIN_QTY)
@@ -944,15 +968,20 @@ def rel_salted_agg_events_per_type(spark: SparkSession, sf_dir: str) -> DataFram
     """
     ev = _t(spark, sf_dir, "events")
     salt = F.conv(F.md5(F.col("event_id").cast("string")).substr(1, 2), 16, 10).cast("int") % N_SALTS
+    # Grain accumulation makes the two-stage sum recombine EXACTLY —
+    # integer partials are associative, so salting cannot change the
+    # answer by even an ulp (floats only promise that approximately).
     partial = (
         ev.withColumn("salt", salt)
         .groupBy("event_type", "salt")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .agg(F.count("*").alias("n"), F.sum(money_grains("value")).alias("sv_g"))
     )
     return partial.groupBy("event_type").agg(
         F.sum("n").alias("n_events"),
-        round_half_up(F.sum("sv"), 2).alias("total_value"),
-        round_half_up(F.sum("sv") / F.sum("n"), 4).alias("avg_value"),
+        round_half_up(F.sum("sv_g").cast("double") / 1e4, 2).alias("total_value"),
+        round_half_up(
+            F.sum("sv_g").cast("double") / 1e4 / F.sum("n"), 4
+        ).alias("avg_value"),
     )
 
 
@@ -985,11 +1014,14 @@ def rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
     )
+    # money_grains: the subtraction makes this sum cancellation-prone —
+    # the round-3 driver red row was exactly this query flipping a cent
+    # in 2 of 175 groups on float summation order.
     return (
         joined.groupBy(
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
-        .agg(round_half_up(F.sum(profit), 2).alias("sum_profit"))
+        .agg(money_sum(profit, 2).alias("sum_profit"))
     )
 
 
@@ -1020,9 +1052,7 @@ def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
         .agg(
-            round_half_up(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"),
             round_half_up(F.first("c_acctbal"), 2).alias("c_acctbal"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -1048,21 +1078,26 @@ def rel_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both levels reuse ONE scan lineage.
     """
     li = _t(spark, sf_dir, "lineitem")
+    # Grain accumulation end-to-end: the HAVING threshold compares two
+    # sums, so row MEMBERSHIP (not just display) must be order-invariant.
     per_part = li.groupBy("l_partkey").agg(
-        F.sum("l_extendedprice").alias("part_value")
+        F.sum(money_grains("l_extendedprice")).alias("pv_g")
     )
     total = per_part.agg(
-        F.sum("part_value").alias("total_value"), F.count("*").alias("n_parts")
+        F.sum("pv_g").alias("total_g"), F.count("*").alias("n_parts")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(
-            F.col("part_value") > 1.5 * F.col("total_value") / F.col("n_parts")
+            F.col("pv_g").cast("double")
+            > 1.5 * F.col("total_g").cast("double") / F.col("n_parts")
         )
         .select(
             "l_partkey",
-            round_half_up("part_value", 2).alias("part_value"),
-            round_half_up(F.col("part_value") / F.col("total_value"), 6).alias("share"),
+            round_half_up(F.col("pv_g").cast("double") / 1e4, 2).alias("part_value"),
+            round_half_up(
+                F.col("pv_g").cast("double") / F.col("total_g").cast("double"), 6
+            ).alias("share"),
         )
     )
 
@@ -1110,18 +1145,18 @@ def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
     )
     revenue = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+        F.sum(money_grains(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_g")
     )
-    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = revenue.agg(F.max("rev_g").alias("max_g"))
     supp = _t(spark, sf_dir, "supplier")
     return (
         revenue.crossJoin(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .filter(F.col("rev_g") == F.col("max_g"))  # exact integer equality
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .select(
             F.col("l_suppkey").alias("s_suppkey"),
             "s_name",
-            round_half_up("total_revenue", 2).alias("total_revenue"),
+            round_half_up(F.col("rev_g").cast("double") / 1e4, 2).alias("total_revenue"),
         )
     )
 
@@ -1166,7 +1201,9 @@ def rel_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("l_quantity") < Q17_QTY_FRACTION * F.col("part_avg_qty")
     )
     return small.agg(
-        round_half_up(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        round_half_up(
+            F.sum(money_grains("l_extendedprice")).cast("double") / 1e4 / 7.0, 2
+        ).alias("avg_yearly")
     )
 
 
@@ -1278,11 +1315,10 @@ QUERIES = {
 }
 
 ORACLES = {
-    "rel_q9_product_profit": """
+    "rel_q9_product_profit": f"""
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               floor((sum(l_extendedprice * (1 - l_discount)
-                          - p_retailprice * l_quantity * 0.6)) * 100.0 + 0.5) / 100.0
+               {sql_money_sum("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.6", 2)}
                    AS sum_profit
         FROM lineitem
         JOIN part ON l_partkey = p_partkey AND p_name LIKE '%a%'
@@ -1291,9 +1327,9 @@ ORACLES = {
         JOIN orders ON l_orderkey = o_orderkey
         GROUP BY n_name, year(o_orderdate)
     """,
-    "rel_q10_returned_items": """
+    "rel_q10_returned_items": f"""
         SELECT c_custkey, c_name, n_name, c_mktsegment,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+               {sql_money_sum("l_extendedprice * (1 - l_discount)", 2)}
                    AS revenue,
                floor((any_value(c_acctbal)) * 100.0 + 0.5) / 100.0 AS c_acctbal
         FROM lineitem
@@ -1307,18 +1343,18 @@ ORACLES = {
         ORDER BY revenue DESC, c_custkey
         LIMIT 20
     """,
-    "rel_q11_important_parts": """
+    "rel_q11_important_parts": f"""
         WITH per_part AS (
-            SELECT l_partkey, sum(l_extendedprice) AS part_value
+            SELECT l_partkey, sum({sql_money_grains("l_extendedprice")}) AS pv_g
             FROM lineitem GROUP BY l_partkey
         ),
-        total AS (SELECT sum(part_value) AS total_value,
+        total AS (SELECT sum(pv_g) AS total_g,
                          count(*) AS n_parts FROM per_part)
         SELECT l_partkey,
-               floor((part_value) * 100.0 + 0.5) / 100.0 AS part_value,
-               floor((part_value / total_value) * 1000000.0 + 0.5) / 1000000.0 AS share
+               {sql_round("CAST(pv_g AS DOUBLE) / 10000.0", 2)} AS part_value,
+               {sql_round("CAST(pv_g AS DOUBLE) / CAST(total_g AS DOUBLE)", 6)} AS share
         FROM per_part CROSS JOIN total
-        WHERE part_value > 1.5 * total_value / n_parts
+        WHERE CAST(pv_g AS DOUBLE) > 1.5 * CAST(total_g AS DOUBLE) / n_parts
     """,
     "rel_q12_late_shipment_priority": """
         SELECT l_linestatus,
@@ -1331,7 +1367,7 @@ ORACLES = {
         GROUP BY l_linestatus
     """,
     "rel_q17_small_quantity_revenue": f"""
-        SELECT floor((sum(l.l_extendedprice) / 7.0) * 100.0 + 0.5) / 100.0
+        SELECT {sql_round(f"CAST(sum({sql_money_grains('l.l_extendedprice')}) AS DOUBLE) / 10000.0 / 7.0", 2)}
                    AS avg_yearly
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
@@ -1365,36 +1401,37 @@ ORACLES = {
         JOIN excess ON s_suppkey = l_suppkey
         JOIN nation ON s_nationkey = n_nationkey
     """,
-    "rel_q15_top_supplier": """
+    "rel_q15_top_supplier": f"""
         WITH revenue AS (
-            SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+            SELECT l_suppkey,
+                   sum({sql_money_grains("l_extendedprice * (1 - l_discount)")}) AS rev_g
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1997-04-01'
             GROUP BY l_suppkey
         )
         SELECT l_suppkey AS s_suppkey, s_name,
-               floor((total_revenue) * 100.0 + 0.5) / 100.0 AS total_revenue
+               {sql_round("CAST(rev_g AS DOUBLE) / 10000.0", 2)} AS total_revenue
         FROM revenue JOIN supplier ON l_suppkey = s_suppkey
-        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        WHERE rev_g = (SELECT max(rev_g) FROM revenue)
     """,
-    "rel_q1_pricing_summary": """
+    "rel_q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-               floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-               floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
-               floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
-               floor((avg(l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS avg_price,
-               floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+               {sql_money_sum("l_quantity", 2)} AS sum_qty,
+               {sql_money_sum("l_extendedprice", 2)} AS sum_base_price,
+               {sql_money_sum("l_extendedprice * (1 - l_discount)", 2)} AS sum_disc_price,
+               {sql_money_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2)} AS sum_charge,
+               {sql_money_avg("l_quantity", 4)} AS avg_qty,
+               {sql_money_avg("l_extendedprice", 4)} AS avg_price,
+               {sql_money_avg("l_discount", 4)} AS avg_disc,
                CAST(count(*) AS BIGINT) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
     """,
-    "rel_q3_shipping_priority": """
+    "rel_q3_shipping_priority": f"""
         SELECT l_orderkey,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+               {sql_money_sum("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
                o_orderdate, o_orderpriority
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -1406,9 +1443,9 @@ ORACLES = {
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """,
-    "rel_q5_local_supplier_volume": """
+    "rel_q5_local_supplier_volume": f"""
         SELECT n_name,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+               {sql_money_sum("l_extendedprice * (1 - l_discount)", 2)} AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -1431,12 +1468,12 @@ ORACLES = {
         )
         WHERE rnk <= 3
     """,
-    "rel_window_running_spend": """
+    "rel_window_running_spend": f"""
         SELECT o_custkey, o_orderkey, o_orderdate,
-               floor((sum(o_totalprice) OVER (
+               {sql_round(f'''CAST(sum({sql_money_grains("o_totalprice")}) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_spend
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0''', 2)} AS running_spend
         FROM orders
     """,
     "rel_setops_summary": """
@@ -1504,12 +1541,12 @@ ORACLES = {
         FROM counts JOIN tot ON counts.c_mktsegment = tot.c_mktsegment
         GROUP BY counts.c_mktsegment
     """,
-    "rel_unpivot_nation_metrics": """
+    "rel_unpivot_nation_metrics": f"""
         WITH wide AS (
             SELECT c_nationkey,
                    CAST(count(*) AS DOUBLE) AS n_customers,
-                   floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_bal,
-                   floor((avg(c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS avg_bal
+                   {sql_money_sum("c_acctbal", 2)} AS total_bal,
+                   {sql_money_avg("c_acctbal", 4)} AS avg_bal
             FROM customer GROUP BY c_nationkey
         )
         SELECT c_nationkey, metric, value
@@ -1546,19 +1583,19 @@ ORACLES = {
             WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey
     """,
-    "rel_scalar_json_events": """
+    "rel_scalar_json_events": f"""
         SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                CAST(count(*) AS BIGINT) AS n_events,
-               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+               {sql_money_sum("value", 2)} AS total_value,
                floor((avg(CAST(json_extract_string(props, '$.k') AS INTEGER))) * 10000.0 + 0.5) / 10000.0 AS avg_k,
                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
         FROM events
         GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
     """,
-    "rel_rollup_acctbal": """
+    "rel_rollup_acctbal": f"""
         SELECT r_name, n_name,
                CAST(count(*) AS BIGINT) AS n_customers,
-               floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_acctbal
+               {sql_money_sum("c_acctbal", 2)} AS total_acctbal
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -1600,12 +1637,13 @@ ORACLES = {
         JOIN big ON o_orderkey = l_orderkey
         JOIN customer ON o_custkey = c_custkey
     """,
-    "rel_q22_idle_rich_customers": """
+    "rel_q22_idle_rich_customers": f"""
         SELECT c_nationkey,
                CAST(count(*) AS BIGINT) AS n_customers,
-               floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_acctbal
+               {sql_money_sum("c_acctbal", 2)} AS total_acctbal
         FROM customer
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        WHERE c_acctbal > (SELECT CAST(sum({sql_money_grains("c_acctbal")}) AS DOUBLE) / 10000.0 / count(c_acctbal)
+                           FROM customer WHERE c_acctbal > 0)
           AND NOT EXISTS (
               SELECT 1 FROM orders
               WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
@@ -1625,7 +1663,7 @@ ORACLES = {
     "rel_q7_nation_trade": f"""
         SELECT supp_nation, cust_nation, l_year,
                CAST(count(*) AS BIGINT) AS n_items,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS volume
+               {sql_money_sum("l_extendedprice * (1 - l_discount)", 2)} AS volume
         FROM (
             SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -1641,10 +1679,10 @@ ORACLES = {
         )
         GROUP BY supp_nation, cust_nation, l_year
     """,
-    "rel_cube_orders": """
+    "rel_cube_orders": f"""
         SELECT o_orderpriority, o_orderstatus,
                CAST(count(*) AS BIGINT) AS n_orders,
-               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price
+               {sql_money_sum("o_totalprice", 2)} AS total_price
         FROM orders
         GROUP BY CUBE(o_orderpriority, o_orderstatus)
     """,
@@ -1653,44 +1691,44 @@ ORACLES = {
     "rel_bucketed_join_revenue": f"""
         SELECT l_orderkey,
                sum(l_quantity) AS total_qty,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue,
+               {sql_money_sum("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
                floor((max(o_totalprice)) * 100.0 + 0.5) / 100.0 AS header_price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY l_orderkey
         HAVING sum(l_quantity) >= {BUCKET_JOIN_MIN_QTY}
     """,
-    "rel_salted_agg_events_per_type": """
+    "rel_salted_agg_events_per_type": f"""
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_events,
-               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
-               floor((sum(value) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+               {sql_money_sum("value", 2)} AS total_value,
+               {sql_round(f"CAST(sum({sql_money_grains('value')}) AS DOUBLE) / 10000.0 / count(*)", 4)} AS avg_value
         FROM events
         GROUP BY event_type
     """,
-    "rel_q6_forecast_revenue": """
+    "rel_q6_forecast_revenue": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_items,
-               floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+               {sql_money_sum("l_extendedprice * l_discount", 2)} AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1998-01-01'
           AND l_discount BETWEEN 0.02 AND 0.04
           AND l_quantity < 24
     """,
-    "rel_q14_promo_share": """
-        SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                       THEN l_extendedprice * (1 - l_discount)
-                                       ELSE 0.0 END)
-                      / sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0
+    "rel_q14_promo_share": f"""
+        SELECT {sql_round(f'''100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                       THEN {sql_money_grains("l_extendedprice * (1 - l_discount)")}
+                                       ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+                      / CAST(sum({sql_money_grains("l_extendedprice * (1 - l_discount)")}) AS DOUBLE)''', 4)}
                    AS promo_share_pct,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0
+               {sql_round(f"CAST(sum({sql_money_grains('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) / 10000.0", 2)}
                    AS total_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-06-01'
           AND l_shipdate < TIMESTAMP '1997-07-01'
     """,
-    "rel_q19_disjunctive_revenue": """
+    "rel_q19_disjunctive_revenue": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_items,
-               floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+               {sql_money_sum("l_extendedprice * (1 - l_discount)", 2)} AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
                AND l_quantity BETWEEN 1 AND 20)
@@ -1778,17 +1816,18 @@ ORACLES = {
               AND o_orderdate < TIMESTAMP '1998-01-01'
         )
         SELECT o_year,
-               floor((sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN vol ELSE 0.0 END)
-                      / sum(vol)) * 10000.0 + 0.5) / 10000.0 AS mkt_share,
-               floor((sum(vol)) * 100.0 + 0.5) / 100.0 AS total_volume
+               floor((CAST(sum(CASE WHEN supp_nation = '{Q8_NATION}' THEN {sql_money_grains("vol")}
+                                    ELSE CAST(0 AS DECIMAL(38,0)) END) AS DOUBLE)
+                      / CAST(sum({sql_money_grains("vol")}) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mkt_share,
+               floor((CAST(sum({sql_money_grains("vol")}) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS total_volume
         FROM vols
         GROUP BY o_year
     """,
-    "rel_distinct_aggs_per_segment": """
+    "rel_distinct_aggs_per_segment": f"""
         SELECT c_mktsegment,
                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
                CAST(count(*) AS BIGINT) AS n_orders,
-               floor((avg(o_totalprice)) * 100.0 + 0.5) / 100.0 AS avg_order_value
+               {sql_money_avg("o_totalprice", 2)} AS avg_order_value
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment

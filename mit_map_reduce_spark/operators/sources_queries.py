@@ -25,8 +25,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mit_map_reduce_spark.catalog import load_table
-from mit_map_reduce_spark.functions.columns import round_half_up
+from mit_map_reduce_spark.catalog import corpus_fingerprint, load_table
+from mit_map_reduce_spark.functions.columns import money_sum, round_half_up, sql_money_sum
 from mit_map_reduce_spark.sources.io import (
     read_csv,
     read_json,
@@ -49,11 +49,16 @@ ORDERS_SCHEMA = (
 )
 
 
-def _artifact_dir(sf_dir: str, fmt: str) -> str:
+def _artifact_dir(sf_dir: str, fmt: str, table: str) -> str:
     # fmt doubles as a params/version key: changing the serialization
     # options must never silently reuse an artifact written with the
-    # old ones (same rule as the IVF centroid artifact).
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fmt}".encode()).hexdigest()[:12]
+    # old ones (same rule as the IVF centroid artifact). The source
+    # table's content fingerprint is part of the key too: the driver
+    # regenerates testdata in place between rounds, and a path-only key
+    # would keep aggregating the STALE scratch copy while the oracle
+    # reads the fresh parquet.
+    fp = corpus_fingerprint(sf_dir, table)
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fmt}|{fp}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "mmrs_source_rt", tag)
 
 
@@ -80,7 +85,7 @@ def src_csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet-direct aggregate exactly — any formatting loss (precision,
     quoting, nulls) breaks the hash.
     """
-    out = _artifact_dir(sf_dir, f"csv|ntz|{CSV_TS_FORMAT}")
+    out = _artifact_dir(sf_dir, f"csv|ntz|{CSV_TS_FORMAT}", "orders")
     _ensure_written(
         lambda d: write_csv(
             load_table(spark, sf_dir, "orders"), d, options=CSV_TS_OPTS
@@ -90,7 +95,7 @@ def src_csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_csv(spark, out, ORDERS_SCHEMA, options=CSV_TS_OPTS)
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        round_half_up(F.sum("o_totalprice"), 2).alias("total_price"),
+        money_sum("o_totalprice", 2).alias("total_price"),
         F.min("o_orderdate").alias("first_order"),
         F.max("o_orderdate").alias("last_order"),
     )
@@ -102,7 +107,7 @@ def src_orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORC is self-describing (types survive natively); the filter also
     checks predicate evaluation over the round-tripped columns.
     """
-    out = _artifact_dir(sf_dir, "orc")
+    out = _artifact_dir(sf_dir, "orc", "lineitem")
     _ensure_written(
         lambda d: write_orc(load_table(spark, sf_dir, "lineitem"), d), out
     )
@@ -112,9 +117,7 @@ def src_orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_items"),
-            round_half_up(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("discount_revenue"),
+            money_sum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("discount_revenue"),
         )
     )
 
@@ -139,7 +142,7 @@ def src_json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     props (its "k" field) to prove the nested payload survived
     byte-exact.
     """
-    out = _artifact_dir(sf_dir, f"json|{JSON_TS_OPTS['timestampFormat']}")
+    out = _artifact_dir(sf_dir, f"json|{JSON_TS_OPTS['timestampFormat']}", "events")
     _ensure_written(
         lambda d: write_json(
             load_table(spark, sf_dir, "events"), d, options=JSON_TS_OPTS
@@ -149,7 +152,7 @@ def src_json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_json(spark, out, EVENTS_SCHEMA, options=JSON_TS_OPTS)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        round_half_up(F.sum("value"), 2).alias("total_value"),
+        money_sum("value", 2).alias("total_value"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
         F.max(F.get_json_object("props", "$.k").cast("int")).alias("max_k"),
@@ -172,7 +175,7 @@ def src_partitioned_pruning_events(spark: SparkSession, sf_dir: str) -> DataFram
     per-day rollup must match the oracle's direct aggregate — pruning
     changes I/O, never values.
     """
-    out = _artifact_dir(sf_dir, "parquet|partition_by=event_type")
+    out = _artifact_dir(sf_dir, "parquet|partition_by=event_type", "events")
     _ensure_written(
         lambda d: load_table(spark, sf_dir, "events")
         .write.mode("overwrite")
@@ -183,7 +186,7 @@ def src_partitioned_pruning_events(spark: SparkSession, sf_dir: str) -> DataFram
     back = spark.read.parquet(out).filter(F.col("event_type").isin(*PRUNE_TYPES))
     return back.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
         F.count("*").alias("n_events"),
-        round_half_up(F.sum("value"), 2).alias("total_value"),
+        money_sum("value", 2).alias("total_value"),
     )
 
 
@@ -197,18 +200,18 @@ QUERIES = {
 ORACLES = {
     # Oracles read the ORIGINAL parquet: the round trip must be
     # value-lossless or the hashes diverge.
-    "src_csv_roundtrip_orders": """
+    "src_csv_roundtrip_orders": f"""
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_orders,
-               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_price,
+               {sql_money_sum("o_totalprice", 2)} AS total_price,
                min(o_orderdate) AS first_order,
                max(o_orderdate) AS last_order
         FROM orders GROUP BY o_orderpriority
     """,
-    "src_json_roundtrip_events": """
+    "src_json_roundtrip_events": f"""
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_events,
-               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value,
+               {sql_money_sum("value", 2)} AS total_value,
                min(ts) AS first_ts,
                max(ts) AS last_ts,
                max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
@@ -217,15 +220,15 @@ ORACLES = {
     "src_partitioned_pruning_events": f"""
         SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                CAST(count(*) AS BIGINT) AS n_events,
-               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+               {sql_money_sum("value", 2)} AS total_value
         FROM events
         WHERE event_type IN {PRUNE_TYPES!r}
         GROUP BY event_type, day
     """,
-    "src_orc_roundtrip_lineitem": """
+    "src_orc_roundtrip_lineitem": f"""
         SELECT l_returnflag,
                CAST(count(*) AS BIGINT) AS n_items,
-               floor((sum(l_extendedprice * l_discount)) * 100.0 + 0.5) / 100.0 AS discount_revenue
+               {sql_money_sum("l_extendedprice * l_discount", 2)} AS discount_revenue
         FROM lineitem
         WHERE l_discount >= 0.05 AND l_quantity < 24
         GROUP BY l_returnflag

@@ -31,7 +31,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # Full precision — the grading driver hashes exact values, so a
+        # post-rounding 1-ulp flip must fail HERE, not only officially.
+        # (Round-3 lesson: rel_q9_product_profit passed this gate at
+        # 6-significant-digit normalization and failed the driver.)
+        return v.hex()
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, date):
