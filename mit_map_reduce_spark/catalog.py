@@ -39,6 +39,28 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def corpus_fingerprint(sf_dir: str, *tables: str) -> str:
+    """Content fingerprint (mtime_ns + size per source file) for keying
+    derived artifacts (source round-trip scratch copies, IVF centroids,
+    bucketed-table layouts).
+
+    Artifacts keyed only by (path, params) silently aggregate STALE
+    bytes after the corpus is regenerated in place — the driver does
+    regenerate testdata between rounds (events.ts even changed
+    encoding once). Folding the source file's identity into the key
+    makes regeneration invalidate every derived artifact for free.
+    """
+    parts = []
+    for t in tables:
+        p = table_path(sf_dir, t)
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+        except OSError:
+            parts.append(f"{t}:missing")
+    return "|".join(parts)
+
+
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Fan a small input out across the cluster before compute-heavy
     derivation (shingling, hashing, pair joins).
@@ -103,8 +125,15 @@ def shared_persist(spark: SparkSession, name: str, sf_dir: str, factory) -> Data
     key = (id(spark), name, sf_dir)
     df = _SHARED_CACHE.get(key)
     if df is None:
-        df = factory().persist()
-        _SHARED_CACHE[key] = df
+        df = factory()
+        # Iterative builders (graph loops) hand back a frame they
+        # already persisted+materialized; re-persisting would emit the
+        # very CacheManager duplicate-cache warning this registry kills.
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            _SHARED_CACHE[key] = df
+        else:
+            df = df.persist()
+            _SHARED_CACHE[key] = df
     return df
 
 

@@ -1,0 +1,47 @@
+"""Cache hygiene for the iterative graph loops (round-3 verdict #4).
+
+Contract: the trade-graph edge list is built and persisted ONCE per
+(session, corpus) via the catalog's shared_persist registry, shared by
+PageRank / k-core / degree distribution; iterative loops release every
+superseded per-round frame; and a second invocation of an iterative
+query is a pure registry hit (zero new cached RDDs).
+"""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from mit_map_reduce_spark.catalog import _SHARED_CACHE
+from mit_map_reduce_spark.operators.graph import (
+    PR_ITERS,
+    graph_degree_distribution,
+    graph_kcore_prune,
+    graph_pagerank_trade,
+)
+
+
+def _cached_rdd_count(spark):
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _registry_keys(spark, sf_dir):
+    return {k[1] for k in _SHARED_CACHE if k[0] == id(spark) and k[2] == sf_dir}
+
+
+def test_graph_queries_share_one_edge_list(spark, sf_dir):
+    graph_degree_distribution(spark, sf_dir).collect()
+    before = _cached_rdd_count(spark)
+    graph_pagerank_trade(spark, sf_dir).collect()
+    after = _cached_rdd_count(spark)
+    keys = _registry_keys(spark, sf_dir)
+    assert "trade_edges" in keys and "graph_pagerank_ranks" in keys
+    # PageRank adds exactly ONE resident frame (its final ranks): the
+    # edge list was a registry hit and all superseded per-iteration
+    # frames were released (round 3 kept all PR_ITERS of them).
+    assert after - before == 1, (before, after, PR_ITERS)
+
+
+def test_second_invocation_is_registry_hit(spark, sf_dir):
+    first = graph_kcore_prune(spark, sf_dir).collect()
+    before = _cached_rdd_count(spark)
+    second = graph_kcore_prune(spark, sf_dir).collect()
+    assert _cached_rdd_count(spark) == before  # zero new cached frames
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
