@@ -334,11 +334,17 @@ def _centroids_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    from mit_map_reduce_spark.catalog import corpus_fingerprint
+
     # The key includes every training parameter: a code change that
     # alters training must never silently reuse an artifact trained by
     # the old code (the artifact would win any staleness race against
-    # the oracle, which always reflects current parameters).
-    params = f"{os.path.abspath(sf_dir)}|k={K_CELLS}|it={KMEANS_ITERS}|dp={MEAN_DIGITS}|mod={TRAIN_SAMPLE_MOD}"
+    # the oracle, which always reflects current parameters). It also
+    # includes the embeddings table's content fingerprint — the driver
+    # regenerates testdata in place, and centroids trained on the OLD
+    # corpus would silently misassign cells on the new one.
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    params = f"{os.path.abspath(sf_dir)}|{fp}|k={K_CELLS}|it={KMEANS_ITERS}|dp={MEAN_DIGITS}|mod={TRAIN_SAMPLE_MOD}"
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
     art = os.path.join(tempfile.gettempdir(), "mmrs_ivf_centroids", tag)
     if not os.path.isdir(art):
