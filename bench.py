@@ -8,6 +8,12 @@ the session (JVM + parquet footer caches), matching how a resident
 Spark service would run. Each query executes its full plan to
 completion (count-collapsed via ``df.count()`` — aggregations here
 return small results, so the dominant cost is the scan/shuffle work).
+
+Each query reports the MEDIAN of ``REPEATS`` (default 3) back-to-back
+runs: round 3's bench showed a uniform ~1.9x sandbox-contention
+multiplier on untouched queries, and a single noisy run must not
+masquerade as a plan regression (or hide one). Override with
+SPARK_GRAFT_BENCH_REPEATS=1 for a quick pass.
 """
 
 from __future__ import annotations
@@ -22,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mit_map_reduce_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 #: Headline set: one per capability pillar, heaviest variants.
 HEADLINE = (
@@ -113,10 +120,13 @@ def bench_mr_facade_wc(spark) -> tuple[float, int]:
             os.rename(tmp, corpus)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)
-    t0 = time.time()
-    df = run_job(spark, wc_map, wc_reduce, [os.path.join(corpus, "pg-*.txt")], n_reduce=10)
-    n = df.count()
-    return round(time.time() - t0, 3), n
+    runs = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        df = run_job(spark, wc_map, wc_reduce, [os.path.join(corpus, "pg-*.txt")], n_reduce=10)
+        n = df.count()
+        runs.append(time.time() - t0)
+    return round(sorted(runs)[len(runs) // 2], 3), n
 
 
 def main() -> None:
@@ -135,8 +145,6 @@ def main() -> None:
     # resident service pays once at startup, not per query. Without
     # this, whichever vectorized query runs first absorbs the whole
     # pool spin-up in its timing.
-    import pandas as _pd
-
     def _noop(batches):
         for b in batches:
             yield b
@@ -150,11 +158,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        n = 0
+        for _ in range(REPEATS):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            runs.append(time.time() - t0)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        spread = " ".join(f"{r:.2f}" for r in runs)
+        print(f"# {name}: {timings[name]:.2f}s median of [{spread}] ({n} rows)", file=sys.stderr)
 
     dt, n = bench_mr_facade_wc(spark)
     timings["mr_facade_wordcount_3mb"] = dt
