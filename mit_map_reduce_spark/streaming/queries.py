@@ -9,12 +9,19 @@ is driven to completion over the finite parquet input (the
 ``availableNow`` pattern), so its result equals the batch aggregation
 the DuckDB oracle computes.
 
-Watermark note: the windowed-agg queries come in both output modes —
-*complete* (every window incl. the still-open tail, matching the plain
-batch oracle) and *append with a file sink*
-(``stream_append_tumbling_file_sink``: watermark-closed windows only,
-state evicted, exactly-once file commit — the production shape; its
-oracle drops the open tail explicitly).
+Every query runs against a PRODUCTION sink (round-4 verdict #8; the
+test-only memory sink is gone entirely):
+
+- append-legal queries (watermarked windows, session windows, the
+  stream-stream join) emit through a parquet FILE sink with its
+  exactly-once ``_spark_metadata`` commit log — only watermark-closed
+  windows surface, and the oracles bound themselves by the same
+  cutoff;
+- update-mode queries (global/live rollups, the stateful
+  applyInPandasWithState pair) emit through the foreachBatch UPSERT
+  sink — a key-unique snapshot table swapped atomically per batch —
+  so every window including the still-open tail is a live row,
+  matching the plain batch oracle.
 """
 
 from __future__ import annotations
@@ -29,7 +36,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mit_map_reduce_spark.functions.columns import round_half_up
+from mit_map_reduce_spark.functions.columns import (
+    money_grains,
+    money_sum,
+    round_half_up,
+)
 from mit_map_reduce_spark.catalog import ensure_nanos_flag, load_table, table_path
 
 #: All per-run scratch (stream-source symlink dirs, file-sink output,
@@ -81,64 +92,28 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _table_stream(spark, sf_dir, "events")
 
 
-def _run_to_completion(
-    agg: DataFrame,
-    mode: str = "complete",
-    shuffle_partitions: int | None = None,
-) -> DataFrame:
-    spark = agg.sparkSession
-    name = "stream_out_" + uuid.uuid4().hex[:8]
-    # Stateful operators instantiate one state store PER shuffle
-    # partition PER micro-batch; size that to key cardinality, not core
-    # count (the partition count is fixed at first checkpoint anyway).
-    # Scoped set/restore: the value is captured when the stream starts.
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    if shuffle_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    try:
-        q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    finally:
-        if shuffle_partitions:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    # The memory-sink table lives for the session; return it as a
-    # plain batch DataFrame. (Update-mode stateful queries do NOT run
-    # through here — they use the production _run_to_upsert_sink.)
-    return spark.table(name)
+def _run_to_file_sink(agg: DataFrame, shuffle_partitions: int = 8) -> DataFrame:
+    """Drive an APPEND-mode stream into a real parquet FILE sink and
+    read the committed files back — the production emission path for
+    watermark-closed windows and join matches (exactly-once via the
+    sink's _spark_metadata commit log, the streaming analog of the
+    reference's atomic-rename output commit, src/mr/worker.go:219-224).
 
+    Every append-legal query runs through here; update-mode stateful
+    queries run through the foreachBatch upsert sink
+    (:func:`_run_to_upsert_sink`). Nothing uses the test-only memory
+    sink anymore (round-4 verdict #8).
 
-def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production streaming semantics end-to-end: APPEND mode + a real
-    watermark + a parquet FILE sink (not the test-only memory sink).
-
-    Append mode only emits a window once the watermark passes its end —
-    the still-open final day never reaches the sink, and its state is
-    evicted rather than kept forever (complete mode keeps every window
-    in state, which is unbounded on an unbounded stream). The oracle
-    reproduces exactly that: day windows whose end <= max(ts) - the
-    1-hour watermark delay. Rows come back by reading the sink files,
-    so this also exercises exactly-once file commit (the sink's
-    _spark_metadata log), the streaming analog of the reference's
-    atomic-rename output commit (src/mr/worker.go:219-224,
-    test-mr.sh:266-282 output-stability check).
+    Stateful operators instantiate one state store PER shuffle
+    partition PER micro-batch; size that to key cardinality, not core
+    count (the partition count is fixed at first checkpoint anyway).
+    Scoped set/restore: the value is captured when the stream starts.
     """
-    ev = _events_stream(spark, sf_dir)
-    agg = (
-        ev.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), round_half_up(F.sum("value"), 2).alias("total_value"))
-        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
-    )
+    spark = agg.sparkSession
     run_dir = _scratch_dir("append", uuid.uuid4().hex[:12])
     sink, ckpt = os.path.join(run_dir, "out"), os.path.join(run_dir, "ckpt")
-    # Same state-store sizing rule as _run_to_completion: one store per
-    # shuffle partition per batch, so size to the window-key cardinality
-    # (the partition count pins at first checkpoint).
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     try:
         q = (
             agg.writeStream.outputMode("append")
@@ -162,6 +137,31 @@ def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.read.parquet(sink)
 
 
+def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production streaming semantics end-to-end: APPEND mode + a real
+    watermark + a parquet FILE sink (not the test-only memory sink).
+
+    Append mode only emits a window once the watermark passes its end —
+    the still-open final day never reaches the sink, and its state is
+    evicted rather than kept forever (complete mode keeps every window
+    in state, which is unbounded on an unbounded stream). The oracle
+    reproduces exactly that: day windows whose end <= max(ts) - the
+    1-hour watermark delay. Rows come back by reading the sink files,
+    so this also exercises exactly-once file commit (the sink's
+    _spark_metadata log), the streaming analog of the reference's
+    atomic-rename output commit (src/mr/worker.go:219-224,
+    test-mr.sh:266-282 output-stability check).
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), money_sum("value", 2).alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
+    )
+    return _run_to_file_sink(agg)
+
+
 def stream_static_enrich_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the
     static customer dimension, rolled up per market segment — the
@@ -170,7 +170,12 @@ def stream_static_enrich_by_segment(spark: SparkSession, sf_dir: str) -> DataFra
     The static side needs no watermark and no state: each micro-batch
     plans a fresh broadcast-hash join against the dimension (which may
     be re-read per batch — how slowly-changing dims get picked up).
-    Complete mode keeps the tiny per-segment aggregate.
+
+    A GLOBAL (un-windowed) aggregate can never close, so append mode
+    is illegal — but that does not force the test-only memory sink:
+    update mode + the foreachBatch upsert keyed by segment keeps the
+    sink a live 5-row snapshot, the production pattern for streaming
+    rollup tables.
     """
     ev = _events_stream(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(
@@ -181,10 +186,10 @@ def stream_static_enrich_by_segment(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            round_half_up(F.sum("value"), 2).alias("total_value"),
+            money_sum("value", 2).alias("total_value"),
         )
     )
-    return _run_to_completion(agg, shuffle_partitions=8)
+    return _run_to_upsert_sink(agg, keys=["c_mktsegment"])
 
 
 ATTRIBUTION_WINDOW = "1 hour"
@@ -236,19 +241,28 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         "click_id",
         "click_ts",
     )
-    return _run_to_completion(joined, mode="append", shuffle_partitions=8)
+    return _run_to_file_sink(joined)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-day tumbling window counts per event_type, via readStream."""
+    """1-day tumbling window counts per event_type, via readStream.
+
+    Update mode + the foreachBatch upsert sink keyed by (window, type):
+    every window — including the still-open final day — is a live row
+    in the sink, refreshed whenever a batch touches it (the dashboard-
+    table shape; the emit-once-on-close shape is
+    ``stream_append_tumbling_file_sink``). The watermark still evicts
+    closed windows' STATE, so memory stays bounded; the sink keeps
+    their final rows.
+    """
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), round_half_up(F.sum("value"), 2).alias("total_value"))
+        .agg(F.count("*").alias("n"), money_sum("value", 2).alias("total_value"))
         .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
     )
-    return _run_to_completion(agg)
+    return _run_to_upsert_sink(agg, keys=["ws", "event_type"])
 
 
 def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,7 +292,7 @@ def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
         .agg(F.count("*").alias("n_users"))
         .select(F.col("w.start").alias("ws"), "event_type", "n_users")
     )
-    return _run_to_completion(agg, mode="append", shuffle_partitions=8)
+    return _run_to_file_sink(agg)
 
 
 def stream_cms_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,30 +338,47 @@ def stream_cms_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "i", "b", "n")
     )
-    return _run_to_completion(agg, mode="append", shuffle_partitions=8)
+    return _run_to_file_sink(agg)
 
 
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-day windows sliding by 1 day — each event lands in 2 windows."""
+    """2-day windows sliding by 1 day — each event lands in 2 windows.
+
+    Update mode + upsert sink keyed by window start (the live-rollup
+    shape, like stream_tumbling_counts); every sliding window is a
+    refreshed sink row, including the two still-open tail windows.
+    """
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "2 days", "1 day").alias("w"))
-        .agg(F.count("*").alias("n"), round_half_up(F.avg("value"), 4).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            round_half_up(
+                F.sum(money_grains("value")).cast("double") / 1e4 / F.count("value"), 4
+            ).alias("avg_value"),
+        )
         .select(F.col("w.start").alias("ws"), "n", "avg_value")
     )
-    return _run_to_completion(agg)
+    return _run_to_upsert_sink(agg, keys=["ws"])
 
 
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user session windows with a 30-minute inactivity gap.
+    """Per-user session windows with a 30-minute inactivity gap — a
+    REAL stream now (readStream + watermark + append file sink; round 3
+    ran the same session_window aggregate in batch mode).
 
-    ``session_window`` is Spark's native stateful sessionization; the
-    oracle reproduces it with the classic gaps-and-islands SQL.
+    ``session_window`` is Spark's native stateful sessionization: state
+    merges adjacent windows as events arrive, and append mode emits a
+    session once the watermark passes its end (last event + gap) — the
+    still-open tail sessions stay in state and never reach the sink.
+    The oracle reproduces it with the classic gaps-and-islands SQL
+    bounded by the same watermark cutoff.
     """
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
@@ -356,6 +387,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    return _run_to_file_sink(agg)
 
 
 def _run_to_upsert_sink(
@@ -558,7 +590,7 @@ ORACLES = {
         WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
                CAST(count(*) AS BIGINT) AS n,
-               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+               floor((CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS total_value
         FROM events, wm
         GROUP BY 1, event_type, wm.w
         HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
@@ -566,7 +598,7 @@ ORACLES = {
     "stream_static_enrich_by_segment": """
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS n_events,
-               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+               floor((CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS total_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
     """,
@@ -617,12 +649,14 @@ ORACLES = {
     "stream_tumbling_counts": """
         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
                CAST(count(*) AS BIGINT) AS n,
-               floor((sum(value)) * 100.0 + 0.5) / 100.0 AS total_value
+               floor((CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS total_value
         FROM events
         GROUP BY 1, event_type
     """,
     "stream_sliding_counts": """
-        SELECT ws, CAST(count(*) AS BIGINT) AS n, floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+        SELECT ws, CAST(count(*) AS BIGINT) AS n,
+               floor((CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+                      / 10000.0 / count(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
         FROM (
             SELECT unnest([CAST(date_trunc('day', ts) AS TIMESTAMP) - INTERVAL 1 DAY,
                            CAST(date_trunc('day', ts) AS TIMESTAMP)]) AS ws,
@@ -659,5 +693,9 @@ ORACLES = {
                max(ts) + INTERVAL 30 MINUTE AS session_end,
                CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id, sid
+        -- append mode: only sessions the watermark closed reach the
+        -- sink (same cutoff convention as the tumbling append oracle)
+        HAVING max(ts) + INTERVAL 30 MINUTE
+               <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
     """,
 }
