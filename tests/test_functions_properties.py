@@ -96,3 +96,37 @@ def test_word_kgrams_matches_python(spark, token_lists, k):
         for ts in token_lists
     ]
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Float-determinism contracts (round-4 verdict #6): every post-rounding
+# float aggregate must be invariant to HOW Spark partitions the work.
+# Money sums earn this via integer grains (test_money_exact.py); the
+# queries here earn it structurally — tf-idf's inputs are integer
+# counts (exact in any order) with the float log applied per row;
+# exact percentiles interpolate over a SORT (order-invariant by
+# definition); the unigram LM accumulates integer micro-units. The
+# pin: identical results under different shuffle-partition settings.
+# ---------------------------------------------------------------------------
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "qname",
+    ["text_tfidf_top_terms", "adv_percentiles_order_value", "text_unigram_logprob"],
+)
+def test_float_queries_partitioning_invariant(spark, sf_dir, qname):
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()[qname]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        narrow = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert wide == narrow
+    assert len(wide) > 0

@@ -156,3 +156,41 @@ def test_stratified_sample_balances_strata(spark, tmp_path):
     # determinism: a second run keeps the identical doc set
     again = {r.doc_id for r in T.text_stratified_sample(spark, sf).collect()}
     assert again == {r.doc_id for r in kept}
+
+
+def test_span_dedup_absorbs_viral_boilerplate(spark, tmp_path):
+    """Adversarial skew (round-4 verdict #7): ONE boilerplate span
+    planted in 1000 documents — the 90%-boilerplate-corpus shape. The
+    per-gram ownership aggregation must absorb the hot gram map-side
+    (its output is one row per distinct gram, never per occurrence),
+    every non-owner loses the span, and the covered-position relation
+    stays linear in occurrences (<= docs x span positions), never
+    quadratic in the gram's document frequency.
+    """
+    # letter-only ids: the tokenizer drops digits ([^\p{L}]+ split),
+    # so "part42" would collapse to "part" and alias every document
+    alpha = lambda i: "".join(chr(ord("a") + int(d)) for d in str(i))  # noqa: E731
+    span = " ".join(f"viral boiler plate token num{alpha(i)}" for i in range(4))  # 24 tokens
+    n_docs = 1000
+    rows = [
+        (i, f"document ident{alpha(i)} unique opening words {span} unique closing part{alpha(i)}", "en")
+        for i in range(n_docs)
+    ]
+    sf = _write_documents(tmp_path, rows)
+    got = {r.doc_id: r for r in D.span_dedup_clean(spark, sf).collect()}
+    assert len(got) == n_docs
+    assert got[0].n_removed == 0  # owner (min doc_id) keeps the span
+    strip = [r for r in got.values() if r.doc_id != 0]
+    assert all(r.n_removed >= 24 for r in strip)  # span gone everywhere else
+    assert all("viral" not in r.text_clean for r in strip)
+    assert all(f"part{alpha(r.doc_id)}" in r.text_clean for r in strip)  # unique text survives
+    # Plan sanity: the ownership agg runs partial (map-side) before its
+    # exchange — two HashAggregate levels around one gram-keyed shuffle.
+    docs = D.spread(D.load_table(spark, sf, "documents"))
+    ws = D.tokenize_letters(D.F.col("text"))
+    grams = docs.select("doc_id", D.F.explode(D.word_kgrams(ws, D.SPAN_K)).alias("gram"))
+    owners = grams.groupBy("gram").agg(
+        D.F.countDistinct("doc_id").alias("nd"), D.F.min("doc_id").alias("owner")
+    )
+    plan = owners._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2
