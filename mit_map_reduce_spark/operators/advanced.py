@@ -579,7 +579,37 @@ def adv_grouped_map_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(median_gap, schema=GAP_OUT)
 
 
+def adv_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state-per-key dedup — the SCD "current view" every CDC /
+    event-log pipeline materializes: one row per user, carrying their
+    most recent event (ties on timestamp break by event_id, so the
+    survivor is deterministic in both engines).
+
+    row_number over (user, ts desc) then rank=1 — Catalyst rewrites
+    the filter into a window-group-limit (top-1 per key) that discards
+    losers BEFORE the sort materializes the full partition. At 100 TB
+    this beats the groupBy(max(ts))+self-join formulation: one
+    shuffle, no join back.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+            round_half_up("value", 2).alias("last_value"),
+        )
+    )
+
+
 QUERIES = {
+    "adv_latest_event_per_user": adv_latest_event_per_user,
     "adv_asof_join_last_click": adv_asof_join_last_click,
     "adv_asof_join_next_purchase": adv_asof_join_next_purchase,
     "adv_sessionize_events": adv_sessionize_events,
@@ -601,6 +631,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_latest_event_per_user": """
+        SELECT user_id,
+               event_id AS last_event_id,
+               event_type AS last_event_type,
+               ts AS last_ts,
+               floor((value) * 100.0 + 0.5) / 100.0 AS last_value
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
     "adv_gaps_and_islands": """
         WITH days AS (
             SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -272,6 +272,49 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bipartite-projection knobs: customers touching more than CAP
+#: suppliers are excluded as hubs (their pair fan-out is quadratic in
+#: degree — the same df-cap discipline as the dedup inverted index),
+#: and only supplier pairs sharing at least MIN_COMMON customers
+#: surface.
+PROJ_HUB_CAP = 40
+PROJ_MIN_COMMON = 3
+
+
+def graph_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the trade graph onto suppliers: an edge
+    (supp_a, supp_b, weight) per supplier pair sharing >= MIN_COMMON
+    customers — the co-purchase graph that feeds recommendation and
+    community detection. (A bipartite graph has no triangles; the
+    projection is where its clustering structure lives.)
+
+    Scale shape: the pair generation is a self-equi-join of the
+    (customer, supplier) incidence list on the customer key — never a
+    cross join — and its fan-out per customer is degree^2, so hub
+    customers (degree > PROJ_HUB_CAP) are dropped FIRST, exactly the
+    hot-shingle df-cap rule from dedup's inverted index. One shuffle
+    on the customer key, one on the (a, b) pair agg; both bounded.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    inc = edges.filter(F.col("src") >= NODE_OFFSET).select(
+        F.col("src").alias("cust"), F.col("dst").alias("supp")
+    )
+    deg = inc.groupBy("cust").agg(F.count("*").alias("d"))
+    small = inc.join(
+        F.broadcast(deg.filter(F.col("d") <= PROJ_HUB_CAP)), "cust"
+    ).select("cust", "supp")
+    a = small.select("cust", F.col("supp").alias("supp_a"))
+    b = small.select(F.col("cust").alias("cust_b"), F.col("supp").alias("supp_b"))
+    pairs = a.join(
+        b, (F.col("cust") == F.col("cust_b")) & (F.col("supp_a") < F.col("supp_b"))
+    )
+    return (
+        pairs.groupBy("supp_a", "supp_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= PROJ_MIN_COMMON)
+    )
+
+
 def _kcore_oracle_sql() -> str:
     """DuckDB twin of the fixed-round k-core pruning, rounds unrolled
     as chained CTEs (same contract as the PageRank oracle)."""
@@ -316,9 +359,27 @@ QUERIES = {
     "graph_pagerank_trade": graph_pagerank_trade,
     "graph_kcore_prune": graph_kcore_prune,
     "graph_degree_distribution": graph_degree_distribution,
+    "graph_supplier_projection": graph_supplier_projection,
 }
 
 ORACLES = {
+    "graph_supplier_projection": f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust, l_suppkey AS supp
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        deg AS (SELECT cust, count(*) AS d FROM pairs GROUP BY cust),
+        small AS (
+            SELECT pairs.cust, supp FROM pairs
+            JOIN deg ON pairs.cust = deg.cust AND deg.d <= {PROJ_HUB_CAP}
+        )
+        SELECT a.supp AS supp_a, b.supp AS supp_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM small a JOIN small b
+          ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY a.supp, b.supp
+        HAVING count(*) >= {PROJ_MIN_COMMON}
+    """,
     "graph_pagerank_trade": _pagerank_oracle_sql(),
     "graph_kcore_prune": _kcore_oracle_sql(),
     "graph_degree_distribution": f"""

@@ -252,7 +252,27 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup over the asset corpus: assets whose
+    decoded signature — (media_type, width, height) from the codec —
+    collides are near-duplicate CANDIDATES, grouped into buckets with
+    a canonical representative (min doc_id, the dedup keep rule).
+    With a real codec the signature is a pHash/dHash of pixel data;
+    the stub's size-derived metadata exercises the identical plan:
+    Arrow decode (mapInPandas, map-side) -> bucket aggregation ->
+    candidate buckets, the image-dedup shape every multimodal
+    training pipeline runs before embedding-level dedup.
+    """
+    decoded = mm_decode_assets(spark, sf_dir)
+    return (
+        decoded.groupBy("media_type", "width", "height")
+        .agg(F.count("*").alias("n_assets"), F.min("doc_id").alias("canonical_doc"))
+        .filter(F.col("n_assets") >= 2)
+    )
+
+
 QUERIES = {
+    "mm_phash_dedup": mm_phash_dedup,
     "mm_pipeline": mm_pipeline,
     "mm_asset_stats": mm_asset_stats,
     "mm_decode_assets": mm_decode_assets,
@@ -265,6 +285,20 @@ _MEDIA = """CASE CAST(doc_id % 3 AS INTEGER)
                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"""
 
 ORACLES = {
+    "mm_phash_dedup": f"""
+        WITH dec AS (
+            SELECT doc_id, {_MEDIA} AS media_type,
+                   CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+                   CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height
+            FROM documents
+        )
+        SELECT media_type, width, height,
+               CAST(count(*) AS BIGINT) AS n_assets,
+               min(doc_id) AS canonical_doc
+        FROM dec
+        GROUP BY media_type, width, height
+        HAVING count(*) >= 2
+    """,
     "mm_pipeline": f"""
         WITH a AS (
             SELECT doc_id, {_MEDIA} AS media_type,

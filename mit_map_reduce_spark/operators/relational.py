@@ -1270,7 +1270,127 @@ def rel_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# --- native DecimalType money path (round 4) -----------------------------
+
+
+def rel_decimal_sum_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DecimalType end-to-end: order totals cast to
+    DECIMAL(18,2) at the scan and summed as decimals — the exact-money
+    type TPC-H specifies, shipped alongside the grain-sum discipline
+    (functions.columns.money_grains) the float-column queries use.
+    The testdata stores money as 2-dp doubles; casting such a double
+    to DECIMAL(18,2) recovers the exact cents in both engines (the
+    double is within 1e-12 of the decimal value, far inside the cast's
+    rounding). Decimal sums are order-invariant by definition; the
+    result returns as double (exact, the sum is far below 2^53 cents)
+    so the driver's hash comparison sees identical primitives.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(dec).cast("double").alias("total_price"),
+            F.min(dec).cast("double").alias("min_price"),
+            F.max(dec).cast("double").alias("max_price"),
+        )
+    )
+
+
+# --- cumulative-share window (Pareto) (round 4) ---------------------------
+
+
+def rel_window_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share analysis: suppliers ranked by revenue
+    within their nation, with each supplier's running share of the
+    nation's total — "the top N suppliers carry X% of revenue".
+
+    Revenue accumulates as integer grains, so the running numerator
+    and the per-nation denominator are BOTH exact — the running-share
+    double is then identical across engines and partitionings (a
+    float running sum would drift by summation order). One shuffle for
+    the per-supplier agg, one window sort per nation partition.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(money_grains(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_g"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("l_suppkey", "n_name", "rev_g")
+    )
+    w_run = (
+        W.partitionBy("n_name")
+        .orderBy(F.col("rev_g").desc(), "l_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("n_name")
+    return rev.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.col("n_name").alias("nation"),
+        F.row_number().over(
+            W.partitionBy("n_name").orderBy(F.col("rev_g").desc(), "l_suppkey")
+        ).alias("rnk"),
+        round_half_up(F.col("rev_g").cast("double") / 1e4, 2).alias("revenue"),
+        round_half_up(
+            F.sum("rev_g").over(w_run).cast("double")
+            / F.sum("rev_g").over(w_all).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+# --- salted skew join (round 4) ------------------------------------------
+
+JOIN_SALTS = 8
+
+
+def adv_salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof dimension join via salting — the JOIN-side twin of
+    ``rel_salted_agg_events_per_type``: the build side (customer dim)
+    is replicated once per salt, the probe side (events) picks a
+    deterministic salt per row, and the join key becomes
+    (user_id, salt) — a single hot user's rows now spread across
+    JOIN_SALTS partitions instead of melting one reducer.
+
+    Values are identical to the plain join BY CONSTRUCTION (every
+    probe row still meets exactly one copy of its build row), which is
+    what the oracle asserts — the plain-join aggregate. AQE's skew
+    split covers sort-merge joins after the fact; explicit salting is
+    the portable form (and the only one for streaming state or
+    pre-AQE engines). Replication cost: JOIN_SALTS x the dim size,
+    fine for dimensions, never for fact-fact (use AQE there).
+    """
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    salted_dim = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(JOIN_SALTS)]))
+    )
+    probe_salt = (
+        F.conv(F.md5(F.col("event_id").cast("string")).substr(1, 2), 16, 10).cast("int")
+        % JOIN_SALTS
+    )
+    joined = ev.withColumn("salt", probe_salt).join(
+        salted_dim, ["user_id", "salt"]
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        money_sum("value", 2).alias("total_value"),
+    )
+
+
 QUERIES = {
+    "rel_decimal_sum_by_segment": rel_decimal_sum_by_segment,
+    "rel_window_cumulative_share": rel_window_cumulative_share,
+    "adv_salted_skew_join_events": adv_salted_skew_join_events,
     "rel_q1_pricing_summary": rel_q1_pricing_summary,
     "rel_q3_shipping_priority": rel_q3_shipping_priority,
     "rel_q5_local_supplier_volume": rel_q5_local_supplier_volume,
@@ -1315,6 +1435,47 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_decimal_sum_by_segment": """
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+               CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+               CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+    "rel_window_cumulative_share": f"""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum({sql_money_grains("l_extendedprice * (1 - l_discount)")}) AS rev_g
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        placed AS (
+            SELECT l_suppkey AS s_suppkey, n_name AS nation, rev_g,
+                   CAST(row_number() OVER w AS INTEGER) AS rnk,
+                   sum(rev_g) OVER (PARTITION BY n_name ORDER BY rev_g DESC, l_suppkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_g,
+                   sum(rev_g) OVER (PARTITION BY n_name) AS tot_g
+            FROM rev
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WINDOW w AS (PARTITION BY n_name ORDER BY rev_g DESC, l_suppkey)
+        )
+        SELECT s_suppkey, nation, rnk,
+               {sql_round("CAST(rev_g AS DOUBLE) / 10000.0", 2)} AS revenue,
+               {sql_round("CAST(run_g AS DOUBLE) / CAST(tot_g AS DOUBLE)", 6)} AS cum_share
+        FROM placed
+    """,
+    # The salt is an implementation detail; the oracle states the
+    # semantics — the plain dimension join's aggregate.
+    "adv_salted_skew_join_events": f"""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               {sql_money_sum("value", 2)} AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "rel_q9_product_profit": f"""
         SELECT n_name AS nation,
                CAST(year(o_orderdate) AS INTEGER) AS o_year,

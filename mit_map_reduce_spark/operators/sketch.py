@@ -191,10 +191,76 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Bloom-filter join prefilter (round 4) -------------------------------
+
+BLOOM_BITS = 1024
+BLOOM_HASHES = 3
+BLOOM_MIN_BAL = 8000.0
+
+
+def _bloom_bit(i: int, key):
+    h = F.md5(F.concat(F.lit(f"{i}:"), key.cast("string")))
+    return F.conv(h.substr(1, 3), 16, 10).cast("int") % BLOOM_BITS
+
+
+def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter — the runtime-filter pattern
+    that makes selective fact-dim joins cheap at 100 TB: instead of
+    shuffling the fact table to discover that most rows have no
+    premium-customer match, a ~kilobyte bit array built from the
+    filtered dimension broadcasts to every scan task and discards
+    non-members map-side. False POSITIVES survive to the real join
+    (harmless, re-checked there); false negatives are impossible —
+    the two properties this query surfaces as columns.
+
+    Deterministic by construction (md5-derived bit positions, like the
+    CMS), so the DuckDB oracle rebuilds the identical filter and the
+    false-positive count is an exact integer, not a tolerance check.
+    Spark has this built in (spark.sql.optimizer.runtime.bloomFilter.
+    enabled injects one automatically); the explicit form shows the
+    mechanics and pins the semantics.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    premium = cust.filter(F.col("c_acctbal") > BLOOM_MIN_BAL).select("c_custkey")
+    bloom = (
+        premium.select(
+            F.explode(
+                F.array(*[_bloom_bit(i, F.col("c_custkey")) for i in range(BLOOM_HASHES)])
+            ).alias("bit")
+        )
+        .distinct()
+        .agg(
+            F.sort_array(F.collect_set("bit")).alias("bits"),
+            F.count("*").alias("n_bits_set"),
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    is_cand = None
+    for i in range(BLOOM_HASHES):
+        c = F.array_contains(F.col("bits"), _bloom_bit(i, F.col("o_custkey")))
+        is_cand = c if is_cand is None else (is_cand & c)
+    scored = (
+        orders.crossJoin(F.broadcast(bloom))
+        .join(
+            F.broadcast(premium.withColumn("hit", F.lit(1))),
+            orders.o_custkey == premium.c_custkey,
+            "left",
+        )
+        .select(is_cand.alias("cand"), F.col("hit").isNotNull().alias("truth"), "n_bits_set")
+    )
+    return scored.groupBy("n_bits_set").agg(
+        F.count(F.when(F.col("cand"), 1)).alias("n_candidates"),
+        F.count(F.when(F.col("truth"), 1)).alias("n_matching"),
+        F.count(F.when(F.col("cand") & ~F.col("truth"), 1)).alias("n_false_positives"),
+        F.count(F.when(F.col("truth") & ~F.col("cand"), 1)).alias("n_false_negatives"),
+    )
+
+
 QUERIES = {
     "sketch_approx_distinct_buyers": sketch_approx_distinct_buyers,
     "sketch_approx_percentile_order_value": sketch_approx_percentile_order_value,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "sketch_bloom_prefilter": sketch_bloom_prefilter,
 }
 
 #: hex value of the first two md5 digits of "i:word", mod CMS_WIDTH
@@ -204,7 +270,42 @@ _CMS_BUCKET_SQL = (
     f" % {CMS_WIDTH}"
 )
 
+def _bloom_bit_sql(key_expr: str) -> str:
+    """Hex value of the first three md5 digits of "i:key", mod BLOOM_BITS
+    (t.i is the hash index in scope)."""
+    m = f"md5(CAST(t.i AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR))"
+    return (
+        f"((strpos('0123456789abcdef', substr({m}, 1, 1)) - 1) * 256"
+        f" + (strpos('0123456789abcdef', substr({m}, 2, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr({m}, 3, 1)) - 1)) % {BLOOM_BITS}"
+    )
+
+
 ORACLES = {
+    "sketch_bloom_prefilter": f"""
+        WITH premium AS (
+            SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_MIN_BAL}
+        ),
+        bits AS (
+            SELECT DISTINCT {_bloom_bit_sql("c_custkey")} AS bit
+            FROM premium CROSS JOIN range({BLOOM_HASHES}) t(i)
+        ),
+        scored AS (
+            SELECT o_orderkey,
+                   (NOT EXISTS (
+                       SELECT 1 FROM range({BLOOM_HASHES}) t(i)
+                       WHERE {_bloom_bit_sql("o.o_custkey")} NOT IN (SELECT bit FROM bits)
+                   )) AS cand,
+                   o_custkey IN (SELECT c_custkey FROM premium) AS truth
+            FROM orders o
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+               CAST(count(*) FILTER (cand) AS BIGINT) AS n_candidates,
+               CAST(count(*) FILTER (truth) AS BIGINT) AS n_matching,
+               CAST(count(*) FILTER (cand AND NOT truth) AS BIGINT) AS n_false_positives,
+               CAST(count(*) FILTER (truth AND NOT cand) AS BIGINT) AS n_false_negatives
+        FROM scored
+    """,
     # The md5-derived CMS is fully deterministic, so the oracle
     # rebuilds the identical sketch and verifies the ESTIMATES exactly
     # — a stronger check than the tolerance booleans below.

@@ -190,7 +190,49 @@ def src_partitioned_pruning_events(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def src_text_kv_roundtrip_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents word counts -> the reference's ``"key value"`` text
+    sink format (``mr-out-*``, reference src/mr/worker.go:214) ->
+    read the lines back -> parse -> re-verify against a direct count.
+
+    This is the ONE sink format the reference actually ships, driven
+    through the differential harness: a count that survives being
+    rendered to text and re-parsed proves the sink is lossless for the
+    reference's string-only data model (SURVEY §1). Parsing splits on
+    the LAST space — word tokens contain no spaces here, but the
+    convention matches the reference's own test readers, which treat
+    everything before the final field as the key (test-mr.sh:103).
+    """
+    from mit_map_reduce_spark.functions.columns import tokenize_letters
+    from mit_map_reduce_spark.sources.io import read_text_lines, write_text_kv
+
+    out = _artifact_dir(sf_dir, "textkv|wc", "documents")
+
+    def write(d: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        wc = (
+            docs.select(F.explode(tokenize_letters(F.col("text"))).alias("key"))
+            .groupBy("key")
+            .agg(F.count("*").cast("string").alias("value"))
+        )
+        write_text_kv(wc, d, n_partitions=4)
+
+    _ensure_written(write, out)
+    lines = read_text_lines(spark, out)
+    parsed = lines.select(
+        F.regexp_extract("line", r"^(.*) (\S+)$", 1).alias("word"),
+        F.regexp_extract("line", r"^(.*) (\S+)$", 2).cast("bigint").alias("n"),
+    )
+    # Roll up by first letter: a second aggregation OVER the parsed
+    # values, so a parse error anywhere shifts a bucket's sum.
+    return parsed.groupBy(F.substring("word", 1, 1).alias("initial")).agg(
+        F.count("*").alias("n_words"),
+        F.sum("n").alias("n_occurrences"),
+    )
+
+
 QUERIES = {
+    "src_text_kv_roundtrip_wc": src_text_kv_roundtrip_wc,
     "src_csv_roundtrip_orders": src_csv_roundtrip_orders,
     "src_orc_roundtrip_lineitem": src_orc_roundtrip_lineitem,
     "src_json_roundtrip_events": src_json_roundtrip_events,
@@ -198,6 +240,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "src_text_kv_roundtrip_wc": r"""
+        WITH wc AS (
+            SELECT word, count(*) AS n FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word
+                FROM documents
+            ) GROUP BY word
+        )
+        SELECT substr(word, 1, 1) AS initial,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n) AS BIGINT) AS n_occurrences
+        FROM wc GROUP BY substr(word, 1, 1)
+    """,
     # Oracles read the ORIGINAL parquet: the round trip must be
     # value-lossless or the hashes diverge.
     "src_csv_roundtrip_orders": f"""

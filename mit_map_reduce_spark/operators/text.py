@@ -671,7 +671,131 @@ def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bigram LM scoring (round 4) ----------------------------------------
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM pseudo-perplexity — the second-order sibling of
+    ``text_unigram_logprob``: each document scored by the mean
+    -ln P(w2|w1) of its word bigrams under the corpus's own bigram
+    distribution (P = c(w1 w2) / c(w1 ·), contexts counted over the
+    same bigram stream). Captures word-ORDER quality a unigram LM is
+    blind to: scrambled text keeps its unigram score but collapses
+    here.
+
+    Same integer-micronat discipline as the unigram scorer: each
+    bigram's -ln p rounds to integer micronats first, so per-doc sums
+    are exact in any order. Plan: one gram explode, two frequency
+    aggregations (bigram + context), both broadcast back — the corpus
+    scans once; at 100 TB the frequency tables are top-K-pruned or
+    count-min approximated (sketch.py), same plan shape.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = tokenize_letters(F.lower(F.col("text")))
+    grams = docs.select(
+        "doc_id", F.explode(word_kgrams(ws, 2)).alias("bg")
+    ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    bg_freq = grams.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    ctx_freq = grams.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    nl_micro = F.floor(
+        -F.log(F.col("c_bg") / F.col("c_ctx")) * 1_000_000.0 + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        grams.join(F.broadcast(bg_freq), "bg")
+        .join(F.broadcast(ctx_freq), "w1")
+        .select("doc_id", nl_micro.alias("nlm"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        round_half_up(F.sum("nlm") / 1_000_000.0 / F.count("*"), 4).alias("avg_neg_logp"),
+    )
+
+
+# --- PII redaction (round 4) ---------------------------------------------
+
+#: Java regex (Spark) and RE2 (DuckDB) agree on these patterns: no
+#: backreferences, no lookaround — plain classes and counted repeats.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS = r"[0-9]{5,}"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub pass every training-data pipeline runs
+    before text leaves the enclave: emails and long digit runs (phone/
+    account numbers) are counted and replaced with typed placeholders.
+
+    The documents corpus is synthetic (letters only), so the scrub
+    runs over a deterministic contact-card projection of the customer
+    dimension — built identically in both engines from testdata
+    columns — which guarantees the redaction paths actually fire
+    instead of matching nothing. Pure map-side: regexp_extract_all +
+    regexp_replace per row, no shuffle at any scale; the patterns stay
+    in the Java-regex/RE2 common subset so the oracle is bit-identical.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    handle = F.lower(F.regexp_replace(F.col("c_name"), r"[^A-Za-z0-9]+", "."))
+    card = F.concat(
+        F.col("c_name"),
+        F.lit(" can be reached at "),
+        handle,
+        F.lit("@example.com or on +1"),
+        (F.col("c_custkey") * 7919 + 12345).cast("string"),
+        F.lit(" during office hours"),
+    )
+    doc = cust.select("c_custkey", card.alias("card"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("card"), PII_EMAIL, "<EMAIL>"), PII_DIGITS, "<NUM>"
+    )
+    return doc.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(F.col("card"), F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("card"), F.lit(PII_DIGITS), 0)).alias("n_digit_runs"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+# --- context-window packing (round 4) ------------------------------------
+
+PACK_BUDGET = 256  # tokens per packed training sequence
+
+
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: greedily pack documents (in doc_id
+    order) into fixed-token-budget training sequences — the step that
+    turns a filtered corpus into model-ready samples. A document joins
+    the sequence its cumulative starting offset falls in, so sequences
+    can overflow the budget by at most one document (the standard
+    first-fit-in-order packing; no document is split).
+
+    The running offset is an INTEGER prefix sum — exact in any
+    engine/order. As written the unpartitioned window is a single-task
+    sort, fine to ~10^8 docs; the 100 TB path is the classic two-pass
+    distributed prefix sum (per-partition subtotals broadcast as
+    offsets), same downstream plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(tokenize_letters(F.col("text"))).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    placed = toks.withColumn(
+        "seq_id",
+        # floor, not a double->int cast: Spark casts truncate but
+        # DuckDB casts round-to-nearest; floor agrees everywhere.
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast("bigint"),
+    )
+    return placed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 QUERIES = {
+    "text_bigram_logprob": text_bigram_logprob,
+    "text_pii_scrub": text_pii_scrub,
+    "text_pack_sequences": text_pack_sequences,
     "text_repetition": text_repetition,
     "text_langid_ngram": text_langid_ngram,
     "text_unigram_logprob": text_unigram_logprob,
@@ -696,6 +820,7 @@ QUERIES = {
 _WS = r"list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"
 _WS_LOWER = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')"
 _LETTERS_LOWER = r"list_filter(regexp_split_to_array(lower(text), '[^\p{L}]+'), x -> x <> '')"
+_LETTERS_RAW_TOKENS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')"
 _STOP_LIST = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 _LEX_VALUES = ", ".join(
     f"('{lang}', '{w}')" for lang, words in LANG_LEXICON.items() for w in words
@@ -710,6 +835,61 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_bigram_logprob": f"""
+        WITH ws AS (
+            SELECT doc_id, {_LETTERS_LOWER} AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                   i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)])) AS bg
+            FROM ws
+        ),
+        g AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM grams),
+        bgf AS (SELECT bg, count(*) AS c_bg FROM g GROUP BY bg),
+        ctx AS (SELECT w1, count(*) AS c_ctx FROM g GROUP BY w1),
+        nl AS (
+            SELECT doc_id,
+                   CAST(floor((-ln(c_bg / CAST(c_ctx AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS nlm
+            FROM g JOIN bgf USING (bg) JOIN ctx USING (w1)
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               floor((sum(nlm) / 1000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_neg_logp
+        FROM nl GROUP BY doc_id
+    """,
+    "text_pii_scrub": f"""
+        WITH card AS (
+            SELECT c_custkey,
+                   c_name || ' can be reached at '
+                   || lower(regexp_replace(c_name, '[^A-Za-z0-9]+', '.', 'g'))
+                   || '@example.com or on +1'
+                   || CAST(c_custkey * 7919 + 12345 AS VARCHAR)
+                   || ' during office hours' AS card
+            FROM customer
+        )
+        SELECT c_custkey,
+               CAST(len(regexp_extract_all(card, '{PII_EMAIL}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(card, '{PII_DIGITS}')) AS INTEGER) AS n_digit_runs,
+               regexp_replace(regexp_replace(card, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{PII_DIGITS}', '<NUM>', 'g') AS scrubbed
+        FROM card
+    """,
+    "text_pack_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id, CAST(len({_LETTERS_RAW_TOKENS}) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        placed AS (
+            SELECT doc_id, n_tokens,
+                   CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                               - n_tokens) / {PACK_BUDGET}) AS BIGINT) AS seq_id
+            FROM toks
+        )
+        SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM placed GROUP BY seq_id
+    """,
     "text_unigram_logprob": f"""
         WITH words AS (
             SELECT doc_id, unnest({_LETTERS_LOWER}) AS word FROM documents
