@@ -36,82 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: come last. Every entry is still verified by the full local gate
 #: (tools/check_correctness.py) regardless of position.
 _PRIORITY = [
-    # ---- tier A lead: the three tokenizer-touched text queries whose
-    # newest official rows are round-1 (pre-Unicode behavior) —
-    # text_langid above all (it sat outside round 2's recorded window
-    # entirely).
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    # ---- never driver-verified: new operator families this round
-    # (corpus filters + SimHash banding), then the round-3 additions
-    # that predate them. rel_q9 stands in for its TPC-H batch
-    # (q10/q11/q12/q15 lead tier D below — siblings of 18 green TPC-H
-    # rows, so a 4th fresh sibling row is worth less than any
-    # first-ever row for a new family).
-    "dedup_simhash_band_pairs",
-    "dedup_ngram_containment_pairs",
-    "text_repetition",
-    "text_contamination",
-    "text_stratified_sample",
-    "text_training_mix",
-    "stream_windowed_distinct_users",
-    "dedup_near_dup_keep_list",
-    "adv_time_resample_interp",
+    # ---- position 1: the one red round-3 row, re-verified first with
+    # the decimal-grain fix (order-invariant money accumulation).
     "rel_q9_product_profit",
-    # ---- rest of the round-1-dated tier (rotation rule: no registered
-    # query's newest row older than 2 rounds).
-    "dedup_exact",
-    "sim_ann_bruteforce_topk",
-    "adv_asof_join_last_click",
-    "adv_grouped_map_median_gap",
-    "adv_range_join_price_bands",
-    "adv_correlated_subquery_small_qty",
-    "adv_percentiles_order_value",
-    "adv_lag_lead_event_deltas",
-    "adv_fuzzy_blocked_match",
-    "adv_grouping_sets_revenue",
-    "adv_pivot_segment_priority",
-    "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
-    "rel_q5_local_supplier_volume",
-    "rel_topk_parts_per_brand",
-    "rel_window_running_spend",
-    "rel_setops_summary",
-    "rel_setops_all_summary",
-    "rel_scalar_string_funcs",
-    "rel_scalar_date_math_funcs",
-    "rel_unpivot_nation_metrics",
-    "rel_map_funcs_priority_profile",
-    "rel_anti_join_customers_without_orders",
-    "rel_semi_join_urgent_buyers_per_nation",
-    "rel_scalar_json_events",
-    "rel_rollup_acctbal",
-    "rel_distinct_aggs_per_segment",
-    "rel_q7_nation_trade",
-    "rel_cube_orders",
-    "rel_salted_agg_events_per_type",
-    "rel_q13_order_histogram",
-    "rel_full_outer_nation_presence",
-    "rel_q18_large_orders",
-    "rel_q22_idle_rich_customers",
-    # ---- behavior changed this round (r2 rows describe retired code):
-    # the two stateful streaming queries moved from the memory sink to
-    # the production foreachBatch-upsert parquet sink; IVF now trains
-    # once into a materialized centroid artifact.
-    "stream_stateful_user_profile",
-    "stream_dedup_first_seen",
-    "sim_ann_ivf_topk",
-    # ---- tier D (positions 51+): never-verified overflow leads round
-    # 4's queue — first the operators added after round 3's window was
-    # already full (sessionization, LM scoring, trigram langid, CMS
-    # batch + streaming, bucketed join, MR secondary sort, graph
-    # degrees, source round trips, rank windows), then the TPC-H
-    # siblings and the two NumPy paths whose bit-parity with already-
-    # verified HOF queries is test-pinned (their fresh rows are the
-    # most redundant of the never-verified set), then the round-2-
-    # verified unchanged queries whose r2 rows stand until they rotate
-    # back. All of tier D is green under the full local vanilla gate.
+    # ---- positions 2-30: the 29 queries that have NEVER had an
+    # official driver row (round-3 verdict #3: they outgrew the 50-row
+    # window; all are green under the full-precision local gate).
     "adv_sessionize_events",
     "text_unigram_logprob",
     "text_langid_ngram",
@@ -141,18 +71,93 @@ _PRIORITY = [
     "rel_q17_small_quantity_revenue",
     "rel_q20_excess_stock_suppliers",
     "dedup_embedding_cosine_pairs_np",
+    # ---- positions 31-37: behavior changed this round — every
+    # streaming query moved off the memory sink (file sink /
+    # foreachBatch upsert); session windows became a real stream.
+    "stream_session_windows",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_static_enrich_by_segment",
+    "stream_windowed_distinct_users",
+    "stream_append_tumbling_file_sink",
+    "stream_stream_join_attribution",
+    # ---- positions 38-48: new round-4 operators.
+    "text_bigram_logprob",
+    "text_pii_scrub",
+    "text_pack_sequences",
+    "graph_supplier_projection",
+    "sketch_bloom_prefilter",
+    "rel_decimal_sum_by_segment",
+    "rel_window_cumulative_share",
+    "adv_salted_skew_join_events",
+    "adv_latest_event_per_user",
+    "src_text_kv_roundtrip_wc",
+    "mm_phash_dedup",
+    # ---- positions 49-50: the two ratio-shaped money queries most
+    # exposed to the float-sum class of bug before the grain sweep.
+    "rel_q8_market_share",
+    "rel_q14_promo_share",
+    # ---- 51+: remaining grain-swept money queries (values verified
+    # identical under the full-precision local gate; standing rows
+    # remain accurate), then the long-stable tail in rotation order.
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_window_running_spend",
+    "rel_scalar_json_events",
+    "rel_unpivot_nation_metrics",
+    "rel_rollup_acctbal",
+    "rel_distinct_aggs_per_segment",
+    "rel_q22_idle_rich_customers",
+    "rel_q7_nation_trade",
+    "rel_q6_forecast_revenue",
+    "rel_q19_disjunctive_revenue",
+    "rel_cube_orders",
+    "rel_salted_agg_events_per_type",
+    "adv_range_join_price_bands",
+    "adv_correlated_subquery_small_qty",
+    "adv_grouping_sets_revenue",
+    "adv_window_range_frame_spend",
+    "adv_time_resample_daily",
+    "sim_ann_ivf_topk",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_simhash_band_pairs",
+    "dedup_ngram_containment_pairs",
+    "text_repetition",
+    "text_contamination",
+    "text_stratified_sample",
+    "text_training_mix",
+    "dedup_near_dup_keep_list",
+    "adv_time_resample_interp",
+    "dedup_exact",
+    "sim_ann_bruteforce_topk",
+    "adv_asof_join_last_click",
+    "adv_grouped_map_median_gap",
+    "adv_percentiles_order_value",
+    "adv_lag_lead_event_deltas",
+    "adv_fuzzy_blocked_match",
+    "adv_pivot_segment_priority",
+    "rel_topk_parts_per_brand",
+    "rel_setops_summary",
+    "rel_setops_all_summary",
+    "rel_scalar_string_funcs",
+    "rel_scalar_date_math_funcs",
+    "rel_map_funcs_priority_profile",
+    "rel_anti_join_customers_without_orders",
+    "rel_semi_join_urgent_buyers_per_nation",
+    "rel_q13_order_histogram",
+    "rel_full_outer_nation_presence",
+    "rel_q18_large_orders",
+    "stream_stateful_user_profile",
+    "stream_dedup_first_seen",
     "rel_array_funcs_embeddings",
     "mm_feature_extract",
     "mm_asset_stats",
     "mm_decode_assets",
     "mm_frame_sample",
     "mm_resize_images",
-    "stream_append_tumbling_file_sink",
-    "stream_stream_join_attribution",
-    "stream_static_enrich_by_segment",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
     "text_token_count",
     "text_tfidf_top_terms",
     "text_rolling_hash",
@@ -164,21 +169,15 @@ _PRIORITY = [
     "dedup_embedding_lsh_pairs",
     "graph_pagerank_trade",
     "rel_q2_min_cost_supplier",
-    "rel_q8_market_share",
     "rel_q4_late_orders",
     "rel_q16_supplier_variety",
     "adv_ntile_balance_quartiles",
-    "adv_window_range_frame_spend",
-    "adv_time_resample_daily",
-    "rel_q19_disjunctive_revenue",
     "rel_q21_waiting_suppliers",
     "adv_funnel_conversion",
     "rel_merge_upsert_customers",
     "mr_wordcount",
     "mr_inverted_index",
     "mr_distributed_grep",
-    "rel_q6_forecast_revenue",
-    "rel_q14_promo_share",
     "text_stats",
     "text_cooccurrence_pairs",
     "dedup_minhash_signatures",
