@@ -21,9 +21,6 @@ from mit_map_reduce_spark.functions.columns import (
     money_grains,
     money_sum,
     round_half_up,
-    sql_money_grains,
-    sql_money_sum,
-    sql_round,
 )
 
 BAND_WIDTH = 50_000.0

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mit_map_reduce_spark.catalog import corpus_fingerprint, load_table
-from mit_map_reduce_spark.functions.columns import money_sum, round_half_up, sql_money_sum
+from mit_map_reduce_spark.functions.columns import money_sum, sql_money_sum
 from mit_map_reduce_spark.sources.io import (
     read_csv,
     read_json,

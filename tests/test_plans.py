@@ -188,3 +188,23 @@ def test_partitioned_scan_prunes_directories(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1)
+
+
+def test_latest_event_uses_window_group_limit(spark, sf_dir):
+    """Top-1-per-key must plan as WindowGroupLimit (losers discarded
+    before the per-partition sort materializes) — the property that
+    makes the current-state view beat groupBy(max)+self-join at scale."""
+    from mit_map_reduce_spark.operators.advanced import adv_latest_event_per_user
+
+    plan = physical_plan(adv_latest_event_per_user(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_bloom_prefilter_never_shuffles_the_fact_side(spark, sf_dir):
+    """The Bloom bit array must reach the fact scan by broadcast; the
+    only nested-loop join allowed is the 1-row filter row itself."""
+    from mit_map_reduce_spark.operators.sketch import sketch_bloom_prefilter
+
+    plan = physical_plan(sketch_bloom_prefilter(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row bloom
+    assert "SortMergeJoin" not in plan  # premium dim broadcasts
