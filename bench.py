@@ -75,6 +75,16 @@ HEADLINE = (
     "text_unigram_logprob",
     "sketch_cms_heavy_hitters",
     "rel_bucketed_join_revenue",
+    # round 4 additions
+    "text_bigram_logprob",
+    "text_pack_sequences",
+    "graph_supplier_projection",
+    "graph_pagerank_trade",
+    "sketch_bloom_prefilter",
+    "adv_latest_event_per_user",
+    "adv_salted_skew_join_events",
+    "rel_window_cumulative_share",
+    "mm_phash_dedup",
 )
 
 
