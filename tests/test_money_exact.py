@@ -90,3 +90,24 @@ def test_gate_distinguishes_one_ulp_after_rounding():
     assert norm_cell(a) != norm_cell(ulp)
     assert norm_cell(a) == norm_cell(11414149.39)
     assert norm_cell(float("nan")) == norm_cell(float("nan"))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+MONEY = st.floats(allow_nan=False, allow_infinity=False, min_value=-1e9, max_value=1e9)
+
+
+@given(st.lists(MONEY, min_size=1, max_size=300))
+@settings(max_examples=5, deadline=None)
+def test_money_sum_spark_duckdb_parity_hypothesis(spark, xs):
+    """Arbitrary float batches (both signs, subnormal-ish to 1e9):
+    Spark money_sum over a multi-partition frame must equal the DuckDB
+    twin bit-for-bit."""
+    df = spark.createDataFrame([(x,) for x in xs], "v double").repartition(7)
+    got = df.agg(money_sum("v", 2).alias("s")).collect()[0].s
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(x,) for x in xs])
+    exp = con.execute(f"SELECT {sql_money_sum('v', 2)} FROM t").fetchone()[0]
+    assert got.hex() == exp.hex()
