@@ -768,21 +768,45 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-fit-in-order packing; no document is split).
 
     The running offset is an INTEGER prefix sum — exact in any
-    engine/order. As written the unpartitioned window is a single-task
-    sort, fine to ~10^8 docs; the 100 TB path is the classic two-pass
-    distributed prefix sum (per-partition subtotals broadcast as
-    offsets), same downstream plan.
+    engine/order — computed with the classic two-pass DISTRIBUTED
+    prefix sum (a naive global window would be one single-task sort):
+    range-partition by doc_id, per-partition running sums in parallel,
+    then each partition's subtotal rolls into a tiny (n_partitions-row)
+    offset table that broadcasts back. The assignment depends only on
+    the doc_id order, never on where the (sampled, nondeterministic)
+    range boundaries fall, so the serial-window DuckDB oracle matches
+    exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(tokenize_letters(F.col("text"))).alias("n_tokens")
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    placed = toks.withColumn(
+    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
+    with_pid = toks.repartitionByRange(n_parts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = (
+        W.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = with_pid.withColumn("local_cum", F.sum("n_tokens").over(w_in))
+    w_off = (
+        W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("subtotal"))
+        .withColumn("offset", F.sum("subtotal").over(w_off) - F.col("subtotal"))
+        .select("pid", "offset")
+    )
+    placed = local.join(F.broadcast(offsets), "pid").withColumn(
         "seq_id",
         # floor, not a double->int cast: Spark casts truncate but
         # DuckDB casts round-to-nearest; floor agrees everywhere.
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET).cast("bigint"),
+        F.floor(
+            (F.col("offset") + F.col("local_cum") - F.col("n_tokens")) / PACK_BUDGET
+        ).cast("bigint"),
     )
     return placed.groupBy("seq_id").agg(
         F.count("*").alias("n_docs"),

@@ -114,7 +114,14 @@ import pytest as _pytest
 
 @_pytest.mark.parametrize(
     "qname",
-    ["text_tfidf_top_terms", "adv_percentiles_order_value", "text_unigram_logprob"],
+    [
+        "text_tfidf_top_terms",
+        "adv_percentiles_order_value",
+        "text_unigram_logprob",
+        # two-pass distributed prefix sum: the packing must not depend
+        # on where the sampled range-partition boundaries fall
+        "text_pack_sequences",
+    ],
 )
 def test_float_queries_partitioning_invariant(spark, sf_dir, qname):
     import __spark_entry__ as entrymod
