@@ -795,7 +795,7 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     offsets = (
-        local.groupBy("pid")
+        with_pid.groupBy("pid")  # pre-window frame: subtotal needs no sort
         .agg(F.sum("n_tokens").alias("subtotal"))
         .withColumn("offset", F.sum("subtotal").over(w_off) - F.col("subtotal"))
         .select("pid", "offset")
