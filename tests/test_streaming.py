@@ -194,3 +194,30 @@ def test_stateful_window_state_survives_restart(spark, landing, tmp_path):
     # exactly-once: no duplicate rows for any window
     rows = spark.read.parquet(out).groupBy("ws").count().filter("count > 1").count()
     assert rows == 0
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "qname",
+    [
+        # file-sink append path (fresh scratch + checkpoint per call)
+        "stream_session_windows",
+        # foreachBatch upsert path (live-rollup snapshot)
+        "stream_tumbling_counts",
+        "stream_static_enrich_by_segment",
+    ],
+)
+def test_production_sink_invocations_deterministic(spark, sf_dir, qname):
+    """Every streaming query now emits through a production sink
+    (round-4: the memory sink is gone). Each invocation builds a fresh
+    checkpoint + sink, so two runs must produce identical rows — a
+    nondeterministic watermark cutoff or a leaky upsert shows up here."""
+    from mit_map_reduce_spark.streaming import queries as SQ
+
+    fn = SQ.QUERIES[qname]
+    first = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    second = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert first == second
+    assert len(first) > 0
