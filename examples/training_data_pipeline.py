@@ -52,6 +52,15 @@ def main() -> None:
     print("training mix rows:", mix.count())
     mix.groupBy("lang").count().orderBy("lang").show()
 
+    # Final step of a real corpus build: PII scrub, then pack the
+    # surviving documents into fixed-token-budget training sequences
+    # (two-pass distributed prefix sum — operators/text.py, round 4).
+    from mit_map_reduce_spark.operators.text import text_pack_sequences
+
+    packed = text_pack_sequences(spark, sf_dir)
+    print("packed sequences:", packed.count())
+    packed.orderBy("seq_id").show(5)
+
 
 if __name__ == "__main__":
     main()
