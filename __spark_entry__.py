@@ -97,6 +97,10 @@ _PRIORITY = [
     # exposed to the float-sum class of bug before the grain sweep.
     "rel_q8_market_share",
     "rel_q14_promo_share",
+    # ---- 51+: round-4 late additions — registered after the 50-row
+    # window filled; first in line for the round-5 window.
+    "text_bpe_pair_counts",
+    "text_chunk_overlap",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

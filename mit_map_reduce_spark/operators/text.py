@@ -816,7 +816,98 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BPE pair counting (round 4) -----------------------------------------
+
+BPE_TOP = 20  # merge candidates surfaced per iteration
+
+
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-merge iteration: the most frequent adjacent character
+    pairs across the corpus, weighted by word frequency — the
+    MapReduce-shaped core of tokenizer training (each merge round of
+    BPE is exactly this query over the current symbol vocabulary).
+
+    Scale shape is the one real BPE trainers use: the corpus-sized
+    work is a single word-frequency aggregation (map-side partial
+    combine, the wordcount shuffle); pair extraction then runs over
+    the DISTINCT vocabulary only — thousands of rows regardless of
+    corpus size — so every subsequent merge iteration is vocab-sized,
+    not corpus-sized. No reference analog (reference wc stops at word
+    counts, src/mrapps/wc.go:19-40); this is the step after.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word"))
+    freq = words.groupBy("word").agg(F.count("*").alias("c"))
+    pairs = (
+        freq.filter(F.length("word") >= 2)
+        # sequence(1, len-1) needs len>=2: Spark infers step -1 when
+        # start > stop, which would fabricate pairs for 1-char words.
+        .select(
+            "c",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+            F.col("word"),
+        )
+        .select(F.expr("substring(word, i, 2)").alias("pair"), "c")
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").alias("pair_count"))
+    w = W.orderBy(F.col("pair_count").desc(), "pair")
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BPE_TOP)
+        .select("rank", "pair", "pair_count")
+    )
+
+
+# --- overlapping context chunking (round 4) ------------------------------
+
+#: Sized so the multi-chunk path fires on the testdata corpus (docs
+#: run 10-99 letter tokens); production values are e.g. 2048/1536 —
+#: the plan is size-independent.
+CHUNK_SIZE = 48  # tokens per chunk
+CHUNK_STRIDE = 32  # new tokens per chunk; CHUNK_SIZE - CHUNK_STRIDE overlap
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking — the corpus-prep step for
+    retrieval indexing and long-document training: each document's
+    token stream splits into CHUNK_SIZE-token windows advancing by
+    CHUNK_STRIDE (so consecutive chunks share CHUNK_SIZE-CHUNK_STRIDE
+    tokens of context). A tail chunk survives only if it extends past
+    the previous chunk's end (n - start > overlap) — otherwise it is
+    fully contained and adds nothing.
+
+    The packing sibling (``text_pack_sequences``) concatenates SHORT
+    documents into fixed budgets; this splits LONG ones. Pure map-side
+    row expansion — tokenize, explode the start offsets, index the
+    token array — zero shuffle at any scale.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        tokenize_letters(F.col("text")).alias("w"),
+    ).select("doc_id", "w", F.size("w").alias("n"))
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    starts = toks.filter(F.col("n") > 0).select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))).alias("s"),
+    )
+    kept = starts.filter((F.col("s") == 0) | (F.col("n") - F.col("s") > overlap))
+    chunk_len = F.least(F.lit(CHUNK_SIZE), F.col("n") - F.col("s"))
+    return kept.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        chunk_len.cast("int").alias("n_chunk_tokens"),
+        F.element_at("w", F.col("s") + 1).alias("first_tok"),
+        F.element_at("w", (F.col("s") + chunk_len).cast("int")).alias("last_tok"),
+    )
+
+
 QUERIES = {
+    "text_bpe_pair_counts": text_bpe_pair_counts,
+    "text_chunk_overlap": text_chunk_overlap,
     "text_bigram_logprob": text_bigram_logprob,
     "text_pii_scrub": text_pii_scrub,
     "text_pack_sequences": text_pack_sequences,
@@ -859,6 +950,44 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_bpe_pair_counts": f"""
+        WITH words AS (
+            SELECT unnest({_LETTERS_LOWER}) AS word FROM documents
+        ),
+        freq AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+        pairs AS (
+            SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, c
+            FROM freq, LATERAL (SELECT unnest(range(1, len(word))) AS i)
+            WHERE len(word) >= 2
+        ),
+        agg AS (SELECT pair, sum(c) AS pair_count FROM pairs GROUP BY pair)
+        SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair) AS INTEGER) AS rank,
+               pair, CAST(pair_count AS BIGINT) AS pair_count
+        FROM agg
+        ORDER BY pair_count DESC, pair
+        LIMIT {BPE_TOP}
+    """,
+    "text_chunk_overlap": f"""
+        WITH toks AS (
+            SELECT doc_id, {_LETTERS_RAW_TOKENS} AS w FROM documents
+        ),
+        sized AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+        starts AS (
+            SELECT doc_id, w, n, CAST(s AS BIGINT) AS s
+            FROM sized, LATERAL (SELECT unnest(range(0, n, {CHUNK_STRIDE})) AS s)
+        ),
+        kept AS (
+            SELECT * FROM starts
+            WHERE s = 0 OR n - s > {CHUNK_SIZE - CHUNK_STRIDE}
+        )
+        SELECT doc_id,
+               CAST(s / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+               s AS start_tok,
+               CAST(least({CHUNK_SIZE}, n - s) AS INTEGER) AS n_chunk_tokens,
+               w[CAST(s + 1 AS INTEGER)] AS first_tok,
+               w[CAST(s + least({CHUNK_SIZE}, n - s) AS INTEGER)] AS last_tok
+        FROM kept
+    """,
     "text_bigram_logprob": f"""
         WITH ws AS (
             SELECT doc_id, {_LETTERS_LOWER} AS w FROM documents

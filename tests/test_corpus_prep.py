@@ -1,0 +1,85 @@
+"""Semantic tests for the round-4 corpus-prep additions: BPE pair
+counting (one tokenizer-training merge iteration) and overlapping
+context chunking. The vs-DuckDB differential check runs in
+test_operators.py; these pin the SEMANTICS on planted inputs where the
+expected output is hand-computable.
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mit_map_reduce_spark.operators import text as T
+
+
+def _write_documents(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array(["synthetic"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_bpe_pair_counts_planted_vocab(spark, tmp_path):
+    # banana x3 + bandana x1. Per-occurrence pair multisets:
+    #   banana:  ba an na an na  -> an:2 na:2 ba:1   (x3)
+    #   bandana: ba an nd da an na -> an:2 ba:1 nd:1 da:1 na:1
+    # Totals: an=8, na=7, ba=4, da=1, nd=1 (alphabetical tie-break).
+    sf = _write_documents(
+        tmp_path,
+        [(0, "banana banana banana", "en"), (1, "bandana", "en")],
+    )
+    rows = T.text_bpe_pair_counts(spark, sf).collect()
+    got = [(r.rank, r.pair, r.pair_count) for r in sorted(rows, key=lambda r: r.rank)]
+    assert got == [(1, "an", 8), (2, "na", 7), (3, "ba", 4), (4, "da", 1), (5, "nd", 1)]
+
+
+def test_bpe_single_char_words_emit_no_pairs(spark, tmp_path):
+    # 1-char words have no adjacent pair; Spark's sequence() infers a
+    # negative step for start > stop, so an unguarded explode would
+    # fabricate pairs here.
+    sf = _write_documents(tmp_path, [(0, "a a a b ab", "en")])
+    rows = T.text_bpe_pair_counts(spark, sf).collect()
+    assert [(r.pair, r.pair_count) for r in rows] == [("ab", 1)]
+
+
+def test_chunk_overlap_geometry_and_coverage(spark, tmp_path):
+    # 100 two-letter tokens: chunks start at 0/32/64 (96 is dropped:
+    # its 4 remaining tokens are inside the previous chunk's 48).
+    letters = "abcdefghij"
+    toks = [letters[i // 10] + letters[i % 10] for i in range(100)]
+    sf = _write_documents(
+        tmp_path, [(0, " ".join(toks), "en"), (1, "solo tiny doc", "en")]
+    )
+    rows = T.text_chunk_overlap(spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    long_doc = sorted(by_doc[0], key=lambda r: r.chunk_idx)
+    assert [
+        (r.chunk_idx, r.start_tok, r.n_chunk_tokens, r.first_tok, r.last_tok)
+        for r in long_doc
+    ] == [
+        (0, 0, 48, toks[0], toks[47]),
+        (1, 32, 48, toks[32], toks[79]),
+        (2, 64, 36, toks[64], toks[99]),
+    ]
+    # Every token index is covered by at least one chunk.
+    covered = set()
+    for r in long_doc:
+        covered.update(range(r.start_tok, r.start_tok + r.n_chunk_tokens))
+    assert covered == set(range(100))
+    # Consecutive chunks overlap by exactly CHUNK_SIZE - CHUNK_STRIDE
+    # while both are full-size.
+    assert long_doc[0].start_tok + T.CHUNK_SIZE - long_doc[1].start_tok == (
+        T.CHUNK_SIZE - T.CHUNK_STRIDE
+    )
+    # Short doc: one chunk holding everything.
+    assert [(r.chunk_idx, r.start_tok, r.n_chunk_tokens) for r in by_doc[1]] == [
+        (0, 0, 3)
+    ]
