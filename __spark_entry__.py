@@ -101,6 +101,7 @@ _PRIORITY = [
     # window filled; first in line for the round-5 window.
     "text_bpe_pair_counts",
     "text_chunk_overlap",
+    "graph_label_propagation",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -315,6 +315,121 @@ def graph_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ROUNDS = 3
+#: Tie-break encoding for "most frequent neighbor label, ties to the
+#: SMALLEST label": score = count * LPA_ENC + (LPA_ENC - 1 - label),
+#: picked with one integer max — order-invariant in any engine. Valid
+#: while node ids < LPA_ENC (testdata tops out ~1.02M; scale the
+#: constant with the id domain).
+LPA_ENC = 10_000_000
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection — the fourth iterative
+    shape beside PageRank (fixed propagation), connected components
+    (fixpoint), and k-core (monotone pruning): each round every node
+    adopts the most frequent label among its neighbors, ties broken to
+    the smallest label, for LPA_ROUNDS synchronous rounds (the
+    deterministic fixed unroll, same contract as the PageRank oracle;
+    production loops until labels stop changing).
+
+    Per round: one equi-join of the edge list with the label vector,
+    one (dst, label) count, one integer arg-max per dst — the
+    tie-break rides the count in a single encoded max, so no window
+    function and no second shuffle. Returns the final communities
+    (label, size, per-side membership, canonical member).
+    """
+
+    def build():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
+        try:
+            edges = _trade_edges(spark, sf_dir)
+            labels = edges.select(F.col("src").alias("node")).distinct().select(
+                "node", F.col("node").alias("label")
+            )
+            superseded = None
+            for _ in range(LPA_ROUNDS):
+                cnt = (
+                    edges.join(labels, edges.src == labels.node)
+                    .groupBy("dst", "label")
+                    .agg(F.count("*").alias("c"))
+                )
+                best = (
+                    cnt.select(
+                        "dst",
+                        (
+                            F.col("c") * LPA_ENC + (F.lit(LPA_ENC - 1) - F.col("label"))
+                        ).alias("s"),
+                    )
+                    .groupBy("dst")
+                    .agg(F.max("s").alias("s"))
+                )
+                new_labels = best.select(
+                    F.col("dst").alias("node"),
+                    (F.lit(LPA_ENC - 1) - F.col("s") % LPA_ENC).alias("label"),
+                ).persist()
+                new_labels.count()
+                if superseded is not None:
+                    superseded.unpersist()
+                superseded = new_labels
+                labels = new_labels
+            return labels
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    labels = shared_persist(spark, "graph_lpa_labels", sf_dir, build)
+    is_cust = F.col("node") >= NODE_OFFSET
+    return labels.groupBy("label").agg(
+        F.count("*").alias("n_members"),
+        F.count(F.when(is_cust, 1)).alias("n_customers"),
+        F.count(F.when(~is_cust, 1)).alias("n_suppliers"),
+        F.min("node").alias("min_node"),
+    )
+
+
+def _lpa_oracle_sql() -> str:
+    """DuckDB twin of the fixed-round label propagation, rounds
+    unrolled as chained CTEs (same contract as PageRank/k-core)."""
+    sql = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust_node, l_suppkey AS supp_node
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT cust_node AS src, supp_node AS dst FROM pairs
+            UNION ALL
+            SELECT supp_node, cust_node FROM pairs
+        ),
+        lp0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    prev = "lp0"
+    for i in range(1, LPA_ROUNDS + 1):
+        sql += f""",
+        c{i} AS (
+            SELECT e.dst, l.label, count(*) AS c
+            FROM edges e JOIN {prev} l ON e.src = l.node
+            GROUP BY e.dst, l.label
+        ),
+        b{i} AS (
+            SELECT dst, max(c * {LPA_ENC} + ({LPA_ENC - 1} - label)) AS s
+            FROM c{i} GROUP BY dst
+        ),
+        lp{i} AS (
+            SELECT dst AS node, {LPA_ENC - 1} - (s % {LPA_ENC}) AS label FROM b{i}
+        )"""
+        prev = f"lp{i}"
+    sql += f"""
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(count(*) FILTER (node >= {NODE_OFFSET}) AS BIGINT) AS n_customers,
+               CAST(count(*) FILTER (node < {NODE_OFFSET}) AS BIGINT) AS n_suppliers,
+               min(node) AS min_node
+        FROM {prev}
+        GROUP BY label
+    """
+    return sql
+
+
 def _kcore_oracle_sql() -> str:
     """DuckDB twin of the fixed-round k-core pruning, rounds unrolled
     as chained CTEs (same contract as the PageRank oracle)."""
@@ -356,6 +471,7 @@ def _kcore_oracle_sql() -> str:
 
 
 QUERIES = {
+    "graph_label_propagation": graph_label_propagation,
     "graph_pagerank_trade": graph_pagerank_trade,
     "graph_kcore_prune": graph_kcore_prune,
     "graph_degree_distribution": graph_degree_distribution,
@@ -380,6 +496,7 @@ ORACLES = {
         GROUP BY a.supp, b.supp
         HAVING count(*) >= {PROJ_MIN_COMMON}
     """,
+    "graph_label_propagation": _lpa_oracle_sql(),
     "graph_pagerank_trade": _pagerank_oracle_sql(),
     "graph_kcore_prune": _kcore_oracle_sql(),
     "graph_degree_distribution": f"""

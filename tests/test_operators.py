@@ -136,6 +136,55 @@ def test_lsh_multiprobe_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.4
 
 
+def test_label_propagation_separates_planted_communities(spark, tmp_path):
+    # Two disconnected complete-bipartite blocks: customers {1,2} x
+    # suppliers {10,11} and customers {3,4} x suppliers {12,13}. Labels
+    # must never cross blocks. Within a block, synchronous LPA on a
+    # bipartite graph oscillates by side (documented), so after an odd
+    # round count each side holds the other side's min id as label.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mit_map_reduce_spark.operators.graph import (
+        NODE_OFFSET,
+        graph_label_propagation,
+    )
+
+    orders, lines = [], []
+    ok = 0
+    for custs, supps in (((1, 2), (10, 11)), ((3, 4), (12, 13))):
+        for c in custs:
+            ok += 1
+            orders.append((ok, c))
+            lines.extend((ok, s) for s in supps)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+                "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([l[0] for l in lines], pa.int64()),
+                "l_suppkey": pa.array([l[1] for l in lines], pa.int64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    rows = graph_label_propagation(spark, str(tmp_path)).collect()
+    got = {r.label: (r.n_members, r.n_customers, r.n_suppliers, r.min_node) for r in rows}
+    assert got == {
+        10: (2, 2, 0, NODE_OFFSET + 1),  # block-A customers hold supp min id
+        NODE_OFFSET + 1: (2, 0, 2, 10),  # block-A suppliers hold cust min id
+        12: (2, 2, 0, NODE_OFFSET + 3),
+        NODE_OFFSET + 3: (2, 0, 2, 12),
+    }
+
+
 def test_pagerank_mass_conservation(spark, sf_dir):
     # On a symmetric graph with no dangling nodes the total rank mass
     # stays ~1 every iteration (up to the per-iteration rounding); a
