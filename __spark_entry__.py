@@ -102,6 +102,7 @@ _PRIORITY = [
     "text_bpe_pair_counts",
     "text_chunk_overlap",
     "graph_label_propagation",
+    "sketch_hll_union_merge",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

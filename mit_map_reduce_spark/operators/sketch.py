@@ -256,7 +256,66 @@ def sketch_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- explicit two-level HLL union-merge (round 4) ------------------------
+
+HLL_LGK = 14  # DataSketches lgConfigK: 2^14 registers, ~0.8% RSE
+
+
+def sketch_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable distinct counting: a serialized HLL sketch
+    per nation (level 1), union-merged into one sketch per region
+    (level 2), then estimated — the EXPLICIT form of the property that
+    makes sketches the 100 TB answer: partial states are bytes that
+    merge associatively, so per-partition/per-day/per-shard sketches
+    roll up without re-touching the raw data. (``approx_count_distinct``
+    does the same merge invisibly inside one aggregation;
+    materializing the level-1 sketch is what enables INCREMENTAL
+    rollups — yesterday's nation sketches never recompute.)
+
+    Uses Spark's DataSketches-backed hll_sketch_agg/hll_union_agg
+    binary columns. Buyers are nation-disjoint, so the region-exact
+    count doubles as a sum-check of the level-1 exacts; the oracle
+    pins the exact columns and the within-tolerance contract as TRUE
+    (same pattern as the HLL/GK queries above).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    buyer_nation = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_custkey", "c_nationkey"
+    )
+    per_nation = buyer_nation.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(HLL_LGK)).alias("sketch"),
+        F.countDistinct("o_custkey").alias("exact_buyers"),
+    )
+    dim = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "r_name"
+        )
+    )
+    per_region = (
+        per_nation.join(dim, per_nation.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"),
+            # buyers are nation-disjoint: the region exact is the sum
+            # of the level-1 exacts — no second raw-data pass needed
+            F.sum("exact_buyers").alias("exact_buyers"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+    ok = (
+        F.abs(F.col("est").cast("double") - F.col("exact_buyers").cast("double"))
+        <= F.lit(HLL_TOL) * F.col("exact_buyers").cast("double")
+    )
+    return per_region.select(
+        "r_name", "n_nations", "exact_buyers", ok.alias("hll_union_within_tol")
+    )
+
+
 QUERIES = {
+    "sketch_hll_union_merge": sketch_hll_union_merge,
     "sketch_approx_distinct_buyers": sketch_approx_distinct_buyers,
     "sketch_approx_percentile_order_value": sketch_approx_percentile_order_value,
     "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
@@ -282,6 +341,17 @@ def _bloom_bit_sql(key_expr: str) -> str:
 
 
 ORACLES = {
+    "sketch_hll_union_merge": """
+        SELECT r_name,
+               CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_buyers,
+               TRUE AS hll_union_within_tol
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
     "sketch_bloom_prefilter": f"""
         WITH premium AS (
             SELECT c_custkey FROM customer WHERE c_acctbal > {BLOOM_MIN_BAL}

@@ -136,6 +136,41 @@ def test_lsh_multiprobe_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.4
 
 
+def test_hll_union_merge_equals_single_level_sketch(spark, sf_dir):
+    # The property the operator exists to demonstrate: merging
+    # per-nation sketches must give the same estimate as sketching the
+    # region's raw stream directly — partial states are lossless under
+    # union, so incremental rollups are safe.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.sketch import HLL_LGK, sketch_hll_union_merge
+
+    two_level = {
+        r.r_name: r.exact_buyers for r in sketch_hll_union_merge(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    direct = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(HLL_LGK))).alias("est"))
+        .collect()
+    )
+    union_est = {
+        r.r_name: r.hll_union_within_tol
+        for r in sketch_hll_union_merge(spark, sf_dir).collect()
+    }
+    assert all(union_est.values())
+    for r in direct:
+        # At test cardinalities the sketch is in exact (sparse) mode,
+        # so direct and merged estimates both equal the exact count.
+        assert abs(r.est - two_level[r.r_name]) <= 0.05 * two_level[r.r_name]
+
+
 def test_label_propagation_separates_planted_communities(spark, tmp_path):
     # Two disconnected complete-bipartite blocks: customers {1,2} x
     # suppliers {10,11} and customers {3,4} x suppliers {12,13}. Labels
