@@ -25,6 +25,47 @@ def _write_documents(tmp_path, rows):
     return str(tmp_path)
 
 
+def test_quantize_int8_planted_vector(spark, tmp_path):
+    # [1.0, -0.5, 0.25]: scale=1.0, q = [127, floor(-63.5+0.5)=-63,
+    # floor(31.75+0.5)=32] — pins the round-half-up-toward-+inf rule
+    # both engines share (NOT banker's rounding).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mit_map_reduce_spark.operators.similarity import embedding_quantize_int8
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array([[1.0, -0.5, 0.25]], pa.list_(pa.float32())),
+                "label": pa.array([0], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    (r,) = embedding_quantize_int8(spark, str(tmp_path)).collect()
+    assert (r.scale, r.n_dims, r.q_min, r.q_max, r.q_sum, r.q_l1) == (
+        1.0, 3, -63, 127, 96, 222,
+    )
+
+
+def test_quantize_int8_full_scale_lane(spark, sf_dir):
+    # Symmetric max-abs scaling means every vector's largest-|x| lane
+    # quantizes to exactly +/-127, and no lane can exceed the range.
+    from pyspark.sql import functions as F
+
+    from mit_map_reduce_spark.operators.similarity import embedding_quantize_int8
+
+    q = embedding_quantize_int8(spark, sf_dir)
+    bad = q.filter(
+        (F.abs(F.col("q_min")) > 127)
+        | (F.abs(F.col("q_max")) > 127)
+        | ((F.col("q_max") != 127) & (F.col("q_min") != -127))
+    )
+    assert bad.count() == 0
+
+
 def test_bpe_pair_counts_planted_vocab(spark, tmp_path):
     # banana x3 + bandana x1. Per-occurrence pair multisets:
     #   banana:  ba an na an na  -> an:2 na:2 ba:1   (x3)
