@@ -252,6 +252,52 @@ def mm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_WIN = 10  # frames per energy window
+AUDIO_VAD_THRESHOLD = 0.2  # windows below this are "silence"
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, window_idx int, n_win_frames int, energy double, voiced boolean"
+)
+
+
+def mm_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed frame-energy over audio assets — the
+    voice-activity-detection shape of an audio ingest pipeline: decode
+    to frames, window the frame stream (AUDIO_WIN frames per window),
+    compute per-window energy, flag silence for trimming. One output
+    row per window.
+
+    Same plumbing contract as ``mm_frame_sample``: Arrow-batched row
+    expansion through ``mapInPandas``, map-side only, zero shuffle at
+    any scale. The energy value is the deterministic codec stand-in
+    (first 3 md5 hex digits of "doc_id:window", scaled to [0,1] —
+    a real pipeline computes RMS over decoded PCM here); the window
+    geometry, schema, batch shape, and VAD thresholding are the real
+    thing.
+    """
+    assets = _assets(spark, sf_dir).filter(F.col("media_type") == "audio")
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "window_idx", "n_win_frames", "energy", "voiced")}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                _, _, n_frames = stub_decode(len(content), "audio")
+                for w in range(0, (n_frames + AUDIO_WIN - 1) // AUDIO_WIN):
+                    h = hashlib.md5(f"{doc_id}:{w}".encode()).hexdigest()
+                    energy = math.floor(int(h[:3], 16) / 4095.0 * 10000.0 + 0.5) / 10000.0
+                    rows["doc_id"].append(doc_id)
+                    rows["window_idx"].append(w)
+                    rows["n_win_frames"].append(min(AUDIO_WIN, n_frames - w * AUDIO_WIN))
+                    rows["energy"].append(energy)
+                    rows["voiced"].append(energy >= AUDIO_VAD_THRESHOLD)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(energy_batches, schema=AUDIO_SCHEMA)
+
+
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash dedup over the asset corpus: assets whose
     decoded signature — (media_type, width, height) from the codec —
@@ -272,6 +318,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "mm_audio_energy_windows": mm_audio_energy_windows,
     "mm_phash_dedup": mm_phash_dedup,
     "mm_pipeline": mm_pipeline,
     "mm_asset_stats": mm_asset_stats,
@@ -284,7 +331,32 @@ QUERIES = {
 _MEDIA = """CASE CAST(doc_id % 3 AS INTEGER)
                 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"""
 
+#: value of the first 3 md5 hex digits of "doc_id:w" (t.w in scope)
+_AUDIO_HEX = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.w AS VARCHAR)), 1, 1)) - 1) * 256
+                 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.w AS VARCHAR)), 2, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.w AS VARCHAR)), 3, 1)) - 1) )"""
+
 ORACLES = {
+    "mm_audio_energy_windows": f"""
+        WITH a AS (
+            SELECT doc_id, octet_length(encode(text)) % 100 AS n_frames
+            FROM documents
+            WHERE CAST(doc_id % 3 AS INTEGER) = 1
+        ),
+        win AS (
+            SELECT doc_id, n_frames, CAST(t.w AS INTEGER) AS window_idx,
+                   floor({_AUDIO_HEX} / 4095.0 * 10000.0 + 0.5) / 10000.0 AS energy
+            FROM a, LATERAL (
+                SELECT unnest(range(0, (n_frames + {AUDIO_WIN - 1}) // {AUDIO_WIN})) AS w
+            ) t
+        )
+        SELECT doc_id, window_idx,
+               CAST(least({AUDIO_WIN}, n_frames - window_idx * {AUDIO_WIN}) AS INTEGER)
+                   AS n_win_frames,
+               energy,
+               energy >= {AUDIO_VAD_THRESHOLD} AS voiced
+        FROM win
+    """,
     "mm_phash_dedup": f"""
         WITH dec AS (
             SELECT doc_id, {_MEDIA} AS media_type,

@@ -136,6 +136,40 @@ def test_lsh_multiprobe_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.4
 
 
+def test_audio_energy_windows_cover_all_frames(spark, sf_dir):
+    # Window geometry invariant: per doc, the windows tile the decoded
+    # frame stream exactly — sum(n_win_frames) == n_frames, indexes
+    # contiguous from 0, every window holds 1..AUDIO_WIN frames.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.operators.multimodal import (
+        AUDIO_WIN,
+        mm_audio_energy_windows,
+        mm_decode_assets,
+    )
+
+    win = mm_audio_energy_windows(spark, sf_dir)
+    per_doc = win.groupBy("doc_id").agg(
+        F.sum("n_win_frames").alias("covered"),
+        F.count("*").alias("n_windows"),
+        F.max("window_idx").alias("max_idx"),
+        F.min("n_win_frames").alias("min_w"),
+        F.max("n_win_frames").alias("max_w"),
+    )
+    frames = mm_decode_assets(spark, sf_dir).filter(
+        (F.col("media_type") == "audio") & (F.col("n_frames") > 0)
+    )
+    j = frames.join(per_doc, "doc_id", "full")
+    bad = j.filter(
+        F.col("covered").isNull()
+        | F.col("n_frames").isNull()
+        | (F.col("covered") != F.col("n_frames"))
+        | (F.col("max_idx") != F.col("n_windows") - 1)
+        | (F.col("min_w") < 1)
+        | (F.col("max_w") > AUDIO_WIN)
+    )
+    assert bad.count() == 0
+
+
 def test_hll_union_merge_equals_single_level_sketch(spark, sf_dir):
     # The property the operator exists to demonstrate: merging
     # per-nation sketches must give the same estimate as sketching the
