@@ -105,6 +105,7 @@ _PRIORITY = [
     "sketch_hll_union_merge",
     "sim_embedding_quantize_int8",
     "mm_audio_energy_windows",
+    "stream_late_data_metrics",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

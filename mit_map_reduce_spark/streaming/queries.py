@@ -162,6 +162,81 @@ def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_to_file_sink(agg)
 
 
+#: One event in LATE_COHORT_MOD is held back and re-delivered a batch
+#: late — the deterministic stand-in for out-of-order arrival.
+LATE_COHORT_MOD = 7
+
+
+def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data semantics pinned end-to-end: a replay where a
+    held-back cohort (event_id % 7 == 0, all days before the last)
+    arrives micro-batches AFTER the on-time stream advanced the
+    watermark to (last on-time event - 1h). Spark then drops exactly
+    the late rows whose 1-day window that watermark already closed and
+    admits the ones whose window is still open (the final full day) —
+    the emitted per-window counts carry an ``n_late_admitted`` column
+    making the admit/drop split visible in data.
+
+    Determinism comes from controlling what every other streaming
+    query leaves to chance: the feed is scratch parquet files with
+    pinned modification times, ``maxFilesPerTrigger=1`` makes each a
+    micro-batch in mtime order, and every watermark is a pure function
+    of the earlier batches' contents. The oracle replays the same
+    schedule in SQL: on-time rows always count; held-back rows count
+    iff their window end exceeds the on-time watermark; windows
+    surface iff the final watermark closed them. The driver-side
+    ``first()`` fetches one aggregate scalar (the last-day boundary)
+    to build the feed — feed construction, not data movement.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    last_day = ev.agg(F.date_trunc("day", F.max("ts")).alias("d")).first()["d"]
+    in_late_cohort = (F.col("event_id") % LATE_COHORT_MOD == 0) & (
+        F.col("ts") < F.lit(last_day)
+    )
+    feed = _scratch_dir("latefeed", uuid.uuid4().hex[:12])
+    # THREE micro-batches, not two: since SPARK-24634 the late-event
+    # filter uses the watermark lagged one batch behind the eviction
+    # watermark (so chained stateful operators stay correct), so rows
+    # arriving in batch 1 are never dropped no matter how old. Batch 0
+    # sets the watermark, batch 1 (the final on-time day) advances the
+    # query, batch 2 delivers the held-back cohort against batch 1's
+    # late-event watermark = max(batch-0 ts) - delay.
+    batches = (
+        ev.filter((F.col("ts") < F.lit(last_day)) & (F.col("event_id") % LATE_COHORT_MOD != 0)),
+        ev.filter(F.col("ts") >= F.lit(last_day)),
+        ev.filter((F.col("ts") < F.lit(last_day)) & (F.col("event_id") % LATE_COHORT_MOD == 0)),
+    )
+    for i, b in enumerate(batches):
+        stage = os.path.join(feed, f"_stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+        dst = os.path.join(feed, f"batch{i}.parquet")
+        os.replace(os.path.join(stage, part), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
+    schema = spark.read.parquet(os.path.join(feed, "batch0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(in_late_cohort, 1)).alias("n_late_admitted"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            (F.col("n") - F.col("n_late_admitted")).alias("n_ontime"),
+            "n_late_admitted",
+            "n",
+        )
+    )
+    return _run_to_file_sink(agg)
+
+
 def stream_static_enrich_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the
     static customer dimension, rolled up per market segment — the
@@ -570,6 +645,7 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stream_late_data_metrics": stream_late_data_metrics,
     "stream_append_tumbling_file_sink": stream_append_tumbling_file_sink,
     "stream_stream_join_attribution": stream_stream_join_attribution,
     "stream_static_enrich_by_segment": stream_static_enrich_by_segment,
@@ -583,6 +659,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The two-batch replay in SQL: batch 1 = on-time cohort (all days
+    # before the last, event_id % 7 != 0), whose max ts sets the
+    # mid-stream watermark; batch-2 rows count iff their day window
+    # was still open then; windows surface iff the FINAL watermark
+    # closed them.
+    "stream_late_data_metrics": f"""
+        WITH lastd AS (SELECT CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d0 FROM events),
+        wm1 AS (
+            SELECT max(ts) - INTERVAL 1 HOUR AS w
+            FROM events, lastd
+            WHERE ts < lastd.d0 AND event_id % {LATE_COHORT_MOD} <> 0
+        ),
+        wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        ev AS (
+            SELECT event_id, ts,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+                   (event_id % {LATE_COHORT_MOD} = 0 AND ts < lastd.d0) AS is_late,
+                   (ts >= lastd.d0 OR event_id % {LATE_COHORT_MOD} = 0) AS in_batch2
+            FROM events, lastd
+        ),
+        kept AS (
+            SELECT ev.* FROM ev, wm1
+            WHERE (NOT in_batch2) OR ws + INTERVAL 1 DAY > wm1.w
+        )
+        SELECT ws,
+               CAST(count(*) FILTER (NOT is_late) AS BIGINT) AS n_ontime,
+               CAST(count(*) FILTER (is_late) AS BIGINT) AS n_late_admitted,
+               CAST(count(*) AS BIGINT) AS n
+        FROM kept, wmf
+        GROUP BY ws, wmf.w
+        HAVING ws + INTERVAL 1 DAY <= wmf.w
+    """,
     # Late-data / open-window dropping: only windows CLOSED by the
     # watermark (end <= max event time - 1h delay) reach an append-mode
     # sink; the final still-open day must be absent.

@@ -221,3 +221,42 @@ def test_production_sink_invocations_deterministic(spark, sf_dir, qname):
     second = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
     assert first == second
     assert len(first) > 0
+
+
+def test_late_data_metrics_drop_admit_split(spark, sf_dir):
+    """The late-replay query's contract: every emitted window except
+    the last full day carries ZERO admitted late rows (their windows
+    were closed when the held-back cohort arrived) yet the raw table
+    HAS late-cohort rows there — the drop is visible as a deficit; the
+    final emitted window admits its whole late cohort; the still-open
+    last day never surfaces."""
+    from pyspark.sql import functions as F
+
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.streaming.queries import (
+        LATE_COHORT_MOD,
+        stream_late_data_metrics,
+    )
+
+    out = {r.ws: r for r in stream_late_data_metrics(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    raw = {
+        r.ws: r
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("ws"))
+        .agg(
+            F.count("*").alias("n_all"),
+            F.count(F.when(F.col("event_id") % LATE_COHORT_MOD == 0, 1)).alias("n_cohort"),
+        )
+        .collect()
+    }
+    days = sorted(raw)
+    last_open, last_emitted = days[-1], days[-2]
+    assert last_open not in out  # still-open window never emitted
+    assert set(out) == set(days[:-1])
+    for d in days[:-2]:
+        r = out[d]
+        assert r.n_late_admitted == 0
+        assert r.n == raw[d].n_all - raw[d].n_cohort  # dropped = deficit
+    r = out[last_emitted]
+    assert r.n_late_admitted == raw[last_emitted].n_cohort > 0
+    assert r.n == raw[last_emitted].n_all
