@@ -106,6 +106,7 @@ _PRIORITY = [
     "sim_embedding_quantize_int8",
     "mm_audio_energy_windows",
     "stream_late_data_metrics",
+    "mr_reduce_side_join",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

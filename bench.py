@@ -85,6 +85,14 @@ HEADLINE = (
     "adv_salted_skew_join_events",
     "rel_window_cumulative_share",
     "mm_phash_dedup",
+    # round 4 late additions
+    "text_bpe_pair_counts",
+    "text_chunk_overlap",
+    "graph_label_propagation",
+    "sketch_hll_union_merge",
+    "sim_embedding_quantize_int8",
+    "mm_audio_energy_windows",
+    "stream_late_data_metrics",
 )
 
 

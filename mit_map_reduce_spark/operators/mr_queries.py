@@ -113,7 +113,52 @@ def mr_secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mr_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic MapReduce *reduce-side join* (SURVEY §2c joins row):
+    map tags every record with its source relation, the shuffle
+    co-locates both relations' records for a key, and reduce stitches
+    them — the only way the reference paradigm can join at all (its
+    sole inter-record operation is group-by-key,
+    src/mr/worker.go:201-210).
+
+    Spark-first the pattern collapses to union-tag + one hash
+    aggregate: customer rows carry the segment, order rows carry the
+    price, and a single shuffle on the key both "joins" and aggregates
+    (conditional aggregates pick each relation's fields back out).
+    When the reduce side ALSO aggregates per key — as here — this is a
+    legitimately efficient plan even next to native ``df.join``: one
+    exchange total, vs join-then-agg's exchange + agg. Customers
+    without orders surface with zero counts, i.e. the left-outer
+    variant of the pattern for free.
+    """
+    from mit_map_reduce_spark.functions.columns import money_sum
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.lit("c").alias("tag"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.lit("o").alias("tag"),
+        F.lit(None).cast("string").alias("seg"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return (
+        cust.unionAll(orders)
+        .groupBy("k")
+        .agg(
+            F.max(F.when(F.col("tag") == "c", F.col("seg"))).alias("c_mktsegment"),
+            F.count(F.when(F.col("tag") == "o", 1)).alias("n_orders"),
+            F.coalesce(money_sum("price", 2), F.lit(0.0)).alias("total_spend"),
+        )
+        .select(F.col("k").alias("custkey"), "c_mktsegment", "n_orders", "total_spend")
+    )
+
+
 QUERIES = {
+    "mr_reduce_side_join": mr_reduce_side_join,
     "mr_wordcount": mr_wordcount,
     "mr_inverted_index": mr_inverted_index,
     "mr_distributed_grep": mr_distributed_grep,
@@ -122,7 +167,17 @@ QUERIES = {
 
 _TOKENS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')"
 
+from mit_map_reduce_spark.functions.columns import sql_money_sum as _sms
+
 ORACLES = {
+    "mr_reduce_side_join": f"""
+        SELECT c_custkey AS custkey,
+               c_mktsegment,
+               CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+               coalesce({_sms("o_totalprice")}, 0.0) AS total_spend
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
     "mr_secondary_sort": """
         SELECT user_id,
                CAST(count(*) AS INTEGER) AS n_events,

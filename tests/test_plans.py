@@ -143,6 +143,42 @@ def test_mapside_operators_have_no_hash_shuffle(spark, sf_dir):
     assert count_shuffles(text_rolling_hash(spark, sf_dir)) == 0
 
 
+def test_round4_mapside_operators_have_no_hash_shuffle(spark, sf_dir):
+    # Chunking, int8 quantization, and the audio window expansion are
+    # all pure per-row work (explode / HOFs / mapInPandas): the only
+    # exchange allowed is the spread() round-robin fan-out.
+    from mit_map_reduce_spark.operators.multimodal import mm_audio_energy_windows
+    from mit_map_reduce_spark.operators.similarity import embedding_quantize_int8
+    from mit_map_reduce_spark.operators.text import text_chunk_overlap
+
+    for fn in (text_chunk_overlap, embedding_quantize_int8, mm_audio_energy_windows):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "Exchange hashpartitioning" not in plan, fn.__name__
+        assert "Exchange rangepartitioning" not in plan, fn.__name__
+
+
+def test_reduce_side_join_is_single_exchange(spark, sf_dir):
+    # The pattern's whole point: union-tag + one hash aggregate joins
+    # AND aggregates with a single shuffle (join-then-agg would cost
+    # an exchange per side plus the agg exchange).
+    from mit_map_reduce_spark.operators.mr_queries import mr_reduce_side_join
+
+    assert count_shuffles(mr_reduce_side_join(spark, sf_dir)) == 1
+
+
+def test_bpe_pair_extraction_runs_on_distinct_vocab(spark, sf_dir):
+    # The scale claim in the docstring: pair explosion happens AFTER
+    # the word-frequency aggregation, so the plan shows the corpus-
+    # sized explode (tokenize) feeding a partial+final hash aggregate,
+    # and the pair explode feeding off the AGGREGATE — i.e. exactly two
+    # hash exchanges (word agg, pair agg) + the top-k single-partition
+    # window, never an exchange of exploded per-occurrence pairs.
+    from mit_map_reduce_spark.operators.text import text_bpe_pair_counts
+
+    plan = physical_plan(text_bpe_pair_counts(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_contamination_broadcasts_benchmark_grams(spark, sf_dir):
     # The eval-set gram table must BROADCAST: at 100 TB the corpus side
     # is the crawl and cannot be the build side of a shuffle join.
