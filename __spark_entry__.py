@@ -107,6 +107,7 @@ _PRIORITY = [
     "mm_audio_energy_windows",
     "stream_late_data_metrics",
     "mr_reduce_side_join",
+    "dedup_incremental_ingest",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

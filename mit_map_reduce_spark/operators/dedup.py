@@ -717,7 +717,69 @@ def near_dup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: One document in INGEST_MOD plays the "incoming batch"; the rest are
+#: the already-indexed corpus.
+INGEST_MOD = 4
+
+
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the shape a production corpus build
+    actually runs day to day: a NEW batch of documents checked against
+    the EXISTING indexed corpus (never corpus-vs-corpus again). Each
+    incoming doc gets a verdict: ``exact_dup`` (md5 matches an
+    existing doc), ``near_dup`` (MinHash-LSH pair with an existing doc
+    at jaccard >= threshold), else ``new`` — plus the canonical
+    matching existing doc (smallest id) and the best jaccard for near
+    matches. In-batch duplicates are deliberately out of scope here
+    (that is ``dedup_near_dup_keep_list``); a doc duplicating only
+    other INCOMING docs is ``new``.
+
+    Scale story: the existing side is consulted only through two
+    bounded artifacts — its md5 fingerprint set (exact) and its
+    band-key index (near) — which at 100 TB are materialized stores
+    the ingest job probes with batch-sized joins; the existing TEXT is
+    never re-read. Here both sides derive from the session-shared
+    signature cache, so the split costs nothing extra.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_incoming = F.col("doc_id") % INGEST_MOD == 0
+    incoming = docs.filter(is_incoming)
+    exact_store = (
+        docs.filter(~is_incoming)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("exact_match"))
+    )
+    base = incoming.select("doc_id", F.md5("text").alias("h")).join(
+        exact_store, "h", "left"
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    in_a = F.col("doc_a") % INGEST_MOD == 0
+    in_b = F.col("doc_b") % INGEST_MOD == 0
+    cross = pairs.filter(in_a != in_b).select(
+        F.when(in_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("in_doc"),
+        F.when(in_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("ex_doc"),
+        "jaccard",
+    )
+    near = cross.groupBy("in_doc").agg(
+        F.max("jaccard").alias("best_jaccard"), F.min("ex_doc").alias("near_match")
+    )
+    out = base.join(near, base.doc_id == near.in_doc, "left")
+    return out.select(
+        "doc_id",
+        F.when(F.col("exact_match").isNotNull(), "exact_dup")
+        .when(F.col("near_match").isNotNull(), "near_dup")
+        .otherwise("new")
+        .alias("verdict"),
+        F.coalesce("exact_match", "near_match").alias("match_doc"),
+        F.when(
+            F.col("exact_match").isNull() & F.col("near_match").isNotNull(),
+            F.col("best_jaccard"),
+        ).alias("jaccard"),
+    )
+
+
 QUERIES = {
+    "dedup_incremental_ingest": dedup_incremental_ingest,
     "dedup_exact": dedup_exact,
     "dedup_near_dup_keep_list": near_dup_keep_list,
     "dedup_connected_components": dedup_connected_components,
@@ -802,6 +864,38 @@ ORACLES = {
     "dedup_minhash_lsh_pairs": f"""
         WITH {_PAIRS_CTES}
         SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    "dedup_incremental_ingest": f"""
+        WITH {_PAIRS_CTES},
+        inc AS (
+            SELECT doc_id, md5(text) AS h FROM documents
+            WHERE doc_id % {INGEST_MOD} = 0
+        ),
+        exm AS (
+            SELECT md5(text) AS h, min(doc_id) AS exact_match
+            FROM documents WHERE doc_id % {INGEST_MOD} <> 0
+            GROUP BY md5(text)
+        ),
+        np AS (
+            SELECT CASE WHEN doc_a % {INGEST_MOD} = 0 THEN doc_a ELSE doc_b END AS in_doc,
+                   CASE WHEN doc_a % {INGEST_MOD} = 0 THEN doc_b ELSE doc_a END AS ex_doc,
+                   jaccard
+            FROM pairs
+            WHERE (doc_a % {INGEST_MOD} = 0) <> (doc_b % {INGEST_MOD} = 0)
+        ),
+        near AS (
+            SELECT in_doc, max(jaccard) AS best_jaccard, min(ex_doc) AS near_match
+            FROM np GROUP BY in_doc
+        )
+        SELECT inc.doc_id,
+               CASE WHEN exm.exact_match IS NOT NULL THEN 'exact_dup'
+                    WHEN near.near_match IS NOT NULL THEN 'near_dup'
+                    ELSE 'new' END AS verdict,
+               coalesce(exm.exact_match, near.near_match) AS match_doc,
+               CASE WHEN exm.exact_match IS NULL THEN near.best_jaccard END AS jaccard
+        FROM inc
+        LEFT JOIN exm ON exm.h = inc.h
+        LEFT JOIN near ON near.in_doc = inc.doc_id
     """,
     "dedup_connected_components": f"""
         WITH RECURSIVE {_PAIRS_CTES},

@@ -124,3 +124,42 @@ def test_chunk_overlap_geometry_and_coverage(spark, tmp_path):
     assert [(r.chunk_idx, r.start_tok, r.n_chunk_tokens) for r in by_doc[1]] == [
         (0, 0, 3)
     ]
+
+
+def test_incremental_ingest_verdicts_planted(spark, tmp_path):
+    # Incoming batch = doc_id % 4 == 0. Planted outcomes:
+    #   doc 0: byte-identical to existing doc 1       -> exact_dup(1)
+    #   doc 4: last word changed vs existing doc 1    -> near_dup(1)
+    #   doc 8: unique                                 -> new
+    #   doc 12: identical to INCOMING doc 16 only     -> new (in-batch
+    #           dups are out of scope by contract)
+    from mit_map_reduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        dedup_incremental_ingest,
+    )
+
+    base = ("quick brown foxes jump over lazy sleeping dogs near quiet "
+            "rivers while golden eagles circle high above misty mountain "
+            "valleys watching tiny scurrying marmots below")
+    near = base.replace("below", "beneath")  # tail word: 4 of 21 shingles differ
+    twin = "completely separate incoming duplicate text repeated verbatim here " * 3
+    sf = _write_documents(
+        tmp_path,
+        [
+            (0, base, "en"),
+            (1, base, "en"),
+            (2, "an existing document about duckdb storage internals", "en"),
+            (4, near, "en"),
+            (8, "an utterly unrelated document about spark physical plans", "en"),
+            (12, twin, "en"),
+            (16, twin, "en"),
+        ],
+    )
+    rows = {r.doc_id: r for r in dedup_incremental_ingest(spark, sf).collect()}
+    assert set(rows) == {0, 4, 8, 12, 16}
+    assert (rows[0].verdict, rows[0].match_doc, rows[0].jaccard) == ("exact_dup", 1, None)
+    assert rows[4].verdict == "near_dup" and rows[4].match_doc == 1
+    assert rows[4].jaccard >= JACCARD_THRESHOLD
+    assert rows[8].verdict == "new" and rows[8].match_doc is None
+    assert rows[12].verdict == "new"  # its only twin is incoming
+    assert rows[16].verdict == "new"
