@@ -61,6 +61,27 @@ def main() -> None:
     print("packed sequences:", packed.count())
     packed.orderBy("seq_id").show(5)
 
+    # Long documents go the other way: split into overlapping
+    # retrieval/context chunks instead of being concatenated.
+    from mit_map_reduce_spark.operators.text import text_chunk_overlap
+
+    chunks = text_chunk_overlap(spark, sf_dir)
+    print("context chunks:", chunks.count())
+
+    # Tomorrow's crawl lands: check the incoming batch against the
+    # corpus built above — exact via the fingerprint store, near via
+    # the band-key index (operators/dedup.py, round 4).
+    from mit_map_reduce_spark.operators.dedup import dedup_incremental_ingest
+
+    ingest = dedup_incremental_ingest(spark, sf_dir)
+    ingest.groupBy("verdict").count().orderBy("verdict").show()
+
+    # Embedding side: quantize to int8 for the ANN serving tier.
+    from mit_map_reduce_spark.operators.similarity import embedding_quantize_int8
+
+    quant = embedding_quantize_int8(spark, sf_dir)
+    print("quantized vectors:", quant.count())
+
 
 if __name__ == "__main__":
     main()
