@@ -108,6 +108,7 @@ _PRIORITY = [
     "stream_late_data_metrics",
     "mr_reduce_side_join",
     "dedup_incremental_ingest",
+    "sketch_cms_topk_by_source",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

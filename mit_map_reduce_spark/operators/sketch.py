@@ -191,6 +191,67 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_GROUP_TOP = 5
+
+
+def sketch_cms_topk_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP count-min sketches: one independent CMS per corpus
+    source, probed for that source's top tokens — the partitioned form
+    of ``sketch_cms_heavy_hitters`` that answers "heavy hitters per
+    tenant/domain/day" without ever shuffling per-(group, key) counts:
+    the aggregation output is 256 cells PER GROUP no matter how many
+    distinct tokens each group streams (here 5 sources -> 1280 cells
+    total; a per-key exact count would shuffle every distinct
+    (source, word)).
+
+    The candidate set read out is each source's exact top
+    ``CMS_GROUP_TOP`` tokens so overcount sits beside truth; the md5
+    hashes are group-independent, so the oracle rebuilds each group's
+    sketch bit-for-bit (exact estimate verification, like the global
+    CMS).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from mit_map_reduce_spark.functions.columns import tokenize_letters
+    from pyspark.sql import Window as W
+
+    words = docs.select(
+        "source", F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+    )
+    probes_struct = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), _cms_bucket(i, F.col("word")).alias("b"))
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        words.select("source", F.explode(probes_struct).alias("ib"))
+        .groupBy("source", "ib.i", "ib.b")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = words.groupBy("source", "word").agg(F.count("*").alias("exact_count"))
+    w = W.partitionBy("source").orderBy(F.col("exact_count").desc(), "word")
+    cand = (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= CMS_GROUP_TOP)
+    )
+    probes = cand.select(
+        "source", "rank", "word", "exact_count", F.explode(probes_struct).alias("ib")
+    ).select("source", "rank", "word", "exact_count", "ib.i", "ib.b")
+    est = (
+        probes.join(F.broadcast(sketch), ["source", "i", "b"])
+        .groupBy("source", "rank", "word", "exact_count")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return est.select(
+        "source",
+        "rank",
+        "word",
+        "exact_count",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_count")).alias("no_underestimate"),
+    )
+
+
 # --- Bloom-filter join prefilter (round 4) -------------------------------
 
 BLOOM_BITS = 1024
@@ -315,6 +376,7 @@ def sketch_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sketch_cms_topk_by_source": sketch_cms_topk_by_source,
     "sketch_hll_union_merge": sketch_hll_union_merge,
     "sketch_approx_distinct_buyers": sketch_approx_distinct_buyers,
     "sketch_approx_percentile_order_value": sketch_approx_percentile_order_value,
@@ -341,6 +403,40 @@ def _bloom_bit_sql(key_expr: str) -> str:
 
 
 ORACLES = {
+    "sketch_cms_topk_by_source": f"""
+        WITH words AS (
+            SELECT source,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+                          x -> x <> '')) AS word
+            FROM documents
+        ),
+        buckets AS (
+            SELECT source, t.i, {_CMS_BUCKET_SQL} AS b
+            FROM words CROSS JOIN range({CMS_DEPTH}) t(i)
+        ),
+        sketch AS (SELECT source, i, b, count(*) AS n FROM buckets GROUP BY source, i, b),
+        counts AS (
+            SELECT source, word, count(*) AS exact_count
+            FROM words GROUP BY source, word
+        ),
+        cand AS (
+            SELECT source, word, exact_count,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY exact_count DESC, word) AS INTEGER) AS rank
+            FROM counts
+            QUALIFY rank <= {CMS_GROUP_TOP}
+        ),
+        probes AS (
+            SELECT source, rank, word, exact_count, t.i, {_CMS_BUCKET_SQL} AS b
+            FROM cand CROSS JOIN range({CMS_DEPTH}) t(i)
+        )
+        SELECT p.source, p.rank, p.word,
+               CAST(p.exact_count AS BIGINT) AS exact_count,
+               CAST(min(s.n) AS BIGINT) AS cms_est,
+               min(s.n) >= p.exact_count AS no_underestimate
+        FROM probes p JOIN sketch s ON s.source = p.source AND s.i = p.i AND s.b = p.b
+        GROUP BY p.source, p.rank, p.word, p.exact_count
+    """,
     "sketch_hll_union_merge": """
         SELECT r_name,
                CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
