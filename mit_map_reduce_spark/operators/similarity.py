@@ -447,7 +447,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         F.transform(
             "xd",
-            lambda v: F.floor(v / F.col("scale") * QUANT_MAX + F.lit(0.5)),
+            # scale == 0 (all-zero vector) quantizes to all-zero lanes
+            # — without the guard both engines hit 0/0 and diverge.
+            lambda v: F.when(F.col("scale") == 0, F.lit(0).cast("bigint")).otherwise(
+                F.floor(v / F.col("scale") * QUANT_MAX + F.lit(0.5))
+            ),
         ).alias("q"),
     )
     zero = F.lit(0).cast("bigint")
@@ -589,7 +593,9 @@ ORACLES = {
         quant AS (
             SELECT vec_id, scale,
                    list_transform(xd,
-                       v -> CAST(floor(v / scale * {QUANT_MAX} + 0.5) AS BIGINT)) AS q
+                       v -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                            ELSE CAST(floor(v / scale * {QUANT_MAX} + 0.5) AS BIGINT)
+                            END) AS q
             FROM scaled
         )
         SELECT vec_id,

@@ -37,17 +37,22 @@ def test_quantize_int8_planted_vector(spark, tmp_path):
     pq.write_table(
         pa.table(
             {
-                "vec_id": pa.array([0], pa.int64()),
-                "embedding": pa.array([[1.0, -0.5, 0.25]], pa.list_(pa.float32())),
-                "label": pa.array([0], pa.int32()),
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, -0.5, 0.25], [0.0, 0.0, 0.0]], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0, 0], pa.int32()),
             }
         ),
         str(tmp_path / "embeddings.parquet"),
     )
-    (r,) = embedding_quantize_int8(spark, str(tmp_path)).collect()
+    rows = {r.vec_id: r for r in embedding_quantize_int8(spark, str(tmp_path)).collect()}
+    r = rows[0]
     assert (r.scale, r.n_dims, r.q_min, r.q_max, r.q_sum, r.q_l1) == (
         1.0, 3, -63, 127, 96, 222,
     )
+    z = rows[1]  # all-zero vector: scale 0, all-zero lanes (guarded 0/0)
+    assert (z.scale, z.q_min, z.q_max, z.q_sum, z.q_l1) == (0.0, 0, 0, 0, 0)
 
 
 def test_quantize_int8_full_scale_lane(spark, sf_dir):
@@ -61,7 +66,11 @@ def test_quantize_int8_full_scale_lane(spark, sf_dir):
     bad = q.filter(
         (F.abs(F.col("q_min")) > 127)
         | (F.abs(F.col("q_max")) > 127)
-        | ((F.col("q_max") != 127) & (F.col("q_min") != -127))
+        | (
+            (F.col("scale") != 0)  # all-zero vectors quantize to zeros
+            & (F.col("q_max") != 127)
+            & (F.col("q_min") != -127)
+        )
     )
     assert bad.count() == 0
 
