@@ -905,7 +905,54 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic training-order shuffle (round 4) ----------------------
+
+SHUFFLE_SHARDS = 8  # output shards for distributed training readers
+
+
+def text_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle — the training-order step: a
+    reproducible pseudo-random total order (sort by md5 of doc_id) plus
+    the round-robin shard each reader consumes. Reproducibility is the
+    point: re-running the build on any cluster/partitioning gives byte-
+    identical data order, so a training run is replayable.
+
+    A naive global ``row_number`` is one single-task sort; this uses
+    the same two-pass distributed prefix pattern as
+    ``text_pack_sequences``: range-partition by the shuffle key, rank
+    locally in parallel, then roll the per-partition counts into a
+    broadcast offset table. Positions depend only on the md5 total
+    order, never on where the sampled range boundaries fall.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("skey")
+    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
+    with_pid = keyed.repartitionByRange(n_parts, "skey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_in = W.partitionBy("pid").orderBy("skey")
+    local = with_pid.withColumn("local_rn", F.row_number().over(w_in))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = (
+        with_pid.groupBy("pid")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("offset", F.sum("cnt").over(w_off) - F.col("cnt"))
+        .select("pid", "offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_rn") - 1).alias("shuffle_pos"),
+        )
+        .withColumn("shard", (F.col("shuffle_pos") % SHUFFLE_SHARDS).cast("int"))
+    )
+
+
 QUERIES = {
+    "text_shuffle_order": text_shuffle_order,
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_chunk_overlap": text_chunk_overlap,
     "text_bigram_logprob": text_bigram_logprob,
@@ -950,6 +997,14 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_shuffle_order": f"""
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+                    AS BIGINT) AS shuffle_pos,
+               CAST((row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1)
+                    % {SHUFFLE_SHARDS} AS INTEGER) AS shard
+        FROM documents
+    """,
     "text_bpe_pair_counts": f"""
         WITH words AS (
             SELECT unnest({_LETTERS_LOWER}) AS word FROM documents

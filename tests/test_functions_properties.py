@@ -121,6 +121,9 @@ import pytest as _pytest
         # two-pass distributed prefix sum: the packing must not depend
         # on where the sampled range-partition boundaries fall
         "text_pack_sequences",
+        # same two-pass pattern: global shuffle positions must not
+        # depend on the range boundaries either
+        "text_shuffle_order",
     ],
 )
 def test_float_queries_partitioning_invariant(spark, sf_dir, qname):
