@@ -93,6 +93,10 @@ HEADLINE = (
     "sim_embedding_quantize_int8",
     "mm_audio_energy_windows",
     "stream_late_data_metrics",
+    "mr_reduce_side_join",
+    "dedup_incremental_ingest",
+    "sketch_cms_topk_by_source",
+    "text_shuffle_order",
 )
 
 
