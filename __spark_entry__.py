@@ -110,6 +110,7 @@ _PRIORITY = [
     "dedup_incremental_ingest",
     "sketch_cms_topk_by_source",
     "text_shuffle_order",
+    "sim_ann_mmr_topk",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -412,6 +412,152 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MMR diversified retrieval (round 4) ---------------------------------
+
+MMR_LAMBDA = 0.7  # relevance weight; 1-MMR_LAMBDA weighs diversity
+MMR_POOL = 15  # candidate pool per query (from exact retrieval)
+MMR_K = 5  # diversified picks per query
+MMR_SIM_DIGITS = 6  # similarity rounding for cross-engine determinism
+
+
+def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking — the diversification
+    stage after retrieval: greedily pick MMR_K results per query
+    maximizing ``LAMBDA*rel(q,d) - (1-LAMBDA)*max_{s in picked}
+    sim(d,s)``, so near-duplicate hits don't crowd the result list.
+
+    Scale shape: MMR is inherently a POST-retrieval operator — it only
+    ever touches the fixed-size candidate pool (MMR_POOL rows and
+    MMR_POOL^2 pairwise sims per query), so its cost is constant per
+    query no matter the corpus size; the corpus-sized work happened in
+    the retrieval stage feeding it. The greedy loop is MMR_K-1 rounds
+    of tiny joins, eagerly materialized like the other iterative
+    builders and cached once per (session, corpus) via the registry.
+    Determinism contract: all similarities round to MMR_SIM_DIGITS
+    before any comparison (like the IVF centroid means), ties break to
+    the smallest neighbor id; the oracle unrolls the same greedy
+    rounds as chained CTEs.
+    """
+    def build():
+        # The greedy rounds shuffle kilobytes; at the session's stock
+        # partition count each round schedules hundreds of near-empty
+        # tasks (the graph-loop lesson — scope the setting down).
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            return _mmr_build(spark, sf_dir)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    sel = shared_persist(spark, "mmr_topk", sf_dir, build)
+    return sel.select(
+        "query_id",
+        F.col("pick_rank").cast("int").alias("pick_rank"),
+        "neighbor_id",
+        round_half_up("rel", 4).alias("relevance"),
+    )
+
+
+def _mmr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The greedy MMR rounds (see ann_mmr_diversified_topk); runs
+    under a scoped-down shuffle-partition setting."""
+    emb = _emb_with_norm(spark, sf_dir)
+    queries = emb.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    rel6 = round_half_up(
+        dot_product(F.col("q_emb"), F.col("embedding"))
+        / (F.col("q_nrm") * F.col("nrm")),
+        MMR_SIM_DIGITS,
+    )
+    scored = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), rel6.alias("rel")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rel").desc(), "neighbor_id")
+    pool = (
+        scored.withColumn("prank", F.row_number().over(w))
+        .filter(F.col("prank") <= MMR_POOL)
+        .select("query_id", "neighbor_id", "rel")
+        .persist()
+    )
+    pool.count()
+    pe = pool.join(
+        emb.select("vec_id", "embedding", "nrm"),
+        pool.neighbor_id == F.col("vec_id"),
+    ).select("query_id", "neighbor_id", "rel", "embedding", "nrm")
+    a = pe.select(
+        "query_id",
+        F.col("neighbor_id").alias("a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = pe.select(
+        F.col("query_id").alias("qb"),
+        F.col("neighbor_id").alias("b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    psim6 = round_half_up(
+        dot_product(F.col("emb_a"), F.col("emb_b"))
+        / (F.col("nrm_a") * F.col("nrm_b")),
+        MMR_SIM_DIGITS,
+    )
+    pairs = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")))
+        .select("query_id", "a", "b", psim6.alias("psim"))
+        .persist()
+    )
+    pairs.count()
+    first = (
+        pool.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", F.lit(1).alias("pick_rank"), "rel")
+    )
+    sel = first.persist()
+    sel.count()
+    superseded = sel
+    for t in range(2, MMR_K + 1):
+        rem = pool.join(sel, ["query_id", "neighbor_id"], "left_anti").alias("r")
+        pr = pairs.alias("p")
+        picked = sel.select(
+            F.col("query_id").alias("qs"), F.col("neighbor_id").alias("sb")
+        ).alias("s")
+        div = (
+            rem.join(
+                pr,
+                (F.col("r.query_id") == F.col("p.query_id"))
+                & (F.col("r.neighbor_id") == F.col("p.a")),
+            )
+            .join(
+                picked,
+                (F.col("p.query_id") == F.col("s.qs")) & (F.col("p.b") == F.col("s.sb")),
+            )
+            .groupBy(F.col("r.query_id"), F.col("r.neighbor_id"), F.col("r.rel"))
+            .agg(F.max(F.col("p.psim")).alias("div"))
+        )
+        score = F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(1 - MMR_LAMBDA) * F.col("div")
+        ws = W.partitionBy("query_id").orderBy(score.desc(), "neighbor_id")
+        pick = (
+            div.withColumn("rn", F.row_number().over(ws))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "neighbor_id", F.lit(t).alias("pick_rank"), "rel")
+        )
+        # localCheckpoint (eager), not persist: each pick's plan nests
+        # the previous round's, and although caching short-circuits
+        # EXECUTION, Catalyst still re-analyzes the whole deepening
+        # tree every round — measured 1.3s -> 7.8s of pure driver
+        # planning by round 5. Checkpointing truncates the lineage so
+        # every round plans against a flat scan.
+        sel = sel.unionAll(pick).localCheckpoint()
+        superseded.unpersist()
+        superseded = sel
+    pool.unpersist()
+    pairs.unpersist()
+    return sel
+
+
 # --- int8 symmetric quantization (round 4) -------------------------------
 
 QUANT_MAX = 127  # int8 symmetric range
@@ -467,6 +613,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_ann_mmr_topk": ann_mmr_diversified_topk,
     "sim_embedding_quantize_int8": embedding_quantize_int8,
     "sim_ann_bruteforce_topk": ann_bruteforce_topk,
     "sim_ann_bruteforce_topk_np": ann_bruteforce_topk_np,
@@ -485,6 +632,81 @@ _NRM_CTE = """
         FROM embeddings
     )
 """
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB twin of the greedy MMR loop, rounds unrolled as chained
+    CTEs (same contract as the PageRank/k-core/LPA oracles). The
+    1-MMR_LAMBDA weight is emitted via repr so both engines parse the
+    identical IEEE double."""
+    rf = float(10**MMR_SIM_DIGITS)
+    lam, dlam = repr(MMR_LAMBDA), repr(1 - MMR_LAMBDA)
+    dot_q = _DOT.format(dim1=DIM + 1)
+    dot_p = dot_q.replace("q.embedding", "e1.embedding").replace(
+        "c.embedding", "e2.embedding"
+    )
+    sql = f"""
+        WITH {_NRM_CTE},
+        scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   floor(({dot_q} / (q.nrm * c.nrm)) * {rf} + 0.5) / {rf} AS rel
+            FROM nrm q JOIN nrm c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+        ),
+        pool AS (
+            SELECT query_id, neighbor_id, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, neighbor_id) AS prank
+                FROM scored
+            ) WHERE prank <= {MMR_POOL}
+        ),
+        pairs AS (
+            SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+                   floor(({dot_p} / (e1.nrm * e2.nrm)) * {rf} + 0.5) / {rf} AS psim
+            FROM pool p1
+            JOIN pool p2 ON p1.query_id = p2.query_id
+                        AND p1.neighbor_id <> p2.neighbor_id
+            JOIN nrm e1 ON e1.vec_id = p1.neighbor_id
+            JOIN nrm e2 ON e2.vec_id = p2.neighbor_id
+        ),
+        sel1 AS (
+            SELECT query_id, neighbor_id, 1 AS pick_rank, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, neighbor_id) AS rn
+                FROM pool
+            ) WHERE rn = 1
+        )"""
+    prev = "sel1"
+    for t in range(2, MMR_K + 1):
+        sql += f""",
+        rem{t} AS (
+            SELECT p.* FROM pool p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM {prev} s
+                WHERE s.query_id = p.query_id AND s.neighbor_id = p.neighbor_id
+            )
+        ),
+        div{t} AS (
+            SELECT r.query_id, r.neighbor_id, r.rel, max(pr.psim) AS div
+            FROM rem{t} r
+            JOIN pairs pr ON pr.query_id = r.query_id AND pr.a = r.neighbor_id
+            JOIN {prev} s ON s.query_id = pr.query_id AND s.neighbor_id = pr.b
+            GROUP BY r.query_id, r.neighbor_id, r.rel
+        ),
+        s{t} AS (
+            SELECT query_id, neighbor_id, {t} AS pick_rank, rel FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY ({lam} * rel - {dlam} * div) DESC, neighbor_id) AS rn
+                FROM div{t}
+            ) WHERE rn = 1
+        ),
+        sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{t})"""
+        prev = f"sel{t}"
+    sql += f"""
+        SELECT query_id, CAST(pick_rank AS INTEGER) AS pick_rank, neighbor_id,
+               floor(rel * 10000.0 + 0.5) / 10000.0 AS relevance
+        FROM {prev}
+    """
+    return sql
+
 
 def _ivf_oracle_sql() -> str:
     """DuckDB twin of the trained-centroid IVF search, Lloyd iterations
@@ -579,6 +801,7 @@ def _ivf_oracle_sql() -> str:
 
 
 ORACLES = {
+    "sim_ann_mmr_topk": _mmr_oracle_sql(),
     "sim_embedding_quantize_int8": f"""
         WITH xd AS (
             SELECT vec_id,

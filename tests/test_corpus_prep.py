@@ -172,3 +172,40 @@ def test_incremental_ingest_verdicts_planted(spark, tmp_path):
     assert rows[8].verdict == "new" and rows[8].match_doc is None
     assert rows[12].verdict == "new"  # its only twin is incoming
     assert rows[16].verdict == "new"
+
+
+def test_mmr_reranks_near_duplicate_hits(spark, tmp_path):
+    # Query [1,0]; two near-identical high-relevance "twins" (ids 1,2)
+    # and a slightly-less-relevant but diverse vector (id 3, opposite
+    # side of the query). Plain top-3 by relevance is [1,2,3]; MMR must
+    # demote the second twin: [1,3,2]. Geometry chosen so
+    # 0.7*rel - 0.3*max_sim flips: twin2 ~ 0.7*0.990-0.3*1.000=0.393 <
+    # diverse ~ 0.7*0.985-0.3*0.951=0.404.
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mit_map_reduce_spark.operators.similarity import ann_mmr_diversified_topk
+
+    def ang(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    vecs = {0: ang(0), 1: ang(8), 2: ang(8.05), 3: ang(-10)}
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(sorted(vecs), pa.int64()),
+                "embedding": pa.array(
+                    [vecs[k] for k in sorted(vecs)], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * 4, pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    picks = sorted(
+        (r.pick_rank, r.neighbor_id)
+        for r in ann_mmr_diversified_topk(spark, str(tmp_path)).collect()
+    )
+    assert picks == [(1, 1), (2, 3), (3, 2)]
