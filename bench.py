@@ -97,6 +97,7 @@ HEADLINE = (
     "dedup_incremental_ingest",
     "sketch_cms_topk_by_source",
     "text_shuffle_order",
+    "sim_ann_mmr_topk",
 )
 
 
