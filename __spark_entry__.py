@@ -111,6 +111,7 @@ _PRIORITY = [
     "sketch_cms_topk_by_source",
     "text_shuffle_order",
     "sim_ann_mmr_topk",
+    "text_trigram_backoff_logprob",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

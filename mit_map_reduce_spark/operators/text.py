@@ -711,6 +711,90 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Stupid-Backoff trigram LM (round 4) ---------------------------------
+
+SB_ALPHA = 0.4  # the Stupid Backoff discount (Brants et al., 2007)
+SB_EVAL_MOD = 5  # doc_id % 5 == 0 -> held-out eval slice
+
+
+def text_trigram_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram scoring with Stupid Backoff — the third-order
+    member of the LM-quality family (unigram/bigram score the corpus
+    against itself; this one scores an EVAL slice against a TRAIN
+    slice, so unseen trigrams actually occur and the backoff chain
+    fires):
+
+        S(w3|w1 w2) = c123/c12            if the train slice saw the trigram
+                      a * S(w3|w2)        else, S(w3|w2) = c23/c2 if seen
+                      a^2 * S(w3)         else, S(w3) = c3/N, floor 1/N
+
+    Per eval doc: mean -ln S in integer micronats (order-invariant
+    sum) plus how many tokens resolved at each backoff level — the
+    observable that tells a corpus builder whether a slice is
+    in-distribution. Plan: one gram explode per order over the train
+    slice (all map-side partial aggs), three frequency joins back onto
+    the eval gram stream. At this SF the frequency tables broadcast;
+    at 100 TB they are shuffle joins pruned to top-K vocab or CMS
+    estimates (sketch.py) — same plan shape.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = tokenize_letters(F.lower(F.col("text")))
+    is_eval = F.col("doc_id") % SB_EVAL_MOD == 0
+    tri = (
+        docs.select("doc_id", F.explode(word_kgrams(ws, 3)).alias("tg"))
+        .withColumn("w1", F.split("tg", " ").getItem(0))
+        .withColumn("w2", F.split("tg", " ").getItem(1))
+        .withColumn("w3", F.split("tg", " ").getItem(2))
+    )
+    train_tri = tri.filter(~is_eval)
+    c123 = train_tri.groupBy("tg").agg(F.count("*").alias("c123"))
+    bg23 = F.concat_ws(" ", "w2", "w3")
+    c23 = train_tri.groupBy(bg23.alias("bg")).agg(F.count("*").alias("c23"))
+    c12 = train_tri.groupBy(F.concat_ws(" ", "w1", "w2").alias("ctx12")).agg(
+        F.count("*").alias("c12")
+    )
+    c2 = train_tri.groupBy(F.col("w2").alias("u2")).agg(F.count("*").alias("c2"))
+    c3 = train_tri.groupBy(F.col("w3").alias("u3")).agg(F.count("*").alias("c3"))
+    n_total = train_tri.agg(F.count("*").alias("n"))
+    ev = (
+        tri.filter(is_eval)
+        .withColumn("bg", bg23)
+        .withColumn("ctx12", F.concat_ws(" ", "w1", "w2"))
+        .join(F.broadcast(c123), "tg", "left")
+        .join(F.broadcast(c12), "ctx12", "left")
+        .join(F.broadcast(c23), "bg", "left")
+        .join(F.broadcast(c2), F.col("w2") == F.col("u2"), "left")
+        .join(F.broadcast(c3), F.col("w3") == F.col("u3"), "left")
+        .crossJoin(F.broadcast(n_total))
+    )
+    uni = F.coalesce(F.col("c3").cast("double") / F.col("n"), F.lit(1.0) / F.col("n"))
+    score = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.col("c123").cast("double") / F.col("c12"),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.lit(SB_ALPHA) * F.col("c23").cast("double") / F.col("c2"),
+        )
+        .otherwise(F.lit(SB_ALPHA) * F.lit(SB_ALPHA) * uni)
+    )
+    level = (
+        F.when(F.col("c123").isNotNull(), F.lit("tri"))
+        .when(F.col("c23").isNotNull(), F.lit("bi"))
+        .otherwise(F.lit("uni"))
+    )
+    nl_micro = F.floor(-F.log(score) * 1_000_000.0 + F.lit(0.5)).cast("bigint")
+    scored = ev.select("doc_id", nl_micro.alias("nlm"), level.alias("level"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        round_half_up(F.sum("nlm") / 1_000_000.0 / F.count("*"), 4).alias("avg_neg_logp"),
+        F.count(F.when(F.col("level") == "tri", 1)).alias("n_tri_hits"),
+        F.count(F.when(F.col("level") == "bi", 1)).alias("n_bi_backoffs"),
+        F.count(F.when(F.col("level") == "uni", 1)).alias("n_uni_backoffs"),
+    )
+
+
 # --- PII redaction (round 4) ---------------------------------------------
 
 #: Java regex (Spark) and RE2 (DuckDB) agree on these patterns: no
@@ -952,6 +1036,7 @@ def text_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_trigram_backoff_logprob": text_trigram_backoff_logprob,
     "text_shuffle_order": text_shuffle_order,
     "text_bpe_pair_counts": text_bpe_pair_counts,
     "text_chunk_overlap": text_chunk_overlap,
@@ -997,6 +1082,59 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_trigram_backoff_logprob": f"""
+        WITH t AS (SELECT doc_id, {_LETTERS_LOWER} AS w FROM documents),
+        tri AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) - 1),
+                       i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)]
+                            || ' ' || w[CAST(i + 2 AS INTEGER)])) AS tg
+            FROM t WHERE len(w) >= 3
+        ),
+        g AS (
+            SELECT doc_id, tg,
+                   split_part(tg, ' ', 1) AS w1,
+                   split_part(tg, ' ', 2) AS w2,
+                   split_part(tg, ' ', 3) AS w3
+            FROM tri
+        ),
+        train AS (SELECT * FROM g WHERE doc_id % {SB_EVAL_MOD} <> 0),
+        ev AS (SELECT * FROM g WHERE doc_id % {SB_EVAL_MOD} = 0),
+        f123 AS (SELECT tg, count(*) AS c123 FROM train GROUP BY tg),
+        f12 AS (SELECT w1 || ' ' || w2 AS ctx12, count(*) AS c12 FROM train GROUP BY 1),
+        f23 AS (SELECT w2 || ' ' || w3 AS bg, count(*) AS c23 FROM train GROUP BY 1),
+        f2 AS (SELECT w2, count(*) AS c2 FROM train GROUP BY w2),
+        f3 AS (SELECT w3, count(*) AS c3 FROM train GROUP BY w3),
+        n_total AS (SELECT count(*) AS n FROM train),
+        sc AS (
+            SELECT e.doc_id,
+                   CASE WHEN f123.c123 IS NOT NULL
+                             THEN CAST(f123.c123 AS DOUBLE) / f12.c12
+                        WHEN f23.c23 IS NOT NULL
+                             THEN {SB_ALPHA} * CAST(f23.c23 AS DOUBLE) / f2.c2
+                        ELSE {SB_ALPHA} * {SB_ALPHA}
+                             * coalesce(CAST(f3.c3 AS DOUBLE) / n_total.n, 1.0 / n_total.n)
+                   END AS s,
+                   CASE WHEN f123.c123 IS NOT NULL THEN 'tri'
+                        WHEN f23.c23 IS NOT NULL THEN 'bi'
+                        ELSE 'uni' END AS level
+            FROM ev e
+            LEFT JOIN f123 USING (tg)
+            LEFT JOIN f12 ON f12.ctx12 = e.w1 || ' ' || e.w2
+            LEFT JOIN f23 ON f23.bg = e.w2 || ' ' || e.w3
+            LEFT JOIN f2 ON f2.w2 = e.w2
+            LEFT JOIN f3 ON f3.w3 = e.w3
+            CROSS JOIN n_total
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
+               floor((sum(CAST(floor(-ln(s) * 1000000.0 + 0.5) AS BIGINT))
+                      / 1000000.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_neg_logp,
+               CAST(count(*) FILTER (level = 'tri') AS BIGINT) AS n_tri_hits,
+               CAST(count(*) FILTER (level = 'bi') AS BIGINT) AS n_bi_backoffs,
+               CAST(count(*) FILTER (level = 'uni') AS BIGINT) AS n_uni_backoffs
+        FROM sc GROUP BY doc_id
+    """,
     "text_shuffle_order": f"""
         SELECT doc_id,
                CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1

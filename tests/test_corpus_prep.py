@@ -209,3 +209,23 @@ def test_mmr_reranks_near_duplicate_hits(spark, tmp_path):
         for r in ann_mmr_diversified_topk(spark, str(tmp_path)).collect()
     )
     assert picks == [(1, 1), (2, 3), (3, 2)]
+
+
+def test_trigram_backoff_levels_planted(spark, tmp_path):
+    # train doc 1: "a b c a b c" -> trigrams {a b c: 2, b c a, c a b};
+    # eval doc 0: "a b c b c d" -> per-trigram resolution:
+    #   "a b c": seen        -> S = 2/2 = 1.0        (tri)
+    #   "b c b": bg "c b" unseen, uni c(b)=1, N=4 -> S = .16/4 (uni)
+    #   "c b c": bg "b c" seen(2), c(b)=2 -> S = .4*2/2 = 0.4 (bi)
+    #   "b c d": unseen all the way, c(d)=0 -> floor .16*(1/4) (uni)
+    # micronats: 0 + 3218876 + 916291 + 3218876 -> avg 1.8385
+    from mit_map_reduce_spark.operators.text import text_trigram_backoff_logprob
+
+    sf = _write_documents(
+        tmp_path, [(0, "a b c b c d", "en"), (1, "a b c a b c", "en")]
+    )
+    (r,) = text_trigram_backoff_logprob(spark, sf).collect()
+    assert (
+        r.doc_id, r.n_trigrams, r.avg_neg_logp,
+        r.n_tri_hits, r.n_bi_backoffs, r.n_uni_backoffs,
+    ) == (0, 4, 1.8385, 1, 1, 2)
