@@ -112,6 +112,7 @@ _PRIORITY = [
     "text_shuffle_order",
     "sim_ann_mmr_topk",
     "text_trigram_backoff_logprob",
+    "stream_incremental_restart",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -98,6 +98,8 @@ HEADLINE = (
     "sketch_cms_topk_by_source",
     "text_shuffle_order",
     "sim_ann_mmr_topk",
+    "text_trigram_backoff_logprob",
+    "stream_incremental_restart",
 )
 
 

@@ -237,6 +237,74 @@ def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_file_sink(agg)
 
 
+def stream_incremental_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once INCREMENTAL batch processing across query
+    RESTARTS — the Trigger/checkpoint pattern a production pipeline
+    runs nightly: process what landed, stop, and a later run resumes
+    from the same checkpoint, reading only the new files and never
+    re-emitting old windows. Two separate streaming queries run here
+    against ONE checkpoint: run 1 sees the first half of the event
+    timeline, run 2 resumes and sees the rest. The sink accumulates
+    each closed window exactly once (the _spark_metadata commit log
+    carries across restarts), so the final table equals the one-shot
+    batch aggregation the oracle computes — bounded by the final
+    watermark exactly like the single-run append query.
+
+    The split is by event time (first 15 days vs rest), so run 2's
+    data only ADVANCES the watermark — no late data in this query
+    (that is stream_late_data_metrics' job); what is under test is
+    offset/watermark/sink recovery from the checkpoint.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d")
+    ).first()["d"]
+    import datetime
+
+    mid = cut + datetime.timedelta(days=15)
+    run_dir = _scratch_dir("restart", uuid.uuid4().hex[:12])
+    feed = os.path.join(run_dir, "feed")
+    os.makedirs(feed, exist_ok=True)
+    sink, ckpt = os.path.join(run_dir, "out"), os.path.join(run_dir, "ckpt")
+    halves = (
+        ev.filter(F.col("ts") < F.lit(mid)),
+        ev.filter(F.col("ts") >= F.lit(mid)),
+    )
+    schema = None
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        for i, half in enumerate(halves):
+            stage = os.path.join(run_dir, f"_stage{i}")
+            half.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.replace(os.path.join(stage, part), os.path.join(feed, f"b{i}.parquet"))
+            shutil.rmtree(stage)
+            if schema is None:
+                schema = spark.read.parquet(os.path.join(feed, "b0.parquet")).schema
+            stream = spark.readStream.schema(schema).parquet(feed)
+            agg = (
+                stream.withWatermark("ts", "1 hour")
+                .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+                .agg(F.count("*").alias("n"))
+                .select(F.col("w.start").alias("ws"), "event_type", "n")
+            )
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.read.parquet(sink)
+
+
 def stream_static_enrich_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the
     static customer dimension, rolled up per market segment — the
@@ -645,6 +713,7 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stream_incremental_restart": stream_incremental_restart,
     "stream_late_data_metrics": stream_late_data_metrics,
     "stream_append_tumbling_file_sink": stream_append_tumbling_file_sink,
     "stream_stream_join_attribution": stream_stream_join_attribution,
@@ -659,6 +728,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Across-restart incremental processing equals the one-shot batch
+    # aggregation bounded by the final watermark (no late data by
+    # construction; run 2 only advances the watermark).
+    "stream_incremental_restart": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events, wm
+        GROUP BY 1, event_type, wm.w
+        HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+    """,
     # The two-batch replay in SQL: batch 1 = on-time cohort (all days
     # before the last, event_id % 7 != 0), whose max ts sets the
     # mid-stream watermark; batch-2 rows count iff their day window

@@ -207,6 +207,8 @@ import pytest as _pytest
         # foreachBatch upsert path (live-rollup snapshot)
         "stream_tumbling_counts",
         "stream_static_enrich_by_segment",
+        # checkpoint-restart incremental path (two runs, one sink)
+        "stream_incremental_restart",
     ],
 )
 def test_production_sink_invocations_deterministic(spark, sf_dir, qname):
