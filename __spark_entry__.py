@@ -113,6 +113,7 @@ _PRIORITY = [
     "sim_ann_mmr_topk",
     "text_trigram_backoff_logprob",
     "stream_incremental_restart",
+    "sim_embedding_random_projection",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

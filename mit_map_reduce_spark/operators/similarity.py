@@ -412,6 +412,57 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- random-projection dimensionality reduction (round 4) ----------------
+
+RP_DIM = 16  # output dims (64 -> 16, 4x smaller vectors)
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection 64 -> RP_DIM — the
+    dimensionality-reduction step before clustering / coarse ANN when
+    even int8 lanes are too wide. Plane h reuses the md5-derived
+    constants of the LSH hyperplanes (``_plane``): driver-side hashlib
+    md5 equals both engines' md5, so the coefficients embed as
+    literals and the projection is a pure map-side fold per output dim
+    — zero shuffle, whole-stage codegen, no Python at runtime.
+
+    Output: one column per projected dim (rounded like the cosine
+    queries) — arrays don't survive the differential harness's hash.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+
+    def proj(h: int):
+        plane = F.array(*[F.lit(p) for p in _plane(h)])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return emb.select(
+        "vec_id",
+        *[round_half_up(proj(h), 4).alias(f"p{h:02d}") for h in range(RP_DIM)],
+    )
+
+
+def _rp_oracle_sql() -> str:
+    """Literal-coefficient twin: each output dim is the same
+    left-to-right sum of embedding[i] * plane constant."""
+    cols = []
+    for h in range(RP_DIM):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({c})"
+            for i, c in enumerate(_plane(h))
+        )
+        cols.append(f"floor(({terms}) * 10000.0 + 0.5) / 10000.0 AS p{h:02d}")
+    sep = ",\n               "
+    return f"""
+        SELECT vec_id,
+               {sep.join(cols)}
+        FROM embeddings
+    """
+
+
 # --- MMR diversified retrieval (round 4) ---------------------------------
 
 MMR_LAMBDA = 0.7  # relevance weight; 1-MMR_LAMBDA weighs diversity
@@ -613,6 +664,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sim_embedding_random_projection": embedding_random_projection,
     "sim_ann_mmr_topk": ann_mmr_diversified_topk,
     "sim_embedding_quantize_int8": embedding_quantize_int8,
     "sim_ann_bruteforce_topk": ann_bruteforce_topk,
@@ -801,6 +853,7 @@ def _ivf_oracle_sql() -> str:
 
 
 ORACLES = {
+    "sim_embedding_random_projection": _rp_oracle_sql(),
     "sim_ann_mmr_topk": _mmr_oracle_sql(),
     "sim_embedding_quantize_int8": f"""
         WITH xd AS (
