@@ -100,6 +100,7 @@ HEADLINE = (
     "sim_ann_mmr_topk",
     "text_trigram_backoff_logprob",
     "stream_incremental_restart",
+    "sim_embedding_random_projection",
 )
 
 

@@ -345,6 +345,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
+            # The encoded argmax silently corrupts once ids reach
+            # LPA_ENC (negative tie-break term) — fail loudly instead.
+            max_node = edges.agg(F.max("src")).first()[0]
+            if max_node is not None and max_node >= LPA_ENC:
+                raise ValueError(
+                    f"node id {max_node} >= LPA_ENC ({LPA_ENC}); raise LPA_ENC "
+                    "with the id domain or the label argmax encoding corrupts"
+                )
             labels = edges.select(F.col("src").alias("node")).distinct().select(
                 "node", F.col("node").alias("label")
             )

@@ -566,9 +566,12 @@ def _mmr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", "neighbor_id", F.lit(1).alias("pick_rank"), "rel")
     )
-    sel = first.persist()
-    sel.count()
-    superseded = sel
+    # Eager localCheckpoint throughout the loop (not persist):
+    # truncating lineage is the point (see below), and unpersist() is
+    # a no-op on checkpointed frames anyway — superseded checkpoint
+    # RDDs are released by the ContextCleaner once the Python
+    # reference drops at reassignment.
+    sel = first.localCheckpoint()
     for t in range(2, MMR_K + 1):
         rem = pool.join(sel, ["query_id", "neighbor_id"], "left_anti").alias("r")
         pr = pairs.alias("p")
@@ -595,15 +598,13 @@ def _mmr_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("query_id", "neighbor_id", F.lit(t).alias("pick_rank"), "rel")
         )
-        # localCheckpoint (eager), not persist: each pick's plan nests
-        # the previous round's, and although caching short-circuits
-        # EXECUTION, Catalyst still re-analyzes the whole deepening
-        # tree every round — measured 1.3s -> 7.8s of pure driver
-        # planning by round 5. Checkpointing truncates the lineage so
-        # every round plans against a flat scan.
+        # Each pick's plan nests the previous round's; although
+        # caching would short-circuit EXECUTION, Catalyst still
+        # re-analyzes the whole deepening tree every round — measured
+        # 1.3s -> 7.8s of pure driver planning by round 5.
+        # Checkpointing truncates the lineage so every round plans
+        # against a flat scan.
         sel = sel.unionAll(pick).localCheckpoint()
-        superseded.unpersist()
-        superseded = sel
     pool.unpersist()
     pairs.unpersist()
     return sel

@@ -162,6 +162,17 @@ def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_to_file_sink(agg)
 
 
+def _stage_single_parquet(df: DataFrame, dest: str) -> None:
+    """Write ``df`` as exactly one parquet file at ``dest`` — the feed
+    builder for replay queries that need one FILE per micro-batch
+    (the file-stream source batches by file)."""
+    stage = dest + "._stage"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    os.replace(os.path.join(stage, part), dest)
+    shutil.rmtree(stage)
+
+
 #: One event in LATE_COHORT_MOD is held back and re-delivered a batch
 #: late — the deterministic stand-in for out-of-order arrival.
 LATE_COHORT_MOD = 7
@@ -207,12 +218,8 @@ def stream_late_data_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter((F.col("ts") < F.lit(last_day)) & (F.col("event_id") % LATE_COHORT_MOD == 0)),
     )
     for i, b in enumerate(batches):
-        stage = os.path.join(feed, f"_stage{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
         dst = os.path.join(feed, f"batch{i}.parquet")
-        os.replace(os.path.join(stage, part), dst)
-        shutil.rmtree(stage)
+        _stage_single_parquet(b, dst)
         os.utime(dst, (1_000_000_000 + i * 100, 1_000_000_000 + i * 100))
     schema = spark.read.parquet(os.path.join(feed, "batch0.parquet")).schema
     stream = (
@@ -275,11 +282,7 @@ def stream_incremental_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         for i, half in enumerate(halves):
-            stage = os.path.join(run_dir, f"_stage{i}")
-            half.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
-            os.replace(os.path.join(stage, part), os.path.join(feed, f"b{i}.parquet"))
-            shutil.rmtree(stage)
+            _stage_single_parquet(half, os.path.join(feed, f"b{i}.parquet"))
             if schema is None:
                 schema = spark.read.parquet(os.path.join(feed, "b0.parquet")).schema
             stream = spark.readStream.schema(schema).parquet(feed)

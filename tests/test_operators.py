@@ -179,9 +179,8 @@ def test_hll_union_merge_equals_single_level_sketch(spark, sf_dir):
     from mit_map_reduce_spark.catalog import load_table
     from mit_map_reduce_spark.operators.sketch import HLL_LGK, sketch_hll_union_merge
 
-    two_level = {
-        r.r_name: r.exact_buyers for r in sketch_hll_union_merge(spark, sf_dir).collect()
-    }
+    merged_rows = sketch_hll_union_merge(spark, sf_dir).collect()
+    two_level = {r.r_name: r.exact_buyers for r in merged_rows}
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -194,11 +193,7 @@ def test_hll_union_merge_equals_single_level_sketch(spark, sf_dir):
         .agg(F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey", F.lit(HLL_LGK))).alias("est"))
         .collect()
     )
-    union_est = {
-        r.r_name: r.hll_union_within_tol
-        for r in sketch_hll_union_merge(spark, sf_dir).collect()
-    }
-    assert all(union_est.values())
+    assert all(r.hll_union_within_tol for r in merged_rows)
     for r in direct:
         # At test cardinalities the sketch is in exact (sparse) mode,
         # so direct and merged estimates both equal the exact count.
