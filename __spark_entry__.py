@@ -114,6 +114,7 @@ _PRIORITY = [
     "text_trigram_backoff_logprob",
     "stream_incremental_restart",
     "sim_embedding_random_projection",
+    "adv_retention_cohorts",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -605,7 +605,46 @@ def adv_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention-cohort analysis — the product-analytics classic a
+    behavioral pipeline runs daily: users grouped by first-activity
+    day (their cohort), then for each later day the fraction of the
+    cohort still active. One row per (cohort_day, day_offset).
+
+    Plan: per-user first day (one agg), distinct (user, day) activity
+    (one agg), a user-keyed equi-join to tag each activity with its
+    cohort, a (cohort, offset) count, and a broadcast join of the
+    (tiny) cohort-size table. Both fact-sized shuffles key on user_id
+    — at 100 TB they ride one hash partitioning; everything after is
+    day-granular (bounded by days^2 rows). The percentage divides two
+    exact integers, rounded 4dp — no float-sum order anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    activity = ev.select("user_id", day.alias("day")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    tagged = activity.join(first, "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+        "user_id",
+    )
+    counts = tagged.groupBy("cohort_day", "day_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    sizes = first.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    return counts.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        round_half_up(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 4
+        ).alias("retention"),
+    )
+
+
 QUERIES = {
+    "adv_retention_cohorts": adv_retention_cohorts,
     "adv_latest_event_per_user": adv_latest_event_per_user,
     "adv_asof_join_last_click": adv_asof_join_last_click,
     "adv_asof_join_next_purchase": adv_asof_join_next_purchase,
@@ -628,6 +667,34 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_retention_cohorts": """
+        WITH activity AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        first AS (
+            SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+        ),
+        tagged AS (
+            SELECT f.cohort_day,
+                   CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+                   a.user_id
+            FROM activity a JOIN first f USING (user_id)
+        ),
+        counts AS (
+            SELECT cohort_day, day_offset,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM tagged GROUP BY cohort_day, day_offset
+        ),
+        sizes AS (
+            SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+            FROM first GROUP BY cohort_day
+        )
+        SELECT c.cohort_day, c.day_offset, c.n_active, s.cohort_size,
+               floor((CAST(c.n_active AS DOUBLE) / s.cohort_size) * 10000.0 + 0.5)
+                   / 10000.0 AS retention
+        FROM counts c JOIN sizes s USING (cohort_day)
+    """,
     "adv_latest_event_per_user": """
         SELECT user_id,
                event_id AS last_event_id,

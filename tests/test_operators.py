@@ -136,6 +136,24 @@ def test_lsh_multiprobe_recall_vs_bruteforce(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.4
 
 
+def test_retention_cohorts_invariants(spark, sf_dir):
+    # Day-0 retention is exactly 1.0 (every user is active on their
+    # own first day), n_active never exceeds cohort_size, and summing
+    # cohort sizes recovers the distinct user count.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.advanced import adv_retention_cohorts
+
+    r = adv_retention_cohorts(spark, sf_dir)
+    assert r.filter((F.col("day_offset") == 0) & (F.col("retention") != 1.0)).count() == 0
+    assert r.filter(F.col("n_active") > F.col("cohort_size")).count() == 0
+    total = (
+        r.filter(F.col("day_offset") == 0).agg(F.sum("cohort_size")).first()[0]
+    )
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert total == n_users
+
+
 def test_audio_energy_windows_cover_all_frames(spark, sf_dir):
     # Window geometry invariant: per doc, the windows tile the decoded
     # frame stream exactly — sum(n_win_frames) == n_frames, indexes
