@@ -115,6 +115,7 @@ _PRIORITY = [
     "stream_incremental_restart",
     "sim_embedding_random_projection",
     "adv_retention_cohorts",
+    "rel_trimmed_mean_acctbal",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -1387,7 +1387,39 @@ def adv_salted_skew_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRIM_PCT = 10  # drop the top and bottom 10% of each group
+
+
+def rel_trimmed_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (trimmed) statistics per segment: the mean of customer
+    account balances after dropping each segment's top and bottom
+    TRIM_PCT% — the outlier-resistant aggregate a metrics pipeline
+    uses when heavy tails make the plain mean lie. Order statistics
+    need a defined total order: rows rank by (acctbal, custkey) so
+    ties cut deterministically in both engines; the kept rows'
+    balances then accumulate as integer money grains (order-invariant
+    sum). One window sort per group + one aggregation — the same
+    shuffle the plain groupBy would do, plus the in-partition sort.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = cust.select("c_mktsegment", "c_acctbal", "c_custkey").select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("c_mktsegment")).alias("n"),
+    )
+    k = F.floor(F.col("n") * TRIM_PCT / 100).cast("int")
+    kept = ranked.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return kept.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n_total"),
+        F.count("*").alias("n_kept"),
+        money_avg("c_acctbal", 4).alias("trimmed_mean"),
+        money_sum("c_acctbal", 2).alias("kept_sum"),
+    )
+
+
 QUERIES = {
+    "rel_trimmed_mean_acctbal": rel_trimmed_mean_acctbal,
     "rel_decimal_sum_by_segment": rel_decimal_sum_by_segment,
     "rel_window_cumulative_share": rel_window_cumulative_share,
     "adv_salted_skew_join_events": adv_salted_skew_join_events,
@@ -1435,6 +1467,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_trimmed_mean_acctbal": f"""
+        WITH ranked AS (
+            SELECT c_mktsegment, c_acctbal,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS rn,
+                   count(*) OVER (PARTITION BY c_mktsegment) AS n
+            FROM customer
+        ),
+        kept AS (
+            SELECT * FROM ranked
+            WHERE rn > CAST(floor(n * {TRIM_PCT} / 100) AS INTEGER)
+              AND rn <= n - CAST(floor(n * {TRIM_PCT} / 100) AS INTEGER)
+        )
+        SELECT c_mktsegment,
+               CAST(max(n) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               {sql_money_avg("c_acctbal", 4)} AS trimmed_mean,
+               {sql_money_sum("c_acctbal", 2)} AS kept_sum
+        FROM kept
+        GROUP BY c_mktsegment
+    """,
     "rel_decimal_sum_by_segment": """
         SELECT c_mktsegment,
                CAST(count(*) AS BIGINT) AS n_orders,
