@@ -101,6 +101,8 @@ HEADLINE = (
     "text_trigram_backoff_logprob",
     "stream_incremental_restart",
     "sim_embedding_random_projection",
+    "adv_retention_cohorts",
+    "rel_trimmed_mean_acctbal",
 )
 
 
