@@ -605,6 +605,57 @@ def adv_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with deterministic hash assignment — the
+    third product-analytics classic beside funnels and retention:
+    every user lands in treatment or control by the first hex digit of
+    md5(user_id) (a stable 50/50 split any engine reproduces — the
+    way real experiment frameworks bucket), then per-arm conversion
+    and revenue roll up. One row per arm; the consumer differences
+    them for lift.
+
+    Exactness: conversion is a count ratio of two integers; revenue
+    accumulates integer money grains — nothing in the readout depends
+    on float summation order. Plan: one distinct-user pass tagged with
+    the arm, one purchase aggregation per user, a user-keyed join,
+    and a 2-row final aggregate (partial map-side everywhere).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.md5(F.col("user_id").cast("string")).substr(1, 1), 16, 10).cast("int")
+        < 8,
+        "treatment",
+    ).otherwise("control")
+    users = ev.select("user_id").distinct().select("user_id", arm.alias("arm"))
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(money_grains("value")).alias("rev_grains"),
+        )
+    )
+    joined = users.join(per_user, "user_id", "left")
+    return joined.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(F.col("n_purchases").isNotNull(), 1)).alias("n_converted"),
+        round_half_up(
+            F.count(F.when(F.col("n_purchases").isNotNull(), 1)).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("conv_rate"),
+        round_half_up(
+            F.coalesce(F.sum("rev_grains"), F.lit(0)).cast("double") / 1e4, 2
+        ).alias("total_revenue"),
+        round_half_up(
+            F.coalesce(F.sum("rev_grains"), F.lit(0)).cast("double")
+            / 1e4
+            / F.count("*"),
+            4,
+        ).alias("revenue_per_user"),
+    )
+
+
 def adv_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention-cohort analysis — the product-analytics classic a
     behavioral pipeline runs daily: users grouped by first-activity
@@ -644,6 +695,7 @@ def adv_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "adv_ab_experiment_readout": adv_ab_experiment_readout,
     "adv_retention_cohorts": adv_retention_cohorts,
     "adv_latest_event_per_user": adv_latest_event_per_user,
     "adv_asof_join_last_click": adv_asof_join_last_click,
@@ -667,6 +719,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_ab_experiment_readout": """
+        WITH users AS (
+            SELECT DISTINCT user_id,
+                   CASE WHEN strpos('0123456789abcdef',
+                             substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1 < 8
+                        THEN 'treatment' ELSE 'control' END AS arm
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id, count(*) AS n_purchases,
+                   sum(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(38,0))) AS rev_grains
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        )
+        SELECT arm,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(count(p.user_id) AS BIGINT) AS n_converted,
+               floor((CAST(count(p.user_id) AS DOUBLE) / count(*)) * 10000.0 + 0.5)
+                   / 10000.0 AS conv_rate,
+               floor((CAST(coalesce(sum(rev_grains), 0) AS DOUBLE) / 10000.0) * 100.0 + 0.5)
+                   / 100.0 AS total_revenue,
+               floor((CAST(coalesce(sum(rev_grains), 0) AS DOUBLE) / 10000.0 / count(*))
+                   * 10000.0 + 0.5) / 10000.0 AS revenue_per_user
+        FROM users u LEFT JOIN per_user p USING (user_id)
+        GROUP BY arm
+    """,
     "adv_retention_cohorts": """
         WITH activity AS (
             SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
