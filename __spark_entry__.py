@@ -117,6 +117,7 @@ _PRIORITY = [
     "adv_retention_cohorts",
     "rel_trimmed_mean_acctbal",
     "adv_ab_experiment_readout",
+    "text_vocab_growth",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -711,6 +711,53 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- vocabulary growth curve (round 4) -----------------------------------
+
+VOCAB_DECILES = 10
+VOCAB_GRAM_K = 3  # phrase width; unigram vocab saturates instantly
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-vocabulary growth (Heaps-law) curve — the corpus
+    diagnostic that says whether more data still buys new content:
+    for each doc_id decile of the corpus, how many NEVER-SEEN-BEFORE
+    word trigrams first appear there, and the cumulative phrase
+    vocabulary. A flattening curve means diminishing returns; a
+    linear one means the crawl is still finding new material.
+    (Trigrams, not unigrams: a bounded word vocabulary saturates in
+    the first slice while phrase space keeps growing — the same
+    reason dedup and contamination audits work at n-gram level.)
+
+    Spark-first: "first time a phrase appears" is one min(doc_id)
+    aggregation over the exploded gram stream (map-side partial), the
+    decile bucketing is integer arithmetic against the max doc id,
+    and the cumulative sum runs over VOCAB_DECILES rows — the only
+    post-aggregate work is on a ten-row frame.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = tokenize_letters(F.lower(F.col("text")))
+    words = docs.select(
+        "doc_id", F.explode(word_kgrams(ws, VOCAB_GRAM_K)).alias("word")
+    )
+    first_seen = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    bounds = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    decile = F.least(
+        F.lit(VOCAB_DECILES - 1),
+        F.floor(F.col("first_doc") * VOCAB_DECILES / F.col("n_docs")).cast("int"),
+    )
+    per_decile = (
+        first_seen.crossJoin(F.broadcast(bounds))
+        .groupBy(decile.alias("decile"))
+        .agg(F.count("*").alias("n_new_words"))
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return per_decile.select(
+        "decile",
+        "n_new_words",
+        F.sum("n_new_words").over(w).alias("cum_vocab"),
+    )
+
+
 # --- Stupid-Backoff trigram LM (round 4) ---------------------------------
 
 SB_ALPHA = 0.4  # the Stupid Backoff discount (Brants et al., 2007)
@@ -1036,6 +1083,7 @@ def text_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_vocab_growth": text_vocab_growth,
     "text_trigram_backoff_logprob": text_trigram_backoff_logprob,
     "text_shuffle_order": text_shuffle_order,
     "text_bpe_pair_counts": text_bpe_pair_counts,
@@ -1082,6 +1130,32 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_vocab_growth": f"""
+        WITH t AS (SELECT doc_id, {_LETTERS_LOWER} AS ws FROM documents),
+        words AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(ws) - 1),
+                       i -> ws[CAST(i AS INTEGER)] || ' ' || ws[CAST(i + 1 AS INTEGER)]
+                            || ' ' || ws[CAST(i + 2 AS INTEGER)])) AS word
+            FROM t WHERE len(ws) >= {VOCAB_GRAM_K}
+        ),
+        first_seen AS (
+            SELECT word, min(doc_id) AS first_doc FROM words GROUP BY word
+        ),
+        bounds AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+        per_decile AS (
+            SELECT CAST(least({VOCAB_DECILES - 1},
+                        floor(first_doc * {VOCAB_DECILES} / n_docs)) AS INTEGER) AS decile,
+                   CAST(count(*) AS BIGINT) AS n_new_words
+            FROM first_seen CROSS JOIN bounds
+            GROUP BY 1
+        )
+        SELECT decile, n_new_words,
+               CAST(sum(n_new_words) OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_vocab
+        FROM per_decile
+    """,
     "text_trigram_backoff_logprob": f"""
         WITH t AS (SELECT doc_id, {_LETTERS_LOWER} AS w FROM documents),
         tri AS (
