@@ -103,6 +103,8 @@ HEADLINE = (
     "sim_embedding_random_projection",
     "adv_retention_cohorts",
     "rel_trimmed_mean_acctbal",
+    "adv_ab_experiment_readout",
+    "text_vocab_growth",
 )
 
 
