@@ -118,6 +118,8 @@ _PRIORITY = [
     "rel_trimmed_mean_acctbal",
     "adv_ab_experiment_readout",
     "text_vocab_growth",
+    "graph_triangle_count",
+    "graph_jaccard_link_prediction",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

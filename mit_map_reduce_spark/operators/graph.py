@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from mit_map_reduce_spark.catalog import load_table, shared_persist
 from mit_map_reduce_spark.functions.columns import round_half_up
@@ -478,8 +479,176 @@ def _kcore_oracle_sql() -> str:
     return sql
 
 
+#: Neighbors kept per node when sparsifying the (dense) co-purchase
+#: weight matrix into a kNN graph. TPC-H's uniform customer->supplier
+#: assignment makes EVERY supplier pair share ~100 customers, so an
+#: absolute weight threshold yields either a complete graph or an
+#: empty one at any scale factor; per-node top-k is the standard
+#: scale-stable sparsifier (it is exactly how kNN graphs for
+#: clustering / graph-ANN are built from a similarity matrix).
+KNN_K = 5
+#: Link-prediction candidates need >= this many common neighbors.
+LP_MIN_COMMON = 2
+
+
+def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-``KNN_K`` co-purchase graph over suppliers: weight =
+    #distinct shared customers, each node keeps its K strongest
+    neighbors (ties broken by neighbor id, so the ranking is total and
+    engine-invariant), and an undirected edge (a < b) survives only if
+    BOTH endpoints kept it (mutual-kNN — the sparsifier that resists
+    hub pollution).
+
+    Scale shape: the weight matrix never materializes beyond the
+    hub-capped incidence self-join (same ``PROJ_HUB_CAP`` discipline as
+    the bipartite projection); top-k is one hash-partitioned window per
+    node; the mutuality check is a self equi-join on the reversed key.
+    Shared-persisted: triangle count and link prediction probe one
+    cached copy per (session, corpus).
+    """
+
+    def build():
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        inc = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+            .distinct()
+        )
+        deg = inc.groupBy("cust").agg(F.count("*").alias("d"))
+        small = inc.join(
+            F.broadcast(deg.filter(F.col("d") <= PROJ_HUB_CAP)), "cust"
+        ).select("cust", "supp")
+        a = small.select("cust", F.col("supp").alias("a"))
+        b = small.select(F.col("cust").alias("cust_b"), F.col("supp").alias("b"))
+        w = (
+            a.join(b, (F.col("cust") == F.col("cust_b")) & (F.col("a") != F.col("b")))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("n_common"))
+        )
+        win = W.partitionBy("a").orderBy(F.col("n_common").desc(), F.col("b").asc())
+        topk = (
+            w.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") <= KNN_K)
+            .select("a", "b")
+        )
+        rev = topk.select(F.col("b").alias("ra"), F.col("a").alias("rb"))
+        return (
+            topk.join(rev, (F.col("a") == F.col("ra")) & (F.col("b") == F.col("rb")))
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
+
+    return shared_persist(spark, "graph_knn_edges", sf_dir, build)
+
+
+#: Shared SQL prefix rebuilding the mutual-kNN edge list in DuckDB —
+#: the oracle twin of ``_knn_copurchase_edges``.
+_KNN_EDGES_CTE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    cdeg AS (SELECT cust, count(*) AS d FROM pairs GROUP BY cust),
+    small AS (
+        SELECT pairs.cust, supp FROM pairs
+        JOIN cdeg ON pairs.cust = cdeg.cust AND cdeg.d <= {PROJ_HUB_CAP}
+    ),
+    w AS (
+        SELECT a.supp AS a, b.supp AS b, count(*) AS n_common
+        FROM small a JOIN small b ON a.cust = b.cust AND a.supp <> b.supp
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT a, b, row_number() OVER (
+            PARTITION BY a ORDER BY n_common DESC, b ASC) AS rk
+        FROM w
+    ),
+    topk AS (SELECT a, b FROM ranked WHERE rk <= {KNN_K}),
+    mutual AS (
+        SELECT t1.a AS a, t1.b AS b
+        FROM topk t1 JOIN topk t2 ON t1.a = t2.b AND t1.b = t2.a
+        WHERE t1.a < t1.b
+    )"""
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the mutual-kNN co-purchase
+    graph — the local-clustering diagnostic (triangle-rich nodes sit in
+    tight communities; triangle counts also feed truss decomposition).
+
+    Distributed node-iterator algorithm on ID-oriented edges (a < b):
+    wedges from two oriented edges sharing the middle node, closed by
+    an equi-join against the oriented edge list — each triangle
+    (x < y < z) is generated exactly once, never a cross join. Every
+    join keys on node ids; fan-out per node is bounded by the kNN
+    degree cap (<= KNN_K), so wedge volume is at most K^2 per node at
+    any corpus scale. One row per node in >= 1 triangle.
+    """
+    e = _knn_copurchase_edges(spark, sf_dir)
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("wy"), F.col("b").alias("z"))
+    wedges = e1.join(e2, F.col("y") == F.col("wy")).select("x", "y", "z")
+    closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"]).select("x", "y", "z")
+    nodes = (
+        tri.select(F.col("x").alias("supp"))
+        .unionAll(tri.select(F.col("y").alias("supp")))
+        .unionAll(tri.select(F.col("z").alias("supp")))
+    )
+    return nodes.groupBy("supp").agg(F.count("*").alias("n_triangles"))
+
+
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the mutual-kNN graph:
+    score every NON-adjacent supplier pair with >= LP_MIN_COMMON shared
+    neighbors by neighborhood Jaccard |N(a) inter N(b)| / |N(a) union
+    N(b)| — the classic baseline (Liben-Nowell & Kleinberg) that a
+    recommender runs before anything learned.
+
+    Plan: symmetric adjacency -> wedge self-join on the shared
+    neighbor (fan-out <= KNN_K^2 per node), count per candidate pair,
+    anti-join the existing edge set, broadcast the node-degree table.
+    The Jaccard divides two exact integers (one IEEE divide, no sum
+    order anywhere), rounded half-up at 4 dp.
+    """
+    e = _knn_copurchase_edges(spark, sf_dir)
+    adj = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+        e.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    left = adj.select("x", F.col("y").alias("supp_a"))
+    right = adj.select(F.col("x").alias("wx"), F.col("y").alias("supp_b"))
+    wedge = (
+        left.join(
+            right,
+            (F.col("x") == F.col("wx")) & (F.col("supp_a") < F.col("supp_b")),
+        )
+        .groupBy("supp_a", "supp_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= LP_MIN_COMMON)
+    )
+    non_edge = wedge.join(
+        e,
+        (wedge.supp_a == e.a) & (wedge.supp_b == e.b),
+        "left_anti",
+    )
+    degrees = adj.groupBy(F.col("x").alias("node")).agg(F.count("*").alias("deg"))
+    da = degrees.select(F.col("node").alias("supp_a"), F.col("deg").alias("deg_a"))
+    db = degrees.select(F.col("node").alias("supp_b"), F.col("deg").alias("deg_b"))
+    scored = non_edge.join(F.broadcast(da), "supp_a").join(F.broadcast(db), "supp_b")
+    jaccard = F.col("n_common") / (F.col("deg_a") + F.col("deg_b") - F.col("n_common"))
+    return scored.select(
+        "supp_a",
+        "supp_b",
+        "n_common",
+        round_half_up(jaccard, 4).alias("jaccard"),
+    )
+
+
 QUERIES = {
     "graph_label_propagation": graph_label_propagation,
+    "graph_triangle_count": graph_triangle_count,
+    "graph_jaccard_link_prediction": graph_jaccard_link_prediction,
     "graph_pagerank_trade": graph_pagerank_trade,
     "graph_kcore_prune": graph_kcore_prune,
     "graph_degree_distribution": graph_degree_distribution,
@@ -487,6 +656,47 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_triangle_count": _KNN_EDGES_CTE
+    + """,
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM mutual e1
+            JOIN mutual e2 ON e1.b = e2.a
+            JOIN mutual e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        nodes AS (
+            SELECT x AS supp FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        )
+        SELECT supp, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM nodes GROUP BY supp
+    """,
+    "graph_jaccard_link_prediction": _KNN_EDGES_CTE
+    + f""",
+        adj AS (
+            SELECT a AS x, b AS y FROM mutual
+            UNION ALL SELECT b, a FROM mutual
+        ),
+        wedge AS (
+            SELECT l.y AS supp_a, r.y AS supp_b, count(*) AS n_common
+            FROM adj l JOIN adj r ON l.x = r.x AND l.y < r.y
+            GROUP BY 1, 2
+            HAVING count(*) >= {LP_MIN_COMMON}
+        ),
+        nonedge AS (
+            SELECT w.* FROM wedge w
+            ANTI JOIN mutual m ON w.supp_a = m.a AND w.supp_b = m.b
+        ),
+        degs AS (SELECT x AS node, count(*) AS deg FROM adj GROUP BY x)
+        SELECT n.supp_a, n.supp_b, CAST(n.n_common AS BIGINT) AS n_common,
+               floor(CAST(n.n_common AS DOUBLE)
+                     / (da.deg + db.deg - n.n_common) * 10000.0 + 0.5)
+                   / 10000.0 AS jaccard
+        FROM nonedge n
+        JOIN degs da ON n.supp_a = da.node
+        JOIN degs db ON n.supp_b = db.node
+    """,
     "graph_supplier_projection": f"""
         WITH pairs AS (
             SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust, l_suppkey AS supp

@@ -278,3 +278,35 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     total = pr.agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-3
     assert pr.filter(F.col("rank") <= 0).count() == 0
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    # Each triangle contributes exactly one participation to each of
+    # its 3 corners, so the global participation total is divisible by
+    # 3, and a node in any triangle participates at least once. A
+    # double-generated triangle (broken id orientation in the wedge
+    # join) breaks the divisibility instantly.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.operators.graph import graph_triangle_count
+
+    tri = graph_triangle_count(spark, sf_dir)
+    rows = tri.collect()
+    assert rows, "sf0.001 kNN graph is known to contain triangles"
+    assert all(r.n_triangles >= 1 for r in rows)
+    total = sum(r.n_triangles for r in rows)
+    assert total % 3 == 0
+
+
+def test_link_prediction_predicts_only_non_edges(spark, sf_dir):
+    # Every scored pair must be ABSENT from the edge set (that is the
+    # definition of link prediction) and its Jaccard must sit in (0, 1].
+    from mit_map_reduce_spark.operators.graph import (
+        _knn_copurchase_edges,
+        graph_jaccard_link_prediction,
+    )
+
+    edges = {(r.a, r.b) for r in _knn_copurchase_edges(spark, sf_dir).collect()}
+    for r in graph_jaccard_link_prediction(spark, sf_dir).collect():
+        assert r.supp_a < r.supp_b
+        assert (r.supp_a, r.supp_b) not in edges
+        assert 0.0 < r.jaccard <= 1.0
