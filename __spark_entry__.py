@@ -120,6 +120,10 @@ _PRIORITY = [
     "text_vocab_growth",
     "graph_triangle_count",
     "graph_jaccard_link_prediction",
+    "adv_markov_event_transitions",
+    "adv_rolling_active_users",
+    "adv_iqr_outlier_orders",
+    "adv_association_rules_sessions",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

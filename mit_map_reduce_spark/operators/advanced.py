@@ -694,8 +694,203 @@ def adv_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model behind next-action prediction and
+    anomaly scoring ("error after purchase is 3x base rate").
+
+    One window per user ordered by (ts, event_id) — a TOTAL order, so
+    `lead` is engine-invariant — pairs each event with its successor;
+    transition counts aggregate by (prev, next); row probabilities
+    divide two exact integers (one IEEE divide, 4 dp half-up). The
+    only fact-sized exchange is the user_id hash partitioning the
+    window already needs; the count and the per-prev total both ride
+    state-type-sized aggregates (|types|^2 <= 25 rows here), and the
+    totals join broadcasts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = (
+        trans.groupBy(
+            F.col("event_type").alias("prev_type"), F.col("next_type")
+        ).agg(F.count("*").alias("n_transitions"))
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n_transitions").alias("n_total"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            round_half_up(
+                F.col("n_transitions").cast("double") / F.col("n_total"), 4
+            ).alias("prob"),
+        )
+    )
+
+
+def adv_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the dashboard
+    metric (WAU by day) that a naive RANGE-frame COUNT(DISTINCT)
+    cannot express in either engine.
+
+    Scale-shape: one distinct over (user, day) collapses the fact
+    table to day granularity per user; each activity day then fans out
+    to AT MOST 7 window days via a generated sequence (explode of a
+    7-element array — bounded, never a range self-join of the fact
+    table); the distinct count per window day is the only remaining
+    aggregate. A day-spine semi-join keeps only window days that
+    actually occur in the data (no trailing phantom days past the
+    corpus horizon). Everything after the first distinct is
+    day-granular.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    spine = activity.select("day").distinct()
+    exploded = activity.select(
+        F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("win_day"),
+        "user_id",
+    )
+    kept = exploded.join(
+        F.broadcast(spine.withColumnRenamed("day", "win_day")), "win_day", "semi"
+    )
+    return kept.groupBy(F.col("win_day").alias("day")).agg(
+        F.countDistinct("user_id").alias("n_active_7d")
+    )
+
+
+def adv_iqr_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per order priority: exact type-1
+    quartiles (the data value at rank ceil(q*n) — NO interpolation, so
+    both engines pick the identical stored double), fences at
+    1.5 * IQR, and a count of orders outside each fence — the robust
+    screen that runs before any learned anomaly model.
+
+    One window per priority group computes ranks; the quartile picks
+    are conditional MIN aggregates over that rank; the 5-row fence
+    table broadcasts back onto the fact scan for the outlier counts.
+    Fence arithmetic is a single multiply/subtract chain on two exact
+    stored values — deterministic IEEE, no accumulation anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("o_orderpriority")).alias("n"),
+    )
+    quartiles = ranked.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n_orders"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.25), F.col("o_totalprice"))
+        ).alias("q1"),
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.75), F.col("o_totalprice"))
+        ).alias("q3"),
+    )
+    fences = quartiles.select(
+        "o_orderpriority",
+        "n_orders",
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))).alias("lo"),
+        (F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))).alias("hi"),
+    )
+    joined = orders.join(F.broadcast(fences), "o_orderpriority")
+    return joined.groupBy("o_orderpriority").agg(
+        F.max("n_orders").alias("n_orders"),
+        F.max("q1").alias("q1"),
+        F.max("q3").alias("q3"),
+        F.count(F.when(F.col("o_totalprice") < F.col("lo"), 1)).alias("n_low"),
+        F.count(F.when(F.col("o_totalprice") > F.col("hi"), 1)).alias("n_high"),
+    )
+
+
+#: Association rules only over event-type pairs co-occurring in at
+#: least this many sessions (the classic minimum-support cut).
+RULES_MIN_SUPPORT = 5
+
+
+def adv_association_rules_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over behavioral sessions:
+    each 30-minute-gap session is a basket of distinct event types;
+    for every unordered type pair emit support, both conditional
+    confidences, and lift — the un-ordered complement of the Markov
+    transition matrix (co-occurrence, not sequence).
+
+    Session assignment reuses the sessionize windows (one user_id
+    exchange); baskets collapse to distinct (session, type) — at most
+    |types| rows per session; the pair join is a self equi-join ON THE
+    SESSION KEY with fan-out bounded by |types|^2 per session, and all
+    three probability ratios divide exact integer counts (single IEEE
+    divides, 4 dp half-up). Item and pair tables are type-cardinality
+    sized, so the final joins broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gap = ms - F.lag(ms).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int")
+        .alias("session_seq"),
+    )
+    baskets = sess.select(
+        F.concat_ws("#", F.col("user_id"), F.col("session_seq")).alias("sid"),
+        "event_type",
+    ).distinct()
+    total = baskets.agg(F.countDistinct("sid").alias("n_sessions"))
+    singles = baskets.groupBy("event_type").agg(F.count("*").alias("n_item"))
+    a = baskets.select("sid", F.col("event_type").alias("event_a"))
+    b = baskets.select(F.col("sid").alias("sid_b"), F.col("event_type").alias("event_b"))
+    pairs = (
+        a.join(b, (F.col("sid") == F.col("sid_b")) & (F.col("event_a") < F.col("event_b")))
+        .groupBy("event_a", "event_b")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= RULES_MIN_SUPPORT)
+    )
+    na = singles.select(F.col("event_type").alias("event_a"), F.col("n_item").alias("n_a"))
+    nb = singles.select(F.col("event_type").alias("event_b"), F.col("n_item").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(na), "event_a")
+        .join(F.broadcast(nb), "event_b")
+        .crossJoin(F.broadcast(total))
+    )
+    return scored.select(
+        "event_a",
+        "event_b",
+        "n_both",
+        round_half_up(F.col("n_both").cast("double") / F.col("n_a"), 4).alias(
+            "conf_a_to_b"
+        ),
+        round_half_up(F.col("n_both").cast("double") / F.col("n_b"), 4).alias(
+            "conf_b_to_a"
+        ),
+        round_half_up(
+            F.col("n_both").cast("double")
+            * F.col("n_sessions")
+            / (F.col("n_a") * F.col("n_b")),
+            4,
+        ).alias("lift"),
+    )
+
+
 QUERIES = {
     "adv_ab_experiment_readout": adv_ab_experiment_readout,
+    "adv_markov_event_transitions": adv_markov_event_transitions,
+    "adv_rolling_active_users": adv_rolling_active_users,
+    "adv_iqr_outlier_orders": adv_iqr_outlier_orders,
+    "adv_association_rules_sessions": adv_association_rules_sessions,
     "adv_retention_cohorts": adv_retention_cohorts,
     "adv_latest_event_per_user": adv_latest_event_per_user,
     "adv_asof_join_last_click": adv_asof_join_last_click,
@@ -719,6 +914,125 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_markov_event_transitions": """
+        WITH trans AS (
+            SELECT event_type AS prev_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+            FROM events
+        ),
+        counts AS (
+            SELECT prev_type, next_type, count(*) AS n_transitions
+            FROM trans WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        totals AS (
+            SELECT prev_type, sum(n_transitions) AS n_total
+            FROM counts GROUP BY prev_type
+        )
+        SELECT c.prev_type, c.next_type,
+               CAST(c.n_transitions AS BIGINT) AS n_transitions,
+               floor(CAST(c.n_transitions AS DOUBLE) / t.n_total * 10000.0 + 0.5)
+                   / 10000.0 AS prob
+        FROM counts c JOIN totals t USING (prev_type)
+    """,
+    "adv_rolling_active_users": """
+        WITH activity AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        spine AS (SELECT DISTINCT day FROM activity),
+        exploded AS (
+            SELECT a.day + CAST(t.o AS INTEGER) AS win_day, a.user_id
+            FROM activity a, range(0, 7) t(o)
+        )
+        SELECT e.win_day AS day,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_7d
+        FROM exploded e JOIN spine s ON e.win_day = s.day
+        GROUP BY e.win_day
+    """,
+    "adv_iqr_outlier_orders": """
+        WITH ranked AS (
+            SELECT o_orderpriority, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM orders
+        ),
+        quartiles AS (
+            SELECT o_orderpriority,
+                   max(n) AS n_orders,
+                   min(CASE WHEN rn = ceil(n * 0.25) THEN o_totalprice END) AS q1,
+                   min(CASE WHEN rn = ceil(n * 0.75) THEN o_totalprice END) AS q3
+            FROM ranked GROUP BY o_orderpriority
+        ),
+        fences AS (
+            SELECT *, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+            FROM quartiles
+        )
+        SELECT o.o_orderpriority,
+               CAST(max(f.n_orders) AS BIGINT) AS n_orders,
+               max(f.q1) AS q1, max(f.q3) AS q3,
+               CAST(count(CASE WHEN o.o_totalprice < f.lo THEN 1 END) AS BIGINT)
+                   AS n_low,
+               CAST(count(CASE WHEN o.o_totalprice > f.hi THEN 1 END) AS BIGINT)
+                   AS n_high
+        FROM orders o JOIN fences f USING (o_orderpriority)
+        GROUP BY o.o_orderpriority
+    """,
+    "adv_association_rules_sessions": f"""
+        WITH e AS (
+            SELECT user_id, event_id, ts, event_type, epoch_ms(ts) AS ms
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_type, ms,
+                   CASE WHEN ms - lag(ms) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id)
+                            <= {SESSION_GAP_MS}
+                        THEN 0 ELSE 1 END AS is_new,
+                   ts, event_id
+            FROM e
+        ),
+        sess AS (
+            SELECT user_id, event_type,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+            FROM flagged
+        ),
+        baskets AS (
+            SELECT DISTINCT
+                   CAST(user_id AS VARCHAR) || '#' ||
+                       CAST(session_seq AS VARCHAR) AS sid,
+                   event_type
+            FROM sess
+        ),
+        total AS (SELECT count(DISTINCT sid) AS n_sessions FROM baskets),
+        singles AS (
+            SELECT event_type, count(*) AS n_item FROM baskets GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.event_type AS event_a, b.event_type AS event_b,
+                   count(*) AS n_both
+            FROM baskets a JOIN baskets b
+              ON a.sid = b.sid AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            HAVING count(*) >= {RULES_MIN_SUPPORT}
+        )
+        SELECT p.event_a, p.event_b, CAST(p.n_both AS BIGINT) AS n_both,
+               floor(CAST(p.n_both AS DOUBLE) / na.n_item * 10000.0 + 0.5)
+                   / 10000.0 AS conf_a_to_b,
+               floor(CAST(p.n_both AS DOUBLE) / nb.n_item * 10000.0 + 0.5)
+                   / 10000.0 AS conf_b_to_a,
+               floor(CAST(p.n_both AS DOUBLE) * t.n_sessions
+                     / (na.n_item * nb.n_item) * 10000.0 + 0.5)
+                   / 10000.0 AS lift
+        FROM pairs p
+        JOIN singles na ON p.event_a = na.event_type
+        JOIN singles nb ON p.event_b = nb.event_type
+        CROSS JOIN total t
+    """,
     "adv_ab_experiment_readout": """
         WITH users AS (
             SELECT DISTINCT user_id,

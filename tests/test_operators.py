@@ -310,3 +310,68 @@ def test_link_prediction_predicts_only_non_edges(spark, sf_dir):
         assert r.supp_a < r.supp_b
         assert (r.supp_a, r.supp_b) not in edges
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_markov_transition_rows_are_distributions(spark, sf_dir):
+    # Each prev_type's outgoing probabilities must sum to ~1 (they are
+    # 4-dp-rounded ratios of a common integer total), and every state
+    # pair must appear at most once.
+    from collections import defaultdict
+    from mit_map_reduce_spark.operators.advanced import adv_markov_event_transitions
+
+    rows = adv_markov_event_transitions(spark, sf_dir).collect()
+    seen = set()
+    sums = defaultdict(float)
+    for r in rows:
+        assert (r.prev_type, r.next_type) not in seen
+        seen.add((r.prev_type, r.next_type))
+        sums[r.prev_type] += r.prob
+    for prev, s in sums.items():
+        assert abs(s - 1.0) < 5e-4, (prev, s)
+
+
+def test_rolling_active_users_dominates_daily(spark, sf_dir):
+    # The 7-day rolling distinct count can never be smaller than the
+    # same day's plain daily distinct count (the window contains the
+    # day itself), and both series cover exactly the same days.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.operators.advanced import adv_rolling_active_users
+    from mit_map_reduce_spark.catalog import load_table
+
+    rolling = {
+        r.day: r.n_active_7d
+        for r in adv_rolling_active_users(spark, sf_dir).collect()
+    }
+    daily = {
+        r.day: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rolling) == set(daily)
+    for day, n in daily.items():
+        assert rolling[day] >= n
+
+
+def test_association_rules_bounds(spark, sf_dir):
+    # Confidences are probabilities; support respects the minimum cut;
+    # pairs are id-ordered and unique.
+    from mit_map_reduce_spark.operators.advanced import (
+        RULES_MIN_SUPPORT,
+        adv_association_rules_sessions,
+    )
+
+    rows = adv_association_rules_sessions(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.event_a < r.event_b
+        assert (r.event_a, r.event_b) not in seen
+        seen.add((r.event_a, r.event_b))
+        assert r.n_both >= RULES_MIN_SUPPORT
+        assert 0.0 < r.conf_a_to_b <= 1.0
+        assert 0.0 < r.conf_b_to_a <= 1.0
+        assert r.lift > 0.0
