@@ -124,6 +124,10 @@ _PRIORITY = [
     "adv_rolling_active_users",
     "adv_iqr_outlier_orders",
     "adv_association_rules_sessions",
+    "text_zipf_slope",
+    "text_term_burstiness",
+    "sketch_hll_intersection",
+    "src_schema_evolution_merge",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

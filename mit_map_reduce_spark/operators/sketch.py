@@ -375,7 +375,76 @@ def sketch_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from sketches alone: per event type
+    one HLL sketch of its distinct users, then |A int B| for every
+    type pair by inclusion-exclusion over three ESTIMATES
+    (est_a + est_b - est_union) — the standard way to answer overlap
+    questions ("how many viewers also purchased?") without ever
+    re-touching raw data, since HLLs support union natively but not
+    intersection.
+
+    At 100 TB the per-type sketches are the only thing that leaves the
+    fact scan (one aggregation); the pair stage is a |types|^2
+    nested-loop over a 5-row frame. The exact columns (one distinct
+    (type, user) self-join, bounded by user cardinality) exist to pin
+    the tolerance contract: inclusion-exclusion compounds three ~0.8%
+    register errors, so the check allows HLL_TOL of the exact UNION
+    size. The oracle reproduces the exacts and pins the flag TRUE.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sketch").alias("sk_a"),
+        F.col("exact_users").alias("exact_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sketch").alias("sk_b"),
+        F.col("exact_users").alias("exact_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    est_int = (
+        F.hll_sketch_estimate("sk_a")
+        + F.hll_sketch_estimate("sk_b")
+        - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    both = (
+        du.alias("l")
+        .join(
+            du.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.event_type") < F.col("r.event_type")),
+        )
+        .groupBy(
+            F.col("l.event_type").alias("type_a"),
+            F.col("r.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("exact_both"))
+    )
+    joined = pairs.join(both, ["type_a", "type_b"])
+    exact_union = F.col("exact_a") + F.col("exact_b") - F.col("exact_both")
+    ok = (
+        F.abs(est_int.cast("double") - F.col("exact_both").cast("double"))
+        <= F.lit(HLL_TOL) * exact_union.cast("double")
+    )
+    return joined.select(
+        "type_a",
+        "type_b",
+        "exact_a",
+        "exact_b",
+        "exact_both",
+        ok.alias("hll_intersection_within_tol"),
+    )
+
+
 QUERIES = {
+    "sketch_hll_intersection": sketch_hll_intersection,
     "sketch_cms_topk_by_source": sketch_cms_topk_by_source,
     "sketch_hll_union_merge": sketch_hll_union_merge,
     "sketch_approx_distinct_buyers": sketch_approx_distinct_buyers,
@@ -403,6 +472,27 @@ def _bloom_bit_sql(key_expr: str) -> str:
 
 
 ORACLES = {
+    "sketch_hll_intersection": """
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        singles AS (
+            SELECT event_type, count(*) AS exact_users FROM du GROUP BY 1
+        ),
+        inter AS (
+            SELECT l.event_type AS type_a, r.event_type AS type_b,
+                   count(*) AS exact_both
+            FROM du l JOIN du r
+              ON l.user_id = r.user_id AND l.event_type < r.event_type
+            GROUP BY 1, 2
+        )
+        SELECT b.type_a, b.type_b,
+               CAST(sa.exact_users AS BIGINT) AS exact_a,
+               CAST(sb.exact_users AS BIGINT) AS exact_b,
+               CAST(b.exact_both AS BIGINT) AS exact_both,
+               TRUE AS hll_intersection_within_tol
+        FROM inter b
+        JOIN singles sa ON b.type_a = sa.event_type
+        JOIN singles sb ON b.type_b = sb.event_type
+    """,
     "sketch_cms_topk_by_source": f"""
         WITH words AS (
             SELECT source,

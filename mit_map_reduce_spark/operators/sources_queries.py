@@ -231,7 +231,46 @@ def src_text_kv_roundtrip_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def src_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: a legacy batch written
+    WITHOUT ``o_orderpriority`` and a current batch WITH it land in one
+    partitioned directory (batch=1 / batch=2); a ``mergeSchema`` read
+    reconciles the two footers into one superset schema, legacy rows
+    surfacing NULL for the added column — the exact shape of a
+    long-lived production table whose writer gained a field mid-life.
+
+    The rollup groups by (batch, priority-with-legacy-placeholder) so
+    a wrong NULL-fill, a dropped batch, or partition-column
+    misdiscovery all shift the counts/money totals. At scale this is a
+    footer-merge at planning time only — data files are read once,
+    pruned and pushed down as usual.
+    """
+    out = _artifact_dir(sf_dir, "parquet|schema-evo|v1", "orders")
+
+    def write(d: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        legacy = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        current = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        )
+        legacy.write.parquet(os.path.join(d, "batch=1"))
+        current.write.parquet(os.path.join(d, "batch=2"))
+
+    _ensure_written(write, out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy(
+        "batch",
+        F.coalesce("o_orderpriority", F.lit("<legacy>")).alias("priority"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice", 2).alias("total_price"),
+    )
+
+
 QUERIES = {
+    "src_schema_evolution_merge": src_schema_evolution_merge,
     "src_text_kv_roundtrip_wc": src_text_kv_roundtrip_wc,
     "src_csv_roundtrip_orders": src_csv_roundtrip_orders,
     "src_orc_roundtrip_lineitem": src_orc_roundtrip_lineitem,
@@ -240,6 +279,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "src_schema_evolution_merge": f"""
+        WITH tagged AS (
+            SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch,
+                   CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+                       AS o_orderpriority,
+                   o_totalprice
+            FROM orders
+        )
+        SELECT CAST(batch AS INTEGER) AS batch,
+               coalesce(o_orderpriority, '<legacy>') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_money_sum("o_totalprice", 2)} AS total_price
+        FROM tagged GROUP BY 1, 2
+    """,
     "src_text_kv_roundtrip_wc": r"""
         WITH wc AS (
             SELECT word, count(*) AS n FROM (

@@ -1082,7 +1082,112 @@ def text_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZIPF_TOP = 100  # terms fitted; rank ties break alphabetically
+ZIPF_GRAIN = 1_000_000.0  # ln() values rounded to 1e-6 before summing
+
+
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the top-``ZIPF_TOP`` corpus terms:
+    OLS slope/intercept of ln(freq) ~ ln(rank) — the one-number
+    diagnostic of whether a corpus has a natural long-tail vocabulary
+    (slope near -1) or is template/machine-generated (flatter).
+
+    Scale + determinism shape: term counting is the usual map-side
+    partial agg; the top-K is a TakeOrdered reduction (never a global
+    sort); the regression runs on K rows. Both engines' ln() can
+    differ in the last ulp, so each ln is rounded to integer
+    ``ZIPF_GRAIN`` units FIRST and the OLS sums accumulate those
+    integers exactly in 64-bit; the slope is then a single
+    division of two exact integers — the grain scale cancels between
+    numerator and denominator.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(tokenize_letters(F.lower(F.col("text")))).alias("term")
+    )
+    freqs = (
+        words.groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(ZIPF_TOP)
+    )
+    w = W.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = freqs.withColumn("rank", F.row_number().over(w))
+    # Grains ride BIGINT end-to-end: |gx|,|gy| <= ~2e7, so every OLS
+    # sum/product below stays under 2^63 (and DuckDB's BIGINT sums
+    # widen to HUGEINT on their own) — decimal(38,0) would overflow
+    # DuckDB's decimal-product precision instead.
+    gx = F.floor(F.log(F.col("rank").cast("double")) * ZIPF_GRAIN + 0.5).cast("long")
+    gy = F.floor(F.log(F.col("freq").cast("double")) * ZIPF_GRAIN + 0.5).cast("long")
+    grains = ranked.select(gx.alias("gx"), gy.alias("gy"))
+    sums = grains.agg(
+        F.count("*").alias("k"),
+        F.sum("gx").alias("sx"),
+        F.sum("gy").alias("sy"),
+        F.sum(F.col("gx") * F.col("gy")).alias("sxy"),
+        F.sum(F.col("gx") * F.col("gx")).alias("sxx"),
+    )
+    slope = (
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return sums.select(
+        F.col("k").alias("n_terms"),
+        round_half_up(slope, 4).alias("zipf_slope"),
+    )
+
+
+#: Burstiness surfaces only terms present in >= 5% of documents
+#: (df * BURST_DF_DENOM >= n_docs) — an integer comparison, so the
+#: cut is corpus-relative yet engine-exact at any scale factor.
+BURST_DF_DENOM = 20
+
+
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term burstiness: variance-to-mean ratio (index of
+    dispersion) of a term's count across the documents CONTAINING it.
+    Function words sit near Poisson (VMR ~ 1); topical terms cluster
+    (VMR >> 1) — the signal behind content-word extraction and
+    quality filters that punish keyword-stuffed documents.
+
+    Everything is exact integer arithmetic until one final divide:
+    per-(doc, term) counts aggregate to df, cf = sum(c) and
+    ssq = sum(c^2); the biased variance-to-mean over containing docs
+    is then VMR = (df * ssq - cf^2) / (df * cf) — a ratio of two
+    exactly-summed integers (no float mean subtraction, no Welford
+    pass), so partial-aggregation order cannot move it. One shuffle
+    on (doc, term), one on term; the df cut compares integers.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(tokenize_letters(F.lower(F.col("text")))).alias("term")
+    )
+    per_doc = words.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    per_term = per_doc.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("cf"),
+        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    kept = per_term.crossJoin(F.broadcast(total)).filter(
+        F.col("df") * BURST_DF_DENOM >= F.col("n_docs")
+    )
+    vmr = (
+        (F.col("df") * F.col("ssq") - F.col("cf") * F.col("cf")).cast("double")
+        / (F.col("df") * F.col("cf")).cast("double")
+    )
+    return kept.select(
+        "term",
+        "df",
+        "cf",
+        round_half_up(F.col("cf").cast("double") / F.col("df"), 4).alias("mean_count"),
+        round_half_up(vmr, 4).alias("vmr"),
+    )
+
+
 QUERIES = {
+    "text_zipf_slope": text_zipf_slope,
+    "text_term_burstiness": text_term_burstiness,
     "text_vocab_growth": text_vocab_growth,
     "text_trigram_backoff_logprob": text_trigram_backoff_logprob,
     "text_shuffle_order": text_shuffle_order,
@@ -1130,6 +1235,57 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_zipf_slope": f"""
+        WITH words AS (
+            SELECT unnest({_LETTERS_LOWER}) AS term FROM documents
+        ),
+        freqs AS (
+            SELECT term, count(*) AS freq FROM words GROUP BY term
+            ORDER BY freq DESC, term ASC LIMIT {ZIPF_TOP}
+        ),
+        ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+            FROM freqs
+        ),
+        grains AS (
+            SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * {ZIPF_GRAIN} + 0.5)
+                        AS BIGINT) AS gx,
+                   CAST(floor(ln(CAST(freq AS DOUBLE)) * {ZIPF_GRAIN} + 0.5)
+                        AS BIGINT) AS gy
+            FROM ranked
+        ),
+        sums AS (
+            SELECT count(*) AS k, sum(gx) AS sx, sum(gy) AS sy,
+                   sum(gx * gy) AS sxy, sum(gx * gx) AS sxx
+            FROM grains
+        )
+        SELECT CAST(k AS BIGINT) AS n_terms,
+               floor(CAST(k * sxy - sx * sy AS DOUBLE)
+                     / CAST(k * sxx - sx * sx AS DOUBLE) * 10000.0 + 0.5)
+                   / 10000.0 AS zipf_slope
+        FROM sums
+    """,
+    "text_term_burstiness": f"""
+        WITH words AS (
+            SELECT doc_id, unnest({_LETTERS_LOWER}) AS term FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, term, count(*) AS c FROM words GROUP BY 1, 2
+        ),
+        per_term AS (
+            SELECT term, count(*) AS df, sum(c) AS cf, sum(c * c) AS ssq
+            FROM per_doc GROUP BY term
+        ),
+        total AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf,
+               floor(CAST(cf AS DOUBLE) / df * 10000.0 + 0.5) / 10000.0
+                   AS mean_count,
+               floor(CAST(df * ssq - cf * cf AS DOUBLE)
+                     / CAST(df * cf AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS vmr
+        FROM per_term CROSS JOIN total
+        WHERE df * {BURST_DF_DENOM} >= n_docs
+    """,
     "text_vocab_growth": f"""
         WITH t AS (SELECT doc_id, {_LETTERS_LOWER} AS ws FROM documents),
         words AS (
