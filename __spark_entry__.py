@@ -128,6 +128,9 @@ _PRIORITY = [
     "text_term_burstiness",
     "sketch_hll_intersection",
     "src_schema_evolution_merge",
+    "dedup_semantic_ivf",
+    "adv_rfm_segmentation",
+    "rel_table_profile_orders",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

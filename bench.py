@@ -105,6 +105,20 @@ HEADLINE = (
     "rel_trimmed_mean_acctbal",
     "adv_ab_experiment_readout",
     "text_vocab_growth",
+    # round 4, second continuation session
+    "graph_triangle_count",
+    "graph_jaccard_link_prediction",
+    "adv_markov_event_transitions",
+    "adv_rolling_active_users",
+    "adv_iqr_outlier_orders",
+    "adv_association_rules_sessions",
+    "text_zipf_slope",
+    "text_term_burstiness",
+    "sketch_hll_intersection",
+    "src_schema_evolution_merge",
+    "dedup_semantic_ivf",
+    "adv_rfm_segmentation",
+    "rel_table_profile_orders",
 )
 
 

@@ -885,8 +885,66 @@ def adv_association_rules_sessions(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def adv_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintile scores per buyer, rolled up to segment cells with named
+    tiers for the extremes (the CRM classic that feeds churn and
+    campaign targeting).
+
+    Determinism: recency is INTEGER days against the corpus max order
+    date (a broadcast 1-row aggregate, not a wall clock); monetary
+    accumulates integer money grains; each ntile(5) runs over a TOTAL
+    order (metric, then custkey), so both engines assign identical
+    quintiles. One shuffle builds the per-customer table; the three
+    window passes share its partitioning (ntile needs a single
+    ordered pass per metric — at 100 TB you'd swap in percentile-rank
+    against broadcast quantile fences to avoid the global sorts; the
+    quintile SEMANTICS are what this query pins).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max("o_orderdate").alias("horizon"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(money_grains("o_totalprice")).alias("mon_grains"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_custkey",
+            F.datediff("horizon", "last_order").alias("recency_days"),
+            "frequency",
+            "mon_grains",
+        )
+    )
+    r_w = W.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    f_w = W.orderBy(F.col("frequency").asc(), F.col("o_custkey"))
+    m_w = W.orderBy(F.col("mon_grains").asc(), F.col("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        "mon_grains",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("r_score") <= 2, "at_risk")
+        .otherwise("regular")
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        round_half_up(F.sum("mon_grains").cast("double") / 1e4, 2).alias(
+            "total_monetary"
+        ),
+        F.max(segment).alias("segment"),
+    )
+
+
 QUERIES = {
     "adv_ab_experiment_readout": adv_ab_experiment_readout,
+    "adv_rfm_segmentation": adv_rfm_segmentation,
     "adv_markov_event_transitions": adv_markov_event_transitions,
     "adv_rolling_active_users": adv_rolling_active_users,
     "adv_iqr_outlier_orders": adv_iqr_outlier_orders,
@@ -914,6 +972,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_rfm_segmentation": """
+        WITH horizon AS (SELECT max(o_orderdate) AS h FROM orders),
+        per_cust AS (
+            SELECT o_custkey,
+                   date_diff('day', CAST(max(o_orderdate) AS DATE),
+                             CAST((SELECT h FROM horizon) AS DATE))
+                       AS recency_days,
+                   count(*) AS frequency,
+                   sum(CAST(floor(o_totalprice * 10000.0 + 0.5)
+                            AS DECIMAL(38,0))) AS mon_grains
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, mon_grains,
+                   CAST(ntile(5) OVER (
+                       ORDER BY recency_days DESC, o_custkey) AS INTEGER)
+                       AS r_score,
+                   CAST(ntile(5) OVER (
+                       ORDER BY frequency ASC, o_custkey) AS INTEGER) AS f_score,
+                   CAST(ntile(5) OVER (
+                       ORDER BY mon_grains ASC, o_custkey) AS INTEGER) AS m_score
+            FROM per_cust
+        )
+        SELECT r_score, f_score, m_score,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               floor(CAST(sum(mon_grains) AS DOUBLE) / 10000.0 * 100.0 + 0.5)
+                   / 100.0 AS total_monetary,
+               max(CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                        WHEN r_score <= 2 THEN 'at_risk'
+                        ELSE 'regular' END) AS segment
+        FROM scored GROUP BY 1, 2, 3
+    """,
     "adv_markov_event_transitions": """
         WITH trans AS (
             SELECT event_type AS prev_type,

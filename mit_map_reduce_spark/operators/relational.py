@@ -1418,7 +1418,71 @@ def rel_trimmed_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Profiled columns of ``orders`` with a printf format for the
+#: min/max rendering (%s = render as-is / cast to string; %.2f = fixed
+#: 2-dp numeric — printf semantics are C-identical in both engines,
+#: unlike double->string casts, which Spark renders scientific).
+_PROFILE_COLS = (
+    ("o_orderkey", "%s"),
+    ("o_custkey", "%s"),
+    ("o_orderstatus", "%s"),
+    ("o_totalprice", "%.2f"),
+    ("o_orderdate", "ts"),  # explicit second-truncated format both sides
+    ("o_orderpriority", "%s"),
+)
+
+
+def _profile_render(c: str, fmt: str, agg) -> "F.Column":
+    if fmt == "ts":
+        return F.date_format(agg(c), "yyyy-MM-dd HH:mm:ss")
+    return F.format_string(fmt, agg(c))
+
+
+def rel_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling of ``orders``: per column, non-null
+    count, exact distinct count, and printf-rendered min/max — the
+    first thing run against any new table (quality dashboards, schema
+    drift alarms, join-key candidate discovery).
+
+    All metrics for all columns compute in ONE aggregation over one
+    scan; the wide 1-row result is then unpivoted with ``stack`` into
+    the long (column, metric...) form. The multiple exact
+    COUNT(DISTINCT)s make Catalyst plan an EXPAND (one duplicated
+    stream per distinct aggregate) — the honest exact plan; a 100 TB
+    profiler swaps them for approx_count_distinct and the EXPAND
+    disappears (same single scan, HLL registers instead). min/max
+    render through printf so both engines emit identical strings
+    (double->string casts would not).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, fmt in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.countDistinct(c).alias(f"{c}__d"),
+            _profile_render(c, fmt, F.min).alias(f"{c}__min"),
+            _profile_render(c, fmt, F.max).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = []
+    for c, _ in _PROFILE_COLS:
+        stack_args += [
+            F.lit(c),
+            F.col(f"{c}__n"),
+            F.col(f"{c}__d"),
+            F.col(f"{c}__min"),
+            F.col(f"{c}__max"),
+        ]
+    return wide.select(
+        F.stack(
+            F.lit(len(_PROFILE_COLS)),
+            *stack_args,
+        ).alias("column_name", "n_nonnull", "n_distinct", "min_value", "max_value")
+    )
+
+
 QUERIES = {
+    "rel_table_profile_orders": rel_table_profile_orders,
     "rel_trimmed_mean_acctbal": rel_trimmed_mean_acctbal,
     "rel_decimal_sum_by_segment": rel_decimal_sum_by_segment,
     "rel_window_cumulative_share": rel_window_cumulative_share,
@@ -1466,7 +1530,30 @@ QUERIES = {
     "rel_q20_excess_stock_suppliers": rel_q20_excess_stock_suppliers,
 }
 
+def _profile_oracle_sql() -> str:
+    parts = []
+    for c, fmt in _PROFILE_COLS:
+        if fmt == "ts":
+            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        elif fmt == "%s":
+            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        else:
+            mn = f"printf('{fmt}', min({c}))"
+            mx = f"printf('{fmt}', max({c}))"
+        parts.append(
+            f"""
+        SELECT '{c}' AS column_name,
+               CAST(count({c}) AS BIGINT) AS n_nonnull,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               {mn} AS min_value, {mx} AS max_value
+        FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
 ORACLES = {
+    "rel_table_profile_orders": _profile_oracle_sql(),
     "rel_trimmed_mean_acctbal": f"""
         WITH ranked AS (
             SELECT c_mktsegment, c_acctbal,

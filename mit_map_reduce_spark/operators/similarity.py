@@ -664,7 +664,84 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup duplicate threshold — the same calibrated cosine cut as
+#: the pairwise dedup baselines (dedup.COSINE_DUP_THRESHOLD).
+SEMDEDUP_T = 0.35
+
+
+def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster embeddings with the trained IVF quantizer, then WITHIN each
+    cell drop every vector whose cosine to a lower-id cell-mate
+    reaches ``SEMDEDUP_T`` — the id order is the deterministic stand-in
+    for SemDeDup's "keep one example per semantic duplicate group".
+    One row per vector: (vec_id, cell, kept).
+
+    This is the scale path the quadratic ``dedup_embedding_cosine``
+    baseline points at: the corpus never self-joins globally — the
+    pair join keys on the cell id, so comparisons are quadratic only
+    in CELL occupancy. K_CELLS is fixed 16 here; at 100 TB you raise
+    it with the corpus (SemDeDup uses ~10k-50k clusters) so occupancy
+    — and with it the per-cell pair fan-out — stays bounded, exactly
+    like raising EMB_LSH rows/bands or IVF K_CELLS. Training is the
+    shared train-once centroid artifact; the threshold compares the
+    4-dp-ROUNDED cosine (HOF fold = DuckDB list_sum order), so the
+    verdict cannot flip on engine ulps.
+    """
+    emb = _emb_with_norm(spark, sf_dir)
+    cents = _centroids_artifact(spark, sf_dir)
+    assign = _assign_cells(emb, cents)
+    tagged = emb.join(assign, "vec_id")
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"), round_half_up(cos, 4).alias("c")
+        )
+        .filter(F.col("c") >= SEMDEDUP_T)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return assign.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.col("is_dup").isNull().alias("kept"),
+    )
+
+
+def _semdedup_oracle_sql() -> str:
+    dot = (
+        f"list_sum(list_transform(range(1, {DIM + 1}),"
+        " i -> CAST(va.embedding[i] AS DOUBLE) * CAST(vb.embedding[i] AS DOUBLE)))"
+    )
+    return (
+        _ivf_assign_prefix_sql()
+        + f""",
+        dup AS (
+            SELECT DISTINCT a.vec_id
+            FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id > b.vec_id
+            JOIN nrm va ON va.vec_id = a.vec_id
+            JOIN nrm vb ON vb.vec_id = b.vec_id
+            WHERE floor({dot} / (va.nrm * vb.nrm) * 10000.0 + 0.5) / 10000.0
+                  >= {SEMDEDUP_T}
+        )
+        SELECT t.vec_id, CAST(t.cell AS INTEGER) AS cell,
+               (d.vec_id IS NULL) AS kept
+        FROM assign t LEFT JOIN dup d ON t.vec_id = d.vec_id
+    """
+    )
+
+
 QUERIES = {
+    "dedup_semantic_ivf": semantic_dedup_ivf,
     "sim_embedding_random_projection": embedding_random_projection,
     "sim_ann_mmr_topk": ann_mmr_diversified_topk,
     "sim_embedding_quantize_int8": embedding_quantize_int8,
@@ -761,11 +838,13 @@ def _mmr_oracle_sql() -> str:
     return sql
 
 
-def _ivf_oracle_sql() -> str:
-    """DuckDB twin of the trained-centroid IVF search, Lloyd iterations
-    unrolled as chained CTEs (c0 -> a1/m1/c1 -> a2/m2/c2 -> search).
-    Centroid means round to MEAN_DIGITS on both engines, which is what
-    makes the float-accumulated averages comparable."""
+def _ivf_assign_prefix_sql() -> str:
+    """Shared DuckDB CTE chain rebuilding the trained-centroid
+    assignment: nrm -> seeds -> c0 -> (a_i/m_i/c_i per Lloyd
+    iteration) -> assign. Both the IVF search oracle and the SemDeDup
+    oracle start from this prefix, so the quantizer is spelled out
+    exactly once. Centroid means round to MEAN_DIGITS on both engines,
+    which is what makes the float-accumulated averages comparable."""
     mean_f = float(10**MEAN_DIGITS)
     # cosine of corpus vector v against a trained-centroid list c.c_emb
     # (already double), accumulated in index order like dot_product
@@ -823,7 +902,21 @@ def _ivf_oracle_sql() -> str:
                            ORDER BY {vc_dot} / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
                 FROM nrm v CROSS JOIN {prev} c
             ) WHERE rn = 1
-        ),
+        )"""
+    return sql
+
+
+def _ivf_oracle_sql() -> str:
+    """DuckDB twin of the trained-centroid IVF search: the shared
+    assignment prefix plus probe/score/rank."""
+    sql = _ivf_assign_prefix_sql()
+    mean_f = float(10**MEAN_DIGITS)  # noqa: F841 (kept for parity docs)
+    vc_dot = (
+        f"list_sum(list_transform(range(1, {DIM + 1}),"
+        " i -> CAST(v.embedding[i] AS DOUBLE) * c.c_emb[i]))"
+    )
+    prev = f"c{KMEANS_ITERS}"
+    sql += f""",
         probe AS (
             SELECT vec_id AS query_id, cell FROM (
                 SELECT v.vec_id, c.cent_id AS cell,
@@ -901,6 +994,7 @@ ORACLES = {
         SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {TOP_K}
     """,
     "sim_ann_ivf_topk": _ivf_oracle_sql(),
+    "dedup_semantic_ivf": _semdedup_oracle_sql(),
     "sim_knn_label_vote": f"""
         WITH {_NRM_CTE},
         scored AS (

@@ -375,3 +375,20 @@ def test_association_rules_bounds(spark, sf_dir):
         assert 0.0 < r.conf_a_to_b <= 1.0
         assert 0.0 < r.conf_b_to_a <= 1.0
         assert r.lift > 0.0
+
+
+def test_semantic_dedup_keeps_cell_minimum(spark, sf_dir):
+    # The drop rule is "cosine >= T to a LOWER-id cell-mate", so the
+    # smallest vec_id in every cell can never be dropped, and every
+    # cell retains at least one representative.
+    from collections import defaultdict
+    from mit_map_reduce_spark.operators.similarity import semantic_dedup_ivf
+
+    rows = semantic_dedup_ivf(spark, sf_dir).collect()
+    by_cell = defaultdict(list)
+    for r in rows:
+        by_cell[r.cell].append(r)
+    for cell, members in by_cell.items():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.kept, (cell, lowest)
+        assert any(r.kept for r in members)
