@@ -131,6 +131,8 @@ _PRIORITY = [
     "dedup_semantic_ivf",
     "adv_rfm_segmentation",
     "rel_table_profile_orders",
+    "sim_hard_negative_mining",
+    "rel_monthly_revenue_mom",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -119,6 +119,8 @@ HEADLINE = (
     "dedup_semantic_ivf",
     "adv_rfm_segmentation",
     "rel_table_profile_orders",
+    "sim_hard_negative_mining",
+    "rel_monthly_revenue_mom",
 )
 
 

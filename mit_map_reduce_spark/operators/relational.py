@@ -1481,7 +1481,38 @@ def rel_table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the BI staple: revenue per
+    calendar month plus percentage change against the previous month
+    (NULL for the first).
+
+    Revenue accumulates integer money grains (order-invariant); the
+    MoM percentage divides two exact grain totals (one IEEE divide,
+    4 dp half-up). The month rollup is one partial-aggregated shuffle
+    on ~month-cardinality keys; the lag window runs over that tiny
+    month-level frame, not the fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_month = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(money_grains("o_totalprice")).alias("rev_grains"),
+    )
+    w = W.orderBy("month")
+    prev = F.lag("rev_grains").over(w)
+    return per_month.select(
+        "month",
+        "n_orders",
+        round_half_up(F.col("rev_grains").cast("double") / 1e4, 2).alias("revenue"),
+        round_half_up(
+            (F.col("rev_grains") - prev).cast("double") / prev.cast("double"), 4
+        ).alias("mom_pct"),
+    )
+
+
 QUERIES = {
+    "rel_monthly_revenue_mom": rel_monthly_revenue_mom,
     "rel_table_profile_orders": rel_table_profile_orders,
     "rel_trimmed_mean_acctbal": rel_trimmed_mean_acctbal,
     "rel_decimal_sum_by_segment": rel_decimal_sum_by_segment,
@@ -1553,6 +1584,23 @@ def _profile_oracle_sql() -> str:
 
 
 ORACLES = {
+    "rel_monthly_revenue_mom": """
+        WITH per_month AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o_totalprice * 10000.0 + 0.5)
+                            AS DECIMAL(38,0))) AS rev_grains
+            FROM orders GROUP BY 1
+        )
+        SELECT month, CAST(n_orders AS BIGINT) AS n_orders,
+               floor(CAST(rev_grains AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0
+                   AS revenue,
+               floor(CAST(rev_grains - lag(rev_grains) OVER (ORDER BY month)
+                          AS DOUBLE)
+                     / CAST(lag(rev_grains) OVER (ORDER BY month) AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS mom_pct
+        FROM per_month
+    """,
     "rel_table_profile_orders": _profile_oracle_sql(),
     "rel_trimmed_mean_acctbal": f"""
         WITH ranked AS (

@@ -664,6 +664,116 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NEG_K = 5  # hard negatives mined per query
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``NEG_K`` highest-cosine neighbors whose LABEL differs
+    — the examples most likely to confuse a retriever, which is
+    exactly what a contrastive loss wants in the denominator (the
+    standard ANN-mine step of DPR/SimCSE-style pipelines; uniform
+    random negatives are too easy to teach anything).
+
+    Runs on the IVF index, not brute force: probe the query's
+    ``N_PROBE`` nearest trained cells, score only cell-mates, drop
+    same-label candidates, keep top-``NEG_K``. Same scale shape as
+    ``ann_ivf_topk`` — one corpus scan, broadcast probes/queries,
+    candidate fan-out bounded by cell occupancy — plus one broadcast
+    label lookup. Ties break to the lower neighbor id on the rounded
+    cosine rank order's raw score like every ANN query here.
+    """
+    emb = _emb_with_norm(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cents = _centroids_artifact(spark, sf_dir)
+    assign = _assign_cells(emb, cents)
+    corpus = emb.join(assign, "vec_id").join(labels, "vec_id")
+    q_base = emb.filter(F.expr(QUERY_FILTER))
+    queries = q_base.join(labels, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("label").alias("q_label"),
+    )
+    probe = _assign_cells(q_base, cents, n_best=N_PROBE).select(
+        F.col("vec_id").alias("query_id"), "cell"
+    )
+    cand = corpus.join(F.broadcast(probe), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = (
+        cand.join(F.broadcast(queries), "query_id")
+        .filter(F.col("label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "q_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("neg_label"),
+            (
+                dot_product(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("c"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NEG_K)
+        .select(
+            "query_id",
+            "q_label",
+            "negative_id",
+            "neg_label",
+            "rank",
+            round_half_up("c", 4).alias("cos"),
+        )
+    )
+
+
+def _hardneg_oracle_sql() -> str:
+    vc_dot = (
+        f"list_sum(list_transform(range(1, {DIM + 1}),"
+        " i -> CAST(v.embedding[i] AS DOUBLE) * c.c_emb[i]))"
+    )
+    prev = f"c{KMEANS_ITERS}"
+    return (
+        _ivf_assign_prefix_sql()
+        + f""",
+        probe AS (
+            SELECT vec_id AS query_id, cell FROM (
+                SELECT v.vec_id, c.cent_id AS cell,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {vc_dot} / (v.nrm * c.c_nrm) DESC, c.cent_id) AS rn
+                FROM nrm v CROSS JOIN {prev} c
+                WHERE v.vec_id % 100 = 0
+            ) WHERE rn <= {N_PROBE}
+        ),
+        scored AS (
+            SELECT p.query_id, ql.label AS q_label,
+                   a.vec_id AS negative_id, cl.label AS neg_label,
+                   {_DOT.format(dim1=DIM + 1)} / (q.nrm * c.nrm) AS c
+            FROM probe p
+            JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+            JOIN nrm q ON q.vec_id = p.query_id
+            JOIN nrm c ON c.vec_id = a.vec_id
+            JOIN embeddings ql ON ql.vec_id = p.query_id
+            JOIN embeddings cl ON cl.vec_id = a.vec_id
+            WHERE ql.label <> cl.label
+        ),
+        ranked AS (
+            SELECT query_id, q_label, negative_id, neg_label,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY c DESC, negative_id) AS INTEGER) AS rank,
+                   floor((c) * 10000.0 + 0.5) / 10000.0 AS cos
+            FROM scored
+        )
+        SELECT query_id, q_label, negative_id, neg_label, rank, cos
+        FROM ranked WHERE rank <= {NEG_K}
+    """
+    )
+
+
 #: SemDeDup duplicate threshold — the same calibrated cosine cut as
 #: the pairwise dedup baselines (dedup.COSINE_DUP_THRESHOLD).
 SEMDEDUP_T = 0.35
@@ -741,6 +851,7 @@ def _semdedup_oracle_sql() -> str:
 
 
 QUERIES = {
+    "sim_hard_negative_mining": hard_negative_mining,
     "dedup_semantic_ivf": semantic_dedup_ivf,
     "sim_embedding_random_projection": embedding_random_projection,
     "sim_ann_mmr_topk": ann_mmr_diversified_topk,
@@ -995,6 +1106,7 @@ ORACLES = {
     """,
     "sim_ann_ivf_topk": _ivf_oracle_sql(),
     "dedup_semantic_ivf": _semdedup_oracle_sql(),
+    "sim_hard_negative_mining": _hardneg_oracle_sql(),
     "sim_knn_label_vote": f"""
         WITH {_NRM_CTE},
         scored AS (

@@ -392,3 +392,20 @@ def test_semantic_dedup_keeps_cell_minimum(spark, sf_dir):
         lowest = min(members, key=lambda r: r.vec_id)
         assert lowest.kept, (cell, lowest)
         assert any(r.kept for r in members)
+
+
+def test_hard_negatives_never_share_query_label(spark, sf_dir):
+    # Every mined negative must carry a label different from its
+    # query's — that is the definition of the operator — and ranks are
+    # dense from 1 within each query.
+    from collections import defaultdict
+    from mit_map_reduce_spark.operators.similarity import hard_negative_mining
+
+    rows = hard_negative_mining(spark, sf_dir).collect()
+    assert rows
+    by_q = defaultdict(list)
+    for r in rows:
+        assert r.neg_label != r.q_label
+        by_q[r.query_id].append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
