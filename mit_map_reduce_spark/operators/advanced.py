@@ -704,9 +704,10 @@ def adv_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition counts aggregate by (prev, next); row probabilities
     divide two exact integers (one IEEE divide, 4 dp half-up). The
     only fact-sized exchange is the user_id hash partitioning the
-    window already needs; the count and the per-prev total both ride
-    state-type-sized aggregates (|types|^2 <= 25 rows here), and the
-    totals join broadcasts.
+    window already needs; the count and the per-prev divisor both ride
+    state-type-sized frames (|types|^2 <= 25 rows here — the divisor
+    is a window sum over the counts, so the fact lineage exists ONCE
+    in the plan).
     """
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -720,17 +721,19 @@ def adv_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("prev_type"), F.col("next_type")
         ).agg(F.count("*").alias("n_transitions"))
     )
-    totals = counts.groupBy("prev_type").agg(F.sum("n_transitions").alias("n_total"))
-    return (
-        counts.join(F.broadcast(totals), "prev_type")
-        .select(
-            "prev_type",
-            "next_type",
-            "n_transitions",
-            round_half_up(
-                F.col("n_transitions").cast("double") / F.col("n_total"), 4
-            ).alias("prob"),
-        )
+    # Row totals via a window over the |types|^2-sized counts frame —
+    # NOT a groupBy+join back, which would duplicate the whole
+    # fact-scan/window lineage into a second subtree (Catalyst does
+    # not reuse uncached sibling subtrees; at 100 TB that is two
+    # corpus passes for one divisor).
+    n_total = F.sum("n_transitions").over(W.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        round_half_up(F.col("n_transitions").cast("double") / n_total, 4).alias(
+            "prob"
+        ),
     )
 
 
@@ -1015,16 +1018,13 @@ ORACLES = {
             SELECT prev_type, next_type, count(*) AS n_transitions
             FROM trans WHERE next_type IS NOT NULL
             GROUP BY 1, 2
-        ),
-        totals AS (
-            SELECT prev_type, sum(n_transitions) AS n_total
-            FROM counts GROUP BY prev_type
         )
-        SELECT c.prev_type, c.next_type,
-               CAST(c.n_transitions AS BIGINT) AS n_transitions,
-               floor(CAST(c.n_transitions AS DOUBLE) / t.n_total * 10000.0 + 0.5)
-                   / 10000.0 AS prob
-        FROM counts c JOIN totals t USING (prev_type)
+        SELECT prev_type, next_type,
+               CAST(n_transitions AS BIGINT) AS n_transitions,
+               floor(CAST(n_transitions AS DOUBLE)
+                     / sum(n_transitions) OVER (PARTITION BY prev_type)
+                     * 10000.0 + 0.5) / 10000.0 AS prob
+        FROM counts
     """,
     "adv_rolling_active_users": """
         WITH activity AS (

@@ -244,3 +244,61 @@ def test_bloom_prefilter_never_shuffles_the_fact_side(spark, sf_dir):
     plan = physical_plan(sketch_bloom_prefilter(spark, sf_dir))
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row bloom
     assert "SortMergeJoin" not in plan  # premium dim broadcasts
+
+
+def test_link_prediction_broadcasts_degree_tables(spark, sf_dir):
+    # Node-degree lookups are node-cardinality-sized; both must ride
+    # broadcast joins so no fact-sized exchange re-keys the wedges.
+    from mit_map_reduce_spark.operators.graph import graph_jaccard_link_prediction
+
+    assert broadcast_join_count(graph_jaccard_link_prediction(spark, sf_dir)) >= 2
+
+
+def test_burstiness_shuffle_budget_and_broadcast_total(spark, sf_dir):
+    # Exactly two hash-aggregate exchanges carry real data ((doc,term)
+    # then term); the other exchanges are the deliberate round-robin
+    # input spread and the 1-row total's SinglePartition. The corpus
+    # total must arrive via a broadcast (nested-loop on a 1-row frame),
+    # never by re-shuffling the per-term rows.
+    from mit_map_reduce_spark.operators.text import text_term_burstiness
+
+    df = text_term_burstiness(spark, sf_dir)
+    assert count_shuffles(df) <= 5
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastExchange" in plan
+
+
+def test_profiler_is_single_scan_with_expand(spark, sf_dir):
+    # All 24 metrics must come from ONE scan of orders; the exact
+    # distinct aggregates appear as a single Expand, not extra scans.
+    from mit_map_reduce_spark.operators.relational import rel_table_profile_orders
+
+    plan = physical_plan(rel_table_profile_orders(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan
+
+
+def test_markov_single_fact_pass(spark, sf_dir):
+    # ONE scan of events, one user_id window exchange, then only
+    # |types|^2-sized frames: the row-probability divisor is a window
+    # sum over the counts, so the fact lineage must not be duplicated
+    # into a second subtree (a groupBy+join-back divisor would scan
+    # and window the fact table twice).
+    from mit_map_reduce_spark.operators.advanced import adv_markov_event_transitions
+
+    df = adv_markov_event_transitions(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert count_shuffles(df) <= 3
+
+
+def test_rolling_actives_explodes_instead_of_range_join(spark, sf_dir):
+    # The 7-day window rides a bounded generator explode; the plan
+    # must show Generate and NO nested-loop join (a range self-join of
+    # the fact table would be quadratic in days).
+    from mit_map_reduce_spark.operators.advanced import adv_rolling_active_users
+
+    plan = physical_plan(adv_rolling_active_users(spark, sf_dir))
+    assert "Generate" in plan
+    assert "NestedLoop" not in plan
