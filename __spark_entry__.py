@@ -133,6 +133,7 @@ _PRIORITY = [
     "rel_table_profile_orders",
     "sim_hard_negative_mining",
     "rel_monthly_revenue_mom",
+    "mr_terasort_manifest",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -121,6 +121,7 @@ HEADLINE = (
     "rel_table_profile_orders",
     "sim_hard_negative_mining",
     "rel_monthly_revenue_mom",
+    "mr_terasort_manifest",
 )
 
 

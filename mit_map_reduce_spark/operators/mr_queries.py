@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from mit_map_reduce_spark.catalog import load_table, spread
 from mit_map_reduce_spark.functions.columns import tokenize_letters
@@ -157,7 +158,68 @@ def mr_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TERA_PARTS = 16  # range partitions in the terasort manifest
+
+
+def mr_terasort_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TeraSort recipe — MapReduce's canonical global-sort
+    benchmark (O'Malley 2008) — as an auditable manifest: SAMPLE the
+    key space, cut ``TERA_PARTS`` range boundaries from the sample's
+    order statistics, range-assign every key by boundary comparison,
+    and emit one manifest row per partition with a contiguity check
+    (every partition's min must exceed its predecessor's max — the
+    property that makes concatenating per-partition sorted runs a
+    total order, with no merge pass).
+
+    Scale honesty: keys are md5 hex (uniform, adversary-proof — the
+    reason TeraSort samples rather than trusting the raw
+    distribution); the sample is the deterministic 1/16 of keys
+    starting with '0', so it stays proportionally small and both
+    engines pick the identical rows. Only the SAMPLE is globally
+    sorted (one bounded single-partition window — at 100 TB the
+    sample is capped, exactly as TeraSort's partitioner samples ~1e5
+    keys); the full corpus never sorts globally here: each key does
+    one broadcast boundary-array comparison, then a pid-keyed
+    aggregate. ``repartitionByRange`` does all this internally with a
+    nondeterministic reservoir sample — spelling the boundaries out
+    is what makes the result engine-reproducible AND gives the skew
+    readout (n_rows per partition) a production sort needs anyway.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.md5(F.col("event_id").cast("string")).alias("k"))
+    sample = keyed.filter(F.substring("k", 1, 1) == "0")
+    bkt = sample.select(
+        "k", F.ntile(TERA_PARTS).over(W.orderBy("k")).alias("b")
+    )
+    bounds = (
+        bkt.filter(F.col("b") < TERA_PARTS)
+        .groupBy("b")
+        .agg(F.max("k").alias("upper"))
+        .agg(F.array_sort(F.collect_list("upper")).alias("bounds"))
+    )
+    assigned = keyed.crossJoin(F.broadcast(bounds)).select(
+        "k",
+        (
+            F.lit(1)
+            + F.size(F.filter("bounds", lambda b: b < F.col("k")))
+        ).alias("pid"),
+    )
+    manifest = assigned.groupBy("pid").agg(
+        F.count("*").alias("n_rows"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+    )
+    w = W.orderBy("pid")
+    contiguous = F.coalesce(
+        F.lag("max_key").over(w) < F.col("min_key"), F.lit(True)
+    )
+    return manifest.select(
+        "pid", "n_rows", "min_key", "max_key", contiguous.alias("contiguous")
+    )
+
+
 QUERIES = {
+    "mr_terasort_manifest": mr_terasort_manifest,
     "mr_reduce_side_join": mr_reduce_side_join,
     "mr_wordcount": mr_wordcount,
     "mr_inverted_index": mr_inverted_index,
@@ -170,6 +232,35 @@ _TOKENS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')"
 from mit_map_reduce_spark.functions.columns import sql_money_sum as _sms
 
 ORACLES = {
+    "mr_terasort_manifest": f"""
+        WITH keyed AS (
+            SELECT md5(CAST(event_id AS VARCHAR)) AS k FROM events
+        ),
+        sample AS (SELECT k FROM keyed WHERE substr(k, 1, 1) = '0'),
+        bkt AS (
+            SELECT k, ntile({TERA_PARTS}) OVER (ORDER BY k) AS b FROM sample
+        ),
+        bounds AS (
+            SELECT max(k) AS upper FROM bkt
+            WHERE b < {TERA_PARTS} GROUP BY b
+        ),
+        assigned AS (
+            SELECT keyed.k,
+                   1 + (SELECT count(*) FROM bounds
+                        WHERE bounds.upper < keyed.k) AS pid
+            FROM keyed
+        ),
+        manifest AS (
+            SELECT pid, count(*) AS n_rows, min(k) AS min_key,
+                   max(k) AS max_key
+            FROM assigned GROUP BY pid
+        )
+        SELECT CAST(pid AS INTEGER) AS pid, CAST(n_rows AS BIGINT) AS n_rows,
+               min_key, max_key,
+               coalesce(lag(max_key) OVER (ORDER BY pid) < min_key, TRUE)
+                   AS contiguous
+        FROM manifest
+    """,
     "mr_reduce_side_join": f"""
         SELECT c_custkey AS custkey,
                c_mktsegment,

@@ -409,3 +409,22 @@ def test_hard_negatives_never_share_query_label(spark, sf_dir):
         by_q[r.query_id].append(r.rank)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_terasort_manifest_is_total_order(spark, sf_dir):
+    # Partitions must tile the key space: every row contiguous, counts
+    # sum to the corpus size, and all TERA_PARTS partitions non-empty
+    # (md5 keys are uniform, so the sampled boundaries cannot starve a
+    # partition at any tested SF).
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.mr_queries import (
+        TERA_PARTS,
+        mr_terasort_manifest,
+    )
+
+    rows = sorted(mr_terasort_manifest(spark, sf_dir).collect(), key=lambda r: r.pid)
+    assert [r.pid for r in rows] == list(range(1, TERA_PARTS + 1))
+    assert all(r.contiguous for r in rows)
+    assert all(r.min_key <= r.max_key for r in rows)
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows) == total
