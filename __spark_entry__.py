@@ -134,6 +134,8 @@ _PRIORITY = [
     "sim_hard_negative_mining",
     "rel_monthly_revenue_mom",
     "mr_terasort_manifest",
+    "rel_price_balance_correlation",
+    "graph_personalized_pagerank",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -122,6 +122,8 @@ HEADLINE = (
     "sim_hard_negative_mining",
     "rel_monthly_revenue_mom",
     "mr_terasort_manifest",
+    "rel_price_balance_correlation",
+    "graph_personalized_pagerank",
 )
 
 

@@ -188,6 +188,154 @@ def _pagerank_oracle_sql() -> str:
     return sql
 
 
+PPR_SEED_NATIONS = 12  # seed set: suppliers of nations 0..11
+
+
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: the teleport lands ONLY on a seed set
+    (suppliers of nations < PPR_SEED_NATIONS) instead of uniformly —
+    the relevance-propagation primitive behind "related to THESE
+    items" recommendations and seed-expansion audience building
+    (rank_{i+1}(v) = (1-d)*1[v in S]/|S| + d*mass(v)).
+
+    Same iteration engine as the global PageRank — one edge/rank
+    equi-join plus a destination aggregate per round, eager persist
+    with superseded-cache release, ranks rounded each round so the
+    unrolled DuckDB oracle matches bit-for-bit — and the same scoped
+    shuffle sizing. The seed table is node-sized and broadcasts; at
+    100 TB only the edge joins shuffle, exactly as in the global
+    variant. Nodes unreachable from the seeds in PR_ITERS hops hold
+    rank 0, which is the semantics (no uniform floor here).
+    """
+
+    def build():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
+        try:
+            edges = _trade_edges(spark, sf_dir)
+            deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+            nodes = edges.select(F.col("src").alias("node")).distinct()
+            supp = load_table(spark, sf_dir, "supplier").filter(
+                F.col("s_nationkey") < PPR_SEED_NATIONS
+            )
+            seeds = nodes.join(
+                F.broadcast(supp.select(F.col("s_suppkey").alias("node"))), "node"
+            )
+            n_seeds = seeds.agg(F.count("*").alias("ns"))
+            seed_share = (
+                seeds.crossJoin(F.broadcast(n_seeds))
+                .select(
+                    "node",
+                    round_half_up(F.lit(1.0) / F.col("ns"), RANK_DIGITS).alias(
+                        "teleport"
+                    ),
+                )
+            )
+            pr = nodes.join(F.broadcast(seed_share), "node", "left").select(
+                "node", F.coalesce("teleport", F.lit(0.0)).alias("rank")
+            )
+            base = nodes.join(F.broadcast(seed_share), "node", "left").select(
+                "node",
+                ((1.0 - DAMPING) * F.coalesce("teleport", F.lit(0.0))).alias("b"),
+            )
+            superseded = None
+            for _ in range(PR_ITERS):
+                contrib = (
+                    edges.join(pr, edges.src == pr.node)
+                    .join(deg, "src")
+                    .groupBy("dst")
+                    .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("mass"))
+                )
+                new_pr = (
+                    base.join(contrib, base.node == contrib.dst, "left")
+                    .select(
+                        "node",
+                        round_half_up(
+                            F.col("b") + DAMPING * F.coalesce("mass", F.lit(0.0)),
+                            RANK_DIGITS,
+                        ).alias("rank"),
+                    )
+                    .persist()
+                )
+                new_pr.count()
+                if superseded is not None:
+                    superseded.unpersist()
+                superseded = new_pr
+                pr = new_pr
+            return pr
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    ranks = shared_persist(spark, "graph_ppr_ranks", sf_dir, build)
+    return ranks.filter(F.col("rank") > 0).select(
+        "node",
+        F.when(F.col("node") >= NODE_OFFSET, "customer")
+        .otherwise("supplier")
+        .alias("side"),
+        "rank",
+    )
+
+
+def _ppr_oracle_sql() -> str:
+    """DuckDB twin of the personalized iterations, unrolled."""
+    rf = float(10**RANK_DIGITS)
+    sql = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust_node, l_suppkey AS supp_node
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT cust_node AS src, supp_node AS dst FROM pairs
+            UNION ALL
+            SELECT supp_node, cust_node FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        seeds AS (
+            SELECT node FROM nodes
+            JOIN supplier ON node = s_suppkey
+            WHERE s_nationkey < {PPR_SEED_NATIONS}
+        ),
+        n_seeds AS (SELECT count(*) AS ns FROM seeds),
+        share AS (
+            SELECT node, floor((1.0 / ns) * {rf} + 0.5) / {rf} AS teleport
+            FROM seeds, n_seeds
+        ),
+        base AS (
+            SELECT nodes.node,
+                   (1.0 - {DAMPING}) * coalesce(share.teleport, 0.0) AS b
+            FROM nodes LEFT JOIN share ON nodes.node = share.node
+        ),
+        pr0 AS (
+            SELECT nodes.node, coalesce(share.teleport, 0.0) AS rank
+            FROM nodes LEFT JOIN share ON nodes.node = share.node
+        )"""
+    prev = "pr0"
+    for i in range(1, PR_ITERS + 1):
+        sql += f""",
+        m{i} AS (
+            SELECT e.dst, sum(p.rank / d.outdeg) AS mass
+            FROM edges e
+            JOIN {prev} p ON e.src = p.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        ),
+        pr{i} AS (
+            SELECT base.node,
+                   floor((base.b + {DAMPING} * coalesce(m{i}.mass, 0.0))
+                         * {rf} + 0.5) / {rf} AS rank
+            FROM base LEFT JOIN m{i} ON base.node = m{i}.dst
+        )"""
+        prev = f"pr{i}"
+    sql += f"""
+        SELECT node,
+               CASE WHEN node >= {NODE_OFFSET} THEN 'customer' ELSE 'supplier' END AS side,
+               rank
+        FROM {prev} WHERE rank > 0
+    """
+    return sql
+
+
 KCORE_K = 8
 KCORE_ROUNDS = 3
 
@@ -650,6 +798,7 @@ QUERIES = {
     "graph_triangle_count": graph_triangle_count,
     "graph_jaccard_link_prediction": graph_jaccard_link_prediction,
     "graph_pagerank_trade": graph_pagerank_trade,
+    "graph_personalized_pagerank": graph_personalized_pagerank,
     "graph_kcore_prune": graph_kcore_prune,
     "graph_degree_distribution": graph_degree_distribution,
     "graph_supplier_projection": graph_supplier_projection,
@@ -716,6 +865,7 @@ ORACLES = {
     """,
     "graph_label_propagation": _lpa_oracle_sql(),
     "graph_pagerank_trade": _pagerank_oracle_sql(),
+    "graph_personalized_pagerank": _ppr_oracle_sql(),
     "graph_kcore_prune": _kcore_oracle_sql(),
     "graph_degree_distribution": f"""
         WITH pairs AS (

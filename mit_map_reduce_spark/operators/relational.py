@@ -1511,7 +1511,65 @@ def rel_monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_price_balance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between a customer's account balance and
+    their total order spend, per market segment — the built-in
+    ``corr()`` computed the EXACT way: both variables quantize to
+    integer money grains per row, and all five correlation sums
+    (Sx, Sy, Sxy, Sxx, Syy) accumulate those integers exactly, so the
+    coefficient is a single deterministic expression of exact values.
+    Engine-native corr() is a float Welford pass whose partial-merge
+    order differs between Spark and DuckDB — the same class of bug as
+    the round-3 q9 cent flip, at correlation scale.
+
+    One customer-keyed aggregation builds (balance, spend) pairs; the
+    five sums ride one segment-keyed rollup; grain products sum as
+    decimal(38,0) Spark-side / HUGEINT oracle-side (~1e18 per product
+    — 64-bit would overflow the sum; DuckDB's decimal multiply cannot
+    widen past 38 digits, its 128-bit integer can). The FINISH then
+    casts each exact sum to double once and evaluates the identical
+    IEEE expression in both engines — deterministic because every
+    input is exact and the expression tree matches; rounded 4 dp.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(money_grains("o_totalprice")).alias("gy")
+    )
+    pairs = (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .select(
+            "c_mktsegment",
+            money_grains("c_acctbal").alias("gx"),
+            F.col("gy"),
+        )
+    )
+    sums = pairs.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("gx").alias("sx"),
+        F.sum("gy").alias("sy"),
+        F.sum(F.col("gx").cast("decimal(38,0)") * F.col("gy")).alias("sxy"),
+        F.sum(F.col("gx").cast("decimal(38,0)") * F.col("gx")).alias("sxx"),
+        F.sum(F.col("gy").cast("decimal(38,0)") * F.col("gy")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        "c_mktsegment",
+        F.col("n").alias("n_customers"),
+        round_half_up(r, 4).alias("pearson_r"),
+    )
+
+
 QUERIES = {
+    "rel_price_balance_correlation": rel_price_balance_correlation,
     "rel_monthly_revenue_mom": rel_monthly_revenue_mom,
     "rel_table_profile_orders": rel_table_profile_orders,
     "rel_trimmed_mean_acctbal": rel_trimmed_mean_acctbal,
@@ -1584,6 +1642,36 @@ def _profile_oracle_sql() -> str:
 
 
 ORACLES = {
+    "rel_price_balance_correlation": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS HUGEINT))
+                       AS gy
+            FROM orders GROUP BY o_custkey
+        ),
+        pairs AS (
+            SELECT c_mktsegment,
+                   CAST(floor(c_acctbal * 10000.0 + 0.5) AS HUGEINT) AS gx,
+                   gy
+            FROM customer JOIN spend ON c_custkey = o_custkey
+        ),
+        sums AS (
+            SELECT c_mktsegment, count(*) AS n,
+                   sum(gx) AS sx, sum(gy) AS sy,
+                   sum(gx * gy) AS sxy, sum(gx * gx) AS sxx,
+                   sum(gy * gy) AS syy
+            FROM pairs GROUP BY c_mktsegment
+        )
+        SELECT c_mktsegment, CAST(n AS BIGINT) AS n_customers,
+               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 10000.0 + 0.5) / 10000.0 AS pearson_r
+        FROM sums
+    """,
     "rel_monthly_revenue_mom": """
         WITH per_month AS (
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

@@ -428,3 +428,17 @@ def test_terasort_manifest_is_total_order(spark, sf_dir):
     assert all(r.min_key <= r.max_key for r in rows)
     total = load_table(spark, sf_dir, "events").count()
     assert sum(r.n_rows for r in rows) == total
+
+
+def test_personalized_pagerank_mass_and_positivity(spark, sf_dir):
+    # Teleporting (1-d) wholly onto the seed set keeps total mass at
+    # ~1 through every iteration (the graph is symmetric: no dangling
+    # loss), and the emitted rows are exactly the reachable positive
+    # ranks.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.operators.graph import graph_personalized_pagerank
+
+    pr = graph_personalized_pagerank(spark, sf_dir)
+    total = pr.agg(F.sum("rank")).first()[0]
+    assert abs(total - 1.0) < 1e-3
+    assert pr.filter(F.col("rank") <= 0).count() == 0
