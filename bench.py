@@ -124,6 +124,7 @@ HEADLINE = (
     "mr_terasort_manifest",
     "rel_price_balance_correlation",
     "graph_personalized_pagerank",
+    "src_compact_small_files",
 )
 
 

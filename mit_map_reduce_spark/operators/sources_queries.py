@@ -269,7 +269,59 @@ def src_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COMPACT_INPUT_FILES = 64  # fragmented landing-zone state
+COMPACT_OUTPUT_FILES = 4  # right-sized files after compaction
+
+
+def src_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file compaction job — the ops chore every Spark shop
+    runs nightly: a landing zone fragmented into
+    ``COMPACT_INPUT_FILES`` tiny parquet files (per-minute
+    micro-batches, per-task writers) is rewritten into
+    ``COMPACT_OUTPUT_FILES`` right-sized files with one round-robin
+    repartition write. Tiny files poison scans at scale — per-file
+    open/footer costs dominate and the scheduler drowns in
+    single-row-group tasks; compaction is why the 100 TB table stays
+    readable.
+
+    The query emits an integrity receipt over the COMPACTED copy:
+    row count, exact integer checksums (event_id sum, value money
+    grains), distinct users, and the observed output file count —
+    so a compaction that dropped, duplicated, or corrupted rows
+    cannot pass. The oracle computes the same receipt from the
+    original table (and pins the file count as a literal).
+    """
+    out = _artifact_dir(
+        sf_dir, f"parquet|compact|{COMPACT_INPUT_FILES}>{COMPACT_OUTPUT_FILES}", "events"
+    )
+
+    def write(d: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        frag_dir = os.path.join(d, "fragmented")
+        ev.repartition(COMPACT_INPUT_FILES).write.parquet(frag_dir)
+        spark.read.parquet(frag_dir).repartition(COMPACT_OUTPUT_FILES).write.parquet(
+            os.path.join(d, "compacted")
+        )
+
+    _ensure_written(write, out)
+    compact_dir = os.path.join(out, "compacted")
+    n_files = sum(
+        1
+        for f in os.listdir(compact_dir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    back = spark.read.parquet(compact_dir)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.lit(n_files).alias("n_files"),
+        F.sum("event_id").alias("event_id_sum"),
+        money_sum("value", 2).alias("value_total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 QUERIES = {
+    "src_compact_small_files": src_compact_small_files,
     "src_schema_evolution_merge": src_schema_evolution_merge,
     "src_text_kv_roundtrip_wc": src_text_kv_roundtrip_wc,
     "src_csv_roundtrip_orders": src_csv_roundtrip_orders,
@@ -279,6 +331,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "src_compact_small_files": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               {COMPACT_OUTPUT_FILES} AS n_files,
+               CAST(sum(event_id) AS BIGINT) AS event_id_sum,
+               {sql_money_sum("value", 2)} AS value_total,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+    """,
     "src_schema_evolution_merge": f"""
         WITH tagged AS (
             SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS batch,
