@@ -125,6 +125,7 @@ HEADLINE = (
     "rel_price_balance_correlation",
     "graph_personalized_pagerank",
     "src_compact_small_files",
+    "adv_auc_purchase_score",
 )
 
 

@@ -945,8 +945,54 @@ def adv_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC of ``value`` as a classifier score
+    for "event is a purchase" — the Mann-Whitney rank-sum form
+    (AUC = (sum of positive ranks - n_pos(n_pos+1)/2) / (n_pos*n_neg))
+    — the evaluation primitive every model-quality pipeline needs, and
+    one that naive per-threshold ROC sweeping gets both slow and
+    tie-wrong.
+
+    Tie handling is the standard average-rank rule, kept EXACT by the
+    doubling trick: a score group starting at rank r0 with c members
+    has 2*avg_rank = 2*r0 + c - 1 (integer), so every accumulator is
+    an exactly-summed integer and the final AUC is one division.
+    Plan: one aggregation collapses events to distinct-score groups
+    (with per-group positive counts); a cumulative-count window over
+    the score order assigns r0. The window here is a single global
+    pass over DISTINCT scores — at 100 TB swap in the two-pass
+    distributed rank (range partition -> local cumsum -> broadcast
+    offsets, exactly text_shuffle_order's construction); group
+    arithmetic is unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "value", (F.col("event_type") == "purchase").cast("long").alias("pos")
+    )
+    grp = ev.groupBy("value").agg(
+        F.count("*").alias("c"), F.sum("pos").alias("p")
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    ranked = grp.withColumn("r0", F.coalesce(F.sum("c").over(w), F.lit(0)) + 1)
+    contrib = F.col("p") * (2 * F.col("r0") + F.col("c") - 1)
+    sums = ranked.agg(
+        F.sum("c").alias("n"),
+        F.sum("p").alias("n_pos"),
+        F.sum(contrib).alias("pos_rank2"),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    auc2 = F.col("pos_rank2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return sums.select(
+        F.col("n_pos"),
+        n_neg.alias("n_neg"),
+        round_half_up(
+            auc2.cast("double") / (2.0 * F.col("n_pos") * n_neg).cast("double"), 6
+        ).alias("auc"),
+    )
+
+
 QUERIES = {
     "adv_ab_experiment_readout": adv_ab_experiment_readout,
+    "adv_auc_purchase_score": adv_auc_purchase_score,
     "adv_rfm_segmentation": adv_rfm_segmentation,
     "adv_markov_event_transitions": adv_markov_event_transitions,
     "adv_rolling_active_users": adv_rolling_active_users,
@@ -975,6 +1021,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_auc_purchase_score": """
+        WITH grp AS (
+            SELECT value, count(*) AS c,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+            FROM events GROUP BY value
+        ),
+        ranked AS (
+            SELECT c, p,
+                   coalesce(sum(c) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + 1 AS r0
+            FROM grp
+        ),
+        sums AS (
+            SELECT sum(c) AS n, sum(p) AS n_pos,
+                   sum(p * (2 * r0 + c - 1)) AS pos_rank2
+            FROM ranked
+        )
+        SELECT CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n - n_pos AS BIGINT) AS n_neg,
+               floor(CAST(pos_rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+                     / CAST(2.0 * n_pos * (n - n_pos) AS DOUBLE)
+                     * 1000000.0 + 0.5) / 1000000.0 AS auc
+        FROM sums
+    """,
     "adv_rfm_segmentation": """
         WITH horizon AS (SELECT max(o_orderdate) AS h FROM orders),
         per_cust AS (

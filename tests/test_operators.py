@@ -442,3 +442,34 @@ def test_personalized_pagerank_mass_and_positivity(spark, sf_dir):
     total = pr.agg(F.sum("rank")).first()[0]
     assert abs(total - 1.0) < 1e-3
     assert pr.filter(F.col("rank") <= 0).count() == 0
+
+
+def test_auc_matches_naive_python(spark, sf_dir):
+    # Golden check: the rank-sum AUC must equal a direct average-rank
+    # Mann-Whitney computation in plain Python over the same rows.
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.advanced import adv_auc_purchase_score
+
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("value", "event_type")
+        .collect()
+    )
+    scored = sorted((r.value, r.event_type == "purchase") for r in rows)
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    while i < len(scored):
+        j = i
+        while j < len(scored) and scored[j][0] == scored[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2  # mean of ranks i+1 .. j
+        ranks[scored[i][0]] = avg
+        i = j
+    n_pos = sum(1 for _, p in scored if p)
+    n_neg = len(scored) - n_pos
+    u = sum(ranks[v] for v, p in scored if p) - n_pos * (n_pos + 1) / 2
+    expected = u / (n_pos * n_neg)
+    got = adv_auc_purchase_score(spark, sf_dir).first()
+    assert got.n_pos == n_pos and got.n_neg == n_neg
+    assert abs(got.auc - expected) < 1e-6
