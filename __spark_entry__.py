@@ -138,6 +138,7 @@ _PRIORITY = [
     "graph_personalized_pagerank",
     "src_compact_small_files",
     "adv_auc_purchase_score",
+    "sim_ann_recall_report",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -126,6 +126,7 @@ HEADLINE = (
     "graph_personalized_pagerank",
     "src_compact_small_files",
     "adv_auc_purchase_score",
+    "sim_ann_recall_report",
 )
 
 

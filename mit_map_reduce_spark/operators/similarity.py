@@ -850,7 +850,41 @@ def _semdedup_oracle_sql() -> str:
     )
 
 
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index against exact brute force, as a
+    first-class auditable query (not just a pytest): per query, how
+    many of the true top-k the index actually returned — the
+    accuracy/cost dial every ANN deployment monitors when retuning
+    K_CELLS / N_PROBE after a corpus shift.
+
+    Both sides reuse the session-shared normed corpus and the
+    train-once centroid artifact, so the report costs one extra
+    probe-set equi-join over the already-cached structures; the
+    recall is a ratio of two small exact integers per query.
+    """
+    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
+    )
+    matched = exact.join(
+        ivf,
+        (exact.query_id == ivf.qi) & (exact.neighbor_id == ivf.ni),
+        "left",
+    )
+    per_q = matched.groupBy("query_id").agg(
+        F.count("*").alias("k"), F.count("ni").alias("n_matched")
+    )
+    return per_q.select(
+        "query_id",
+        "n_matched",
+        round_half_up(F.col("n_matched").cast("double") / F.col("k"), 4).alias(
+            "recall_at_k"
+        ),
+    )
+
+
 QUERIES = {
+    "sim_ann_recall_report": ann_recall_report,
     "sim_hard_negative_mining": hard_negative_mining,
     "dedup_semantic_ivf": semantic_dedup_ivf,
     "sim_embedding_random_projection": embedding_random_projection,
@@ -1202,3 +1236,18 @@ ORACLES = {
 # (same sequential float64 accumulation — functions/vectorized.py), so
 # it shares the exact-top-k oracle verbatim.
 ORACLES["sim_ann_bruteforce_topk_np"] = ORACLES["sim_ann_bruteforce_topk"]
+
+# Composed AFTER the dict: the recall report's oracle wraps the two
+# existing oracle derivations as derived tables (DuckDB supports CTEs
+# inside subqueries), so the exact and IVF definitions stay single-
+# sourced.
+ORACLES["sim_ann_recall_report"] = f"""
+    SELECT e.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+           floor(CAST(count(i.neighbor_id) AS DOUBLE) / count(*)
+                 * 10000.0 + 0.5) / 10000.0 AS recall_at_k
+    FROM ({ORACLES["sim_ann_bruteforce_topk"]}) e
+    LEFT JOIN ({ORACLES["sim_ann_ivf_topk"]}) i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+"""
