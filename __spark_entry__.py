@@ -139,6 +139,8 @@ _PRIORITY = [
     "src_compact_small_files",
     "adv_auc_purchase_score",
     "sim_ann_recall_report",
+    "adv_activity_heatmap",
+    "graph_degree_assortativity",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

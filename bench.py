@@ -127,6 +127,8 @@ HEADLINE = (
     "src_compact_small_files",
     "adv_auc_purchase_score",
     "sim_ann_recall_report",
+    "adv_activity_heatmap",
+    "graph_degree_assortativity",
 )
 
 

@@ -990,8 +990,30 @@ def adv_auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour activity heatmap with per-cell share — the
+    dashboard staple for staffing/capacity and bot-traffic spotting.
+    One partial-aggregated shuffle on at most 168 keys; the share
+    divides each cell's exact count by the exact total (window sum
+    over the 168-row frame — no second scan). dayofweek/hour are
+    integer extractions both engines define identically (Sunday=1).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count("*").alias("n_events"))
+    total = F.sum("n_events").over(W.partitionBy())
+    return cells.select(
+        "dow",
+        "hour",
+        "n_events",
+        round_half_up(F.col("n_events").cast("double") / total, 6).alias("share"),
+    )
+
+
 QUERIES = {
     "adv_ab_experiment_readout": adv_ab_experiment_readout,
+    "adv_activity_heatmap": adv_activity_heatmap,
     "adv_auc_purchase_score": adv_auc_purchase_score,
     "adv_rfm_segmentation": adv_rfm_segmentation,
     "adv_markov_event_transitions": adv_markov_event_transitions,
@@ -1021,6 +1043,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_activity_heatmap": """
+        WITH cells AS (
+            SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+                   CAST(hour(ts) AS INTEGER) AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT dow, hour, CAST(n_events AS BIGINT) AS n_events,
+               floor(CAST(n_events AS DOUBLE) / sum(n_events) OVER ()
+                     * 1000000.0 + 0.5) / 1000000.0 AS share
+        FROM cells
+    """,
     "adv_auc_purchase_score": """
         WITH grp AS (
             SELECT value, count(*) AS c,

@@ -793,7 +793,54 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph — Pearson correlation of
+    endpoint degrees over all directed edges (Newman 2002). Negative
+    values (hubs attach to leaves) predict hub-failure fragility and
+    tell the engine which joins need skew handling; social graphs run
+    positive, bipartite trade/web graphs negative.
+
+    Exactness discipline shared with rel_price_balance_correlation:
+    degrees are exact integers, the five correlation sums accumulate
+    as decimal(38,0) (HUGEINT in the oracle), and the finish is one
+    identical IEEE expression over exact values in both engines. Two
+    broadcast degree joins onto the edge list, one scalar aggregate —
+    nothing beyond the shared edge build touches a fact table.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    ds = deg.select(F.col("src").alias("s"), F.col("d").alias("dx"))
+    dd = deg.select(F.col("src").alias("t"), F.col("d").alias("dy"))
+    pairs = (
+        edges.join(F.broadcast(ds), edges.src == ds.s)
+        .join(F.broadcast(dd), edges.dst == dd.t)
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    sums = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    r = (n * F.col("sxy").cast("double") - sx * sy) / (
+        F.sqrt(n * F.col("sxx").cast("double") - sx * sx)
+        * F.sqrt(n * F.col("syy").cast("double") - sy * sy)
+    )
+    return sums.select(
+        F.col("n").alias("n_edges"), round_half_up(r, 4).alias("assortativity")
+    )
+
+
 QUERIES = {
+    "graph_degree_assortativity": graph_degree_assortativity,
     "graph_label_propagation": graph_label_propagation,
     "graph_triangle_count": graph_triangle_count,
     "graph_jaccard_link_prediction": graph_jaccard_link_prediction,
@@ -805,6 +852,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_degree_assortativity": f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust_node,
+                   l_suppkey AS supp_node
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT cust_node AS src, supp_node AS dst FROM pairs
+            UNION ALL
+            SELECT supp_node, cust_node FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        ep AS (
+            SELECT CAST(ds.d AS HUGEINT) AS x, CAST(dd.d AS HUGEINT) AS y
+            FROM edges e
+            JOIN deg ds ON e.src = ds.src
+            JOIN deg dd ON e.dst = dd.src
+        ),
+        sums AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM ep
+        )
+        SELECT CAST(n AS BIGINT) AS n_edges,
+               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 10000.0 + 0.5) / 10000.0 AS assortativity
+        FROM sums
+    """,
     "graph_triangle_count": _KNN_EDGES_CTE
     + """,
         tri AS (
