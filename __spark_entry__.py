@@ -141,6 +141,7 @@ _PRIORITY = [
     "sim_ann_recall_report",
     "adv_activity_heatmap",
     "graph_degree_assortativity",
+    "mm_shot_boundaries",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

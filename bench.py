@@ -129,6 +129,7 @@ HEADLINE = (
     "sim_ann_recall_report",
     "adv_activity_heatmap",
     "graph_degree_assortativity",
+    "mm_shot_boundaries",
 )
 
 

@@ -20,6 +20,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from mit_map_reduce_spark.functions.columns import round_half_up
 from mit_map_reduce_spark.catalog import load_table, spread
@@ -317,7 +318,48 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shot boundary: consecutive sampled frames whose 16-bit perceptual
+#: hashes differ in at least this many bits. Stub hashes are uniform,
+#: so distances follow Binomial(16, 1/2) (mean 8) and the threshold
+#: keeps boundaries sparse — the real pipeline swaps in true frame
+#: pHashes, where low distance = same shot is the actual signal.
+SHOT_HAMMING_T = 12
+
+
+def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary detection: sample frames (shared
+    ``mm_frame_sample`` plumbing), hash each to a 16-bit perceptual
+    fingerprint, and flag a boundary wherever consecutive frames'
+    Hamming distance reaches ``SHOT_HAMMING_T`` — the scene-cut
+    primitive a video curation pipeline runs before per-shot
+    keyframe/caption extraction.
+
+    The distance is ``bit_count(xor)`` on integers in both engines;
+    one per-video window provides the previous frame's hash (videos
+    hash-partition, frames order by index); the rollup is per-video.
+    Everything after the map-side frame generation is bounded by
+    sampled-frame counts, never raw bytes.
+    """
+    frames = mm_frame_sample(spark, sf_dir)
+    ph = F.conv(F.substring("frame_md5", 1, 4), 16, 10).cast("long")
+    cur = frames.select("doc_id", "frame_idx", ph.alias("phash"))
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    lagged = cur.withColumn("prev", F.lag("phash").over(w))
+    dist = F.bit_count(F.col("phash").bitwiseXOR(F.col("prev")))
+    return (
+        lagged.select("doc_id", dist.alias("d"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames_sampled"),
+            F.count(F.when(F.col("d") >= SHOT_HAMMING_T, 1)).alias(
+                "n_boundaries"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "mm_shot_boundaries": mm_shot_boundaries,
     "mm_audio_energy_windows": mm_audio_energy_windows,
     "mm_phash_dedup": mm_phash_dedup,
     "mm_pipeline": mm_pipeline,
@@ -336,7 +378,43 @@ _AUDIO_HEX = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)
                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.w AS VARCHAR)), 2, 1)) - 1) * 16
                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.w AS VARCHAR)), 3, 1)) - 1) )"""
 
+#: Value of the first 4 hex digits of column ``m`` (a 16-bit int).
+_HEX4 = (
+    "((strpos('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(m, 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(m, 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1))"
+)
+
 ORACLES = {
+    "mm_shot_boundaries": f"""
+        WITH v AS (
+            SELECT doc_id, octet_length(encode(text)) % 240 AS n_frames
+            FROM documents
+            WHERE CAST(doc_id % 3 AS INTEGER) = 2
+        ),
+        frames AS (
+            SELECT doc_id, CAST(idx AS INTEGER) AS frame_idx,
+                   md5(CAST(doc_id AS VARCHAR) || ':' || CAST(idx AS VARCHAR)) AS m
+            FROM v, LATERAL (
+                SELECT unnest(range(0, n_frames, {FRAME_STRIDE})) AS idx
+            )
+        ),
+        hashed AS (
+            SELECT doc_id, frame_idx, CAST({_HEX4} AS BIGINT) AS phash
+            FROM frames
+        ),
+        lagged AS (
+            SELECT doc_id,
+                   bit_count(xor(phash, lag(phash) OVER (
+                       PARTITION BY doc_id ORDER BY frame_idx))) AS d
+            FROM hashed
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames_sampled,
+               CAST(count(CASE WHEN d >= {SHOT_HAMMING_T} THEN 1 END) AS BIGINT)
+                   AS n_boundaries
+        FROM lagged GROUP BY doc_id
+    """,
     "mm_audio_energy_windows": f"""
         WITH a AS (
             SELECT doc_id, octet_length(encode(text)) % 100 AS n_frames
