@@ -142,6 +142,8 @@ _PRIORITY = [
     "adv_activity_heatmap",
     "graph_degree_assortativity",
     "mm_shot_boundaries",
+    "text_oov_rate",
+    "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -130,6 +130,8 @@ HEADLINE = (
     "adv_activity_heatmap",
     "graph_degree_assortativity",
     "mm_shot_boundaries",
+    "text_oov_rate",
+    "text_weighted_median_quality",
 )
 
 

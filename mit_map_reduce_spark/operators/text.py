@@ -1185,7 +1185,107 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of a held-out corpus half against the
+    training half's vocabulary, per language — the tokenizer/vocab
+    health metric an LLM pipeline tracks across corpus versions (a
+    rising OOV rate means the vocab no longer fits the data mix).
+
+    Deterministic split by doc parity (train = even doc_id — the same
+    engine-invariant hash-split rule as the LM train/eval queries).
+    Occurrence counting is exact integers; the OOV probe is one
+    anti-ish left join of eval tokens against the distinct train
+    vocabulary on the term key (broadcast here; at 100 TB the vocab
+    is type-bounded — shuffle-join on the term hash or swap in a
+    Bloom prefilter, sketch_bloom_prefilter's shape).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokenize_letters(F.lower(F.col("text")))).alias("term"),
+    )
+    vocab = (
+        words.filter(F.col("doc_id") % 2 == 0).select("term").distinct()
+        .withColumn("known", F.lit(True))
+    )
+    ev = words.filter(F.col("doc_id") % 2 == 1).join(
+        F.broadcast(vocab), "term", "left"
+    )
+    return ev.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.count(F.when(F.col("known").isNull(), 1)).alias("n_oov"),
+        F.countDistinct(F.when(F.col("known").isNull(), F.col("term"))).alias(
+            "n_oov_types"
+        ),
+        round_half_up(
+            F.count(F.when(F.col("known").isNull(), 1)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def text_weighted_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted median of the document quality score — "the
+    quality of the median TOKEN", which is what actually enters a
+    training mix (a few huge low-quality docs move it; the plain doc
+    median hides them).
+
+    Weighted lower median, exact: docs sort by (4-dp quality, doc_id)
+    — a total order — cumulative token weight runs over that order,
+    and the median is the MIN quality among rows where
+    2*cum_weight >= total_weight (an integer comparison; the 2x trick
+    avoids halving). The plain doc median (value at rank ceil(n/2))
+    rides the same window for contrast. Single global window over
+    doc-level rows — at 100 TB swap in the two-pass distributed rank
+    (text_shuffle_order's construction); the comparison arithmetic is
+    unchanged.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = whitespace_tokens(F.lower(F.col("text")))
+    n = F.size(ws)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda x: F.array_contains(stop_arr, x)))
+    total_len = F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    avg_len = total_len.cast("double") / n
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n.cast("double") / 100.0)
+        + F.lit(0.3) * (n_stop.cast("double") / n)
+        + F.lit(0.3) * (1 - F.abs(avg_len - 5) / 10)
+    )
+    scored = docs.select(
+        "doc_id", round_half_up(score, 4).alias("q"), n.cast("long").alias("w")
+    )
+    w_cum = W.orderBy("q", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    ranked = scored.select(
+        "q",
+        "w",
+        F.sum("w").over(w_cum).alias("cum_w"),
+        F.row_number().over(W.orderBy("q", "doc_id")).alias("rn"),
+    )
+    totals = ranked.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("w").alias("total_tokens"),
+    )
+    j = ranked.crossJoin(F.broadcast(totals))
+    return j.agg(
+        F.max("n_docs").alias("n_docs"),
+        F.max("total_tokens").alias("total_tokens"),
+        F.min(F.when(2 * F.col("cum_w") >= F.col("total_tokens"), F.col("q"))).alias(
+            "weighted_median_q"
+        ),
+        F.min(
+            F.when(F.col("rn") == F.ceil(F.col("n_docs") * 0.5), F.col("q"))
+        ).alias("doc_median_q"),
+    )
+
+
 QUERIES = {
+    "text_oov_rate": text_oov_rate,
+    "text_weighted_median_quality": text_weighted_median_quality,
     "text_zipf_slope": text_zipf_slope,
     "text_term_burstiness": text_term_burstiness,
     "text_vocab_growth": text_vocab_growth,
@@ -1235,6 +1335,66 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_oov_rate": f"""
+        WITH words AS (
+            SELECT doc_id, lang, unnest({_LETTERS_LOWER}) AS term
+            FROM documents
+        ),
+        vocab AS (SELECT DISTINCT term FROM words WHERE doc_id % 2 = 0),
+        ev AS (
+            SELECT w.lang, w.term, (v.term IS NOT NULL) AS known
+            FROM words w LEFT JOIN vocab v ON w.term = v.term
+            WHERE w.doc_id % 2 = 1
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(CASE WHEN NOT known THEN 1 END) AS BIGINT) AS n_oov,
+               CAST(count(DISTINCT CASE WHEN NOT known THEN term END)
+                    AS BIGINT) AS n_oov_types,
+               floor(CAST(count(CASE WHEN NOT known THEN 1 END) AS DOUBLE)
+                     / count(*) * 1000000.0 + 0.5) / 1000000.0 AS oov_rate
+        FROM ev GROUP BY lang
+    """,
+    "text_weighted_median_quality": f"""
+        WITH t AS (SELECT doc_id, {_WS_LOWER} AS ws FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(ws) AS n,
+                   len(list_filter(ws, x -> list_contains({_STOP_LIST}, x)))
+                       AS n_stop,
+                   CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                       / len(ws) AS avg_len
+            FROM t
+        ),
+        scored AS (
+            SELECT doc_id,
+                   floor((CAST(0.4 AS DOUBLE)
+                          * least(CAST(1.0 AS DOUBLE),
+                                  CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                        + CAST(0.3 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / n)
+                        + CAST(0.3 AS DOUBLE) * (1 - abs(avg_len - 5) / 10))
+                        * 10000.0 + 0.5) / 10000.0 AS q,
+                   CAST(n AS BIGINT) AS w
+            FROM m
+        ),
+        ranked AS (
+            SELECT q, w,
+                   sum(w) OVER (ORDER BY q, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum_w,
+                   row_number() OVER (ORDER BY q, doc_id) AS rn
+            FROM scored
+        ),
+        totals AS (
+            SELECT count(*) AS n_docs, sum(w) AS total_tokens FROM scored
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(total_tokens AS BIGINT) AS total_tokens,
+               min(CASE WHEN 2 * cum_w >= total_tokens THEN q END)
+                   AS weighted_median_q,
+               min(CASE WHEN rn = ceil(n_docs * 0.5) THEN q END)
+                   AS doc_median_q
+        FROM ranked CROSS JOIN totals
+        GROUP BY n_docs, total_tokens
+    """,
     "text_zipf_slope": f"""
         WITH words AS (
             SELECT unnest({_LETTERS_LOWER}) AS term FROM documents

@@ -32,3 +32,15 @@ def test_events_ts_is_timestamp(spark, sf_dir):
 
     df = load_table(spark, sf_dir, "events")
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+
+
+def test_priority_is_a_permutation_of_the_registry():
+    # _PRIORITY drives the driver's bounded verification window: a
+    # duplicate would waste a slot, a missing name would push a query
+    # permanently behind the window. It must be exactly a permutation
+    # of the registered query names.
+    import __spark_entry__ as e
+
+    pr = e._PRIORITY
+    assert len(pr) == len(set(pr)), "duplicate _PRIORITY entries"
+    assert set(pr) == set(e.queries()), "registry/_PRIORITY mismatch"
