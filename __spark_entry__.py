@@ -143,6 +143,7 @@ _PRIORITY = [
     "graph_degree_assortativity",
     "mm_shot_boundaries",
     "text_oov_rate",
+    "stream_dedup_within_watermark",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

@@ -132,6 +132,7 @@ HEADLINE = (
     "mm_shot_boundaries",
     "text_oov_rate",
     "text_weighted_median_quality",
+    "stream_dedup_within_watermark",
 )
 
 

@@ -162,6 +162,48 @@ def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_to_file_sink(agg)
 
 
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's BUILT-IN streaming dedup under at-least-once
+    delivery: the same events file is delivered twice (two paths, one
+    content — exactly what a redelivering ingestion layer produces),
+    ``dropDuplicatesWithinWatermark`` collapses redeliveries by
+    event_id, and a chained tumbling aggregation counts the survivors
+    — so the sink equals the single-copy batch counts, which is the
+    whole point of the operator.
+
+    Complements ``stream_dedup_first_seen`` (the CUSTOM
+    applyInPandasWithState dedup, which keeps richer per-key state):
+    this is the built-in, whose state evicts by WATERMARK rather than
+    living forever — the right tool when duplicates only arrive
+    within a bounded redelivery horizon. Two chained stateful
+    operators (dedup -> windowed agg) share the flowing event-time
+    watermark; append mode emits each closed window once to the
+    exactly-once file sink.
+    """
+    from mit_map_reduce_spark.catalog import normalize_nanos_ts
+
+    src = table_path(sf_dir, "events")
+    stream_dir = _scratch_dir("src2x", hashlib.md5(src.encode()).hexdigest()[:12])
+    for tag in ("a", "b"):
+        link = os.path.join(stream_dir, f"events_{tag}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    ensure_nanos_flag(spark)
+    raw_schema = spark.read.parquet(src).schema
+    stream = normalize_nanos_ts(
+        spark.readStream.schema(raw_schema).parquet(stream_dir)
+    )
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = (
+        dedup.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+    )
+    return _run_to_file_sink(agg)
+
+
 def _stage_single_parquet(df: DataFrame, dest: str) -> None:
     """Write ``df`` as exactly one parquet file at ``dest`` — the feed
     builder for replay queries that need one FILE per micro-batch
@@ -725,12 +767,23 @@ QUERIES = {
     "stream_tumbling_counts": stream_tumbling_counts,
     "stream_windowed_distinct_users": stream_windowed_distinct_users,
     "stream_cms_user_sketch": stream_cms_user_sketch,
+    "stream_dedup_within_watermark": stream_dedup_within_watermark,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
     "stream_stateful_user_profile": stream_stateful_user_profile,
 }
 
 ORACLES = {
+    # At-least-once redelivery (same file fed twice) collapsed by the
+    # built-in dedup == single-copy batch counts over CLOSED windows.
+    "stream_dedup_within_watermark": """
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, event_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events, wm
+        GROUP BY 1, event_type, wm.w
+        HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+    """,
     # Across-restart incremental processing equals the one-shot batch
     # aggregation bounded by the final watermark (no late data by
     # construction; run 2 only advances the watermark).
