@@ -144,6 +144,7 @@ _PRIORITY = [
     "mm_shot_boundaries",
     "text_oov_rate",
     "stream_dedup_within_watermark",
+    "rel_join_key_skew_report",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

@@ -133,6 +133,7 @@ HEADLINE = (
     "text_oov_rate",
     "text_weighted_median_quality",
     "stream_dedup_within_watermark",
+    "rel_join_key_skew_report",
 )
 
 

@@ -1568,7 +1568,56 @@ def rel_price_balance_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def rel_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the fact-side supplier key — the
+    report you run BEFORE deciding whether a join needs salting or an
+    AQE skew split (the adv_salted_skew_join operator is the cure;
+    this is the diagnosis): key cardinality, total rows, hottest-key
+    and top-10 concentration shares, and the Gini coefficient of the
+    per-key distribution.
+
+    Exactness: per-key counts are integers; Gini uses the rank form
+    G = (2*sum(i*c_i) - (n+1)*sum(c_i)) / (n*sum(c_i)) over counts
+    sorted ascending with a total tie-break — every accumulator an
+    exactly-summed integer, one IEEE finish. One fact-sized shuffle
+    produces the key counts; the ranking window runs over the
+    key-cardinality frame (at 100 TB: the two-pass distributed rank,
+    as elsewhere). Shares divide exact integers, 4 dp half-up.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    counts = li.groupBy("l_suppkey").agg(F.count("*").alias("c"))
+    w = W.orderBy(F.col("c").asc(), F.col("l_suppkey").asc())
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    )
+    sums = ranked.agg(
+        F.max("n").alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_count"),
+        F.sum(F.col("i") * F.col("c")).alias("sic"),
+        F.sum(F.when(F.col("i") >= F.col("n") - 9, F.col("c"))).alias("top10"),
+    )
+    tot = F.col("total_rows").cast("double")
+    gini = (
+        2.0 * F.col("sic").cast("double")
+        - (F.col("n_keys") + 1).cast("double") * tot
+    ) / (F.col("n_keys").cast("double") * tot)
+    return sums.select(
+        "n_keys",
+        "total_rows",
+        "max_count",
+        round_half_up(F.col("max_count").cast("double") / tot, 4).alias(
+            "top1_share"
+        ),
+        round_half_up(F.col("top10").cast("double") / tot, 4).alias("top10_share"),
+        round_half_up(gini, 4).alias("gini"),
+    )
+
+
 QUERIES = {
+    "rel_join_key_skew_report": rel_join_key_skew_report,
     "rel_price_balance_correlation": rel_price_balance_correlation,
     "rel_monthly_revenue_mom": rel_monthly_revenue_mom,
     "rel_table_profile_orders": rel_table_profile_orders,
@@ -1642,6 +1691,35 @@ def _profile_oracle_sql() -> str:
 
 
 ORACLES = {
+    "rel_join_key_skew_report": """
+        WITH counts AS (
+            SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY l_suppkey
+        ),
+        ranked AS (
+            SELECT c,
+                   row_number() OVER (ORDER BY c ASC, l_suppkey ASC) AS i,
+                   count(*) OVER () AS n
+            FROM counts
+        ),
+        sums AS (
+            SELECT max(n) AS n_keys, sum(c) AS total_rows, max(c) AS max_count,
+                   sum(i * c) AS sic,
+                   sum(CASE WHEN i >= n - 9 THEN c END) AS top10
+            FROM ranked
+        )
+        SELECT CAST(n_keys AS BIGINT) AS n_keys,
+               CAST(total_rows AS BIGINT) AS total_rows,
+               CAST(max_count AS BIGINT) AS max_count,
+               floor(CAST(max_count AS DOUBLE) / CAST(total_rows AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS top1_share,
+               floor(CAST(top10 AS DOUBLE) / CAST(total_rows AS DOUBLE)
+                     * 10000.0 + 0.5) / 10000.0 AS top10_share,
+               floor((2.0 * CAST(sic AS DOUBLE)
+                      - CAST(n_keys + 1 AS DOUBLE) * CAST(total_rows AS DOUBLE))
+                     / (CAST(n_keys AS DOUBLE) * CAST(total_rows AS DOUBLE))
+                     * 10000.0 + 0.5) / 10000.0 AS gini
+        FROM sums
+    """,
     "rel_price_balance_correlation": """
         WITH spend AS (
             SELECT o_custkey,
