@@ -134,6 +134,7 @@ HEADLINE = (
     "text_weighted_median_quality",
     "stream_dedup_within_watermark",
     "rel_join_key_skew_report",
+    "dedup_lsh_tuning_report",
 )
 
 

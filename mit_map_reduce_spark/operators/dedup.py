@@ -200,6 +200,60 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH candidate generator against
+    exact-Jaccard ground truth — the tuning readout for the
+    bands-x-rows trade (more bands = recall up, precision down; the
+    S-curve this report measures empirically is what the banding
+    formula predicts). The dedup twin of ``sim_ann_recall_report``.
+
+    Candidates: the band-bucket self-join, BEFORE Jaccard
+    verification (the raw generator output whose quality is being
+    measured — shared helper pipeline with ``dedup_minhash_lsh_pairs``).
+    Truth: every pair at exact Jaccard >= threshold via the UNCAPPED
+    inverted index — an audit-scale computation by design, like the
+    cosine all-pairs baselines: you run the tuning report on a sample,
+    then ship the tuned generator. One row: candidate/truth/hit counts
+    and the two ratios of exact integers.
+    """
+    arrs = _shingle_arrays_cached(spark, sf_dir)
+    bands = _band_keys(_minhash_wide(spark, sf_dir, arrays=arrs))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    truth = (
+        _jaccard_pairs_from_shingles(arrs, max_df=1 << 30)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    hits = cand.join(truth, ["doc_a", "doc_b"], "semi")
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nt = truth.agg(F.count("*").alias("n_truth"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    report = nc.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nh))
+    return report.select(
+        "n_candidates",
+        "n_truth",
+        "n_hits",
+        round_half_up(
+            F.col("n_hits").cast("double") / F.col("n_candidates"), 4
+        ).alias("precision"),
+        round_half_up(F.col("n_hits").cast("double") / F.col("n_truth"), 4).alias(
+            "recall"
+        ),
+    )
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document as a '0'/'1' bit string.
 
@@ -785,6 +839,7 @@ QUERIES = {
     "dedup_connected_components": dedup_connected_components,
     "dedup_minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh_pairs": minhash_lsh_pairs,
+    "dedup_lsh_tuning_report": lsh_tuning_report,
     "dedup_simhash_fingerprints": simhash_fingerprints,
     "dedup_simhash_band_pairs": simhash_band_pairs,
     "dedup_ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -864,6 +919,36 @@ ORACLES = {
     "dedup_minhash_lsh_pairs": f"""
         WITH {_PAIRS_CTES}
         SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+    "dedup_lsh_tuning_report": f"""
+        WITH {_PAIRS_CTES},
+        tin AS (
+            SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS inter
+            FROM sh sa JOIN sh sb
+              ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+            GROUP BY 1, 2
+        ),
+        trup AS (
+            SELECT t.doc_a, t.doc_b
+            FROM tin t
+            JOIN sizes za ON za.doc_id = t.doc_a
+            JOIN sizes zb ON zb.doc_id = t.doc_b
+            WHERE floor((t.inter / (za.sz + zb.sz - t.inter)) * 10000.0 + 0.5)
+                      / 10000.0 >= {JACCARD_THRESHOLD}
+        ),
+        hits AS (
+            SELECT c.doc_a, c.doc_b FROM cand c
+            JOIN trup t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT) FROM trup) AS n_truth,
+               (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+               floor(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                     / (SELECT count(*) FROM cand) * 10000.0 + 0.5) / 10000.0
+                   AS precision,
+               floor(CAST((SELECT count(*) FROM hits) AS DOUBLE)
+                     / (SELECT count(*) FROM trup) * 10000.0 + 0.5) / 10000.0
+                   AS recall
     """,
     "dedup_incremental_ingest": f"""
         WITH {_PAIRS_CTES},
