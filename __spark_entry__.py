@@ -146,6 +146,7 @@ _PRIORITY = [
     "stream_dedup_within_watermark",
     "rel_join_key_skew_report",
     "dedup_lsh_tuning_report",
+    "adv_k_anonymity_audit",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

@@ -135,6 +135,7 @@ HEADLINE = (
     "stream_dedup_within_watermark",
     "rel_join_key_skew_report",
     "dedup_lsh_tuning_report",
+    "adv_k_anonymity_audit",
 )
 
 

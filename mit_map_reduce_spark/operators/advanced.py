@@ -1011,8 +1011,55 @@ def adv_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+K_ANON = 5  # minimum group size for a releasable quasi-identifier cell
+
+
+def adv_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the
+    quasi-identifier (market segment, nation, balance sign) — the
+    privacy screen run before releasing or training on user-derived
+    data (the structured-data sibling of ``text_pii_scrub``): any
+    quasi-identifier cell with fewer than ``K_ANON`` members
+    re-identifies its rows by linkage.
+
+    One exact group-size aggregation over the quasi-identifier tuple,
+    then a cell-granular rollup: total cells, violating cells, rows at
+    risk, the minimum cell size (the table's actual k), and the
+    at-risk row share — all exact integers plus one 4 dp ratio. At
+    100 TB this is a single partial-aggregated shuffle on the QI
+    tuple; the generalization ladder (coarsen balance sign -> drop
+    nation) that FIXES violations is policy, not engine, work.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_mktsegment",
+        F.col("c_nationkey").alias("nation"),
+        F.signum("c_acctbal").cast("int").alias("bal_sign"),
+    ).agg(F.count("*").alias("cell_size"))
+    return qi.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("cell_size").alias("n_rows"),
+        F.min("cell_size").alias("actual_k"),
+        F.count(F.when(F.col("cell_size") < K_ANON, 1)).alias("n_violating_cells"),
+        F.coalesce(
+            F.sum(F.when(F.col("cell_size") < K_ANON, F.col("cell_size"))),
+            F.lit(0),
+        ).alias("n_rows_at_risk"),
+    ).select(
+        "n_cells",
+        "n_rows",
+        "actual_k",
+        "n_violating_cells",
+        "n_rows_at_risk",
+        round_half_up(
+            F.col("n_rows_at_risk").cast("double") / F.col("n_rows"), 4
+        ).alias("at_risk_share"),
+    )
+
+
 QUERIES = {
     "adv_ab_experiment_readout": adv_ab_experiment_readout,
+    "adv_k_anonymity_audit": adv_k_anonymity_audit,
     "adv_activity_heatmap": adv_activity_heatmap,
     "adv_auc_purchase_score": adv_auc_purchase_score,
     "adv_rfm_segmentation": adv_rfm_segmentation,
@@ -1043,6 +1090,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "adv_k_anonymity_audit": f"""
+        WITH qi AS (
+            SELECT c_mktsegment, c_nationkey AS nation,
+                   CAST(sign(c_acctbal) AS INTEGER) AS bal_sign,
+                   count(*) AS cell_size
+            FROM customer GROUP BY 1, 2, 3
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(cell_size) AS BIGINT) AS n_rows,
+               CAST(min(cell_size) AS BIGINT) AS actual_k,
+               CAST(count(CASE WHEN cell_size < {K_ANON} THEN 1 END) AS BIGINT)
+                   AS n_violating_cells,
+               CAST(coalesce(sum(CASE WHEN cell_size < {K_ANON}
+                                      THEN cell_size END), 0) AS BIGINT)
+                   AS n_rows_at_risk,
+               floor(CAST(coalesce(sum(CASE WHEN cell_size < {K_ANON}
+                                            THEN cell_size END), 0) AS DOUBLE)
+                     / sum(cell_size) * 10000.0 + 0.5) / 10000.0
+                   AS at_risk_share
+        FROM qi
+    """,
     "adv_activity_heatmap": """
         WITH cells AS (
             SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
