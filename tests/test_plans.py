@@ -302,3 +302,26 @@ def test_rolling_actives_explodes_instead_of_range_join(spark, sf_dir):
     plan = physical_plan(adv_rolling_active_users(spark, sf_dir))
     assert "Generate" in plan
     assert "NestedLoop" not in plan
+
+
+def test_terasort_never_sorts_the_full_corpus(spark, sf_dir):
+    # The corpus side must reach its range assignment through a
+    # broadcast boundary-array comparison — no global sort, no hash
+    # exchange before the pid aggregate. The only SinglePartition
+    # exchanges are the bounded sample window and the 16-row manifest
+    # window; the only hash exchange keys on pid.
+    from mit_map_reduce_spark.operators.mr_queries import mr_terasort_manifest
+
+    plan = physical_plan(mr_terasort_manifest(spark, sf_dir))
+    assert plan.count("Exchange SinglePartition") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan  # boundary array broadcast
+
+
+def test_hard_negative_mining_broadcasts_probe_and_query_sides(spark, sf_dir):
+    # The corpus is scanned once; probes, queries, and labels must all
+    # arrive via broadcast joins so no corpus-sized exchange re-keys
+    # the candidate stream.
+    from mit_map_reduce_spark.operators.similarity import hard_negative_mining
+
+    assert broadcast_join_count(hard_negative_mining(spark, sf_dir)) >= 2
