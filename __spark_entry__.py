@@ -147,6 +147,7 @@ _PRIORITY = [
     "rel_join_key_skew_report",
     "dedup_lsh_tuning_report",
     "adv_k_anonymity_audit",
+    "mm_audio_vad_segments",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

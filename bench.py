@@ -136,6 +136,7 @@ HEADLINE = (
     "rel_join_key_skew_report",
     "dedup_lsh_tuning_report",
     "adv_k_anonymity_audit",
+    "mm_audio_vad_segments",
 )
 
 

@@ -299,6 +299,37 @@ def mm_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assets.mapInPandas(energy_batches, schema=AUDIO_SCHEMA)
 
 
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speech-segment extraction: merge consecutive VOICED windows
+    (from the energy/VAD pass) into contiguous segments per asset —
+    the step that turns window-level VAD flags into the utterance
+    spans an ASR/caption pipeline actually consumes, and the audio
+    twin of ``adv_gaps_and_islands`` (same anchor trick: window_idx
+    minus per-doc row_number is constant exactly while windows are
+    consecutive).
+
+    One per-asset window over the voiced rows (bounded by window
+    counts, not raw audio bytes) plus one segment-keyed aggregate;
+    everything upstream is the shared map-side Arrow expansion.
+    """
+    wins = mm_audio_energy_windows(spark, sf_dir)
+    voiced = wins.filter(F.col("voiced"))
+    w = W.partitionBy("doc_id").orderBy("window_idx")
+    anch = voiced.withColumn(
+        "anchor", F.col("window_idx") - F.row_number().over(w)
+    )
+    return (
+        anch.groupBy("doc_id", "anchor")
+        .agg(
+            F.min("window_idx").alias("seg_start"),
+            F.max("window_idx").alias("seg_end"),
+            F.count("*").alias("n_windows"),
+            F.sum("n_win_frames").alias("n_frames"),
+        )
+        .select("doc_id", "seg_start", "seg_end", "n_windows", "n_frames")
+    )
+
+
 def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash dedup over the asset corpus: assets whose
     decoded signature — (media_type, width, height) from the codec —
@@ -360,6 +391,7 @@ def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "mm_shot_boundaries": mm_shot_boundaries,
+    "mm_audio_vad_segments": mm_audio_vad_segments,
     "mm_audio_energy_windows": mm_audio_energy_windows,
     "mm_phash_dedup": mm_phash_dedup,
     "mm_pipeline": mm_pipeline,
@@ -414,6 +446,38 @@ ORACLES = {
                CAST(count(CASE WHEN d >= {SHOT_HAMMING_T} THEN 1 END) AS BIGINT)
                    AS n_boundaries
         FROM lagged GROUP BY doc_id
+    """,
+    "mm_audio_vad_segments": f"""
+        WITH a AS (
+            SELECT doc_id, octet_length(encode(text)) % 100 AS n_frames
+            FROM documents
+            WHERE CAST(doc_id % 3 AS INTEGER) = 1
+        ),
+        win AS (
+            SELECT doc_id, n_frames, CAST(t.w AS INTEGER) AS window_idx,
+                   floor({_AUDIO_HEX} / 4095.0 * 10000.0 + 0.5) / 10000.0 AS energy
+            FROM a, LATERAL (
+                SELECT unnest(range(0, (n_frames + {AUDIO_WIN - 1}) // {AUDIO_WIN})) AS w
+            ) t
+        ),
+        voiced AS (
+            SELECT doc_id, window_idx,
+                   least({AUDIO_WIN}, n_frames - window_idx * {AUDIO_WIN})
+                       AS n_win_frames
+            FROM win WHERE energy >= {AUDIO_VAD_THRESHOLD}
+        ),
+        anch AS (
+            SELECT doc_id, window_idx, n_win_frames,
+                   window_idx - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY window_idx) AS anchor
+            FROM voiced
+        )
+        SELECT doc_id,
+               CAST(min(window_idx) AS INTEGER) AS seg_start,
+               CAST(max(window_idx) AS INTEGER) AS seg_end,
+               CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(sum(n_win_frames) AS BIGINT) AS n_frames
+        FROM anch GROUP BY doc_id, anchor
     """,
     "mm_audio_energy_windows": f"""
         WITH a AS (

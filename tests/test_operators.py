@@ -473,3 +473,27 @@ def test_auc_matches_naive_python(spark, sf_dir):
     got = adv_auc_purchase_score(spark, sf_dir).first()
     assert got.n_pos == n_pos and got.n_neg == n_neg
     assert abs(got.auc - expected) < 1e-6
+
+
+def test_vad_segments_partition_voiced_windows(spark, sf_dir):
+    # Segments must be disjoint per asset, cover every voiced window
+    # exactly once, and contain no silent window.
+    from collections import defaultdict
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.operators.multimodal import (
+        mm_audio_energy_windows,
+        mm_audio_vad_segments,
+    )
+
+    voiced = defaultdict(set)
+    for r in mm_audio_energy_windows(spark, sf_dir).collect():
+        if r.voiced:
+            voiced[r.doc_id].add(r.window_idx)
+    covered = defaultdict(set)
+    for r in mm_audio_vad_segments(spark, sf_dir).collect():
+        span = set(range(r.seg_start, r.seg_end + 1))
+        assert len(span) == r.n_windows  # contiguous, no gaps inside
+        assert not (covered[r.doc_id] & span)  # disjoint
+        assert span <= voiced[r.doc_id]  # no silent window swallowed
+        covered[r.doc_id] |= span
+    assert covered == {k: v for k, v in voiced.items() if v}
