@@ -148,6 +148,7 @@ _PRIORITY = [
     "dedup_lsh_tuning_report",
     "adv_k_anonymity_audit",
     "mm_audio_vad_segments",
+    "rel_benford_price_audit",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

@@ -137,6 +137,7 @@ HEADLINE = (
     "dedup_lsh_tuning_report",
     "adv_k_anonymity_audit",
     "mm_audio_vad_segments",
+    "rel_benford_price_audit",
 )
 
 

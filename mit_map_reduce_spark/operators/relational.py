@@ -1616,7 +1616,50 @@ def rel_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Benford expected share per leading digit, log10(1 + 1/d) — plane
+#: constants computed driver-side (not engine math), embedded as
+#: literals in both engines.
+_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def rel_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals — the fraud/data-quality
+    screen auditors run on financial columns (fabricated or
+    template-generated values rarely follow the logarithmic
+    leading-digit law; TPC-H's uniform generator visibly does not,
+    which is exactly what the audit should say about synthetic data).
+
+    The leading digit comes from the printf-rendered value's first
+    character — a pure string operation both engines execute
+    identically, immune to the log10-boundary ulp that
+    floor(v/10^floor(log10 v)) risks. Expected shares are driver-side
+    literals; observed share and the deviation (basis points) divide
+    exact integer counts. One partial-aggregated shuffle on 9 keys.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.format_string("%.2f", F.col("o_totalprice")), 1, 1)
+    counts = orders.groupBy(digit.cast("int").alias("digit")).agg(
+        F.count("*").alias("n_orders")
+    )
+    total = F.sum("n_orders").over(W.partitionBy())
+    share = F.col("n_orders").cast("double") / total
+    expected = F.element_at(
+        F.create_map(
+            *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+        ),
+        F.col("digit"),
+    )
+    return counts.select(
+        "digit",
+        "n_orders",
+        round_half_up(share, 4).alias("share"),
+        round_half_up(expected, 4).alias("benford_share"),
+        round_half_up((share - expected) * 10000.0, 1).alias("deviation_bp"),
+    )
+
+
 QUERIES = {
+    "rel_benford_price_audit": rel_benford_price_audit,
     "rel_join_key_skew_report": rel_join_key_skew_report,
     "rel_price_balance_correlation": rel_price_balance_correlation,
     "rel_monthly_revenue_mom": rel_monthly_revenue_mom,
@@ -1690,7 +1733,28 @@ def _profile_oracle_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
+def _benford_oracle_sql() -> str:
+    vals = ", ".join(f"({d}, {p!r})" for d, p in _BENFORD.items())
+    return f"""
+        WITH bf(digit, p) AS (VALUES {vals}),
+        counts AS (
+            SELECT CAST(substr(printf('%.2f', o_totalprice), 1, 1) AS INTEGER)
+                       AS digit,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT c.digit, CAST(c.n_orders AS BIGINT) AS n_orders,
+               floor(CAST(c.n_orders AS DOUBLE) / sum(c.n_orders) OVER ()
+                     * 10000.0 + 0.5) / 10000.0 AS share,
+               floor(p * 10000.0 + 0.5) / 10000.0 AS benford_share,
+               floor((CAST(c.n_orders AS DOUBLE) / sum(c.n_orders) OVER () - p)
+                     * 10000.0 * 10.0 + 0.5) / 10.0 AS deviation_bp
+        FROM counts c JOIN bf ON c.digit = bf.digit
+    """
+
+
 ORACLES = {
+    "rel_benford_price_audit": _benford_oracle_sql(),
     "rel_join_key_skew_report": """
         WITH counts AS (
             SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY l_suppkey
