@@ -138,6 +138,7 @@ HEADLINE = (
     "adv_k_anonymity_audit",
     "mm_audio_vad_segments",
     "rel_benford_price_audit",
+    "text_distinctive_terms",
 )
 
 

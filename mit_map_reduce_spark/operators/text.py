@@ -1283,7 +1283,66 @@ def text_weighted_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LOGODDS_PRIOR = 100.0  # total Dirichlet prior mass (Monroe's alpha_0)
+LOGODDS_TOP = 5  # distinctive terms surfaced per source
+
+
+def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per corpus source by log-odds ratio with
+    an informative Dirichlet prior (Monroe et al. 2008, "Fightin'
+    Words") — the standard answer to "what characterizes THIS slice
+    of the corpus", where raw tf-idf over-rewards rare typos and raw
+    frequency rewards stopwords; the prior (scaled corpus-wide term
+    rates) damps both.
+
+    All counts are exact integers from two aggregations ((source,
+    term) then the term/source marginals); the z-score is one fixed
+    IEEE expression over those integers plus the literal prior mass,
+    ROUNDED 4 dp BEFORE ranking with a term tie-break (the tf-idf
+    discipline: engine ln/sqrt ulps cannot reorder). Marginals are
+    vocabulary- and source-sized and broadcast; the only fact-sized
+    exchange is the (source, term) count.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "source", F.explode(tokenize_letters(F.lower(F.col("text")))).alias("term")
+    )
+    y_st = words.groupBy("source", "term").agg(F.count("*").alias("n"))
+    y_t = y_st.groupBy("term").agg(F.sum("n").alias("yt"))
+    n_s = y_st.groupBy("source").agg(F.sum("n").alias("ns"))
+    total = y_t.agg(F.sum("yt").alias("big_n"))
+    j = (
+        y_st.join(F.broadcast(y_t), "term")
+        .join(F.broadcast(n_s), "source")
+        .crossJoin(F.broadcast(total))
+    )
+    a = F.lit(LOGODDS_PRIOR) * F.col("yt") / F.col("big_n")
+    n, yt, ns, big_n = (
+        F.col("n").cast("double"),
+        F.col("yt").cast("double"),
+        F.col("ns").cast("double"),
+        F.col("big_n").cast("double"),
+    )
+    delta = F.log((n + a) / (ns + LOGODDS_PRIOR - n - a)) - F.log(
+        (yt - n + a) / (big_n - ns + LOGODDS_PRIOR - (yt - n) - a)
+    )
+    var = 1.0 / (n + a) + 1.0 / (yt - n + a)
+    scored = j.select(
+        "source",
+        "term",
+        F.col("n").alias("n_occurrences"),
+        round_half_up(delta / F.sqrt(var), 4).alias("z_score"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("z_score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LOGODDS_TOP)
+        .select("source", "term", "n_occurrences", "z_score", "rank")
+    )
+
+
 QUERIES = {
+    "text_distinctive_terms": text_distinctive_terms,
     "text_oov_rate": text_oov_rate,
     "text_weighted_median_quality": text_weighted_median_quality,
     "text_zipf_slope": text_zipf_slope,
@@ -1335,6 +1394,49 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_distinctive_terms": f"""
+        WITH words AS (
+            SELECT source, unnest({_LETTERS_LOWER}) AS term FROM documents
+        ),
+        y_st AS (
+            SELECT source, term, count(*) AS n FROM words GROUP BY 1, 2
+        ),
+        y_t AS (SELECT term, sum(n) AS yt FROM y_st GROUP BY term),
+        n_s AS (SELECT source, sum(n) AS ns FROM y_st GROUP BY source),
+        total AS (SELECT sum(yt) AS big_n FROM y_t),
+        scored AS (
+            SELECT s.source, s.term, s.n AS n_occurrences,
+                   floor((
+                       ln((CAST(s.n AS DOUBLE)
+                           + {LOGODDS_PRIOR} * y_t.yt / t.big_n)
+                          / (CAST(n_s.ns AS DOUBLE) + {LOGODDS_PRIOR}
+                             - CAST(s.n AS DOUBLE)
+                             - {LOGODDS_PRIOR} * y_t.yt / t.big_n))
+                     - ln((CAST(y_t.yt AS DOUBLE) - CAST(s.n AS DOUBLE)
+                           + {LOGODDS_PRIOR} * y_t.yt / t.big_n)
+                          / (CAST(t.big_n AS DOUBLE) - CAST(n_s.ns AS DOUBLE)
+                             + {LOGODDS_PRIOR}
+                             - (CAST(y_t.yt AS DOUBLE) - CAST(s.n AS DOUBLE))
+                             - {LOGODDS_PRIOR} * y_t.yt / t.big_n))
+                   ) / sqrt(
+                       1.0 / (CAST(s.n AS DOUBLE)
+                              + {LOGODDS_PRIOR} * y_t.yt / t.big_n)
+                     + 1.0 / (CAST(y_t.yt AS DOUBLE) - CAST(s.n AS DOUBLE)
+                              + {LOGODDS_PRIOR} * y_t.yt / t.big_n)
+                   ) * 10000.0 + 0.5) / 10000.0 AS z_score
+            FROM y_st s
+            JOIN y_t USING (term)
+            JOIN n_s USING (source)
+            CROSS JOIN total t
+        )
+        SELECT source, term, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+               z_score, CAST(rank AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY z_score DESC, term) AS rank
+            FROM scored
+        ) WHERE rank <= {LOGODDS_TOP}
+    """,
     "text_oov_rate": f"""
         WITH words AS (
             SELECT doc_id, lang, unnest({_LETTERS_LOWER}) AS term
