@@ -150,6 +150,7 @@ _PRIORITY = [
     "mm_audio_vad_segments",
     "rel_benford_price_audit",
     "text_distinctive_terms",
+    "text_priority_sample",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

@@ -139,6 +139,7 @@ HEADLINE = (
     "mm_audio_vad_segments",
     "rel_benford_price_audit",
     "text_distinctive_terms",
+    "text_priority_sample",
 )
 
 

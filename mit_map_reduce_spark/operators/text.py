@@ -619,6 +619,44 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRIORITY_SAMPLE_K = 50  # fixed sample size
+
+
+def text_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling by PRIORITY SAMPLING (Duffield,
+    Lund & Thorup): each document draws priority = weight / u with u
+    uniform in (0, 1], and the K largest priorities form the sample —
+    inclusion probability rises with weight while the sample size is
+    EXACTLY K, the guarantee the probability-proportional keep rule
+    (``text_weighted_sample``) cannot give (its size is only expected).
+    Weight here is the token count: a token-budget-proportional
+    document sample.
+
+    u derives from the first 4 md5 hex digits of the doc id
+    ((h + 1) / 65536, never zero) — deterministic across engines,
+    runs, and partitionings like every sampler in this module. The
+    top-K is a TakeOrdered reduction on (priority, doc_id) — no
+    global sort; priorities are reported at 4 dp (u is an exact
+    multiple of 2^-16 and the weight an integer, so the division is
+    the same IEEE op in both engines; the tie-break is the doc id).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = F.size(whitespace_tokens(F.lower(F.col("text")))).cast("double")
+    h = F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10).cast(
+        "long"
+    )
+    u = (h + 1).cast("double") / 65536.0
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        w.cast("long").alias("weight"),
+        round_half_up(w / u, 4).alias("priority"),
+    )
+    return scored.orderBy(F.col("priority").desc(), F.col("doc_id")).limit(
+        PRIORITY_SAMPLE_K
+    )
+
+
 def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data build, composed from this round's filter
     set in ONE declarative plan — what a pipeline actually ships, and
@@ -1343,6 +1381,7 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_distinctive_terms": text_distinctive_terms,
+    "text_priority_sample": text_priority_sample,
     "text_oov_rate": text_oov_rate,
     "text_weighted_median_quality": text_weighted_median_quality,
     "text_zipf_slope": text_zipf_slope,
@@ -1394,6 +1433,20 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_priority_sample": f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   CAST(len({_WS_LOWER}) AS BIGINT) AS weight,
+                   ({_HEX_BUCKET} + 1) / 65536.0 AS u
+            FROM documents
+        )
+        SELECT doc_id, lang, weight,
+               floor(CAST(weight AS DOUBLE) / u * 10000.0 + 0.5) / 10000.0
+                   AS priority
+        FROM t
+        ORDER BY priority DESC, doc_id
+        LIMIT {PRIORITY_SAMPLE_K}
+    """,
     "text_distinctive_terms": f"""
         WITH words AS (
             SELECT source, unnest({_LETTERS_LOWER}) AS term FROM documents
