@@ -151,6 +151,7 @@ _PRIORITY = [
     "rel_benford_price_audit",
     "text_distinctive_terms",
     "text_priority_sample",
+    "graph_modularity_report",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

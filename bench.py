@@ -140,6 +140,7 @@ HEADLINE = (
     "rel_benford_price_audit",
     "text_distinctive_terms",
     "text_priority_sample",
+    "graph_modularity_report",
 )
 
 

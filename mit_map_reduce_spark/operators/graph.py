@@ -488,6 +488,20 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     function and no second shuffle. Returns the final communities
     (label, size, per-side membership, canonical member).
     """
+    labels = _lpa_labels(spark, sf_dir)
+    is_cust = F.col("node") >= NODE_OFFSET
+    return labels.groupBy("label").agg(
+        F.count("*").alias("n_members"),
+        F.count(F.when(is_cust, 1)).alias("n_customers"),
+        F.count(F.when(~is_cust, 1)).alias("n_suppliers"),
+        F.min("node").alias("min_node"),
+    )
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (node, label) assignment after LPA_ROUNDS, shared-persisted
+    so the community rollup AND the modularity report probe one cached
+    copy per (session, corpus)."""
 
     def build():
         old = spark.conf.get("spark.sql.shuffle.partitions")
@@ -535,19 +549,60 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
-    labels = shared_persist(spark, "graph_lpa_labels", sf_dir, build)
-    is_cust = F.col("node") >= NODE_OFFSET
-    return labels.groupBy("label").agg(
-        F.count("*").alias("n_members"),
-        F.count(F.when(is_cust, 1)).alias("n_customers"),
-        F.count(F.when(~is_cust, 1)).alias("n_suppliers"),
-        F.min("node").alias("min_node"),
+    return shared_persist(spark, "graph_lpa_labels", sf_dir, build)
+
+
+def graph_modularity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA communities — the one-number
+    answer to "did community detection find real structure or noise"
+    (Q near 0: no better than random; Q >= ~0.3: strong community
+    structure). The community-quality report beside the ANN recall and
+    LSH tuning reports.
+
+    Exactness: with m2 = directed edge count, Q = sum_c
+    (e_c * m2 - D_c^2) / m2^2 — the numerator accumulates EXACT
+    integers per community (within-community directed edge count e_c,
+    community degree sum D_c, both from equi-joins of the shared edge
+    list with the cached label vector), summed as decimal(38,0);
+    the division happens once. No float sum anywhere, so community
+    count and partial-agg order cannot move the value. Two label
+    joins + label-sized aggregates are the whole plan.
+    """
+    labels = _lpa_labels(spark, sf_dir)
+    edges = _trade_edges(spark, sf_dir)
+    ls = labels.select(F.col("node").alias("src"), F.col("label").alias("l_src"))
+    ld = labels.select(F.col("node").alias("dst"), F.col("label").alias("l_dst"))
+    tagged = edges.join(ls, "src").join(ld, "dst")
+    per_label = tagged.groupBy(F.col("l_src").alias("label")).agg(
+        F.count("*").alias("d_sum"),
+        F.count(F.when(F.col("l_src") == F.col("l_dst"), 1)).alias("e_dir"),
+    )
+    m2 = tagged.agg(F.count("*").alias("m2"))
+    contrib = per_label.crossJoin(F.broadcast(m2)).select(
+        "label",
+        "d_sum",
+        "e_dir",
+        "m2",
+        (
+            F.col("e_dir").cast("decimal(38,0)") * F.col("m2")
+            - F.col("d_sum").cast("decimal(38,0)") * F.col("d_sum")
+        ).alias("num"),
+    )
+    return contrib.agg(
+        F.count("*").alias("n_communities"),
+        (F.max("m2") / 2).cast("long").alias("n_edges"),
+        round_half_up(
+            F.sum("num").cast("double")
+            / (F.max("m2").cast("double") * F.max("m2").cast("double")),
+            6,
+        ).alias("modularity"),
     )
 
 
-def _lpa_oracle_sql() -> str:
-    """DuckDB twin of the fixed-round label propagation, rounds
-    unrolled as chained CTEs (same contract as PageRank/k-core)."""
+def _lpa_labels_cte_sql() -> str:
+    """Shared CTE chain rebuilding the LPA label vector (rounds
+    unrolled), ending in ``lp{LPA_ROUNDS}`` — used by the community
+    rollup oracle AND the modularity oracle."""
     sql = f"""
         WITH pairs AS (
             SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust_node, l_suppkey AS supp_node
@@ -575,16 +630,52 @@ def _lpa_oracle_sql() -> str:
             SELECT dst AS node, {LPA_ENC - 1} - (s % {LPA_ENC}) AS label FROM b{i}
         )"""
         prev = f"lp{i}"
-    sql += f"""
+    return sql
+
+
+def _lpa_oracle_sql() -> str:
+    """DuckDB twin of the fixed-round label propagation, rounds
+    unrolled as chained CTEs (same contract as PageRank/k-core)."""
+    return (
+        _lpa_labels_cte_sql()
+        + f"""
         SELECT label,
                CAST(count(*) AS BIGINT) AS n_members,
                CAST(count(*) FILTER (node >= {NODE_OFFSET}) AS BIGINT) AS n_customers,
                CAST(count(*) FILTER (node < {NODE_OFFSET}) AS BIGINT) AS n_suppliers,
                min(node) AS min_node
-        FROM {prev}
+        FROM lp{LPA_ROUNDS}
         GROUP BY label
     """
-    return sql
+    )
+
+
+def _modularity_oracle_sql() -> str:
+    """Exact-integer modularity over the unrolled LPA labels."""
+    return (
+        _lpa_labels_cte_sql()
+        + f""",
+        tagged AS (
+            SELECT ls.label AS l_src, ld.label AS l_dst
+            FROM edges e
+            JOIN lp{LPA_ROUNDS} ls ON e.src = ls.node
+            JOIN lp{LPA_ROUNDS} ld ON e.dst = ld.node
+        ),
+        per_label AS (
+            SELECT l_src AS label, count(*) AS d_sum,
+                   count(CASE WHEN l_src = l_dst THEN 1 END) AS e_dir
+            FROM tagged GROUP BY l_src
+        ),
+        m AS (SELECT count(*) AS m2 FROM tagged)
+        SELECT CAST(count(*) AS BIGINT) AS n_communities,
+               CAST(max(m.m2) / 2 AS BIGINT) AS n_edges,
+               floor(CAST(sum(CAST(e_dir AS HUGEINT) * m.m2
+                               - CAST(d_sum AS HUGEINT) * d_sum) AS DOUBLE)
+                     / (CAST(max(m.m2) AS DOUBLE) * CAST(max(m.m2) AS DOUBLE))
+                     * 1000000.0 + 0.5) / 1000000.0 AS modularity
+        FROM per_label CROSS JOIN m
+    """
+    )
 
 
 def _kcore_oracle_sql() -> str:
@@ -841,6 +932,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "graph_degree_assortativity": graph_degree_assortativity,
+    "graph_modularity_report": graph_modularity_report,
     "graph_label_propagation": graph_label_propagation,
     "graph_triangle_count": graph_triangle_count,
     "graph_jaccard_link_prediction": graph_jaccard_link_prediction,
@@ -944,6 +1036,7 @@ ORACLES = {
         HAVING count(*) >= {PROJ_MIN_COMMON}
     """,
     "graph_label_propagation": _lpa_oracle_sql(),
+    "graph_modularity_report": _modularity_oracle_sql(),
     "graph_pagerank_trade": _pagerank_oracle_sql(),
     "graph_personalized_pagerank": _ppr_oracle_sql(),
     "graph_kcore_prune": _kcore_oracle_sql(),

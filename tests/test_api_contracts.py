@@ -44,3 +44,13 @@ def test_priority_is_a_permutation_of_the_registry():
     pr = e._PRIORITY
     assert len(pr) == len(set(pr)), "duplicate _PRIORITY entries"
     assert set(pr) == set(e.queries()), "registry/_PRIORITY mismatch"
+
+
+def test_bench_headline_names_are_registered():
+    # A typo in bench.py's HEADLINE tuple would crash the driver's
+    # per-round benchmark run; pin every name to the registry.
+    import bench
+    import __spark_entry__ as e
+
+    missing = [n for n in bench.HEADLINE if n not in e.queries()]
+    assert missing == [], missing

@@ -497,3 +497,15 @@ def test_vad_segments_partition_voiced_windows(spark, sf_dir):
         assert span <= voiced[r.doc_id]  # no silent window swallowed
         covered[r.doc_id] |= span
     assert covered == {k: v for k, v in voiced.items() if v}
+
+
+def test_modularity_within_theoretical_bounds(spark, sf_dir):
+    # Newman modularity is bounded in [-1/2, 1); the report's exact
+    # integer construction must land inside, and community/edge counts
+    # must be positive.
+    from mit_map_reduce_spark.operators.graph import graph_modularity_report
+
+    r = graph_modularity_report(spark, sf_dir).first()
+    assert r.n_communities >= 1
+    assert r.n_edges >= 1
+    assert -0.5 <= r.modularity < 1.0
