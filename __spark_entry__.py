@@ -152,6 +152,7 @@ _PRIORITY = [
     "text_distinctive_terms",
     "text_priority_sample",
     "graph_modularity_report",
+    "sim_quantization_recall_report",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

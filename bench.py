@@ -141,6 +141,7 @@ HEADLINE = (
     "text_distinctive_terms",
     "text_priority_sample",
     "graph_modularity_report",
+    "sim_quantization_recall_report",
 )
 
 

@@ -883,7 +883,92 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dequantized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, e, nrm): the corpus as int8-quantize-then-dequantize
+    doubles — what a serving stack actually compares after 4x
+    compression. q_i and the per-vector scale are the exact
+    expressions of ``embedding_quantize_int8`` (raw scale: a single
+    array_max, no summation, so both engines hold the identical
+    double); deq_i = q_i * scale / QUANT_MAX.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    xd = emb.select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("xd")
+    )
+    scaled = xd.select(
+        "vec_id", "xd", F.array_max(F.transform("xd", F.abs)).alias("scale")
+    )
+    deq = scaled.select(
+        "vec_id",
+        F.transform(
+            "xd",
+            lambda v: F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+                F.floor(v / F.col("scale") * QUANT_MAX + F.lit(0.5))
+                * F.col("scale")
+                / QUANT_MAX
+            ),
+        ).alias("e"),
+    )
+    return deq.select("vec_id", "e", vec_norm(F.col("e")).alias("nrm"))
+
+
+def quantization_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of int8-quantized search against full-precision search
+    — the accuracy price of the 4x compression
+    (``embedding_quantize_int8``), measured the way serving feels it:
+    BOTH sides quantized, exact top-k over the reconstructed doubles,
+    overlap against the float top-k per query. Completes the report
+    family (ANN recall, LSH tuning, modularity): every lossy step in
+    the pipeline ships with its own quality readout.
+
+    Same plan shape as the brute-force baseline (broadcast query set,
+    one corpus scan, per-query window) — run at audit SF like the
+    other exact baselines; at 100 TB the same comparison rides the
+    IVF probe set instead of the full scan.
+    """
+    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    dq = _dequantized_corpus(spark, sf_dir)
+    queries = dq.filter(F.expr(QUERY_FILTER)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("q_e"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    pairs = dq.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            dot_product(F.col("q_e"), F.col("e"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("c"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
+    q_topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")
+        )
+    )
+    matched = exact.join(
+        q_topk,
+        (exact.query_id == q_topk.qi) & (exact.neighbor_id == q_topk.ni),
+        "left",
+    )
+    per_q = matched.groupBy("query_id").agg(
+        F.count("*").alias("k"), F.count("ni").alias("n_matched")
+    )
+    return per_q.select(
+        "query_id",
+        "n_matched",
+        round_half_up(F.col("n_matched").cast("double") / F.col("k"), 4).alias(
+            "recall_at_k"
+        ),
+    )
+
+
 QUERIES = {
+    "sim_quantization_recall_report": quantization_recall_report,
     "sim_ann_recall_report": ann_recall_report,
     "sim_hard_negative_mining": hard_negative_mining,
     "dedup_semantic_ivf": semantic_dedup_ivf,
@@ -1248,6 +1333,59 @@ ORACLES["sim_ann_recall_report"] = f"""
                  * 10000.0 + 0.5) / 10000.0 AS recall_at_k
     FROM ({ORACLES["sim_ann_bruteforce_topk"]}) e
     LEFT JOIN ({ORACLES["sim_ann_ivf_topk"]}) i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+"""
+
+# Quantized-search recall oracle: dequantize exactly as
+# embedding_quantize_int8 (raw array_max scale), rank over the
+# reconstructed doubles, compare against the float brute-force oracle
+# as a derived table.
+ORACLES["sim_quantization_recall_report"] = f"""
+    WITH xd AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, xd,
+               list_max(list_transform(xd, x -> abs(x))) AS scale
+        FROM xd
+    ),
+    dq AS (
+        SELECT vec_id,
+               CASE WHEN scale = 0
+                    THEN list_transform(xd, x -> 0.0)
+                    ELSE list_transform(xd, x ->
+                        floor(x / scale * {QUANT_MAX} + 0.5)
+                        * scale / {QUANT_MAX})
+               END AS e
+        FROM s
+    ),
+    dn AS (
+        SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+        FROM dq
+    ),
+    qscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum(list_transform(range(1, {DIM + 1}),
+                   i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS c
+        FROM dn q JOIN dn c ON q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+    ),
+    qtop AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY c DESC, neighbor_id) AS rank
+            FROM qscored
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+           floor(CAST(count(i.neighbor_id) AS DOUBLE) / count(*)
+                 * 10000.0 + 0.5) / 10000.0 AS recall_at_k
+    FROM ({ORACLES["sim_ann_bruteforce_topk"]}) e
+    LEFT JOIN qtop i
       ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
     GROUP BY e.query_id
 """
