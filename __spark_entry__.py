@@ -153,6 +153,8 @@ _PRIORITY = [
     "text_priority_sample",
     "graph_modularity_report",
     "sim_quantization_recall_report",
+    "sketch_ams_second_moment",
+    "text_quality_drift",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

@@ -142,6 +142,8 @@ HEADLINE = (
     "text_priority_sample",
     "graph_modularity_report",
     "sim_quantization_recall_report",
+    "sketch_ams_second_moment",
+    "text_quality_drift",
 )
 
 

@@ -375,6 +375,79 @@ def sketch_hll_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AMS_DEPTH = 8  # independent sign rows; estimate = median of squares
+
+
+def sketch_ams_second_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second frequency moment (Alon-Matias-Szegedy) over the
+    corpus token stream — F2 = sum of squared token frequencies, the
+    moment behind self-join size estimation and skew detection, in
+    O(depth) space instead of a per-token frequency table.
+
+    Each of ``AMS_DEPTH`` rows assigns every token a +-1 sign (parity
+    of an md5 hex digit of "row:token" — deterministic, so the oracle
+    rebuilds the SAME sketch, the CMS discipline); the row statistic
+    Z_i = sum over tokens of sign_i * freq accumulates EXACT integers,
+    and E[Z_i^2] = F2. The estimate is the median of the 8 squares —
+    order statistics over 8 exact integers, engine-invariant. Exact
+    F2 rides beside it; the within-tolerance contract allows 1/sqrt(2)
+    relative error (the AMS variance bound at this depth is loose —
+    the bool is pinned TRUE by the oracle, which also reproduces the
+    estimate bit-for-bit).
+
+    Scale shape: the only exchange after the (token -> count)
+    aggregation carries AMS_DEPTH rows; at 100 TB the sign fold
+    happens map-side against partial counts exactly like the CMS.
+    """
+    from mit_map_reduce_spark.functions.columns import tokenize_letters
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+    )
+    freqs = words.groupBy("word").agg(F.count("*").alias("c"))
+    rows = freqs.select(
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (
+                            F.conv(
+                                F.md5(F.concat(F.lit(f"{i}:"), F.col("word"))).substr(
+                                    1, 1
+                                ),
+                                16,
+                                10,
+                            ).cast("int")
+                            % 2
+                            * 2
+                            - 1
+                        ).alias("sign"),
+                    )
+                    for i in range(AMS_DEPTH)
+                ]
+            )
+        ).alias("isign"),
+    ).select("c", "isign.i", "isign.sign")
+    z = rows.groupBy("i").agg(F.sum(F.col("sign") * F.col("c")).alias("z"))
+    sq = z.select((F.col("z") * F.col("z")).alias("zz"))
+    est = sq.agg(
+        F.expr("percentile(zz, 0.5)").alias("ams_raw"),
+        F.count("*").alias("depth"),
+    ).select(F.floor(F.col("ams_raw")).cast("long").alias("ams_est"), "depth")
+    exact = freqs.agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact"))
+    j = est.crossJoin(F.broadcast(exact))
+    ok = (
+        F.abs(F.col("ams_est").cast("double") - F.col("f2_exact").cast("double"))
+        <= 0.71 * F.col("f2_exact").cast("double")
+    )
+    return j.select(
+        "f2_exact", "ams_est", F.col("depth").alias("n_sign_rows"), ok.alias("ams_within_tol")
+    )
+
+
 def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap estimation from sketches alone: per event type
     one HLL sketch of its distinct users, then |A int B| for every
@@ -444,6 +517,7 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sketch_ams_second_moment": sketch_ams_second_moment,
     "sketch_hll_intersection": sketch_hll_intersection,
     "sketch_cms_topk_by_source": sketch_cms_topk_by_source,
     "sketch_hll_union_merge": sketch_hll_union_merge,
@@ -472,6 +546,34 @@ def _bloom_bit_sql(key_expr: str) -> str:
 
 
 ORACLES = {
+    "sketch_ams_second_moment": f"""
+        WITH words AS (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                       '[^\\p{{L}}]+'), x -> x <> '')) AS word
+            FROM documents
+        ),
+        freqs AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+        signed AS (
+            SELECT c, t.i,
+                   ((strpos('0123456789abcdef',
+                        substr(md5(CAST(t.i AS VARCHAR) || ':' || word), 1, 1))
+                     - 1) % 2) * 2 - 1 AS sign
+            FROM freqs CROSS JOIN range({AMS_DEPTH}) t(i)
+        ),
+        z AS (SELECT i, sum(sign * c) AS z FROM signed GROUP BY i),
+        sq AS (SELECT z * z AS zz FROM z),
+        est AS (
+            SELECT CAST(floor(quantile_cont(zz, 0.5)) AS BIGINT) AS ams_est,
+                   count(*) AS depth
+            FROM sq
+        ),
+        ex AS (SELECT sum(c * c) AS f2 FROM freqs)
+        SELECT CAST(ex.f2 AS BIGINT) AS f2_exact, est.ams_est,
+               CAST(est.depth AS BIGINT) AS n_sign_rows,
+               abs(CAST(est.ams_est AS DOUBLE) - CAST(ex.f2 AS DOUBLE))
+                   <= 0.71 * CAST(ex.f2 AS DOUBLE) AS ams_within_tol
+        FROM est CROSS JOIN ex
+    """,
     "sketch_hll_intersection": """
         WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
         singles AS (

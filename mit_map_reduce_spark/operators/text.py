@@ -657,6 +657,66 @@ def text_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_DECILES = 10
+
+
+def text_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality drift across corpus arrival order: per doc-id decile
+    (the ingestion-time proxy, as in ``text_vocab_growth``), document
+    count, mean quality, low-quality share, and mean token count —
+    the monitoring view that answers "is newer data worse", which
+    decides whether a crawl keeps paying for itself.
+
+    Exactness: each doc's score quantizes to integer grains
+    (floor(score*10000 + 0.5) — the money_grains rule on the raw
+    score, the same IEEE ops in both engines), grains sum exactly,
+    and the decile mean is one division; the low-quality cut compares
+    integer grains; token counts are integers. One scan derives the
+    score, one 10-key aggregation.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = whitespace_tokens(F.lower(F.col("text")))
+    n = F.size(ws)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(ws, lambda x: F.array_contains(stop_arr, x)))
+    total_len = F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    avg_len = total_len.cast("double") / n
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n.cast("double") / 100.0)
+        + F.lit(0.3) * (n_stop.cast("double") / n)
+        + F.lit(0.3) * (1 - F.abs(avg_len - 5) / 10)
+    )
+    bounds = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    scored = docs.select(
+        "doc_id",
+        F.floor(score * 10000.0 + F.lit(0.5)).cast("long").alias("q_grains"),
+        n.cast("long").alias("n_tokens"),
+    ).crossJoin(F.broadcast(bounds))
+    decile = F.least(
+        F.lit(DRIFT_DECILES - 1),
+        F.floor(F.col("doc_id") * DRIFT_DECILES / F.col("n_docs")),
+    ).cast("int")
+    return (
+        scored.groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            round_half_up(
+                F.sum("q_grains").cast("double") / 10000.0 / F.count("*"), 4
+            ).alias("avg_quality"),
+            round_half_up(
+                F.count(F.when(F.col("q_grains") < 4000, 1)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("low_share"),
+            round_half_up(
+                F.sum("n_tokens").cast("double") / F.count("*"), 2
+            ).alias("avg_tokens"),
+        )
+    )
+
+
 def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data build, composed from this round's filter
     set in ONE declarative plan — what a pipeline actually ships, and
@@ -1382,6 +1442,7 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_distinctive_terms": text_distinctive_terms,
     "text_priority_sample": text_priority_sample,
+    "text_quality_drift": text_quality_drift,
     "text_oov_rate": text_oov_rate,
     "text_weighted_median_quality": text_weighted_median_quality,
     "text_zipf_slope": text_zipf_slope,
@@ -1433,6 +1494,42 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
 ORACLES = {
+    "text_quality_drift": f"""
+        WITH t AS (SELECT doc_id, {_WS_LOWER} AS ws FROM documents),
+        m AS (
+            SELECT doc_id,
+                   len(ws) AS n,
+                   len(list_filter(ws, x -> list_contains({_STOP_LIST}, x)))
+                       AS n_stop,
+                   CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+                       / len(ws) AS avg_len
+            FROM t
+        ),
+        scored AS (
+            SELECT doc_id,
+                   CAST(floor((CAST(0.4 AS DOUBLE)
+                          * least(CAST(1.0 AS DOUBLE),
+                                  CAST(n AS DOUBLE) / CAST(100.0 AS DOUBLE))
+                        + CAST(0.3 AS DOUBLE) * (CAST(n_stop AS DOUBLE) / n)
+                        + CAST(0.3 AS DOUBLE) * (1 - abs(avg_len - 5) / 10))
+                        * 10000.0 + 0.5) AS BIGINT) AS q_grains,
+                   CAST(n AS BIGINT) AS n_tokens
+            FROM m
+        ),
+        bounds AS (SELECT max(doc_id) + 1 AS n_docs FROM documents)
+        SELECT CAST(least({DRIFT_DECILES - 1},
+                    floor(doc_id * {DRIFT_DECILES} / n_docs)) AS INTEGER)
+                   AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               floor(CAST(sum(q_grains) AS DOUBLE) / 10000.0 / count(*)
+                     * 10000.0 + 0.5) / 10000.0 AS avg_quality,
+               floor(CAST(count(CASE WHEN q_grains < 4000 THEN 1 END) AS DOUBLE)
+                     / count(*) * 10000.0 + 0.5) / 10000.0 AS low_share,
+               floor(CAST(sum(n_tokens) AS DOUBLE) / count(*) * 100.0 + 0.5)
+                   / 100.0 AS avg_tokens
+        FROM scored CROSS JOIN bounds
+        GROUP BY 1
+    """,
     "text_priority_sample": f"""
         WITH t AS (
             SELECT doc_id, lang,
