@@ -155,6 +155,7 @@ _PRIORITY = [
     "sim_quantization_recall_report",
     "sketch_ams_second_moment",
     "text_quality_drift",
+    "rel_revenue_trend_forecast",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

@@ -144,6 +144,7 @@ HEADLINE = (
     "sim_quantization_recall_report",
     "sketch_ams_second_moment",
     "text_quality_drift",
+    "rel_revenue_trend_forecast",
 )
 
 

@@ -1658,7 +1658,55 @@ def rel_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_revenue_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear revenue trend + naive next-month forecast — the BI
+    baseline every dashboard draws before anyone reaches for a real
+    model: OLS of monthly revenue over the month index, slope and
+    intercept reported with the one-step-ahead projection.
+
+    Exactness, the zipf-slope discipline end-to-end: x is the integer
+    month index (dense rank over month-truncated dates — a total
+    order), y is integer money grains; all five OLS accumulators are
+    exactly-summed integers (decimal(38,0) — y grains reach 1e13 at
+    sf0.1 and x*y products far exceed 2^63 summed), and slope /
+    intercept / forecast are single IEEE expressions over the exact
+    sums, identical in both engines. The regression runs on the
+    month-level frame (per-month rollup first), never the fact table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_month = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum(money_grains("o_totalprice")).alias("rev"))
+    w = W.orderBy("month")
+    xy = per_month.select(
+        F.row_number().over(w).cast("decimal(38,0)").alias("x"),
+        F.col("rev").alias("y"),
+    )
+    sums = xy.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    k = F.col("k").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+    intercept = (sy - slope * sx) / k
+    forecast = intercept + slope * (k + 1.0)
+    return sums.select(
+        F.col("k").alias("n_months"),
+        round_half_up(slope / 1e4, 2).alias("slope_per_month"),
+        round_half_up(intercept / 1e4, 2).alias("intercept"),
+        round_half_up(forecast / 1e4, 2).alias("next_month_forecast"),
+    )
+
+
 QUERIES = {
+    "rel_revenue_trend_forecast": rel_revenue_trend_forecast,
     "rel_benford_price_audit": rel_benford_price_audit,
     "rel_join_key_skew_report": rel_join_key_skew_report,
     "rel_price_balance_correlation": rel_price_balance_correlation,
@@ -1754,6 +1802,52 @@ def _benford_oracle_sql() -> str:
 
 
 ORACLES = {
+    "rel_revenue_trend_forecast": """
+        WITH per_month AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   sum(CAST(floor(o_totalprice * 10000.0 + 0.5)
+                            AS HUGEINT)) AS rev
+            FROM orders GROUP BY 1
+        ),
+        xy AS (
+            SELECT CAST(row_number() OVER (ORDER BY month) AS HUGEINT) AS x,
+                   rev AS y
+            FROM per_month
+        ),
+        sums AS (
+            SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy
+        )
+        SELECT CAST(k AS BIGINT) AS n_months,
+               floor((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / 10000.0 * 100.0 + 0.5) / 100.0 AS slope_per_month,
+               floor((CAST(sy AS DOUBLE)
+                      - (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(k AS DOUBLE) / 10000.0 * 100.0 + 0.5) / 100.0
+                   AS intercept,
+               floor(((CAST(sy AS DOUBLE)
+                       - (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE))
+                      / CAST(k AS DOUBLE)
+                      + (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(k AS DOUBLE) + 1.0))
+                     / 10000.0 * 100.0 + 0.5) / 100.0 AS next_month_forecast
+        FROM sums
+    """,
     "rel_benford_price_audit": _benford_oracle_sql(),
     "rel_join_key_skew_report": """
         WITH counts AS (
