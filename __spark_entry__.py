@@ -156,6 +156,7 @@ _PRIORITY = [
     "sketch_ams_second_moment",
     "text_quality_drift",
     "rel_revenue_trend_forecast",
+    "stream_outer_join_unattributed",
     "text_weighted_median_quality",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows

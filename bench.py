@@ -145,6 +145,7 @@ HEADLINE = (
     "sketch_ams_second_moment",
     "text_quality_drift",
     "rel_revenue_trend_forecast",
+    "stream_outer_join_unattributed",
 )
 
 

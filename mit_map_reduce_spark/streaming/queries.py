@@ -162,6 +162,61 @@ def stream_append_tumbling_file_sink(spark: SparkSession, sf_dir: str) -> DataFr
     return _run_to_file_sink(agg)
 
 
+def stream_outer_join_unattributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics the inner join
+    (``stream_stream_join_attribution``) cannot express: purchases
+    with NO attributable click still surface, with NULL click columns,
+    once the watermark proves no future click can match (state
+    eviction is the emission trigger; Spark runs the no-data
+    micro-batch that flushes evicted state after the last data batch).
+    This is the "un-attributed conversions" feed a marketing pipeline
+    alarms on.
+
+    Emission rule the oracle mirrors: matched pairs emit like the
+    inner join; an unmatched purchase emits iff its timestamp is
+    STRICTLY below the final global watermark
+    (least(max click_ts, max purchase_ts) - the 1 hour delay) — later
+    purchases still sit in state when the finite input ends, exactly
+    as on an unbounded stream.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user = c_user
+                AND click_ts >= purchase_ts - INTERVAL {ATTRIBUTION_WINDOW}
+                AND click_ts <= purchase_ts"""
+        ),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        F.col("click_id").isNotNull().alias("attributed"),
+    )
+    return _run_to_file_sink(joined)
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's BUILT-IN streaming dedup under at-least-once
     delivery: the same events file is delivered twice (two paths, one
@@ -768,6 +823,7 @@ QUERIES = {
     "stream_windowed_distinct_users": stream_windowed_distinct_users,
     "stream_cms_user_sketch": stream_cms_user_sketch,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
+    "stream_outer_join_unattributed": stream_outer_join_unattributed,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_session_windows": stream_session_windows,
     "stream_stateful_user_profile": stream_stateful_user_profile,
@@ -845,6 +901,38 @@ ORACLES = {
                floor((CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) * 100.0 + 0.5) / 100.0 AS total_value
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment
+    """,
+    "stream_outer_join_unattributed": f"""
+        WITH wm AS (
+            SELECT least(
+                (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                (SELECT max(ts) FROM events WHERE event_type = 'purchase')
+            ) - INTERVAL 1 HOUR AS w
+        ),
+        matched AS (
+            SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                   c.event_id AS click_id, TRUE AS attributed
+            FROM events p
+            JOIN events c
+              ON p.event_type = 'purchase' AND c.event_type = 'click'
+             AND p.user_id = c.user_id
+             AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW}
+             AND c.ts <= p.ts
+        ),
+        unmatched AS (
+            SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+                   CAST(NULL AS BIGINT) AS click_id, FALSE AS attributed
+            FROM events p CROSS JOIN wm
+            WHERE p.event_type = 'purchase'
+              AND p.ts < wm.w
+              AND NOT EXISTS (
+                  SELECT 1 FROM events c
+                  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                    AND c.ts >= p.ts - INTERVAL {ATTRIBUTION_WINDOW}
+                    AND c.ts <= p.ts
+              )
+        )
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched
     """,
     "stream_stream_join_attribution": f"""
         SELECT p.event_id AS purchase_id,
