@@ -158,6 +158,10 @@ _PRIORITY = [
     "rel_revenue_trend_forecast",
     "stream_outer_join_unattributed",
     "text_weighted_median_quality",
+    # ---- round-4 fourth-session additions (never yet in a window;
+    # they follow the 58-query never-verified block in round-6 order).
+    "rel_fk_integrity_audit",
+    "rel_incremental_agg_merge",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

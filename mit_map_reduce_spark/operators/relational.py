@@ -1705,8 +1705,122 @@ def rel_revenue_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: FK edges of the star schema: (edge label, child table, child key,
+#: parent table, parent key, broadcast the parent?). orders is the one
+#: parent too large to broadcast at scale.
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", True),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", True),
+)
+
+
+def rel_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for every FK edge of the star
+    schema, how many child rows point at a missing parent — the
+    data-quality gate a warehouse load runs before publishing a batch
+    (the reference has no constraints at all, so this is the absent
+    integrity layer made explicit; reference src/mr/worker.go:18-21
+    has only the untyped KeyValue pair).
+
+    Each edge is ONE pass over the child: left join against the
+    parent's distinct keys, conditional count. Dimension parents
+    (nation/region/part/supplier/customer) broadcast — zero shuffle on
+    the fact side; the lineitem->orders edge is the only shuffled hash
+    join and AQE handles its skew. The seven per-edge single-row
+    aggregates union into the audit report, so the whole audit is
+    bounded by one scan per child table regardless of corpus size.
+    """
+    frames = []
+    for label, child_t, ck, parent_t, pk, bcast in _FK_EDGES:
+        child = load_table(spark, sf_dir, child_t).select(F.col(ck).alias("k"))
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("present", F.lit(1))
+        )
+        if bcast:
+            parent = F.broadcast(parent)
+        frames.append(
+            child.join(parent, "k", "left").agg(
+                F.lit(label).alias("fk_edge"),
+                F.count("*").alias("child_rows"),
+                F.count(F.when(F.col("present").isNull(), 1)).alias("orphan_rows"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.withColumn(
+        "ok", F.col("orphan_rows") == F.lit(0)
+    )
+
+
+#: Incremental-maintenance cutoff: lineitem rows shipping before this
+#: date play the "already materialized" history; the rest are the
+#: freshly-arrived batch being merged in.
+INCR_CUTOFF = "1998-01-01"
+
+
+def rel_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: merge the partial
+    aggregate state of the historical partition with a fresh batch's
+    partial state instead of recomputing from scratch — the daily
+    pattern behind every incrementally-maintained rollup table.
+
+    The monthly revenue summary is kept as MERGEABLE state per month:
+    (row count, integer money-grain sum, min, max). Both halves roll up
+    independently (map-side partial aggregation within each), then one
+    final aggregate over the unioned states — counts and grain sums add
+    associatively, min/max compose, and avg derives from the merged
+    sums, so the merge is exact in any order and at any number of
+    increments. The oracle recomputes from the full fact table,
+    proving merged-state == full-recompute. At 100 TB the history
+    state is a few thousand rows — the fresh batch is the only data
+    scanned per refresh.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+
+    def partial_state(part: DataFrame) -> DataFrame:
+        return part.groupBy(
+            F.date_trunc("month", "l_shipdate").alias("month")
+        ).agg(
+            F.count("*").alias("n_items"),
+            F.sum(money_grains("l_extendedprice")).alias("price_g"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+
+    history = partial_state(li.filter(F.col("l_shipdate") < cutoff))
+    fresh = partial_state(li.filter(F.col("l_shipdate") >= cutoff))
+    merged = history.unionByName(fresh).groupBy("month").agg(
+        F.sum("n_items").alias("n_items"),
+        F.sum("price_g").alias("price_g"),
+        F.min("min_price").alias("min_price"),
+        F.max("max_price").alias("max_price"),
+    )
+    return merged.select(
+        "month",
+        "n_items",
+        round_half_up(F.col("price_g").cast("double") / 1e4, 2).alias("total_price"),
+        round_half_up(
+            F.col("price_g").cast("double") / 1e4 / F.col("n_items").cast("double"), 2
+        ).alias("avg_price"),
+        round_half_up("min_price", 2).alias("min_price"),
+        round_half_up("max_price", 2).alias("max_price"),
+    )
+
+
 QUERIES = {
     "rel_revenue_trend_forecast": rel_revenue_trend_forecast,
+    "rel_fk_integrity_audit": rel_fk_integrity_audit,
+    "rel_incremental_agg_merge": rel_incremental_agg_merge,
     "rel_benford_price_audit": rel_benford_price_audit,
     "rel_join_key_skew_report": rel_join_key_skew_report,
     "rel_price_balance_correlation": rel_price_balance_correlation,
@@ -1802,6 +1916,36 @@ def _benford_oracle_sql() -> str:
 
 
 ORACLES = {
+    "rel_fk_integrity_audit": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{label}' AS fk_edge,
+               CAST(count(*) AS BIGINT) AS child_rows,
+               CAST(count(*) FILTER (p.k IS NULL) AS BIGINT) AS orphan_rows,
+               count(*) FILTER (p.k IS NULL) = 0 AS ok
+        FROM (SELECT {ck} AS k FROM {child_t}) c
+        LEFT JOIN (SELECT DISTINCT {pk} AS k FROM {parent_t}) p USING (k)
+        """
+        for label, child_t, ck, parent_t, pk, _ in _FK_EDGES
+    ),
+    "rel_incremental_agg_merge": f"""
+        -- Full recompute, deliberately NOT mirroring the two-phase
+        -- merge: passing proves merged partial state == recompute.
+        WITH merged AS (
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS HUGEINT)) AS price_g,
+                   min(l_extendedprice) AS min_price,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem
+            GROUP BY 1
+        )
+        SELECT month, n_items,
+               {sql_round("CAST(price_g AS DOUBLE) / 10000.0", 2)} AS total_price,
+               {sql_round("CAST(price_g AS DOUBLE) / 10000.0 / CAST(n_items AS DOUBLE)", 2)} AS avg_price,
+               {sql_round("min_price", 2)} AS min_price,
+               {sql_round("max_price", 2)} AS max_price
+        FROM merged
+    """,
     "rel_revenue_trend_forecast": """
         WITH per_month AS (
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,

@@ -509,3 +509,54 @@ def test_modularity_within_theoretical_bounds(spark, sf_dir):
     assert r.n_communities >= 1
     assert r.n_edges >= 1
     assert -0.5 <= r.modularity < 1.0
+
+
+def test_fk_audit_covers_every_edge_and_is_clean(spark, sf_dir):
+    # The synthetic star schema is referentially intact by
+    # construction; the audit must say so for every declared edge, and
+    # child_rows must equal the child table's cardinality (no rows
+    # dropped by the probe join).
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.relational import (
+        _FK_EDGES,
+        rel_fk_integrity_audit,
+    )
+
+    rows = {r.fk_edge: r for r in rel_fk_integrity_audit(spark, sf_dir).collect()}
+    assert set(rows) == {e[0] for e in _FK_EDGES}
+    for label, child_t, _, _, _, _ in _FK_EDGES:
+        r = rows[label]
+        assert r.orphan_rows == 0 and r.ok
+        assert r.child_rows == load_table(spark, sf_dir, child_t).count()
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    # Merged partial state must be bit-identical to a single-pass
+    # recompute of the same rollup — the associativity contract that
+    # makes the state incrementally maintainable.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.functions.columns import money_grains, round_half_up
+    from mit_map_reduce_spark.operators.relational import rel_incremental_agg_merge
+
+    full = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(money_grains("l_extendedprice")).alias("g"),
+            round_half_up(F.min("l_extendedprice"), 2).alias("min_price"),
+            round_half_up(F.max("l_extendedprice"), 2).alias("max_price"),
+        )
+    )
+    expect = {
+        r.month: (r.n_items, int(r.g), r.min_price, r.max_price)
+        for r in full.collect()
+    }
+    got = rel_incremental_agg_merge(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        n, g, lo, hi = expect[r.month]
+        assert r.n_items == n
+        assert r.min_price == lo and r.max_price == hi
+        assert r.total_price == __import__("math").floor(g / 1e4 * 100.0 + 0.5) / 100.0
