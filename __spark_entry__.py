@@ -162,6 +162,9 @@ _PRIORITY = [
     # they follow the 58-query never-verified block in round-6 order).
     "rel_fk_integrity_audit",
     "rel_incremental_agg_merge",
+    "adv_scd2_user_tier_history",
+    "adv_cusum_changepoint_revenue",
+    "adv_campaign_session_overlap",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -21,6 +21,7 @@ from mit_map_reduce_spark.functions.columns import (
     money_grains,
     money_sum,
     round_half_up,
+    sql_round,
 )
 
 BAND_WIDTH = 50_000.0
@@ -1057,7 +1058,182 @@ def adv_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SCD2 tier derivation: props.k in [0,100) buckets into 4 plan tiers.
+TIER_WIDTH = 25
+
+
+def adv_scd2_user_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each user's plan tier
+    (``props.k // 25``) compacted into validity intervals
+    ``[valid_from, valid_to)`` with an ``is_current`` flag — the
+    warehouse-dimension construction run whenever an event log has to
+    become a point-in-time-joinable dimension (the reference's data
+    model has no time dimension at all — strings only, reference
+    src/mr/worker.go:18-21 — so this is pure extension surface).
+
+    Everything happens inside ONE user_id hash partitioning: lag
+    detects tier changes, a running sum numbers the resulting
+    intervals, one aggregate compacts interval membership (count +
+    min ts), and lead stitches each interval's ``valid_to`` from the
+    next one's start. No self-joins, no re-shuffles — the same single
+    exchange at any scale, and the output is bounded by the number of
+    CHANGES, not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tier = F.floor(
+        F.get_json_object("props", "$.k").cast("int") / TIER_WIDTH
+    ).cast("int")
+    base = ev.select("user_id", "ts", "event_id", tier.alias("tier"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("tier").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("tier")), 1).otherwise(0)
+    numbered = base.withColumn(
+        "interval_seq",
+        F.sum(chg).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    )
+    iv = numbered.groupBy("user_id", "interval_seq").agg(
+        F.min("tier").alias("tier"),  # constant within the interval
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("interval_seq")
+    return iv.select(
+        "user_id",
+        "interval_seq",
+        "tier",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+def adv_cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over daily revenue — the classic
+    level-shift detector (Page 1954) a metrics pipeline runs to find
+    WHEN a series changed: the day where the cumulative deviation from
+    the global mean peaks.
+
+    Exactness discipline: daily revenue is an integer grain sum; the
+    CUSUM is kept scaled by n_days — ``S_d = n*prefix_d - d_idx*total``
+    — so every accumulator stays an exact integer (decimal(38,0)); the
+    one division back to currency units happens on identical integers
+    in both engines. The facts roll up to days map-side first
+    (partial agg), so the windowed prefix scan runs over the tiny
+    day-level frame — ~2.5k rows here and still only tens of
+    thousands at decades of history, regardless of fact-table size.
+    The changepoint flag is a rank over (|S| desc, day) — exact
+    integer ordering, deterministic tie-break to the earliest day.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.sum(money_grains("o_totalprice")).alias("rev_g"))
+    w = W.orderBy("day")
+    full = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    scanned = daily.select(
+        "day",
+        "rev_g",
+        F.row_number().over(w).cast("decimal(38,0)").alias("d_idx"),
+        F.sum("rev_g").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("prefix_g"),
+        F.sum("rev_g").over(full).alias("total_g"),
+        F.count("*").over(full).cast("decimal(38,0)").alias("n_days"),
+    )
+    s_scaled = (F.col("n_days") * F.col("prefix_g") - F.col("d_idx") * F.col("total_g"))
+    flagged = scanned.withColumn("s_g", s_scaled).withColumn(
+        "peak_rank",
+        F.row_number().over(W.orderBy(F.abs(F.col("s_g")).desc(), F.col("day"))),
+    )
+    cusum = F.col("s_g").cast("double") / F.col("n_days").cast("double") / 1e4
+    return flagged.select(
+        "day",
+        round_half_up(F.col("rev_g").cast("double") / 1e4, 2).alias("revenue"),
+        round_half_up(cusum, 2).alias("cusum"),
+        (F.col("peak_rank") == 1).alias("is_changepoint"),
+    )
+
+
+#: Campaign windows for the overlap join: CAMPAIGN_N windows, one
+#: every CAMPAIGN_EVERY_H hours from the events horizon start, each
+#: CAMPAIGN_LEN_H hours long.
+CAMPAIGN_START = "2024-01-01 00:00:00"
+CAMPAIGN_N = 20
+CAMPAIGN_EVERY_H = 36
+CAMPAIGN_LEN_H = 12
+#: Grid cell for the bucketed interval join (seconds). Must divide the
+#: campaign spacing; any interval maps to ceil(len/cell)+1 cells.
+OVERLAP_CELL_S = 6 * 3600
+
+
+def adv_campaign_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions against campaign windows —
+    'which sessions were live while campaign c ran' — the attribution
+    building block for time-boxed promotions.
+
+    A naive ``ON s.start < c.end AND c.start < s.end`` theta-join is a
+    broadcast nested loop that dies at scale. The scalable shape maps
+    every interval to the fixed time-grid cells it touches, equi-joins
+    on the cell key (hash join), dedups the (session, campaign) hits,
+    and re-checks the exact overlap predicate once per candidate —
+    identical semantics, and the fan-out is bounded by interval_len /
+    cell + 1 cells per row. Overlap seconds are integer epoch math.
+    Sessions reuse the gap-based construction of
+    ``adv_sessionize_events`` (same 30-min gap constant).
+    """
+    sess = adv_sessionize_events(spark, sf_dir).select(
+        "user_id",
+        "session_seq",
+        F.unix_millis("session_start").alias("s_lo_ms"),
+        (F.unix_millis("session_start") + F.col("duration_ms")).alias("s_hi_ms"),
+    )
+    camp = spark.range(CAMPAIGN_N).select(
+        F.col("id").alias("campaign_id"),
+        (
+            F.unix_millis(F.lit(CAMPAIGN_START).cast("timestamp"))
+            + F.col("id") * (CAMPAIGN_EVERY_H * 3600 * 1000)
+        ).alias("c_lo_ms"),
+        (
+            F.unix_millis(F.lit(CAMPAIGN_START).cast("timestamp"))
+            + F.col("id") * (CAMPAIGN_EVERY_H * 3600 * 1000)
+            + F.lit(CAMPAIGN_LEN_H * 3600 * 1000)
+        ).alias("c_hi_ms"),
+    )
+    cell_ms = OVERLAP_CELL_S * 1000
+
+    def with_cells(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "cell",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / cell_ms), F.floor(F.col(hi) / cell_ms)
+                )
+            ),
+        )
+
+    cand = (
+        with_cells(sess, "s_lo_ms", "s_hi_ms")
+        .join(F.broadcast(with_cells(camp, "c_lo_ms", "c_hi_ms")), "cell")
+        .drop("cell")
+        .distinct()
+        .filter(
+            (F.col("s_lo_ms") < F.col("c_hi_ms"))
+            & (F.col("c_lo_ms") < F.col("s_hi_ms"))
+        )
+    )
+    overlap_ms = F.least("s_hi_ms", "c_hi_ms") - F.greatest("s_lo_ms", "c_lo_ms")
+    return cand.groupBy("campaign_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.count_distinct("user_id").alias("n_users"),
+        # floor() — Spark's double->bigint cast truncates but DuckDB's
+        # rounds; an explicit floor is identical in both engines.
+        F.floor(F.sum(overlap_ms) / F.lit(1000.0)).cast("bigint").alias("overlap_seconds"),
+    )
+
+
 QUERIES = {
+    "adv_scd2_user_tier_history": adv_scd2_user_tier_history,
+    "adv_cusum_changepoint_revenue": adv_cusum_changepoint_revenue,
+    "adv_campaign_session_overlap": adv_campaign_session_overlap,
     "adv_ab_experiment_readout": adv_ab_experiment_readout,
     "adv_k_anonymity_audit": adv_k_anonymity_audit,
     "adv_activity_heatmap": adv_activity_heatmap,
@@ -1089,7 +1265,113 @@ QUERIES = {
     "adv_pivot_segment_priority": adv_pivot_segment_priority,
 }
 
+#: Sessions-as-intervals CTE chain (gap sessionization -> epoch-ms
+#: interval per session) shared by the overlap-join oracle.
+_SESSION_INTERVALS_CTES = f"""
+    e AS (
+        SELECT user_id, event_id, ts, epoch_ms(ts) AS ms FROM events
+    ),
+    g AS (
+        SELECT *, ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM e
+    ),
+    s AS (
+        SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MS} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+        FROM g
+    ),
+    sess AS (
+        SELECT user_id, session_seq, min(ms) AS s_lo_ms, max(ms) AS s_hi_ms
+        FROM s GROUP BY user_id, session_seq
+    )"""
+
 ORACLES = {
+    "adv_scd2_user_tier_history": f"""
+        WITH base AS (
+            SELECT user_id, ts, event_id,
+                   CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                        // {TIER_WIDTH} AS INTEGER) AS tier
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id, tier,
+                   CASE WHEN lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) <> tier
+                        THEN 1 ELSE 0 END AS chg
+            FROM base
+        ),
+        numbered AS (
+            SELECT user_id, ts, tier,
+                   CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS INTEGER) AS interval_seq
+            FROM flagged
+        ),
+        iv AS (
+            SELECT user_id, interval_seq, min(tier) AS tier, min(ts) AS valid_from,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM numbered GROUP BY user_id, interval_seq
+        )
+        SELECT user_id, interval_seq, tier, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY interval_seq) AS valid_to,
+               n_events,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY interval_seq) IS NULL AS is_current
+        FROM iv
+    """,
+    "adv_cusum_changepoint_revenue": f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                   sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS HUGEINT)) AS rev_g
+            FROM orders GROUP BY 1
+        ),
+        scanned AS (
+            SELECT day, rev_g,
+                   CAST(row_number() OVER (ORDER BY day) AS HUGEINT) AS d_idx,
+                   sum(rev_g) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS prefix_g,
+                   sum(rev_g) OVER () AS total_g,
+                   CAST(count(*) OVER () AS HUGEINT) AS n_days
+            FROM daily
+        ),
+        flagged AS (
+            SELECT day, rev_g, n_days,
+                   n_days * prefix_g - d_idx * total_g AS s_g
+            FROM scanned
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY abs(s_g) DESC, day) AS peak_rank
+            FROM flagged
+        )
+        SELECT day,
+               {sql_round("CAST(rev_g AS DOUBLE) / 10000.0", 2)} AS revenue,
+               {sql_round("CAST(s_g AS DOUBLE) / CAST(n_days AS DOUBLE) / 10000.0", 2)} AS cusum,
+               peak_rank = 1 AS is_changepoint
+        FROM ranked
+    """,
+    "adv_campaign_session_overlap": f"""
+        WITH {_SESSION_INTERVALS_CTES},
+        camp AS (
+            SELECT c AS campaign_id,
+                   epoch_ms(TIMESTAMP '{CAMPAIGN_START}')
+                       + c * {CAMPAIGN_EVERY_H * 3600 * 1000} AS c_lo_ms,
+                   epoch_ms(TIMESTAMP '{CAMPAIGN_START}')
+                       + c * {CAMPAIGN_EVERY_H * 3600 * 1000}
+                       + {CAMPAIGN_LEN_H * 3600 * 1000} AS c_hi_ms
+            FROM range({CAMPAIGN_N}) t(c)
+        ),
+        cand AS (
+            -- the oracle states the overlap predicate directly; the
+            -- Spark side must reach the same set through the grid-cell
+            -- equi-join + exact re-check
+            SELECT * FROM sess JOIN camp
+            ON s_lo_ms < c_hi_ms AND c_lo_ms < s_hi_ms
+        )
+        SELECT campaign_id,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(floor(sum(least(s_hi_ms, c_hi_ms) - greatest(s_lo_ms, c_lo_ms)) / 1000.0)
+                    AS BIGINT) AS overlap_seconds
+        FROM cand GROUP BY campaign_id
+    """,
     "adv_k_anonymity_audit": f"""
         WITH qi AS (
             SELECT c_mktsegment, c_nationkey AS nation,

@@ -560,3 +560,88 @@ def test_incremental_merge_equals_full_recompute(spark, sf_dir):
         assert r.n_items == n
         assert r.min_price == lo and r.max_price == hi
         assert r.total_price == __import__("math").floor(g / 1e4 * 100.0 + 0.5) / 100.0
+
+
+def test_scd2_intervals_tile_per_user(spark, sf_dir):
+    # SCD2 contract: per user, intervals are contiguous (valid_to ==
+    # next valid_from), exactly one is_current (the last), consecutive
+    # tiers differ (no zero-change interval splits), and event counts
+    # reassemble the user's full event history.
+    from collections import defaultdict
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.advanced import adv_scd2_user_tier_history
+
+    per_user = defaultdict(list)
+    for r in adv_scd2_user_tier_history(spark, sf_dir).collect():
+        per_user[r.user_id].append(r)
+    totals = {
+        r.user_id: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(per_user) == set(totals)
+    for uid, ivs in per_user.items():
+        ivs.sort(key=lambda r: r.interval_seq)
+        assert [r.interval_seq for r in ivs] == list(range(1, len(ivs) + 1))
+        assert sum(r.n_events for r in ivs) == totals[uid]
+        assert [r.is_current for r in ivs] == [False] * (len(ivs) - 1) + [True]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from  # contiguous, no gaps
+            assert a.tier != b.tier  # a new interval means a real change
+
+
+def test_cusum_has_single_peak_and_zero_sum(spark, sf_dir):
+    # The scaled CUSUM telescopes to zero at the last day by
+    # construction; exactly one changepoint flag is set, at the
+    # global |S| max.
+    from mit_map_reduce_spark.operators.advanced import adv_cusum_changepoint_revenue
+
+    rows = sorted(
+        adv_cusum_changepoint_revenue(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert sum(1 for r in rows if r.is_changepoint) == 1
+    assert abs(rows[-1].cusum) < 0.01  # S_n == 0 up to the 2dp render
+    peak = max(abs(r.cusum) for r in rows)
+    flagged = next(r for r in rows if r.is_changepoint)
+    assert abs(flagged.cusum) == peak
+
+
+def test_campaign_overlap_equals_theta_join(spark, sf_dir):
+    # The grid-cell candidate join + exact re-check must reproduce the
+    # direct theta-join exactly (completeness of the cell covering).
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.operators.advanced import (
+        CAMPAIGN_EVERY_H,
+        CAMPAIGN_LEN_H,
+        CAMPAIGN_N,
+        CAMPAIGN_START,
+        adv_campaign_session_overlap,
+        adv_sessionize_events,
+    )
+
+    sess = adv_sessionize_events(spark, sf_dir).select(
+        "user_id",
+        F.unix_millis("session_start").alias("lo"),
+        (F.unix_millis("session_start") + F.col("duration_ms")).alias("hi"),
+    )
+    camp = spark.range(CAMPAIGN_N).select(
+        F.col("id").alias("campaign_id"),
+        (
+            F.unix_millis(F.lit(CAMPAIGN_START).cast("timestamp"))
+            + F.col("id") * (CAMPAIGN_EVERY_H * 3600 * 1000)
+        ).alias("clo"),
+    ).withColumn("chi", F.col("clo") + CAMPAIGN_LEN_H * 3600 * 1000)
+    naive = {
+        (r.campaign_id): r.n
+        for r in sess.join(
+            camp, (F.col("lo") < F.col("chi")) & (F.col("clo") < F.col("hi"))
+        )
+        .groupBy("campaign_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {r.campaign_id: r.n_sessions for r in adv_campaign_session_overlap(spark, sf_dir).collect()}
+    assert got == naive
