@@ -168,6 +168,8 @@ _PRIORITY = [
     "text_langid_agreement",
     "text_char_entropy",
     "text_tokenizer_fertility",
+    "dedup_split_leakage_audit",
+    "dedup_cluster_size_report",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

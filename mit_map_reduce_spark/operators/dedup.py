@@ -832,7 +832,101 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hash-split test share (percent of 100 deterministic buckets).
+LEAK_TEST_PCT = 20
+
+
+def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: after a deterministic hash
+    split, how many near-duplicate pairs CROSS the split — the check
+    that catches evaluation leakage before anyone trusts a benchmark
+    number (a test doc with a near-dup in train is a memorization
+    freebie; Lee et al. 2022 found whole eval suites compromised
+    this way).
+
+    Composition over the existing primitives: the split is the same
+    engine-stable md5-bucket rule as ``text_deterministic_sample``
+    (reproducible across engines and partitionings, unlike
+    ``df.sample``), the pairs are ``dedup_minhash_lsh_pairs``'s
+    band-bucket output. The pair table is bounded by the near-dup
+    count, so the two split-assignment joins and the one-row rollup
+    are noise next to the LSH stage at any scale; the three single-row
+    aggregates combine via 1-row broadcast cross joins.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bucket = F.conv(
+        F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10
+    ).cast("int") % 100
+    split = docs.select("doc_id", (bucket < LEAK_TEST_PCT).alias("is_test"))
+    counts = split.agg(
+        F.count(F.when(~F.col("is_test"), 1)).alias("n_train"),
+        F.count(F.when(F.col("is_test"), 1)).alias("n_test"),
+    )
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    tagged = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("doc_a"), F.col("is_test").alias("ta")),
+            "doc_a",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("doc_b"), F.col("is_test").alias("tb")),
+            "doc_b",
+        )
+    )
+    pair_stats = tagged.agg(
+        F.count("*").alias("n_pairs"),
+        F.count(F.when(F.col("ta") != F.col("tb"), 1)).alias("n_cross_pairs"),
+    )
+    leaked = (
+        tagged.filter(F.col("ta") != F.col("tb"))
+        .select(
+            F.when(F.col("ta"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc")
+        )
+        .distinct()
+        .agg(F.count("*").alias("n_leaked_test_docs"))
+    )
+    return (
+        counts.crossJoin(pair_stats)
+        .crossJoin(leaked)
+        .withColumn(
+            "leak_rate",
+            round_half_up(
+                F.col("n_leaked_test_docs").cast("double") / F.col("n_test"), 4
+            ),
+        )
+    )
+
+
+def dedup_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the one-page readout of how
+    duplicated the corpus actually is (cluster_size=1 is the unique
+    mass; the tail is what dedup will delete: a cluster of size s
+    drops s-1 docs).
+
+    Two tiny aggregations stacked on the session-shared CC label
+    artifact (every doc -> its cluster id via the keep-list view):
+    cluster sizes, then the size histogram — each a partial-aggregated
+    shuffle whose output is bounded by distinct sizes, plus exact
+    integer shares against the window total.
+    """
+    kl = near_dup_keep_list(spark, sf_dir)
+    sizes = kl.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+    total_docs = F.sum(F.col("cluster_size") * F.col("n_clusters")).over(W.partitionBy())
+    return hist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_docs_dropped"),
+        round_half_up(
+            (F.col("cluster_size") * F.col("n_clusters")).cast("double") / total_docs, 4
+        ).alias("corpus_share"),
+    )
+
+
 QUERIES = {
+    "dedup_split_leakage_audit": dedup_split_leakage_audit,
+    "dedup_cluster_size_report": dedup_cluster_size_report,
     "dedup_incremental_ingest": dedup_incremental_ingest,
     "dedup_exact": dedup_exact,
     "dedup_near_dup_keep_list": near_dup_keep_list,
@@ -1237,3 +1331,52 @@ ORACLES["dedup_simhash_band_pairs"] = f"""
 # The NumPy path is bit-identical to the HOF form (sequential float64
 # accumulation — functions/vectorized.py), so it shares its oracle.
 ORACLES["dedup_embedding_cosine_pairs_np"] = ORACLES["dedup_embedding_cosine_pairs"]
+
+#: Engine-stable hash split (text.py's _HEX_BUCKET idiom): first 4
+#: md5 hex digits of the doc id as an integer, mod 100.
+_SPLIT_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
+
+ORACLES["dedup_split_leakage_audit"] = f"""
+    WITH {_PAIRS_CTES},
+    splits AS (
+        SELECT doc_id, ({_SPLIT_BUCKET} % 100) < {LEAK_TEST_PCT} AS is_test
+        FROM documents
+    ),
+    tagged AS (
+        SELECT p.doc_a, p.doc_b, sa.is_test AS ta, sb.is_test AS tb
+        FROM pairs p
+        JOIN splits sa ON sa.doc_id = p.doc_a
+        JOIN splits sb ON sb.doc_id = p.doc_b
+    ),
+    leaked AS (
+        SELECT DISTINCT CASE WHEN ta THEN doc_a ELSE doc_b END AS doc
+        FROM tagged WHERE ta <> tb
+    )
+    SELECT (SELECT CAST(count(*) FILTER (NOT is_test) AS BIGINT) FROM splits) AS n_train,
+           (SELECT CAST(count(*) FILTER (is_test) AS BIGINT) FROM splits) AS n_test,
+           (SELECT CAST(count(*) AS BIGINT) FROM tagged) AS n_pairs,
+           (SELECT CAST(count(*) FILTER (ta <> tb) AS BIGINT) FROM tagged) AS n_cross_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM leaked) AS n_leaked_test_docs,
+           floor(((SELECT CAST(count(*) AS DOUBLE) FROM leaked)
+                  / (SELECT count(*) FILTER (is_test) FROM splits)) * 10000.0 + 0.5)
+               / 10000.0 AS leak_rate
+"""
+
+ORACLES["dedup_cluster_size_report"] = f"""
+    WITH kl AS ({ORACLES["dedup_near_dup_keep_list"]}),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM kl GROUP BY cluster_id),
+    hist AS (
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sizes GROUP BY cluster_size
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_docs_dropped,
+           floor((CAST(cluster_size * n_clusters AS DOUBLE)
+                  / sum(cluster_size * n_clusters) OVER ()) * 10000.0 + 0.5)
+               / 10000.0 AS corpus_share
+    FROM hist
+"""

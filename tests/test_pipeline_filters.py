@@ -194,3 +194,59 @@ def test_span_dedup_absorbs_viral_boilerplate(spark, tmp_path):
     )
     plan = owners._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
+
+
+def test_split_leakage_audit_consistency(spark, sf_dir):
+    # Counters must reconcile: train+test == corpus, cross pairs <=
+    # pairs, every leaked doc is a test doc appearing in a cross pair
+    # (cross-checked against a direct recomputation from the pair
+    # table), and the rate derives from the exact integers.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.dedup import (
+        LEAK_TEST_PCT,
+        dedup_split_leakage_audit,
+        minhash_lsh_pairs,
+    )
+
+    r = dedup_split_leakage_audit(spark, sf_dir).first()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert r.n_train + r.n_test == n_docs
+    assert 0 <= r.n_cross_pairs <= r.n_pairs
+    assert r.n_pairs == minhash_lsh_pairs(spark, sf_dir).count()
+    # direct recomputation of the leaked-doc set
+    bucket = (
+        F.conv(F.md5(F.col("doc_id").cast("string")).substr(1, 4), 16, 10).cast("int")
+        % 100
+    )
+    test_ids = {
+        row.doc_id
+        for row in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(bucket < LEAK_TEST_PCT)
+        .collect()
+    }
+    leaked = set()
+    for p in minhash_lsh_pairs(spark, sf_dir).collect():
+        a_t, b_t = p.doc_a in test_ids, p.doc_b in test_ids
+        if a_t != b_t:
+            leaked.add(p.doc_a if a_t else p.doc_b)
+    assert r.n_leaked_test_docs == len(leaked)
+
+
+def test_cluster_size_report_reconciles_with_keep_list(spark, sf_dir):
+    # The histogram must partition the corpus (sum n_docs == corpus
+    # size) and its dropped count must equal the keep-list's drops.
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.dedup import (
+        dedup_cluster_size_report,
+        near_dup_keep_list,
+    )
+
+    rows = dedup_cluster_size_report(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    kl = near_dup_keep_list(spark, sf_dir).collect()
+    n_dropped = sum(1 for r in kl if not r.keep)
+    assert sum(r.n_docs_dropped for r in rows) == n_dropped
+    assert abs(sum(r.corpus_share for r in rows) - 1.0) < 0.01
