@@ -170,6 +170,8 @@ _PRIORITY = [
     "text_tokenizer_fertility",
     "dedup_split_leakage_audit",
     "dedup_cluster_size_report",
+    "graph_bfs_reach",
+    "sim_embedding_norm_audit",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -930,7 +930,104 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: BFS: seed nodes are graph nodes whose id divides this; rounds cap
+#: the frontier expansion (diameter of the mutual-kNN graph is small).
+BFS_SEED_MOD = 20
+BFS_ROUNDS = 3
+
+
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the mutual-kNN co-purchase graph:
+    min-hop distance from a seed supplier set, frontier-expanded for
+    ``BFS_ROUNDS`` rounds — the reachability primitive behind blast-
+    radius analysis ("which suppliers are within 3 hops of these").
+
+    The Pregel-shaped loop: each round joins ONLY the current frontier
+    (not the whole visited set) against the edge list, anti-joins away
+    already-visited nodes, and tags survivors with the round number.
+    Per-round frames persist and the superseded visited set unpersists
+    once its successor materializes (the graph-loop cache discipline);
+    the whole fixpoint runs once per (session, corpus) via the shared
+    registry, and the edge list is the same cached artifact the
+    triangle/assortativity/link-prediction queries probe.
+    """
+
+    def build():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
+        try:
+            edges = _knn_copurchase_edges(spark, sf_dir)
+            und = (
+                edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+                .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+                .persist()
+            )
+            nodes = und.select(F.col("src").alias("node")).distinct()
+            # Eager localCheckpoint per round (the MMR-loop discipline,
+            # similarity.py:569): truncating lineage keeps re-planning
+            # flat AND keeps the final frame's cached blocks valid —
+            # persist+unpersist chains here left the registry holding a
+            # frame whose every count re-ran the whole loop (~5 s).
+            # Superseded checkpoint RDDs are released by the
+            # ContextCleaner when the Python reference drops.
+            visited = (
+                nodes.filter(F.col("node") % BFS_SEED_MOD == 0)
+                .withColumn("dist", F.lit(0))
+                .localCheckpoint()
+            )
+            for r in range(1, BFS_ROUNDS + 1):
+                frontier = visited.filter(F.col("dist") == r - 1)
+                reached = (
+                    frontier.join(und, frontier.node == und.src)
+                    .select(F.col("dst").alias("node"))
+                    .distinct()
+                )
+                visited = visited.unionByName(
+                    reached.join(visited, "node", "left_anti").withColumn(
+                        "dist", F.lit(r)
+                    )
+                ).localCheckpoint()
+            und.unpersist()
+            return visited
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    out = shared_persist(spark, "graph_bfs_dist", sf_dir, build)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+def _bfs_oracle_sql() -> str:
+    """Round-unrolled BFS twin: d_r = neighbors(d_{r-1}) minus all
+    earlier levels, same seed rule."""
+    levels = ["d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % {m} = 0)".format(m=BFS_SEED_MOD)]
+    for r in range(1, BFS_ROUNDS + 1):
+        prev_union = " UNION ALL ".join(f"SELECT node FROM d{i}" for i in range(r))
+        levels.append(
+            f"""d{r} AS (
+                SELECT node, {r} AS dist FROM (
+                    SELECT DISTINCT u.dst AS node
+                    FROM d{r - 1} f JOIN und u ON u.src = f.node
+                )
+                WHERE node NOT IN ({prev_union})
+            )"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT node, dist FROM d{i}" for i in range(BFS_ROUNDS + 1)
+    )
+    return f"""{_KNN_EDGES_CTE},
+        und AS (
+            SELECT a AS src, b AS dst FROM mutual
+            UNION ALL
+            SELECT b AS src, a AS dst FROM mutual
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM und),
+        {", ".join(levels)}
+        SELECT node, CAST(dist AS INTEGER) AS dist FROM ({final})
+    """
+
+
 QUERIES = {
+    "graph_bfs_reach": graph_bfs_reach,
     "graph_degree_assortativity": graph_degree_assortativity,
     "graph_modularity_report": graph_modularity_report,
     "graph_label_propagation": graph_label_propagation,
@@ -944,6 +1041,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_bfs_reach": _bfs_oracle_sql(),
     "graph_degree_assortativity": f"""
         WITH pairs AS (
             SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust_node,

@@ -967,7 +967,60 @@ def quantization_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Norm grain: norms rounded to 1e-6 before cross-row summation so
+#: the average is an exact-integer ratio (the money-grain discipline
+#: applied to vector magnitudes).
+NORM_GRAIN = 1_000_000
+#: Degenerate-norm floor: vectors shorter than this are unusable for
+#: cosine retrieval (normalization divides by ~0).
+NORM_FLOOR = 1e-6
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA audit per label: vector counts, dimension
+    violations, degenerate (near-zero-norm) vectors, and the norm
+    distribution (min/mean/max) — the sanity gate an embedding
+    pipeline runs before building any index on a new batch (a stray
+    zero vector silently poisons cosine math; a dimension mismatch
+    breaks every dot product after it).
+
+    One map-side pass computes each vector's norm and dimension; the
+    per-label rollup sums exact integers only (norms pre-rounded to
+    1e-6 grains, the cross-engine discipline for float sums), so the
+    report is bit-stable at any partitioning. One partial-aggregated
+    shuffle on the label key.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = vec_norm(F.col("embedding"))
+    per_vec = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        nrm.alias("nrm"),
+        F.floor(nrm * NORM_GRAIN + F.lit(0.5)).cast("long").alias("nrm_g"),
+    )
+    sums = per_vec.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.count(F.when(F.col("dim") != DIM, 1)).alias("n_bad_dim"),
+        F.count(F.when(F.col("nrm") < NORM_FLOOR, 1)).alias("n_degenerate"),
+        F.min("nrm").alias("min_nrm"),
+        F.max("nrm").alias("max_nrm"),
+        F.sum("nrm_g").alias("nrm_g_sum"),
+    )
+    return sums.select(
+        "label",
+        "n_vectors",
+        "n_bad_dim",
+        "n_degenerate",
+        round_half_up("min_nrm", 4).alias("min_norm"),
+        round_half_up(
+            F.col("nrm_g_sum").cast("double") / NORM_GRAIN / F.col("n_vectors"), 4
+        ).alias("mean_norm"),
+        round_half_up("max_nrm", 4).alias("max_norm"),
+    )
+
+
 QUERIES = {
+    "sim_embedding_norm_audit": embedding_norm_audit,
     "sim_quantization_recall_report": quantization_recall_report,
     "sim_ann_recall_report": ann_recall_report,
     "sim_hard_negative_mining": hard_negative_mining,
@@ -1388,4 +1441,27 @@ ORACLES["sim_quantization_recall_report"] = f"""
     LEFT JOIN qtop i
       ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
     GROUP BY e.query_id
+"""
+
+ORACLES["sim_embedding_norm_audit"] = f"""
+    WITH per_vec AS (
+        SELECT label, len(embedding) AS dim,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    g AS (
+        SELECT label, dim, nrm,
+               CAST(floor(nrm * {NORM_GRAIN} + 0.5) AS BIGINT) AS nrm_g
+        FROM per_vec
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(*) FILTER (dim <> {DIM}) AS BIGINT) AS n_bad_dim,
+           CAST(count(*) FILTER (nrm < {NORM_FLOOR}) AS BIGINT) AS n_degenerate,
+           floor((min(nrm)) * 10000.0 + 0.5) / 10000.0 AS min_norm,
+           floor((CAST(sum(nrm_g) AS DOUBLE) / {NORM_GRAIN} / count(*)) * 10000.0 + 0.5)
+               / 10000.0 AS mean_norm,
+           floor((max(nrm)) * 10000.0 + 0.5) / 10000.0 AS max_norm
+    FROM g GROUP BY label
 """

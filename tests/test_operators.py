@@ -645,3 +645,47 @@ def test_campaign_overlap_equals_theta_join(spark, sf_dir):
     }
     got = {r.campaign_id: r.n_sessions for r in adv_campaign_session_overlap(spark, sf_dir).collect()}
     assert got == naive
+
+
+def test_bfs_distances_are_minimal_hops(spark, sf_dir):
+    # Cross-check the frontier loop against a driver-side Dijkstra-ish
+    # BFS over the same collected edge list: distances must be the
+    # exact min-hop values, truncated at BFS_ROUNDS.
+    from collections import deque
+    from mit_map_reduce_spark.operators.graph import (
+        BFS_ROUNDS,
+        BFS_SEED_MOD,
+        _knn_copurchase_edges,
+        graph_bfs_reach,
+    )
+
+    adj = {}
+    for r in _knn_copurchase_edges(spark, sf_dir).collect():
+        adj.setdefault(r.a, set()).add(r.b)
+        adj.setdefault(r.b, set()).add(r.a)
+    dist = {n: 0 for n in adj if n % BFS_SEED_MOD == 0}
+    q = deque(dist)
+    while q:
+        n = q.popleft()
+        if dist[n] >= BFS_ROUNDS:
+            continue
+        for m in adj.get(n, ()):
+            if m not in dist:
+                dist[m] = dist[n] + 1
+                q.append(m)
+    got = {r.node: r.dist for r in graph_bfs_reach(spark, sf_dir).collect()}
+    assert got == dist
+
+
+def test_embedding_norm_audit_counts(spark, sf_dir):
+    # Label partition must cover the table; no synthetic vector is
+    # degenerate or mis-dimensioned; bounds hold per label.
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.similarity import embedding_norm_audit
+
+    rows = embedding_norm_audit(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n
+    for r in rows:
+        assert r.n_bad_dim == 0 and r.n_degenerate == 0
+        assert 0 < r.min_norm <= r.mean_norm <= r.max_norm
