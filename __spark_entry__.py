@@ -172,6 +172,8 @@ _PRIORITY = [
     "dedup_cluster_size_report",
     "graph_bfs_reach",
     "sim_embedding_norm_audit",
+    "src_gzip_jsonl_roundtrip_docs",
+    "stream_topk_trending_users",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -320,7 +320,43 @@ def src_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def src_gzip_jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> gzip-compressed JSON lines -> explicit-schema read
+    -> per-(lang, source) rollup with content checksums.
+
+    Compressed JSONL is THE interchange format of LLM corpus work
+    (every public crawl dump ships as .jsonl.gz); this drives the
+    codec path end-to-end. Gzip is not splittable — one file is one
+    task — so the write keeps several files (per-partition writers),
+    which at 100 TB is the difference between a parallel scan and one
+    reader; the read side lists the directory and assigns whole files.
+    The rollup carries min/max md5 of the round-tripped text plus the
+    exact char-count sum, so any mojibake, escaping loss, or truncation
+    anywhere in the corpus flips the hash.
+    """
+    out = _artifact_dir(sf_dir, "jsonl|gzip|v1", "documents")
+    _ensure_written(
+        lambda d: write_json(
+            load_table(spark, sf_dir, "documents").repartition(4),
+            d,
+            options={"compression": "gzip"},
+        ),
+        out,
+    )
+    back = read_json(spark, out, DOCS_SCHEMA)
+    return back.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars_total"),
+        F.min(F.md5("text")).alias("min_text_md5"),
+        F.max(F.md5("text")).alias("max_text_md5"),
+    )
+
+
 QUERIES = {
+    "src_gzip_jsonl_roundtrip_docs": src_gzip_jsonl_roundtrip_docs,
     "src_compact_small_files": src_compact_small_files,
     "src_schema_evolution_merge": src_schema_evolution_merge,
     "src_text_kv_roundtrip_wc": src_text_kv_roundtrip_wc,
@@ -331,6 +367,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "src_gzip_jsonl_roundtrip_docs": """
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+               min(md5(text)) AS min_text_md5,
+               max(md5(text)) AS max_text_md5
+        FROM documents GROUP BY lang, source
+    """,
     "src_compact_small_files": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_rows,
                {COMPACT_OUTPUT_FILES} AS n_files,

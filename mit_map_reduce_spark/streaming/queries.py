@@ -538,6 +538,44 @@ def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     return _run_to_file_sink(agg)
 
 
+#: Trending readout: top users per closed day window.
+TREND_TOPK = 5
+
+
+def stream_topk_trending_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily top-K most-active users: the trending-dashboard shape.
+    Ranking is not a streaming-legal operation, so the production
+    split is exactly what runs here — the STREAM maintains per-
+    (window, user) counts and emits each window's rows once on close
+    (append + file sink, watermark-bounded state), and the top-K rank
+    is a BATCH window query over the emitted sink table (the serving
+    query a dashboard runs per refresh).
+
+    At 100 TB the stream side's state is bounded by active (window,
+    user) keys; the sink table holds one row per user-day — the rank
+    runs over that rollup, never the raw stream. Ties break by
+    user_id, making the leaderboard engine-reproducible.
+    """
+    from pyspark.sql import Window as W
+
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "user_id", "n_events")
+    )
+    sink = _run_to_file_sink(agg)
+    rk = F.row_number().over(
+        W.partitionBy("ws").orderBy(F.col("n_events").desc(), "user_id")
+    )
+    return (
+        sink.withColumn("rank", rk)
+        .filter(F.col("rank") <= TREND_TOPK)
+        .select("ws", "rank", "user_id", "n_events")
+    )
+
+
 def stream_cms_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch maintained INSIDE the stream: a per-day CMS of
     user activity. Every event increments ``CMS_DEPTH`` md5-hashed
@@ -813,6 +851,7 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stream_topk_trending_users": stream_topk_trending_users,
     "stream_incremental_restart": stream_incremental_restart,
     "stream_late_data_metrics": stream_late_data_metrics,
     "stream_append_tumbling_file_sink": stream_append_tumbling_file_sink,
@@ -830,6 +869,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_topk_trending_users": f"""
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        per_user AS (
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, user_id,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events, wm
+            GROUP BY 1, user_id, wm.w
+            HAVING CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= wm.w
+        ),
+        ranked AS (
+            SELECT ws, user_id, n_events,
+                   CAST(row_number() OVER (
+                       PARTITION BY ws ORDER BY n_events DESC, user_id
+                   ) AS INTEGER) AS rank
+            FROM per_user
+        )
+        SELECT ws, rank, user_id, n_events FROM ranked WHERE rank <= {TREND_TOPK}
+    """,
     # At-least-once redelivery (same file fed twice) collapsed by the
     # built-in dedup == single-copy batch counts over CLOSED windows.
     "stream_dedup_within_watermark": """

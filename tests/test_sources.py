@@ -140,3 +140,21 @@ def test_range_partitioned_global_sort(spark, tmp_path):
         prev_max = vals[-1]
         total += len(vals)
     assert total == li.count()  # nothing lost or duplicated
+
+
+def test_gzip_jsonl_roundtrip_writes_gzip_parts(spark, sf_dir):
+    # The artifact must actually be gzip-compressed JSONL in several
+    # files (gzip is unsplittable: one file == one read task, so a
+    # single giant .gz would serialize the scan).
+    import os
+    from mit_map_reduce_spark.operators.sources_queries import (
+        _artifact_dir,
+        src_gzip_jsonl_roundtrip_docs,
+    )
+
+    src_gzip_jsonl_roundtrip_docs(spark, sf_dir).count()
+    out = _artifact_dir(sf_dir, "jsonl|gzip|v1", "documents")
+    parts = [f for f in os.listdir(out) if f.endswith(".json.gz")]
+    assert len(parts) >= 2
+    with open(os.path.join(out, parts[0]), "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"  # gzip magic
