@@ -174,6 +174,9 @@ _PRIORITY = [
     "sim_embedding_norm_audit",
     "src_gzip_jsonl_roundtrip_docs",
     "stream_topk_trending_users",
+    "mm_keyframe_select",
+    "sim_embedding_gram_matrix",
+    "rel_seasonality_index_monthly",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -389,7 +389,37 @@ def mm_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shot keyframe selection — the step after scene-cut
+    detection in a video curation pipeline: segment each video's
+    sampled frames into shots (running sum of boundary flags — the
+    gaps-and-islands construction over the same Hamming-distance
+    signal as ``mm_shot_boundaries``) and nominate each shot's first
+    frame as its representative keyframe (the I-frame convention).
+
+    Output is one row per (video, shot) with the keyframe index and
+    shot extent — bounded by cut counts, not frames; the per-video
+    window is the only shuffle past the map-side frame generation.
+    """
+    frames = mm_frame_sample(spark, sf_dir)
+    ph = F.conv(F.substring("frame_md5", 1, 4), 16, 10).cast("long")
+    cur = frames.select("doc_id", "frame_idx", ph.alias("phash"))
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    d = F.bit_count(F.col("phash").bitwiseXOR(F.lag("phash").over(w)))
+    cut = F.when(d >= SHOT_HAMMING_T, 1).otherwise(0)
+    shots = cur.withColumn(
+        "shot_id",
+        F.sum(cut).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("int"),
+    )
+    return shots.groupBy("doc_id", "shot_id").agg(
+        F.min("frame_idx").alias("keyframe_idx"),
+        F.max("frame_idx").alias("last_frame_idx"),
+        F.count("*").alias("n_frames"),
+    )
+
+
 QUERIES = {
+    "mm_keyframe_select": mm_keyframe_select,
     "mm_shot_boundaries": mm_shot_boundaries,
     "mm_audio_vad_segments": mm_audio_vad_segments,
     "mm_audio_energy_windows": mm_audio_energy_windows,
@@ -418,9 +448,10 @@ _HEX4 = (
     " + (strpos('0123456789abcdef', substr(m, 4, 1)) - 1))"
 )
 
-ORACLES = {
-    "mm_shot_boundaries": f"""
-        WITH v AS (
+#: Shared CTE chain rebuilding the sampled + 16-bit-hashed video
+#: frames (the oracle twin of mm_frame_sample + the phash projection) —
+#: consumed by the shot-boundary and keyframe oracles.
+_HASHED_FRAMES_CTES = f"""v AS (
             SELECT doc_id, octet_length(encode(text)) % 240 AS n_frames
             FROM documents
             WHERE CAST(doc_id % 3 AS INTEGER) = 2
@@ -435,7 +466,11 @@ ORACLES = {
         hashed AS (
             SELECT doc_id, frame_idx, CAST({_HEX4} AS BIGINT) AS phash
             FROM frames
-        ),
+        )"""
+
+ORACLES = {
+    "mm_shot_boundaries": f"""
+        WITH {_HASHED_FRAMES_CTES},
         lagged AS (
             SELECT doc_id,
                    bit_count(xor(phash, lag(phash) OVER (
@@ -446,6 +481,28 @@ ORACLES = {
                CAST(count(CASE WHEN d >= {SHOT_HAMMING_T} THEN 1 END) AS BIGINT)
                    AS n_boundaries
         FROM lagged GROUP BY doc_id
+    """,
+    "mm_keyframe_select": f"""
+        WITH {_HASHED_FRAMES_CTES},
+        flagged AS (
+            SELECT doc_id, frame_idx,
+                   CASE WHEN bit_count(xor(phash, lag(phash) OVER (
+                            PARTITION BY doc_id ORDER BY frame_idx)))
+                            >= {SHOT_HAMMING_T}
+                        THEN 1 ELSE 0 END AS cut
+            FROM hashed
+        ),
+        shots AS (
+            SELECT doc_id, frame_idx,
+                   CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+                                       ROWS UNBOUNDED PRECEDING) AS INTEGER) AS shot_id
+            FROM flagged
+        )
+        SELECT doc_id, shot_id,
+               min(frame_idx) AS keyframe_idx,
+               max(frame_idx) AS last_frame_idx,
+               CAST(count(*) AS BIGINT) AS n_frames
+        FROM shots GROUP BY doc_id, shot_id
     """,
     "mm_audio_vad_segments": f"""
         WITH a AS (

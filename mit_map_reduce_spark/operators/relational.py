@@ -1817,10 +1817,44 @@ def rel_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_seasonality_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index — the BI-staple companion to
+    the trend fit (``rel_revenue_trend_forecast``): for each calendar
+    month 1..12, average revenue per occurrence of that month divided
+    by the grand monthly average; an index of 1.10 reads "Decembers
+    run 10% hot". (TPC-H's uniform generator should sit flat near
+    1.00 — which is itself the audit result.)
+
+    Exact-integer construction end-to-end: the fact table rolls up to
+    (year, month) grains map-side first; the month-of-year layer sums
+    those grains and counts occurrences; the two divisions to the
+    index happen once, on exact sums, identically in both engines.
+    The windowed grand totals run over a 12-row frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_ym = orders.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(F.sum(money_grains("o_totalprice")).alias("rev_g"))
+    per_m = per_ym.groupBy("m").agg(
+        F.count("*").alias("n_occurrences"),
+        F.sum("rev_g").alias("rev_g"),
+    )
+    w = W.partitionBy()
+    month_avg = F.col("rev_g").cast("double") / F.col("n_occurrences")
+    grand_avg = F.sum("rev_g").over(w).cast("double") / F.sum("n_occurrences").over(w)
+    return per_m.select(
+        F.col("m").alias("month"),
+        "n_occurrences",
+        round_half_up(month_avg / 1e4, 2).alias("avg_monthly_revenue"),
+        round_half_up(month_avg / grand_avg, 4).alias("seasonal_index"),
+    )
+
+
 QUERIES = {
     "rel_revenue_trend_forecast": rel_revenue_trend_forecast,
     "rel_fk_integrity_audit": rel_fk_integrity_audit,
     "rel_incremental_agg_merge": rel_incremental_agg_merge,
+    "rel_seasonality_index_monthly": rel_seasonality_index_monthly,
     "rel_benford_price_audit": rel_benford_price_audit,
     "rel_join_key_skew_report": rel_join_key_skew_report,
     "rel_price_balance_correlation": rel_price_balance_correlation,
@@ -1945,6 +1979,27 @@ ORACLES = {
                {sql_round("min_price", 2)} AS min_price,
                {sql_round("max_price", 2)} AS max_price
         FROM merged
+    """,
+    "rel_seasonality_index_monthly": f"""
+        WITH per_ym AS (
+            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS HUGEINT)) AS rev_g
+            FROM orders GROUP BY 1, 2
+        ),
+        per_m AS (
+            SELECT m, CAST(count(*) AS BIGINT) AS n_occurrences,
+                   sum(rev_g) AS rev_g
+            FROM per_ym GROUP BY m
+        )
+        SELECT CAST(m AS INTEGER) AS month, n_occurrences,
+               {sql_round("CAST(rev_g AS DOUBLE) / n_occurrences / 10000.0", 2)}
+                   AS avg_monthly_revenue,
+               {sql_round(
+                   "(CAST(rev_g AS DOUBLE) / n_occurrences)"
+                   " / (CAST(sum(rev_g) OVER () AS DOUBLE) / sum(n_occurrences) OVER ())",
+                   4,
+               )} AS seasonal_index
+        FROM per_m
     """,
     "rel_revenue_trend_forecast": """
         WITH per_month AS (

@@ -1019,7 +1019,58 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Gram grain: per-row products rounded to 1e-8 before summation.
+GRAM_GRAIN = 100_000_000.0
+GRAM_DIGITS = 6
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix ``X^T X`` over the embedding corpus — the 64x64
+    second-moment matrix PCA / whitening / covariance estimation
+    starts from, and the classic "matrix multiply as MapReduce" shape
+    (map emits tagged cell contributions, reduce sums per cell — the
+    reference's only computational paradigm, reference
+    src/mr/worker.go:138-145) expressed Spark-natively.
+
+    Each row contributes its full outer product MAP-SIDE: a nested
+    index-aware ``transform`` builds the 4096 (i, j, grain) terms per
+    vector with the product pre-rounded to 1e-8 grains (the float-sum
+    discipline — both engines round the same IEEE product, so every
+    row contributes identical integers), one explode, and a 4096-key
+    aggregation with map-side partials. The ONLY shuffle carries
+    (i, j, grain) triples and the result is fixed-size whatever the
+    corpus: at a billion rows the plan is unchanged. Grains sum in
+    decimal(38,0) — no overflow at any conceivable scale.
+    """
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    c = F.col("embedding")
+    outer = F.flatten(
+        F.transform(
+            c,
+            lambda x, i: F.transform(
+                c,
+                lambda y, j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    F.floor(
+                        x.cast("double") * y.cast("double") * GRAM_GRAIN + F.lit(0.5)
+                    )
+                    .cast("decimal(38,0)")
+                    .alias("g"),
+                ),
+            ),
+        )
+    )
+    terms = emb.select(F.explode(outer).alias("t")).select("t.i", "t.j", "t.g")
+    return terms.groupBy("i", "j").agg(
+        round_half_up(
+            F.sum("g").cast("double") / GRAM_GRAIN, GRAM_DIGITS
+        ).alias("value")
+    )
+
+
 QUERIES = {
+    "sim_embedding_gram_matrix": embedding_gram_matrix,
     "sim_embedding_norm_audit": embedding_norm_audit,
     "sim_quantization_recall_report": quantization_recall_report,
     "sim_ann_recall_report": ann_recall_report,
@@ -1464,4 +1515,20 @@ ORACLES["sim_embedding_norm_audit"] = f"""
                / 10000.0 AS mean_norm,
            floor((max(nrm)) * 10000.0 + 0.5) / 10000.0 AS max_norm
     FROM g GROUP BY label
+"""
+
+ORACLES["sim_embedding_gram_matrix"] = f"""
+    WITH t AS (
+        SELECT CAST(ii.i - 1 AS INTEGER) AS i, CAST(jj.j - 1 AS INTEGER) AS j,
+               CAST(floor(CAST(embedding[ii.i] AS DOUBLE)
+                          * CAST(embedding[jj.j] AS DOUBLE)
+                          * {GRAM_GRAIN} + 0.5) AS HUGEINT) AS g
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, {DIM + 1})) AS i) ii,
+             LATERAL (SELECT unnest(range(1, {DIM + 1})) AS j) jj
+    )
+    SELECT i, j,
+           floor((CAST(sum(g) AS DOUBLE) / {GRAM_GRAIN}) * 1000000.0 + 0.5)
+               / 1000000.0 AS value
+    FROM t GROUP BY i, j
 """

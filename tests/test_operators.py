@@ -689,3 +689,62 @@ def test_embedding_norm_audit_counts(spark, sf_dir):
     for r in rows:
         assert r.n_bad_dim == 0 and r.n_degenerate == 0
         assert 0 < r.min_norm <= r.mean_norm <= r.max_norm
+
+
+def test_gram_matrix_symmetry_and_diagonal(spark, sf_dir):
+    # X^T X must be symmetric, its diagonal must equal the per-column
+    # sum of squares (cross-checked against a NumPy recomputation),
+    # and the shape must be exactly DIM x DIM.
+    import numpy as np
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.similarity import DIM, embedding_gram_matrix
+
+    rows = embedding_gram_matrix(spark, sf_dir).collect()
+    assert len(rows) == DIM * DIM
+    g = {(r.i, r.j): r.value for r in rows}
+    for (i, j), v in g.items():
+        assert g[(j, i)] == v
+    X = np.array(
+        [r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    ref = X.T @ X
+    for i in range(0, DIM, 7):
+        for j in range(0, DIM, 11):
+            assert abs(g[(i, j)] - ref[i, j]) < 1e-4
+
+
+def test_keyframes_partition_sampled_frames(spark, sf_dir):
+    # Shots must tile each video's sampled frames: contiguous spans,
+    # one more shot than boundaries, and the keyframe starts its span.
+    from collections import defaultdict
+    from mit_map_reduce_spark.operators.multimodal import (
+        mm_keyframe_select,
+        mm_shot_boundaries,
+    )
+
+    bounds = {r.doc_id: r for r in mm_shot_boundaries(spark, sf_dir).collect()}
+    shots = defaultdict(list)
+    for r in mm_keyframe_select(spark, sf_dir).collect():
+        shots[r.doc_id].append(r)
+    assert set(shots) == set(bounds)
+    for doc, ss in shots.items():
+        ss.sort(key=lambda r: r.shot_id)
+        assert len(ss) == bounds[doc].n_boundaries + 1
+        assert sum(r.n_frames for r in ss) == bounds[doc].n_frames_sampled
+        for a, b in zip(ss, ss[1:]):
+            assert a.last_frame_idx < b.keyframe_idx
+        for s in ss:
+            assert s.keyframe_idx <= s.last_frame_idx
+
+
+def test_seasonality_index_weighted_mean_is_one(spark, sf_dir):
+    # The occurrence-weighted mean of the seasonal index is exactly 1
+    # by construction (up to the 4dp render).
+    from mit_map_reduce_spark.operators.relational import rel_seasonality_index_monthly
+
+    rows = rel_seasonality_index_monthly(spark, sf_dir).collect()
+    assert {r.month for r in rows} <= set(range(1, 13))
+    n = sum(r.n_occurrences for r in rows)
+    wmean = sum(r.seasonal_index * r.n_occurrences for r in rows) / n
+    assert abs(wmean - 1.0) < 1e-3
