@@ -177,6 +177,9 @@ _PRIORITY = [
     "mm_keyframe_select",
     "sim_embedding_gram_matrix",
     "rel_seasonality_index_monthly",
+    "rel_snapshot_diff_orders",
+    "rel_table_checksums",
+    "mr_positional_index",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -61,6 +61,37 @@ def mr_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mr_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index — the phrase-query extension of
+    reference src/mrapps/indexer.go's document index: per (word, doc),
+    the ascending 1-based token positions, '|'-joined (what a search
+    engine needs to answer "spark shuffle" as a PHRASE, not a bag).
+
+    Map side emits (word, doc, pos) via one ``posexplode`` — the
+    reference's map-emit shape with the position carried along; the
+    single aggregation sorts positions INSIDE the group (the
+    reference's sort-inside-reduce invariant for unspecified value
+    order, indexer.go:37) and renders them to a string so the row
+    stays driver-hashable. Output is bounded by distinct (word, doc)
+    pairs; posting lists are bounded by doc length.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id",
+        F.posexplode(tokenize_letters(F.col("text"))).alias("pos0", "word"),
+    )
+    return words.groupBy("word", "doc_id").agg(
+        F.count("*").alias("n_occurrences"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.col("pos0") + 1)),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("positions"),
+    )
+
+
 GREP_PATTERN = r"data \w+ (scan|sort)"
 
 
@@ -219,6 +250,7 @@ def mr_terasort_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "mr_positional_index": mr_positional_index,
     "mr_terasort_manifest": mr_terasort_manifest,
     "mr_reduce_side_join": mr_reduce_side_join,
     "mr_wordcount": mr_wordcount,
@@ -232,6 +264,17 @@ _TOKENS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')"
 from mit_map_reduce_spark.functions.columns import sql_money_sum as _sms
 
 ORACLES = {
+    "mr_positional_index": f"""
+        WITH words AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
+        pos AS (
+            SELECT doc_id, ws[i.i] AS word, CAST(i.i AS INTEGER) AS p
+            FROM words, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) i
+        )
+        SELECT word, doc_id,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               string_agg(CAST(p AS VARCHAR), '|' ORDER BY p) AS positions
+        FROM pos GROUP BY word, doc_id
+    """,
     "mr_terasort_manifest": f"""
         WITH keyed AS (
             SELECT md5(CAST(event_id AS VARCHAR)) AS k FROM events

@@ -1850,11 +1850,156 @@ def rel_seasonality_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+#: Snapshot-diff synthesis rules (deterministic, engine-identical):
+#: the "old" snapshot misses every 97th order (arrived later), the
+#: "new" snapshot re-prices every 89th (status-change update).
+DIFF_MISSING_MOD = 97
+DIFF_CHANGED_MOD = 89
+
+
+def rel_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-diff between two table snapshots — the reconciliation job
+    every migration/replication pipeline runs (did the new loader
+    produce the same table?): keys only in old (deleted), only in new
+    (added), in both with different payloads (changed), identical.
+
+    The two snapshots derive deterministically from orders (a late-
+    arriving slice missing from old, a re-priced slice changed in
+    new), then ONE full outer join on the key compares md5 row
+    fingerprints — the payload never shuffles twice, only (key, hash)
+    pairs, so at 100 TB the diff costs one co-partitioned join over
+    32-byte digests. Counts roll up per order priority so the report
+    localizes WHERE the drift sits.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def payload(price):
+        # Doubles render as exact grain integers (floor(x*100+0.5)) —
+        # printf('%.2f') rounding is not engine-identical at binary
+        # half-boundaries, integer grains are.
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.floor(price * 100 + F.lit(0.5)).cast("long").cast("string"),
+            )
+        )
+
+    old = orders.filter(F.col("o_orderkey") % DIFF_MISSING_MOD != 0).select(
+        "o_orderkey", "o_orderpriority", payload(F.col("o_totalprice")).alias("h_old")
+    )
+    new_price = F.when(
+        F.col("o_orderkey") % DIFF_CHANGED_MOD == 0, F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    new = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        payload(new_price).alias("h_new"),
+    )
+    j = old.join(new, ["o_orderkey", "o_orderpriority"], "full_outer")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("h_new").isNull(), 1)).alias("n_deleted"),
+        F.count(F.when(F.col("h_old").isNull(), 1)).alias("n_added"),
+        F.count(
+            F.when(
+                F.col("h_old").isNotNull()
+                & F.col("h_new").isNotNull()
+                & (F.col("h_old") != F.col("h_new")),
+                1,
+            )
+        ).alias("n_changed"),
+        F.count(F.when(F.col("h_old") == F.col("h_new"), 1)).alias("n_identical"),
+    )
+
+
+#: Columns fingerprinted per table, with the render kind that is
+#: engine-exact for the type: doubles as 1e-4 grain integers (printf
+#: float rendering is NOT engine-identical at binary half-boundaries;
+#: integer grains are), timestamps as epoch micros, the rest as plain
+#: strings. One static map drives BOTH the Spark projection and the
+#: generated oracle SQL, so the two sides cannot drift.
+CHECKSUM_SCHEMAS = {
+    "region": (("r_regionkey", "s"), ("r_name", "s")),
+    "nation": (("n_nationkey", "s"), ("n_name", "s"), ("n_regionkey", "s")),
+    "customer": (
+        ("c_custkey", "s"), ("c_name", "s"), ("c_nationkey", "s"),
+        ("c_acctbal", "d"), ("c_mktsegment", "s"),
+    ),
+    "supplier": (
+        ("s_suppkey", "s"), ("s_name", "s"), ("s_nationkey", "s"),
+        ("s_acctbal", "d"),
+    ),
+    "part": (
+        ("p_partkey", "s"), ("p_name", "s"), ("p_brand", "s"),
+        ("p_type", "s"), ("p_size", "s"), ("p_retailprice", "d"),
+    ),
+    "orders": (
+        ("o_orderkey", "s"), ("o_custkey", "s"), ("o_orderstatus", "s"),
+        ("o_totalprice", "d"), ("o_orderdate", "t"), ("o_orderpriority", "s"),
+    ),
+    "lineitem": (
+        ("l_orderkey", "s"), ("l_partkey", "s"), ("l_suppkey", "s"),
+        ("l_linenumber", "s"), ("l_quantity", "d"), ("l_extendedprice", "d"),
+        ("l_discount", "d"), ("l_tax", "d"), ("l_returnflag", "s"),
+        ("l_linestatus", "s"), ("l_shipdate", "t"),
+    ),
+    "events": (
+        ("event_id", "s"), ("ts", "t"), ("user_id", "s"),
+        ("event_type", "s"), ("value", "d"), ("props", "s"),
+    ),
+}
+
+
+def rel_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table fingerprints — the cross-system
+    reconciliation primitive ("does the replica hold the same rows?")
+    that needs no sort and no single reducer: each row hashes to an
+    md5, the first 12 hex digits become an integer, and the SUM of
+    those integers (plus the row count) is the table's checksum —
+    commutative, so any partitioning, engine, or scan order yields the
+    identical pair. One map-side hash + one single-row aggregate per
+    table: at 100 TB each table costs exactly one scan and the only
+    exchange carries 48-bit partial sums.
+    """
+    frames = []
+    for t, schema in CHECKSUM_SCHEMAS.items():
+        df = load_table(spark, sf_dir, t)
+        cols = []
+        for name, kind in schema:
+            c = F.col(name)
+            if kind == "d":
+                cols.append(F.floor(c * 10000 + F.lit(0.5)).cast("long").cast("string"))
+            elif kind == "t":
+                # o_orderdate/l_shipdate arrive TIMESTAMP_NTZ; the UTC
+                # session makes the cast a wall-time no-op, and DuckDB's
+                # epoch_us reads the same naive value.
+                cols.append(F.unix_micros(c.cast("timestamp")).cast("string"))
+            else:
+                cols.append(c.cast("string"))
+        h = F.conv(F.md5(F.concat_ws("|", *cols)).substr(1, 12), 16, 10).cast(
+            "decimal(38,0)"
+        )
+        frames.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(h).cast("string").alias("checksum"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 QUERIES = {
     "rel_revenue_trend_forecast": rel_revenue_trend_forecast,
     "rel_fk_integrity_audit": rel_fk_integrity_audit,
     "rel_incremental_agg_merge": rel_incremental_agg_merge,
     "rel_seasonality_index_monthly": rel_seasonality_index_monthly,
+    "rel_snapshot_diff_orders": rel_snapshot_diff_orders,
+    "rel_table_checksums": rel_table_checksums,
     "rel_benford_price_audit": rel_benford_price_audit,
     "rel_join_key_skew_report": rel_join_key_skew_report,
     "rel_price_balance_correlation": rel_price_balance_correlation,
@@ -1949,7 +2094,69 @@ def _benford_oracle_sql() -> str:
     """
 
 
+def _hex_int_sql(expr: str, digits: int) -> str:
+    """Integer value of the first ``digits`` hex chars of ``expr``
+    (DuckDB has no conv(); expand positionally like _HEX_BUCKET)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {k + 1}, 1)) - 1)"
+        f" * {16 ** (digits - 1 - k)}"
+        for k in range(digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _checksum_oracle_sql() -> str:
+    selects = []
+    for t, schema in CHECKSUM_SCHEMAS.items():
+        rendered = []
+        for name, kind in schema:
+            if kind == "d":
+                rendered.append(
+                    f"CAST(CAST(floor({name} * 10000 + 0.5) AS BIGINT) AS VARCHAR)"
+                )
+            elif kind == "t":
+                rendered.append(f"CAST(epoch_us({name}) AS VARCHAR)")
+            else:
+                rendered.append(f"CAST({name} AS VARCHAR)")
+        row = f"md5(concat_ws('|', {', '.join(rendered)}))"
+        selects.append(
+            f"""SELECT '{t}' AS table_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST({_hex_int_sql(row, 12)} AS HUGEINT)) AS VARCHAR)
+                       AS checksum
+            FROM {t}"""
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
 ORACLES = {
+    "rel_snapshot_diff_orders": f"""
+        WITH old AS (
+            SELECT o_orderkey, o_orderpriority,
+                   md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                       CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)))
+                       AS h_old
+            FROM orders WHERE o_orderkey % {DIFF_MISSING_MOD} <> 0
+        ),
+        new AS (
+            SELECT o_orderkey, o_orderpriority,
+                   md5(concat_ws('|', CAST(o_custkey AS VARCHAR), o_orderstatus,
+                       CAST(CAST(floor((CASE WHEN o_orderkey % {DIFF_CHANGED_MOD} = 0
+                                             THEN o_totalprice + 1.0
+                                             ELSE o_totalprice END) * 100 + 0.5)
+                                 AS BIGINT) AS VARCHAR))) AS h_new
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (h_new IS NULL) AS BIGINT) AS n_deleted,
+               CAST(count(*) FILTER (h_old IS NULL) AS BIGINT) AS n_added,
+               CAST(count(*) FILTER (h_old IS NOT NULL AND h_new IS NOT NULL
+                                     AND h_old <> h_new) AS BIGINT) AS n_changed,
+               CAST(count(*) FILTER (h_old = h_new) AS BIGINT) AS n_identical
+        FROM old FULL OUTER JOIN new USING (o_orderkey, o_orderpriority)
+        GROUP BY o_orderpriority
+    """,
+    "rel_table_checksums": _checksum_oracle_sql(),
     "rel_fk_integrity_audit": "\nUNION ALL\n".join(
         f"""
         SELECT '{label}' AS fk_edge,

@@ -748,3 +748,105 @@ def test_seasonality_index_weighted_mean_is_one(spark, sf_dir):
     n = sum(r.n_occurrences for r in rows)
     wmean = sum(r.seasonal_index * r.n_occurrences for r in rows) / n
     assert abs(wmean - 1.0) < 1e-3
+
+
+def test_snapshot_diff_counts_match_synthesis_rules(spark, sf_dir):
+    # The planted drift is exactly recoverable: the old snapshot
+    # misses every 97th key, so those surface as ADDED in new;
+    # changed == (key % 89 == 0) minus the added overlap; nothing is
+    # deleted; and the four buckets partition the keyspace.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.relational import (
+        DIFF_CHANGED_MOD,
+        DIFF_MISSING_MOD,
+        rel_snapshot_diff_orders,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    n_add = orders.filter(F.col("o_orderkey") % DIFF_MISSING_MOD == 0).count()
+    n_chg = orders.filter(
+        (F.col("o_orderkey") % DIFF_CHANGED_MOD == 0)
+        & (F.col("o_orderkey") % DIFF_MISSING_MOD != 0)
+    ).count()
+    rows = rel_snapshot_diff_orders(spark, sf_dir).collect()
+    assert sum(r.n_added for r in rows) == n_add
+    assert sum(r.n_changed for r in rows) == n_chg
+    assert sum(r.n_deleted for r in rows) == 0
+    assert sum(r.n_added + r.n_changed + r.n_identical for r in rows) == n
+
+
+def test_table_checksums_detect_any_row_change(spark, sf_dir):
+    # The fingerprint must (a) cover every table with its true row
+    # count, (b) be reproducible across partitionings, and (c) move
+    # when a single row changes.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.relational import (
+        CHECKSUM_SCHEMAS,
+        rel_table_checksums,
+    )
+
+    rows = {r.table_name: r for r in rel_table_checksums(spark, sf_dir).collect()}
+    assert set(rows) == set(CHECKSUM_SCHEMAS)
+    for t in CHECKSUM_SCHEMAS:
+        assert rows[t].n_rows == load_table(spark, sf_dir, t).count()
+    # reproducibility: the same hash-sum computed over a repartitioned
+    # copy of one table must agree (commutativity of the sum)
+    nat = load_table(spark, sf_dir, "nation").repartition(7)
+    h = F.conv(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name").cast("string"),
+                F.col("n_regionkey").cast("string"),
+            )
+        ).substr(1, 12),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    again = nat.agg(F.sum(h).cast("string")).first()[0]
+    assert again == rows["nation"].checksum
+    # sensitivity: perturbing one row's key changes the sum
+    perturbed = nat.withColumn(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") == 0, 999).otherwise(F.col("n_nationkey")),
+    )
+    h2 = F.conv(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name").cast("string"),
+                F.col("n_regionkey").cast("string"),
+            )
+        ).substr(1, 12),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    assert perturbed.agg(F.sum(h2).cast("string")).first()[0] != again
+
+
+def test_positional_index_reconstructs_documents(spark, sf_dir):
+    # Inverting the positional index must reproduce every document's
+    # token sequence exactly (positions are 1-based, contiguous, and
+    # collision-free).
+    from collections import defaultdict
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.mr_queries import mr_positional_index
+    from mit_map_reduce_spark.functions.columns import tokenize_letters
+    from pyspark.sql import functions as F
+
+    rebuilt = defaultdict(dict)
+    for r in mr_positional_index(spark, sf_dir).collect():
+        for p in r.positions.split("|"):
+            assert int(p) not in rebuilt[r.doc_id]
+            rebuilt[r.doc_id][int(p)] = r.word
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_letters(F.col("text")).alias("toks")
+    )
+    for row in docs.collect():
+        toks = rebuilt.get(row.doc_id, {})
+        assert [toks[i] for i in range(1, len(toks) + 1)] == list(row.toks)
