@@ -146,6 +146,27 @@ HEADLINE = (
     "text_quality_drift",
     "rel_revenue_trend_forecast",
     "stream_outer_join_unattributed",
+    # round 4, fourth continuation session
+    "rel_fk_integrity_audit",
+    "rel_incremental_agg_merge",
+    "rel_seasonality_index_monthly",
+    "rel_snapshot_diff_orders",
+    "rel_table_checksums",
+    "adv_scd2_user_tier_history",
+    "adv_cusum_changepoint_revenue",
+    "adv_campaign_session_overlap",
+    "text_langid_agreement",
+    "text_char_entropy",
+    "text_tokenizer_fertility",
+    "dedup_split_leakage_audit",
+    "dedup_cluster_size_report",
+    "graph_bfs_reach",
+    "sim_embedding_norm_audit",
+    "sim_embedding_gram_matrix",
+    "src_gzip_jsonl_roundtrip_docs",
+    "stream_topk_trending_users",
+    "mm_keyframe_select",
+    "mr_positional_index",
 )
 
 

@@ -325,3 +325,57 @@ def test_hard_negative_mining_broadcasts_probe_and_query_sides(spark, sf_dir):
     from mit_map_reduce_spark.operators.similarity import hard_negative_mining
 
     assert broadcast_join_count(hard_negative_mining(spark, sf_dir)) >= 2
+
+
+def test_campaign_overlap_never_nested_loop(spark, sf_dir):
+    # The bucketed interval join must plan as hash joins on the grid
+    # cell — a BroadcastNestedLoopJoin means the theta-join form leaked
+    # through and the operator dies at scale.
+    from mit_map_reduce_spark.operators.advanced import adv_campaign_session_overlap
+
+    plan = physical_plan(adv_campaign_session_overlap(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fk_audit_broadcasts_dimension_parents(spark, sf_dir):
+    # Six of seven FK edges probe dimension parents — those joins must
+    # broadcast (the fact side never shuffles for them); only the
+    # lineitem->orders edge may shuffle.
+    from mit_map_reduce_spark.operators.relational import rel_fk_integrity_audit
+
+    assert broadcast_join_count(rel_fk_integrity_audit(spark, sf_dir)) >= 6
+
+
+def test_gram_matrix_has_no_join(spark, sf_dir):
+    # The outer-product expansion is map-side: the plan must contain
+    # no join at all — one scan, one exchange for the final aggregate.
+    from mit_map_reduce_spark.operators.similarity import embedding_gram_matrix
+
+    plan = physical_plan(embedding_gram_matrix(spark, sf_dir))
+    assert "Join" not in plan
+    assert count_shuffles(embedding_gram_matrix(spark, sf_dir)) <= 2
+
+
+def test_table_checksums_scans_have_no_shuffle_per_table(spark, sf_dir):
+    # Eight single-row aggregates unioned: at most one exchange per
+    # table (the partial-sum gather); no joins anywhere.
+    from mit_map_reduce_spark.operators.relational import (
+        CHECKSUM_SCHEMAS,
+        rel_table_checksums,
+    )
+
+    df = rel_table_checksums(spark, sf_dir)
+    assert "Join" not in physical_plan(df)
+    assert count_shuffles(df) <= len(CHECKSUM_SCHEMAS)
+
+
+def test_entropy_shuffle_carries_counts_not_text(spark, sf_dir):
+    # The (doc, char) aggregation must partial-aggregate map-side and
+    # the scan must read only what it needs (doc_id + text).
+    from mit_map_reduce_spark.operators.text import text_char_entropy
+
+    df = text_char_entropy(spark, sf_dir)
+    read = scan_read_schema(df)
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read
