@@ -180,6 +180,9 @@ _PRIORITY = [
     "rel_snapshot_diff_orders",
     "rel_table_checksums",
     "mr_positional_index",
+    "sim_ivf_cell_balance_report",
+    "text_pmi_collocations",
+    "stream_error_rate_alerts",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -167,6 +167,9 @@ HEADLINE = (
     "stream_topk_trending_users",
     "mm_keyframe_select",
     "mr_positional_index",
+    "sim_ivf_cell_balance_report",
+    "text_pmi_collocations",
+    "stream_error_rate_alerts",
 )
 
 

@@ -1069,7 +1069,38 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: per-cell occupancy of the trained
+    coarse quantizer — the readout an ANN service watches, because
+    probe latency is proportional to the probed cells' sizes and a
+    skewed quantizer silently turns "probe 2 of 16 cells" into "scan
+    a third of the corpus" (the hot-cell failure every IVF deployment
+    eventually meets).
+
+    Reuses the session's trained-centroid artifact and the map-side
+    assignment scorer; the report itself is one aggregation over
+    (vec_id, cell) pairs. ``load_factor`` is occupancy against the
+    uniform ideal (corpus / K_CELLS) — >1 reads "this cell is
+    oversubscribed"; both ratios derive from exact integers.
+    """
+    emb = _emb_with_norm(spark, sf_dir)
+    cents = _centroids_artifact(spark, sf_dir)
+    sizes = _assign_cells(emb, cents).groupBy("cell").agg(
+        F.count("*").alias("n_vectors")
+    )
+    total = F.sum("n_vectors").over(W.partitionBy())
+    return sizes.select(
+        "cell",
+        "n_vectors",
+        round_half_up(F.col("n_vectors").cast("double") / total, 4).alias("share"),
+        round_half_up(
+            F.col("n_vectors").cast("double") * K_CELLS / total, 4
+        ).alias("load_factor"),
+    )
+
+
 QUERIES = {
+    "sim_ivf_cell_balance_report": ivf_cell_balance_report,
     "sim_embedding_gram_matrix": embedding_gram_matrix,
     "sim_embedding_norm_audit": embedding_norm_audit,
     "sim_quantization_recall_report": quantization_recall_report,
@@ -1531,4 +1562,15 @@ ORACLES["sim_embedding_gram_matrix"] = f"""
            floor((CAST(sum(g) AS DOUBLE) / {GRAM_GRAIN}) * 1000000.0 + 0.5)
                / 1000000.0 AS value
     FROM t GROUP BY i, j
+"""
+
+ORACLES["sim_ivf_cell_balance_report"] = f"""
+    {_ivf_assign_prefix_sql()},
+    sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors FROM assign GROUP BY cell)
+    SELECT cell, n_vectors,
+           floor((CAST(n_vectors AS DOUBLE) / sum(n_vectors) OVER ()) * 10000.0 + 0.5)
+               / 10000.0 AS share,
+           floor((CAST(n_vectors AS DOUBLE) * {K_CELLS} / sum(n_vectors) OVER ())
+                 * 10000.0 + 0.5) / 10000.0 AS load_factor
+    FROM sizes
 """

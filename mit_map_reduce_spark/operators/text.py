@@ -1585,7 +1585,61 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PMI rounded to this many decimals (single ln over exact integers).
+PMI_DIGITS = 6
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over the co-occurrence pairs —
+    the collocation score that separates "occurs together because
+    both are frequent" from "occurs together because they belong
+    together" (Church & Hanks 1990); the vocabulary-mining step after
+    raw counts.
+
+    Document-level PMI: ``ln(n12 * N / (n1 * n2))`` over the SAME
+    vocab-bounded pair space as :func:`text_cooccurrence_pairs` (the
+    broadcast top-K vocabulary bounds the quadratic). Every count is
+    an exact integer; the ratio forms once in double (exact for these
+    magnitudes) and takes ONE ln, rounded to 6 dp — the single-float-
+    op discipline that keeps engine libm ulps invisible.
+    """
+    pairs = text_cooccurrence_pairs(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize_letters(F.lower(F.col("text"))))).alias(
+            "word"
+        ),
+    )
+    df_counts = words.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # one scalar; the scan is already cached by Spark
+    j = (
+        pairs.join(
+            F.broadcast(df_counts.select(F.col("word").alias("w1"), F.col("df").alias("df1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(df_counts.select(F.col("word").alias("w2"), F.col("df").alias("df2"))),
+            "w2",
+        )
+    )
+    pmi = F.log(
+        F.col("n_docs").cast("double")
+        * F.lit(float(n_docs))
+        / (F.col("df1").cast("double") * F.col("df2"))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        F.col("n_docs").alias("n_docs_pair"),
+        "df1",
+        "df2",
+        round_half_up(pmi, PMI_DIGITS).alias("pmi"),
+    )
+
+
 QUERIES = {
+    "text_pmi_collocations": text_pmi_collocations,
     "text_langid_agreement": text_langid_agreement,
     "text_char_entropy": text_char_entropy,
     "text_tokenizer_fertility": text_tokenizer_fertility,
@@ -2559,4 +2613,26 @@ ORACLES["text_tokenizer_fertility"] = f"""
            floor((CAST(bpe_tokens AS DOUBLE) / ws_tokens) * 10000.0 + 0.5) / 10000.0 AS fertility,
            floor((CAST(n_chars AS DOUBLE) / bpe_tokens) * 10000.0 + 0.5) / 10000.0 AS chars_per_token
     FROM sums
+"""
+
+ORACLES["text_pmi_collocations"] = f"""
+    WITH pairs AS ({ORACLES["text_cooccurrence_pairs"]}),
+    words AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^\\p{{L}}]+'), x -> x <> '')) AS word
+        FROM documents
+    ),
+    dfc AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, word FROM words) GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+    SELECT p.w1, p.w2, p.n_docs AS n_docs_pair, a.df AS df1, b.df AS df2,
+           floor(ln(CAST(p.n_docs AS DOUBLE) * n.n_docs
+                    / (CAST(a.df AS DOUBLE) * b.df)) * 1000000.0 + 0.5)
+               / 1000000.0 AS pmi
+    FROM pairs p
+    JOIN dfc a ON a.word = p.w1
+    JOIN dfc b ON b.word = p.w2
+    CROSS JOIN n
 """

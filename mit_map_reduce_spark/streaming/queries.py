@@ -538,6 +538,47 @@ def stream_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFram
     return _run_to_file_sink(agg)
 
 
+#: Alert rule: a window alerts when its error share crosses this.
+ALERT_ERROR_SHARE = 0.22
+ALERT_WINDOW = "6 hours"
+
+
+def stream_error_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-rule evaluation on the stream: per 6-hour tumbling
+    window, the error share of all events, with the alert flag the
+    on-call pager would fire on — the monitoring shape every event
+    pipeline runs beside its business aggregations.
+
+    One watermarked windowed aggregation carrying two exact counters
+    (events, errors); the share and the threshold comparison derive
+    from those integers once per emitted window. Append + file sink:
+    an alert row is immutable once its window closes — exactly the
+    semantics an incident timeline needs (no flapping rewrites).
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", ALERT_WINDOW).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+        )
+        .select(
+            F.col("w.start").alias("ws"),
+            "n_events",
+            "n_errors",
+            round_half_up(
+                F.col("n_errors").cast("double") / F.col("n_events"), 4
+            ).alias("error_share"),
+            (
+                F.col("n_errors").cast("double") / F.col("n_events")
+                > ALERT_ERROR_SHARE
+            ).alias("alert"),
+        )
+    )
+    return _run_to_file_sink(agg)
+
+
 #: Trending readout: top users per closed day window.
 TREND_TOPK = 5
 
@@ -851,6 +892,7 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "stream_error_rate_alerts": stream_error_rate_alerts,
     "stream_topk_trending_users": stream_topk_trending_users,
     "stream_incremental_restart": stream_incremental_restart,
     "stream_late_data_metrics": stream_late_data_metrics,
@@ -869,6 +911,22 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_error_rate_alerts": f"""
+        WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+        win AS (
+            SELECT time_bucket(INTERVAL 6 HOUR, ts) AS ws,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_errors
+            FROM events, wm
+            GROUP BY 1, wm.w
+            HAVING time_bucket(INTERVAL 6 HOUR, ts) + INTERVAL 6 HOUR <= wm.w
+        )
+        SELECT CAST(ws AS TIMESTAMP) AS ws, n_events, n_errors,
+               floor((CAST(n_errors AS DOUBLE) / n_events) * 10000.0 + 0.5)
+                   / 10000.0 AS error_share,
+               CAST(n_errors AS DOUBLE) / n_events > {ALERT_ERROR_SHARE} AS alert
+        FROM win
+    """,
     "stream_topk_trending_users": f"""
         WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
         per_user AS (

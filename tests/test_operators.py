@@ -850,3 +850,74 @@ def test_positional_index_reconstructs_documents(spark, sf_dir):
     for row in docs.collect():
         toks = rebuilt.get(row.doc_id, {})
         assert [toks[i] for i in range(1, len(toks) + 1)] == list(row.toks)
+
+
+def test_ivf_balance_shares_sum_to_one(spark, sf_dir):
+    # Occupied cells must cover the whole corpus; load factors average
+    # to K/occupied >= 1 over occupied cells; shares sum to 1.
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.similarity import (
+        K_CELLS,
+        ivf_cell_balance_report,
+    )
+
+    rows = ivf_cell_balance_report(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= K_CELLS
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.01
+    for r in rows:
+        assert abs(r.load_factor - r.n_vectors * K_CELLS / n) < 1e-3
+
+
+def test_pmi_is_symmetric_in_counts_and_bounded(spark, sf_dir):
+    # PMI must equal ln(n12*N/(n1*n2)) recomputed from the row's own
+    # exact counters, and can never exceed ln(N/max(n1,n2)) (attained
+    # when the rarer word only occurs with the other).
+    import math
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.text import text_pmi_collocations
+
+    n = load_table(spark, sf_dir, "documents").count()
+    rows = text_pmi_collocations(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = math.log(r.n_docs_pair * n / (r.df1 * r.df2))
+        assert abs(r.pmi - expect) < 1e-5
+        assert r.pmi <= math.log(n / max(r.df1, r.df2)) + 1e-9
+        assert r.n_docs_pair <= min(r.df1, r.df2)
+
+
+def test_error_alerts_match_batch_rule(spark, sf_dir):
+    # The emitted windows must agree with a direct batch evaluation of
+    # the same rule over closed 6-hour windows.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.streaming.queries import (
+        ALERT_ERROR_SHARE,
+        stream_error_rate_alerts,
+    )
+
+    got = {r.ws: r for r in stream_error_rate_alerts(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("e"),
+        )
+        .collect()
+    )
+    import datetime
+
+    closed = {
+        r.w.start: r
+        for r in batch
+        if r.w.end <= wm - datetime.timedelta(hours=1)
+    }
+    assert set(got) == set(closed)
+    for ws, r in got.items():
+        b = closed[ws]
+        assert (r.n_events, r.n_errors) == (b.n, b.e)
+        assert r.alert == (b.e / b.n > ALERT_ERROR_SHARE)
