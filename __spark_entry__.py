@@ -183,6 +183,9 @@ _PRIORITY = [
     "sim_ivf_cell_balance_report",
     "text_pmi_collocations",
     "stream_error_rate_alerts",
+    "text_perplexity_buckets",
+    "src_csv_malformed_quarantine",
+    "src_dynamic_partition_overwrite",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -170,6 +170,9 @@ HEADLINE = (
     "sim_ivf_cell_balance_report",
     "text_pmi_collocations",
     "stream_error_rate_alerts",
+    "text_perplexity_buckets",
+    "src_csv_malformed_quarantine",
+    "src_dynamic_partition_overwrite",
 )
 
 

@@ -355,7 +355,112 @@ def src_gzip_jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+#: Every QUAR_BAD_MOD-th order is written with an unparseable price.
+QUAR_BAD_MOD = 101
+
+
+def src_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row quarantine — the ingestion posture every
+    production CSV loader needs: PERMISSIVE parse with an explicit
+    schema and a ``_corrupt_record`` column, so bad rows are COUNTED
+    and quarantined instead of killing the job (FAILFAST) or
+    vanishing (DROPMALFORMED). The artifact plants an unparseable
+    price in every 101st order; the report per priority carries good
+    rows, quarantined rows, and the money total over good rows only —
+    the loader's reconciliation receipt.
+
+    Scale shape: the permissive parse is per-row and map-side; the
+    corrupt column materializes only for failing rows. The quarantine
+    row count is the signal a loader alerts on (bad share jumping
+    after an upstream format change).
+    """
+    out = _artifact_dir(sf_dir, f"csv|quarantine|{QUAR_BAD_MOD}", "orders")
+
+    def write(d: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        price = F.when(
+            F.col("o_orderkey") % QUAR_BAD_MOD == 0, F.lit("N/A")
+        ).otherwise(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .cast("string")
+        )
+        lines = orders.select(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                price,
+                F.col("o_orderpriority"),
+            ).alias("value")
+        )
+        lines.write.text(d)
+
+    _ensure_written(write, out)
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, price_cents bigint, o_orderpriority string, "
+            "_corrupt_record string"
+        )
+        .option("sep", "|")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("n_quarantined"),
+        F.coalesce(F.sum("price_cents"), F.lit(0)).alias("good_price_cents"),
+    )
+
+
+#: Dynamic-overwrite rule: the click partition is rewritten keeping
+#: only clicks with value above this; other partitions must survive.
+OVERWRITE_TYPE = "click"
+OVERWRITE_MIN_VALUE = 50.0
+
+
+def src_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill primitive
+    (``partitionOverwriteMode=dynamic``): rewriting one partition's
+    data replaces ONLY the partitions the new write touches, leaving
+    every other partition's files untouched. Here the click partition
+    is re-written with a cleaning rule applied (drop low-value
+    clicks); the per-type report then proves clicks changed and
+    nothing else did. Static overwrite mode would have deleted the
+    other four partitions — THE classic backfill data-loss incident
+    this mode exists to prevent.
+    """
+    out = _artifact_dir(
+        sf_dir, f"parquet|dyn-overwrite|{OVERWRITE_TYPE}>{OVERWRITE_MIN_VALUE}", "events"
+    )
+
+    def write(d: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        ev.write.partitionBy("event_type").parquet(d)
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            cleaned = ev.filter(
+                (F.col("event_type") == OVERWRITE_TYPE)
+                & (F.col("value") > OVERWRITE_MIN_VALUE)
+            )
+            cleaned.write.mode("overwrite").partitionBy("event_type").parquet(d)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+    _ensure_written(write, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        money_sum("value", 2).alias("total_value"),
+    )
+
+
 QUERIES = {
+    "src_csv_malformed_quarantine": src_csv_malformed_quarantine,
+    "src_dynamic_partition_overwrite": src_dynamic_partition_overwrite,
     "src_gzip_jsonl_roundtrip_docs": src_gzip_jsonl_roundtrip_docs,
     "src_compact_small_files": src_compact_small_files,
     "src_schema_evolution_merge": src_schema_evolution_merge,
@@ -367,6 +472,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "src_csv_malformed_quarantine": f"""
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (o_orderkey % {QUAR_BAD_MOD} = 0) AS BIGINT)
+                   AS n_quarantined,
+               coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        FILTER (o_orderkey % {QUAR_BAD_MOD} <> 0), 0)
+                   AS good_price_cents
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "src_dynamic_partition_overwrite": f"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {sql_money_sum("value", 2)} AS total_value
+        FROM events
+        WHERE event_type <> '{OVERWRITE_TYPE}'
+           OR value > {OVERWRITE_MIN_VALUE}
+        GROUP BY event_type
+    """,
     "src_gzip_jsonl_roundtrip_docs": """
         SELECT lang, source,
                CAST(count(*) AS BIGINT) AS n_docs,

@@ -1638,7 +1638,42 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPL_BUCKETS = 3  # CCNet head / middle / tail
+
+
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per language, split documents
+    into head / middle / tail thirds by unigram-LM score and report
+    each bucket's profile — the triage step CCNet popularized (train
+    on head+middle, inspect or drop the tail) and the standard first
+    cut on a new crawl.
+
+    Composition on :func:`text_unigram_logprob`; the ntile runs per
+    language ordered by (score, doc_id) so tile assignment is total
+    and engine-invariant. Bucket averages re-enter exact arithmetic by
+    re-graining the per-doc 4dp scores to integers before summation
+    (summing rounded DOUBLES would reintroduce order sensitivity).
+    The per-doc frame is (id, lang, score) — nothing heavier shuffles.
+    """
+    scored = text_unigram_logprob(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = scored.join(langs, "doc_id")
+    w = W.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+    tiled = j.withColumn("bucket", F.ntile(PPL_BUCKETS).over(w))
+    g = F.floor(F.col("avg_neg_logp") * 10000.0 + F.lit(0.5)).cast("long")
+    return tiled.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        round_half_up(F.min("avg_neg_logp"), 4).alias("min_neg_logp"),
+        round_half_up(
+            F.sum(g).cast("double") / 10000.0 / F.count("*"), 4
+        ).alias("avg_neg_logp"),
+        round_half_up(F.max("avg_neg_logp"), 4).alias("max_neg_logp"),
+    )
+
+
 QUERIES = {
+    "text_perplexity_buckets": text_perplexity_buckets,
     "text_pmi_collocations": text_pmi_collocations,
     "text_langid_agreement": text_langid_agreement,
     "text_char_entropy": text_char_entropy,
@@ -2635,4 +2670,24 @@ ORACLES["text_pmi_collocations"] = f"""
     JOIN dfc a ON a.word = p.w1
     JOIN dfc b ON b.word = p.w2
     CROSS JOIN n
+"""
+
+ORACLES["text_perplexity_buckets"] = f"""
+    WITH scored AS ({ORACLES["text_unigram_logprob"]}),
+    tiled AS (
+        SELECT d.lang, s.n_tokens, s.avg_neg_logp,
+               CAST(ntile({PPL_BUCKETS}) OVER (
+                   PARTITION BY d.lang ORDER BY s.avg_neg_logp, s.doc_id
+               ) AS INTEGER) AS bucket,
+               CAST(floor(s.avg_neg_logp * 10000.0 + 0.5) AS BIGINT) AS g
+        FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           floor((min(avg_neg_logp)) * 10000.0 + 0.5) / 10000.0 AS min_neg_logp,
+           floor((CAST(sum(g) AS DOUBLE) / 10000.0 / count(*)) * 10000.0 + 0.5)
+               / 10000.0 AS avg_neg_logp,
+           floor((max(avg_neg_logp)) * 10000.0 + 0.5) / 10000.0 AS max_neg_logp
+    FROM tiled GROUP BY lang, bucket
 """

@@ -275,3 +275,25 @@ def test_tokenizer_fertility_ratio_sanity(spark, sf_dir):
         assert r.fertility >= 1.0
         assert 0 < r.chars_per_token < 50
         assert r.bpe_tokens >= r.ws_tokens > 0
+
+
+def test_perplexity_buckets_partition_corpus(spark, sf_dir):
+    # Buckets tile each language's scored docs; head scores <= tail
+    # scores within a language; doc counts recover the scored corpus.
+    from collections import defaultdict
+    from mit_map_reduce_spark.operators.text import (
+        text_perplexity_buckets,
+        text_unigram_logprob,
+    )
+
+    n_scored = text_unigram_logprob(spark, sf_dir).count()
+    per_lang = defaultdict(list)
+    for r in text_perplexity_buckets(spark, sf_dir).collect():
+        per_lang[r.lang].append(r)
+    assert sum(r.n_docs for rs in per_lang.values() for r in rs) == n_scored
+    for rs in per_lang.values():
+        rs.sort(key=lambda r: r.bucket)
+        for a, b in zip(rs, rs[1:]):
+            assert a.avg_neg_logp <= b.avg_neg_logp + 1e-9
+        for r in rs:
+            assert r.min_neg_logp <= r.avg_neg_logp <= r.max_neg_logp

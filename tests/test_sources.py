@@ -158,3 +158,44 @@ def test_gzip_jsonl_roundtrip_writes_gzip_parts(spark, sf_dir):
     assert len(parts) >= 2
     with open(os.path.join(out, parts[0]), "rb") as fh:
         assert fh.read(2) == b"\x1f\x8b"  # gzip magic
+
+
+def test_quarantine_isolates_exactly_planted_rows(spark, sf_dir):
+    # Quarantined == planted bad keys; good money total excludes them.
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.sources_queries import (
+        QUAR_BAD_MOD,
+        src_csv_malformed_quarantine,
+    )
+    from pyspark.sql import functions as F
+
+    rows = src_csv_malformed_quarantine(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n_bad = orders.filter(F.col("o_orderkey") % QUAR_BAD_MOD == 0).count()
+    assert sum(r.n_quarantined for r in rows) == n_bad
+    assert sum(r.n_rows for r in rows) == orders.count()
+
+
+def test_dynamic_overwrite_preserves_untouched_partitions(spark, sf_dir):
+    # Non-click partitions keep their full event counts; the click
+    # partition shrinks to the cleaned subset — if static overwrite
+    # semantics leaked through, the other partitions would be empty.
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.sources_queries import (
+        OVERWRITE_MIN_VALUE,
+        src_dynamic_partition_overwrite,
+    )
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r.n_events for r in src_dynamic_partition_overwrite(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_clicks_kept = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > OVERWRITE_MIN_VALUE)
+    ).count()
+    for t, n in truth.items():
+        assert got[t] == (n_clicks_kept if t == "click" else n)
+    assert got["click"] < truth["click"]
