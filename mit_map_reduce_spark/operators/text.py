@@ -1512,7 +1512,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles at most 256 rows/doc of (id, char, int) triples — text
     itself never shuffles.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     p = F.substring(F.lower(F.col("text")), 1, ENTROPY_PREFIX_CHARS)
     chars = F.transform(
         F.sequence(F.lit(1), F.length(p)), lambda i: F.substr(p, i, F.lit(1))
@@ -1523,18 +1523,30 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "ch")
         .agg(F.count("*").alias("c"))
     )
-    n = F.sum("c").over(W.partitionBy("doc_id"))
     g = ENTROPY_LN_GRAIN
-    term = F.col("c") * F.floor(
-        F.log(F.col("c").cast("double") / n) * g + F.lit(0.5)
-    ).cast("long")
-    per_doc = counts.select("doc_id", n.alias("n"), term.alias("t"), F.lit(1).alias("d")).groupBy(
-        "doc_id"
-    ).agg(
-        F.min("n").alias("n_chars_scored"),
-        F.sum("d").alias("n_distinct_chars"),
-        F.sum("t").alias("s"),
+    # One aggregation per doc, then a map-side fold over the collected
+    # count array for the entropy terms (the n-dependent ln can only
+    # run once n is known; a window formulation costs an extra
+    # sort-exchange over the whole char stream — measured 1.6x slower
+    # at sf0.1). The collected array is bounded by the alphabet, and
+    # integer term sums are order-invariant, so collect_list's
+    # nondeterministic order cannot surface.
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_scored"),
+        F.count("*").alias("n_distinct_chars"),
+        F.collect_list("c").alias("cs"),
     )
+    n = F.col("n_chars_scored")
+    per_doc = per_doc.withColumn(
+        "s",
+        F.aggregate(
+            "cs",
+            F.lit(0).cast("long"),
+            lambda acc, c: acc
+            + c
+            * F.floor(F.log(c.cast("double") / n) * g + F.lit(0.5)).cast("long"),
+        ),
+    ).drop("cs")
     bits = -F.col("s").cast("double") / (
         F.col("n_chars_scored").cast("double") * g * math.log(2.0)
     )
