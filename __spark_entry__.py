@@ -186,6 +186,8 @@ _PRIORITY = [
     "text_perplexity_buckets",
     "src_csv_malformed_quarantine",
     "src_dynamic_partition_overwrite",
+    "graph_hits_scores",
+    "adv_pit_join_purchase_tier",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -173,6 +173,8 @@ HEADLINE = (
     "text_perplexity_buckets",
     "src_csv_malformed_quarantine",
     "src_dynamic_partition_overwrite",
+    "graph_hits_scores",
+    "adv_pit_join_purchase_tier",
 )
 
 

@@ -1230,7 +1230,53 @@ def adv_campaign_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_pit_join_purchase_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each purchase looks up the
+    user's profile tier AS OF the purchase moment, where the profile
+    only changes at signup events — the feature-store lookup rule
+    that prevents training leakage (never read a profile value set AFTER the
+    event you are featurizing). Purchases before any signup surface a
+    NULL tier — the honest cold-start answer.
+
+    Same merge-pattern scale shape as the as-of joins: union the
+    profile-change stream with the lookup stream, ONE window per
+    user carries the last tier forward — never a per-row interval
+    probe against the SCD2 table, which at 100 TB degenerates to a
+    range join. Ties (a signup and purchase at the same microsecond)
+    resolve by event_id — the signup with the smaller id wins, in
+    both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tier = F.floor(
+        F.get_json_object("props", "$.k").cast("int") / TIER_WIDTH
+    ).cast("int")
+    base = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "signup", tier).alias("tier_change"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = base.withColumn(
+        "tier_at_event", F.last("tier_change", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "tier_at_event",
+    )
+
+
 QUERIES = {
+    "adv_pit_join_purchase_tier": adv_pit_join_purchase_tier,
     "adv_scd2_user_tier_history": adv_scd2_user_tier_history,
     "adv_cusum_changepoint_revenue": adv_cusum_changepoint_revenue,
     "adv_campaign_session_overlap": adv_campaign_session_overlap,
@@ -1287,6 +1333,25 @@ _SESSION_INTERVALS_CTES = f"""
     )"""
 
 ORACLES = {
+    "adv_pit_join_purchase_tier": f"""
+        WITH base AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN event_type = 'signup'
+                        THEN CAST(CAST(json_extract_string(props, '$.k') AS INTEGER)
+                                  // {TIER_WIDTH} AS INTEGER) END AS tier_change
+            FROM events WHERE event_type IN ('signup', 'purchase')
+        ),
+        carried AS (
+            SELECT user_id, ts, event_id, event_type,
+                   last_value(tier_change IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS tier_at_event
+            FROM base
+        )
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts, tier_at_event
+        FROM carried WHERE event_type = 'purchase'
+    """,
     "adv_scd2_user_tier_history": f"""
         WITH base AS (
             SELECT user_id, ts, event_id,

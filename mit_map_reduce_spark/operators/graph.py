@@ -1026,7 +1026,152 @@ def _bfs_oracle_sql() -> str:
     """
 
 
+HITS_ITERS = 2
+
+
+def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the directed
+    customer->supplier trade graph: customers score as HUBS (they buy
+    from many good suppliers), suppliers as AUTHORITIES (they are
+    bought from by many good hubs) — the second classic link-analysis
+    algorithm beside PageRank, and a genuinely different shape: two
+    mutually-recursive score vectors instead of one.
+
+    Exactness: scores round to ``RANK_DIGITS`` per step, so the next
+    step's neighbor sums add exact 1e-8 grains (integer-exact in any
+    order); L1 normalization divides two exact integer totals — one
+    IEEE division per node per step, identical in both engines (the
+    PageRank determinism contract, applied to a normalized iteration).
+    Each step is one join + one aggregation per vector on the shared
+    edge artifact; iterations materialize eagerly under the scoped
+    graph partitioning and release their predecessors.
+    """
+    grain = float(10**RANK_DIGITS)
+
+    def build():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
+        try:
+            # customer -> supplier direction only (the bipartite HITS)
+            edges = _trade_edges(spark, sf_dir).filter(
+                F.col("src") >= NODE_OFFSET
+            ).persist()
+            hubs = (
+                edges.select(F.col("src").alias("node")).distinct()
+                .withColumn("score", F.lit(1.0))
+                .persist()
+            )
+            auths = None
+            superseded: list = []
+            for _ in range(HITS_ITERS):
+                g = F.floor(F.col("score") * grain + F.lit(0.5)).cast("decimal(38,0)")
+                h_g = hubs.select("node", g.alias("g"))
+                a_sum = (
+                    edges.join(h_g, edges.src == h_g.node)
+                    .groupBy("dst")
+                    .agg(F.sum("g").alias("node_g"))
+                )
+                a_tot = F.sum("node_g").over(W.partitionBy())
+                auths = a_sum.select(
+                    F.col("dst").alias("node"),
+                    round_half_up(
+                        F.col("node_g").cast("double") / a_tot.cast("double"),
+                        RANK_DIGITS,
+                    ).alias("score"),
+                ).persist()
+                a_g = auths.select(
+                    "node",
+                    F.floor(F.col("score") * grain + F.lit(0.5))
+                    .cast("decimal(38,0)")
+                    .alias("g"),
+                )
+                h_sum = (
+                    edges.join(a_g, edges.dst == a_g.node)
+                    .groupBy("src")
+                    .agg(F.sum("g").alias("node_g"))
+                )
+                h_tot = F.sum("node_g").over(W.partitionBy())
+                new_hubs = h_sum.select(
+                    F.col("src").alias("node"),
+                    round_half_up(
+                        F.col("node_g").cast("double") / h_tot.cast("double"),
+                        RANK_DIGITS,
+                    ).alias("score"),
+                ).persist()
+                new_hubs.count()
+                for s in superseded:
+                    s.unpersist()
+                superseded = [hubs, auths]
+                hubs = new_hubs
+            out = (
+                hubs.select("node", F.lit("hub").alias("role"), "score")
+                .unionByName(
+                    auths.select("node", F.lit("authority").alias("role"), "score")
+                )
+                .persist()
+            )
+            out.count()
+            for s in superseded:
+                s.unpersist()
+            edges.unpersist()
+            return out
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return shared_persist(spark, "graph_hits_scores", sf_dir, build)
+
+
+def _hits_oracle_sql() -> str:
+    """Round-unrolled HITS twin: grained neighbor sums + one division
+    per step, same customer->supplier direction."""
+    grain = 10**RANK_DIGITS
+    sql = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o_custkey + {NODE_OFFSET} AS cust_node, l_suppkey AS supp_node
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT cust_node AS src, supp_node AS dst FROM pairs
+        ),
+        h0 AS (SELECT DISTINCT src AS node, 1.0 AS score FROM edges)"""
+    prev_h = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        sql += f""",
+        ag{i} AS (
+            SELECT e.dst AS node,
+                   sum(CAST(floor(h.score * {grain} + 0.5) AS HUGEINT)) AS node_g
+            FROM edges e JOIN {prev_h} h ON e.src = h.node
+            GROUP BY e.dst
+        ),
+        a{i} AS (
+            SELECT node,
+                   floor((CAST(node_g AS DOUBLE) / CAST(sum(node_g) OVER () AS DOUBLE))
+                         * {grain} + 0.5) / {grain} AS score
+            FROM ag{i}
+        ),
+        hg{i} AS (
+            SELECT e.src AS node,
+                   sum(CAST(floor(a.score * {grain} + 0.5) AS HUGEINT)) AS node_g
+            FROM edges e JOIN a{i} a ON e.dst = a.node
+            GROUP BY e.src
+        ),
+        h{i} AS (
+            SELECT node,
+                   floor((CAST(node_g AS DOUBLE) / CAST(sum(node_g) OVER () AS DOUBLE))
+                         * {grain} + 0.5) / {grain} AS score
+            FROM hg{i}
+        )"""
+        prev_h = f"h{i}"
+    sql += f"""
+        SELECT node, 'hub' AS role, score FROM h{HITS_ITERS}
+        UNION ALL
+        SELECT node, 'authority' AS role, score FROM a{HITS_ITERS}
+    """
+    return sql
+
+
 QUERIES = {
+    "graph_hits_scores": graph_hits_scores,
     "graph_bfs_reach": graph_bfs_reach,
     "graph_degree_assortativity": graph_degree_assortativity,
     "graph_modularity_report": graph_modularity_report,
@@ -1041,6 +1186,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_hits_scores": _hits_oracle_sql(),
     "graph_bfs_reach": _bfs_oracle_sql(),
     "graph_degree_assortativity": f"""
         WITH pairs AS (

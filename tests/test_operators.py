@@ -921,3 +921,54 @@ def test_error_alerts_match_batch_rule(spark, sf_dir):
         b = closed[ws]
         assert (r.n_events, r.n_errors) == (b.n, b.e)
         assert r.alert == (b.e / b.n > ALERT_ERROR_SHARE)
+
+
+def test_hits_scores_normalized_and_bipartite(spark, sf_dir):
+    # Hubs are customer nodes, authorities supplier nodes; each score
+    # vector L1-normalizes to ~1; scores are positive.
+    from mit_map_reduce_spark.operators.graph import NODE_OFFSET, graph_hits_scores
+
+    rows = graph_hits_scores(spark, sf_dir).collect()
+    hubs = [r for r in rows if r.role == "hub"]
+    auths = [r for r in rows if r.role == "authority"]
+    assert hubs and auths
+    assert all(r.node >= NODE_OFFSET for r in hubs)
+    assert all(r.node < NODE_OFFSET for r in auths)
+    assert abs(sum(r.score for r in hubs) - 1.0) < 1e-4
+    assert abs(sum(r.score for r in auths) - 1.0) < 1e-4
+    assert min(r.score for r in rows) > 0
+
+
+def test_pit_join_never_reads_future_signups(spark, sf_dir):
+    # Cross-check against a driver-side replay: the tier at each
+    # purchase must be the LAST signup tier at or before it (ties by
+    # event_id), or NULL before the first signup.
+    from collections import defaultdict
+    import json
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.advanced import (
+        TIER_WIDTH,
+        adv_pit_join_purchase_tier,
+    )
+
+    ev = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type in ('signup', 'purchase')")
+        .collect()
+    ):
+        ev[r.user_id].append(r)
+    expect = {}
+    for uid, rows in ev.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        tier = None
+        for r in rows:
+            if r.event_type == "signup":
+                tier = json.loads(r.props)["k"] // TIER_WIDTH
+            else:
+                expect[r.event_id] = tier
+    got = {
+        r.purchase_id: r.tier_at_event
+        for r in adv_pit_join_purchase_tier(spark, sf_dir).collect()
+    }
+    assert got == expect
