@@ -188,6 +188,10 @@ _PRIORITY = [
     "src_dynamic_partition_overwrite",
     "graph_hits_scores",
     "adv_pit_join_purchase_tier",
+    "adv_decile_lift_table",
+    "rel_segment_priority_chi2",
+    "text_js_divergence_sources",
+    "dedup_survivorship_report",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -175,6 +175,10 @@ HEADLINE = (
     "src_dynamic_partition_overwrite",
     "graph_hits_scores",
     "adv_pit_join_purchase_tier",
+    "adv_decile_lift_table",
+    "rel_segment_priority_chi2",
+    "text_js_divergence_sources",
+    "dedup_survivorship_report",
 )
 
 

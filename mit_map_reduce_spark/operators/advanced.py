@@ -1275,7 +1275,54 @@ def adv_pit_join_purchase_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LIFT_DECILES = 10
+
+
+def adv_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift / gains table — the model-evaluation artifact that
+    ships beside the AUC (``adv_auc_purchase_score``, same score and
+    label): sort by score descending, cut into deciles, report each
+    decile's response rate, lift over the base rate, and cumulative
+    capture of all positives — what a campaign-targeting readout
+    actually prints.
+
+    The ntile orders by (score DESC, event_id) so tile assignment is
+    total and engine-invariant; every reported ratio divides exact
+    integers (decile counts, positive counts, running sums over the
+    10-row decile frame). The global sort is the same single-pass
+    note as the AUC: at 100 TB swap in the two-pass distributed rank
+    (text_shuffle_order's construction) — decile arithmetic is
+    unchanged.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    w = W.orderBy(F.col("score").desc(), "event_id")
+    tiled = ev.withColumn("decile", F.ntile(LIFT_DECILES).over(w))
+    per = tiled.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("n_pos"),
+    )
+    full = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    run = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    base = F.sum("n_pos").over(full).cast("double") / F.sum("n").over(full)
+    resp = F.col("n_pos").cast("double") / F.col("n")
+    return per.select(
+        "decile",
+        "n",
+        "n_pos",
+        round_half_up(resp, 4).alias("response_rate"),
+        round_half_up(resp / base, 4).alias("lift"),
+        round_half_up(
+            F.sum("n_pos").over(run).cast("double") / F.sum("n_pos").over(full), 4
+        ).alias("cumulative_capture"),
+    )
+
+
 QUERIES = {
+    "adv_decile_lift_table": adv_decile_lift_table,
     "adv_pit_join_purchase_tier": adv_pit_join_purchase_tier,
     "adv_scd2_user_tier_history": adv_scd2_user_tier_history,
     "adv_cusum_changepoint_revenue": adv_cusum_changepoint_revenue,
@@ -1333,6 +1380,32 @@ _SESSION_INTERVALS_CTES = f"""
     )"""
 
 ORACLES = {
+    "adv_decile_lift_table": f"""
+        WITH tiled AS (
+            SELECT CAST(ntile({LIFT_DECILES}) OVER (ORDER BY value DESC, event_id)
+                        AS INTEGER) AS decile,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+            FROM events
+        ),
+        per AS (
+            SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS n_pos
+            FROM tiled GROUP BY decile
+        )
+        SELECT decile, n, n_pos,
+               {sql_round("CAST(n_pos AS DOUBLE) / n", 4)} AS response_rate,
+               {sql_round(
+                   "(CAST(n_pos AS DOUBLE) / n)"
+                   " / (CAST(sum(n_pos) OVER () AS DOUBLE) / sum(n) OVER ())",
+                   4,
+               )} AS lift,
+               {sql_round(
+                   "CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)"
+                   " AS DOUBLE) / sum(n_pos) OVER ()",
+                   4,
+               )} AS cumulative_capture
+        FROM per
+    """,
     "adv_pit_join_purchase_tier": f"""
         WITH base AS (
             SELECT user_id, ts, event_id, event_type,

@@ -924,7 +924,51 @@ def dedup_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship audit: compare what the near-dup keep-list
+    KEEPS against what it DROPS on quality and length — the check
+    that catches a dedup rule silently biasing the corpus (if the
+    dropped population skews high-quality, the smallest-id
+    representative rule is destroying value and should become
+    quality-argmax instead).
+
+    Pure composition: keep-list x quality scores x lengths, one
+    two-row rollup. Quality means re-grain the 4dp scores to
+    integers before summation (exact in any order); everything else
+    is exact counts. The keep-list side is the shared CC artifact —
+    this report costs one small join more than the keep-list itself.
+    """
+    from mit_map_reduce_spark.operators.text import text_quality
+
+    kl = near_dup_keep_list(spark, sf_dir)
+    q = text_quality(spark, sf_dir).select("doc_id", "quality")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = kl.join(q, "doc_id").join(docs, "doc_id")
+    qg = F.floor(F.col("quality") * 10000.0 + F.lit(0.5)).cast("long")
+    total = F.sum("n_docs").over(W.partitionBy())
+    return (
+        j.groupBy("keep")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(qg).alias("q_g"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .select(
+            "keep",
+            "n_docs",
+            round_half_up(
+                F.col("q_g").cast("double") / 10000.0 / F.col("n_docs"), 4
+            ).alias("avg_quality"),
+            round_half_up(
+                F.col("chars").cast("double") / F.col("n_docs"), 2
+            ).alias("avg_chars"),
+            round_half_up(F.col("n_docs").cast("double") / total, 4).alias("share"),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_survivorship_report": dedup_survivorship_report,
     "dedup_split_leakage_audit": dedup_split_leakage_audit,
     "dedup_cluster_size_report": dedup_cluster_size_report,
     "dedup_incremental_ingest": dedup_incremental_ingest,
@@ -1379,4 +1423,30 @@ ORACLES["dedup_cluster_size_report"] = f"""
                   / sum(cluster_size * n_clusters) OVER ()) * 10000.0 + 0.5)
                / 10000.0 AS corpus_share
     FROM hist
+"""
+
+# Survivorship oracle composes the keep-list and text-quality oracles
+# verbatim (no circular import: text.py never imports dedup).
+from mit_map_reduce_spark.operators.text import ORACLES as _TEXT_ORACLES  # noqa: E402
+
+ORACLES["dedup_survivorship_report"] = f"""
+    WITH kl AS ({ORACLES["dedup_near_dup_keep_list"]}),
+    q AS ({_TEXT_ORACLES["text_quality"]}),
+    j AS (
+        SELECT kl.keep,
+               CAST(floor(q.quality * 10000.0 + 0.5) AS BIGINT) AS qg,
+               d.n_chars
+        FROM kl
+        JOIN q ON q.doc_id = kl.doc_id
+        JOIN documents d ON d.doc_id = kl.doc_id
+    )
+    SELECT keep,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor((CAST(sum(qg) AS DOUBLE) / 10000.0 / count(*)) * 10000.0 + 0.5)
+               / 10000.0 AS avg_quality,
+           floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100.0 + 0.5)
+               / 100.0 AS avg_chars,
+           floor((CAST(count(*) AS DOUBLE) / sum(count(*)) OVER ()) * 10000.0 + 0.5)
+               / 10000.0 AS share
+    FROM j GROUP BY keep
 """

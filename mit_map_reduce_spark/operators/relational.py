@@ -1993,6 +1993,55 @@ def rel_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: chi-square cell terms round to this grain before summation.
+CHI2_GRAIN = 1_000_000
+
+
+def rel_segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer market
+    segment and order priority — the "are these two dimensions
+    actually related?" screen an analyst runs before slicing a
+    dashboard by both (TPC-H's uniform generator should say
+    independent — tiny chi2 against 16 dof — which is the audit
+    result).
+
+    One contingency aggregation (seg x priority exact counts), margins
+    via windows over the tiny cell frame, expected counts E=row*col/N
+    from exact integers, and each cell's (O-E)^2/E term pre-rounded to
+    1e-6 grains so the cross-cell sum is exact-integer (the float-sum
+    discipline — 25 cells or 25 million, same guarantee). Output: one
+    row with the statistic and degrees of freedom.
+    """
+    j = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(load_table(spark, sf_dir, "customer")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    cells = j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count("*").alias("o")
+    )
+    row_t = F.sum("o").over(W.partitionBy("c_mktsegment"))
+    col_t = F.sum("o").over(W.partitionBy("o_orderpriority"))
+    n = F.sum("o").over(W.partitionBy())
+    e = row_t.cast("double") * col_t / n
+    term_g = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * CHI2_GRAIN + F.lit(0.5)
+    ).cast("long")
+    terms = cells.select(
+        "c_mktsegment", "o_orderpriority", "o", term_g.alias("g")
+    )
+    agg = terms.agg(
+        F.count("*").alias("n_cells"),
+        F.count_distinct("c_mktsegment").alias("n_rows_dim"),
+        F.count_distinct("o_orderpriority").alias("n_cols_dim"),
+        F.sum("g").alias("chi2_g"),
+    )
+    return agg.select(
+        "n_cells",
+        ((F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1)).alias("dof"),
+        round_half_up(F.col("chi2_g").cast("double") / CHI2_GRAIN, 4).alias("chi2"),
+    )
+
+
 QUERIES = {
     "rel_revenue_trend_forecast": rel_revenue_trend_forecast,
     "rel_fk_integrity_audit": rel_fk_integrity_audit,
@@ -2000,6 +2049,7 @@ QUERIES = {
     "rel_seasonality_index_monthly": rel_seasonality_index_monthly,
     "rel_snapshot_diff_orders": rel_snapshot_diff_orders,
     "rel_table_checksums": rel_table_checksums,
+    "rel_segment_priority_chi2": rel_segment_priority_chi2,
     "rel_benford_price_audit": rel_benford_price_audit,
     "rel_join_key_skew_report": rel_join_key_skew_report,
     "rel_price_balance_correlation": rel_price_balance_correlation,
@@ -2157,6 +2207,29 @@ ORACLES = {
         GROUP BY o_orderpriority
     """,
     "rel_table_checksums": _checksum_oracle_sql(),
+    "rel_segment_priority_chi2": f"""
+        WITH cells AS (
+            SELECT c_mktsegment, o_orderpriority, count(*) AS o
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        terms AS (
+            SELECT c_mktsegment, o_orderpriority, o,
+                   CAST(floor((o - e) * (o - e) / e * {CHI2_GRAIN} + 0.5) AS BIGINT) AS g
+            FROM (
+                SELECT *,
+                       CAST(sum(o) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+                           * sum(o) OVER (PARTITION BY o_orderpriority)
+                           / sum(o) OVER () AS e
+                FROM cells
+            )
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST((count(DISTINCT c_mktsegment) - 1)
+                    * (count(DISTINCT o_orderpriority) - 1) AS BIGINT) AS dof,
+               {sql_round(f"CAST(sum(g) AS DOUBLE) / {CHI2_GRAIN}", 4)} AS chi2
+        FROM terms
+    """,
     "rel_fk_integrity_audit": "\nUNION ALL\n".join(
         f"""
         SELECT '{label}' AS fk_edge,

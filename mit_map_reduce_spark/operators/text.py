@@ -1684,7 +1684,78 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: JS terms round to 1e-8 grains before the cross-word sum.
+JS_GRAIN = 100_000_000
+JS_VOCAB_K = 30  # shared comparison vocabulary (top-K corpus words)
+
+
+def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between every pair of corpus sources'
+    unigram distributions — the bounded, symmetric drift measure
+    (0 = identical, ln 2 = disjoint) a corpus pipeline tracks to
+    answer "did this source's language shift?" and "how different are
+    my mixture components really?".
+
+    Distributions live on a shared broadcast top-``JS_VOCAB_K``
+    vocabulary (the cooccurrence discipline: fixed-size comparison
+    space no matter the corpus). Probabilities are exact-integer
+    ratios; each word's two KL terms compute as one float expression
+    spelled identically in both engines and pre-round to 1e-8 grains,
+    so the cross-word sum is exact-integer and the output is
+    partition-order-proof. The full (vocab x source) grid zero-fills
+    absent words — their terms contribute q*ln2 from the present
+    side, 0 from the absent one.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        "source", F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(JS_VOCAB_K)
+        .select("word")
+    )
+    counts = (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    sources = docs.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(vocab))
+    full = grid.join(counts, ["source", "word"], "left").fillna(0, subset=["c"])
+    tot = full.groupBy("source").agg(F.sum("c").alias("t"))
+    full = full.join(F.broadcast(tot), "source")
+    a = full.select(
+        F.col("source").alias("source_a"), "word",
+        (F.col("c").cast("double") / F.col("t")).alias("p"),
+    )
+    b = full.select(
+        F.col("source").alias("source_b"), "word",
+        (F.col("c").cast("double") / F.col("t")).alias("q"),
+    )
+    pairs = a.join(b, "word").filter(F.col("source_a") < F.col("source_b"))
+    p, q = F.col("p"), F.col("q")
+    term = (
+        F.when(p > 0, p * F.log(2.0 * p / (p + q))).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(2.0 * q / (p + q))).otherwise(F.lit(0.0))
+    ) * 0.5
+    g = F.floor(term * JS_GRAIN + F.lit(0.5)).cast("long")
+    return (
+        pairs.select("source_a", "source_b", g.alias("g"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_words"),
+            round_half_up(F.sum("g").cast("double") / JS_GRAIN, 6).alias(
+                "js_divergence"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "text_js_divergence_sources": text_js_divergence_sources,
     "text_perplexity_buckets": text_perplexity_buckets,
     "text_pmi_collocations": text_pmi_collocations,
     "text_langid_agreement": text_langid_agreement,
@@ -2702,4 +2773,54 @@ ORACLES["text_perplexity_buckets"] = f"""
                / 10000.0 AS avg_neg_logp,
            floor((max(avg_neg_logp)) * 10000.0 + 0.5) / 10000.0 AS max_neg_logp
     FROM tiled GROUP BY lang, bucket
+"""
+
+ORACLES["text_js_divergence_sources"] = f"""
+    WITH words AS (
+        SELECT source, unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^\\p{{L}}]+'), x -> x <> '')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, count(*) AS freq FROM words GROUP BY word
+            ORDER BY freq DESC, word LIMIT {JS_VOCAB_K}
+        )
+    ),
+    counts AS (
+        SELECT source, word, count(*) AS c FROM words
+        WHERE word IN (SELECT word FROM vocab)
+        GROUP BY source, word
+    ),
+    grid AS (
+        SELECT s.source, v.word
+        FROM (SELECT DISTINCT source FROM documents) s CROSS JOIN vocab v
+    ),
+    filled AS (
+        SELECT g.source, g.word, coalesce(c.c, 0) AS c
+        FROM grid g LEFT JOIN counts c ON c.source = g.source AND c.word = g.word
+    ),
+    probs AS (
+        SELECT source, word,
+               CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY source) AS p
+        FROM filled
+    ),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, a.word,
+               a.p AS p, b.p AS q
+        FROM probs a JOIN probs b
+          ON a.word = b.word AND a.source < b.source
+    ),
+    terms AS (
+        SELECT source_a, source_b,
+               CAST(floor(((CASE WHEN p > 0 THEN p * ln(2.0 * p / (p + q)) ELSE 0.0 END)
+                           + (CASE WHEN q > 0 THEN q * ln(2.0 * q / (p + q)) ELSE 0.0 END))
+                          * 0.5 * {JS_GRAIN} + 0.5) AS BIGINT) AS g
+        FROM pairs
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_words,
+           floor((CAST(sum(g) AS DOUBLE) / {JS_GRAIN}) * 1000000.0 + 0.5)
+               / 1000000.0 AS js_divergence
+    FROM terms GROUP BY source_a, source_b
 """

@@ -972,3 +972,78 @@ def test_pit_join_never_reads_future_signups(spark, sf_dir):
         for r in adv_pit_join_purchase_tier(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_lift_table_monotone_capture_and_weighted_mean(spark, sf_dir):
+    # Cumulative capture rises to exactly 1.0; decile sizes cover the
+    # event table; the size-weighted mean lift is 1 by construction.
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.advanced import adv_decile_lift_table
+
+    rows = sorted(adv_decile_lift_table(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    assert sum(r.n for r in rows) == load_table(spark, sf_dir, "events").count()
+    caps = [r.cumulative_capture for r in rows]
+    assert caps == sorted(caps) and abs(caps[-1] - 1.0) < 1e-9
+    n = sum(r.n for r in rows)
+    wmean = sum(r.lift * r.n for r in rows) / n
+    assert abs(wmean - 1.0) < 1e-3
+
+
+def test_chi2_matches_scipy_free_recompute(spark, sf_dir):
+    # Recompute the statistic driver-side from the raw contingency
+    # table; dof must match the table shape.
+    from collections import Counter
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.relational import rel_segment_priority_chi2
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = {r.c_custkey: r.c_mktsegment for r in c.collect()}
+    cells = Counter((seg[r.o_custkey], r.o_orderpriority) for r in o.collect())
+    rows_t, cols_t = Counter(), Counter()
+    for (s, p), v in cells.items():
+        rows_t[s] += v
+        cols_t[p] += v
+    n = sum(cells.values())
+    chi2 = sum(
+        (v - rows_t[s] * cols_t[p] / n) ** 2 / (rows_t[s] * cols_t[p] / n)
+        for (s, p), v in cells.items()
+    )
+    got = rel_segment_priority_chi2(spark, sf_dir).first()
+    assert got.dof == (len(rows_t) - 1) * (len(cols_t) - 1)
+    assert abs(got.chi2 - chi2) < 0.01
+
+
+def test_js_divergence_bounds_and_symmetry_of_pairing(spark, sf_dir):
+    # JS is bounded by ln 2, non-negative, and every unordered source
+    # pair appears exactly once.
+    import math
+    from mit_map_reduce_spark.operators.text import text_js_divergence_sources
+
+    rows = text_js_divergence_sources(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert -1e-9 <= r.js_divergence <= math.log(2) + 1e-6
+
+
+def test_survivorship_reconciles_with_keep_list(spark, sf_dir):
+    # Shares sum to 1, doc counts reconcile with the keep-list, and
+    # the kept group is never smaller than the dropped one here
+    # (near-dup clusters are a small corpus fraction).
+    from mit_map_reduce_spark.operators.dedup import (
+        dedup_survivorship_report,
+        near_dup_keep_list,
+    )
+
+    rows = {r.keep: r for r in dedup_survivorship_report(spark, sf_dir).collect()}
+    kl = near_dup_keep_list(spark, sf_dir).collect()
+    n_keep = sum(1 for r in kl if r.keep)
+    assert rows[True].n_docs == n_keep
+    if False in rows:
+        assert rows[False].n_docs == len(kl) - n_keep
+        assert abs(rows[True].share + rows[False].share - 1.0) < 0.01
+    assert rows[True].n_docs >= rows.get(False, rows[True]).n_docs
