@@ -192,6 +192,9 @@ _PRIORITY = [
     "rel_segment_priority_chi2",
     "text_js_divergence_sources",
     "dedup_survivorship_report",
+    "adv_new_vs_returning_users",
+    "adv_rolling_zscore_anomalies",
+    "rel_calendar_gap_audit",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -179,6 +179,9 @@ HEADLINE = (
     "rel_segment_priority_chi2",
     "text_js_divergence_sources",
     "dedup_survivorship_report",
+    "adv_new_vs_returning_users",
+    "adv_rolling_zscore_anomalies",
+    "rel_calendar_gap_audit",
 )
 
 

@@ -1321,7 +1321,71 @@ def adv_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the product-metrics
+    companion to the retention matrix: per calendar day, how many
+    active users saw the product for the FIRST time that day vs came
+    back. First-seen day is one min-aggregation per user; the daily
+    rollup compares each active (user, day) against it. Both
+    aggregations ride the user_id hash partitioning; the day-level
+    output is calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    )
+    active = ev.distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = active.join(first, "user_id")
+    return j.groupBy("day").agg(
+        F.count(F.when(F.col("day") == F.col("first_day"), 1)).alias("n_new"),
+        F.count(F.when(F.col("day") != F.col("first_day"), 1)).alias("n_returning"),
+        F.count("*").alias("n_active"),
+    )
+
+
+#: Rolling z-score window (days, trailing, excluding current) and the
+#: anomaly threshold.
+ZSCORE_WINDOW_DAYS = 28
+ZSCORE_THRESHOLD = 3.0
+
+
+def adv_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on daily revenue — the
+    point-anomaly companion to the CUSUM level-shift scan: each day
+    scores against the trailing 28-day mean/std (current day
+    excluded, so an anomaly cannot mask itself), and |z| >= 3 flags.
+
+    Exactness: daily revenue is integer grains; the rolling mean and
+    variance derive from exact rolling sums of grains and squared
+    grains (decimal(38,0) — squares of 1e13-grain days need the
+    headroom), combined into z with one float expression identical in
+    both engines. The window runs over the tiny day-level frame.
+    Days with fewer than 7 trailing observations emit NULL z (warmup).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(money_grains("o_totalprice")).alias("g")
+    )
+    w = W.orderBy("day").rowsBetween(-ZSCORE_WINDOW_DAYS, -1)
+    k = F.count("g").over(w)
+    s1 = F.sum("g").over(w)
+    s2 = F.sum(F.col("g") * F.col("g")).over(w)
+    kd = k.cast("double")
+    mean = s1.cast("double") / kd
+    var = (s2.cast("double") - s1.cast("double") * s1.cast("double") / kd) / (kd - 1.0)
+    z = (F.col("g").cast("double") - mean) / F.sqrt(var)
+    scored = daily.select(
+        "day",
+        round_half_up(F.col("g").cast("double") / 1e4, 2).alias("revenue"),
+        F.when(k >= 7, round_half_up(z, 4)).alias("zscore"),
+        F.when(k >= 7, F.abs(z) >= ZSCORE_THRESHOLD).alias("is_anomaly"),
+    )
+    return scored
+
+
 QUERIES = {
+    "adv_new_vs_returning_users": adv_new_vs_returning_users,
+    "adv_rolling_zscore_anomalies": adv_rolling_zscore_anomalies,
     "adv_decile_lift_table": adv_decile_lift_table,
     "adv_pit_join_purchase_tier": adv_pit_join_purchase_tier,
     "adv_scd2_user_tier_history": adv_scd2_user_tier_history,
@@ -1380,6 +1444,50 @@ _SESSION_INTERVALS_CTES = f"""
     )"""
 
 ORACLES = {
+    "adv_new_vs_returning_users": """
+        WITH active AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        first AS (SELECT user_id, min(day) AS first_day FROM active GROUP BY user_id)
+        SELECT day,
+               CAST(count(*) FILTER (day = first_day) AS BIGINT) AS n_new,
+               CAST(count(*) FILTER (day <> first_day) AS BIGINT) AS n_returning,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM active JOIN first USING (user_id)
+        GROUP BY day
+    """,
+    "adv_rolling_zscore_anomalies": f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                   sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS HUGEINT)) AS g
+            FROM orders GROUP BY 1
+        ),
+        rolled AS (
+            SELECT day, g,
+                   count(g) OVER w AS k,
+                   sum(g) OVER w AS s1,
+                   sum(g * g) OVER w AS s2
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN {ZSCORE_WINDOW_DAYS} PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT day,
+               {sql_round("CAST(g AS DOUBLE) / 10000.0", 2)} AS revenue,
+               CASE WHEN k >= 7 THEN {sql_round(
+                   "(CAST(g AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))"
+                   " / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+                   " / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))",
+                   4,
+               )} END AS zscore,
+               CASE WHEN k >= 7 THEN
+                   abs((CAST(g AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE))
+                       / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                               / CAST(k AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0)))
+                       >= {ZSCORE_THRESHOLD}
+               END AS is_anomaly
+        FROM rolled
+    """,
     "adv_decile_lift_table": f"""
         WITH tiled AS (
             SELECT CAST(ntile({LIFT_DECILES}) OVER (ORDER BY value DESC, event_id)

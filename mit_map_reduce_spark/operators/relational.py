@@ -2042,6 +2042,40 @@ def rel_segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_calendar_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-completeness audit: which days inside the order
+    history's [min, max] span have NO orders — the silent-ingestion-
+    failure detector every daily pipeline runs (a missing day usually
+    means a dead upstream job, not a quiet market).
+
+    A calendar spine generates from the observed min/max (sequence +
+    explode — never a driver-side date loop), anti-joins the observed
+    day set, and reports each missing day with its yearly context.
+    The spine is bounded by the calendar (decades = ~10^4 rows), so
+    this costs one day-level aggregation of the facts plus joins over
+    calendar-sized frames, whatever the fact volume.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).agg(F.count("*").alias("n"))
+    bounds = days.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    missing = spine.join(days, "day", "left_anti")
+    per_year = F.count("*").over(W.partitionBy(F.year("day")))
+    return missing.select(
+        "day",
+        F.year("day").alias("year"),
+        per_year.alias("n_missing_in_year"),
+    )
+
+
 QUERIES = {
     "rel_revenue_trend_forecast": rel_revenue_trend_forecast,
     "rel_fk_integrity_audit": rel_fk_integrity_audit,
@@ -2050,6 +2084,7 @@ QUERIES = {
     "rel_snapshot_diff_orders": rel_snapshot_diff_orders,
     "rel_table_checksums": rel_table_checksums,
     "rel_segment_priority_chi2": rel_segment_priority_chi2,
+    "rel_calendar_gap_audit": rel_calendar_gap_audit,
     "rel_benford_price_audit": rel_benford_price_audit,
     "rel_join_key_skew_report": rel_join_key_skew_report,
     "rel_price_balance_correlation": rel_price_balance_correlation,
@@ -2207,6 +2242,24 @@ ORACLES = {
         GROUP BY o_orderpriority
     """,
     "rel_table_checksums": _checksum_oracle_sql(),
+    "rel_calendar_gap_audit": """
+        WITH days AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day
+            FROM orders GROUP BY 1
+        ),
+        spine AS (
+            SELECT unnest(generate_series((SELECT min(day) FROM days),
+                                          (SELECT max(day) FROM days),
+                                          INTERVAL 1 DAY)) AS day
+        ),
+        missing AS (
+            SELECT day FROM spine WHERE day NOT IN (SELECT day FROM days)
+        )
+        SELECT day, CAST(year(day) AS INTEGER) AS year,
+               CAST(count(*) OVER (PARTITION BY year(day)) AS BIGINT)
+                   AS n_missing_in_year
+        FROM missing
+    """,
     "rel_segment_priority_chi2": f"""
         WITH cells AS (
             SELECT c_mktsegment, o_orderpriority, count(*) AS o

@@ -1047,3 +1047,58 @@ def test_survivorship_reconciles_with_keep_list(spark, sf_dir):
         assert rows[False].n_docs == len(kl) - n_keep
         assert abs(rows[True].share + rows[False].share - 1.0) < 0.01
     assert rows[True].n_docs >= rows.get(False, rows[True]).n_docs
+
+
+def test_new_returning_split_reconciles(spark, sf_dir):
+    # Per day n_new + n_returning == n_active; summed n_new over all
+    # days equals the distinct user count (everyone is new exactly
+    # once); day-1 has zero returning.
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.advanced import adv_new_vs_returning_users
+
+    rows = sorted(adv_new_vs_returning_users(spark, sf_dir).collect(), key=lambda r: r.day)
+    for r in rows:
+        assert r.n_new + r.n_returning == r.n_active
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_new for r in rows) == n_users
+    assert rows[0].n_returning == 0
+
+
+def test_zscore_warmup_and_recompute(spark, sf_dir):
+    # First 7 days emit NULL z (warmup); spot-check z against a
+    # driver-side recompute over the trailing window.
+    import statistics
+    from mit_map_reduce_spark.operators.advanced import (
+        ZSCORE_WINDOW_DAYS,
+        adv_rolling_zscore_anomalies,
+    )
+
+    rows = sorted(adv_rolling_zscore_anomalies(spark, sf_dir).collect(), key=lambda r: r.day)
+    assert all(r.zscore is None for r in rows[:7])
+    revs = [r.revenue for r in rows]
+    for i in (50, 200, len(rows) - 1):
+        wnd = revs[max(0, i - ZSCORE_WINDOW_DAYS): i]
+        mu = statistics.mean(wnd)
+        sd = statistics.stdev(wnd)
+        assert abs(rows[i].zscore - (revs[i] - mu) / sd) < 0.01
+
+
+def test_calendar_gaps_are_really_absent(spark, sf_dir):
+    # Every reported day must have zero orders, lie strictly inside
+    # the observed span, and the per-year counts must agree.
+    from collections import Counter
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.relational import rel_calendar_gap_audit
+
+    rows = rel_calendar_gap_audit(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    present = {
+        r.day for r in orders.select(F.date_trunc("day", "o_orderdate").alias("day")).distinct().collect()
+    }
+    lo, hi = min(present), max(present)
+    per_year = Counter(r.year for r in rows)
+    for r in rows:
+        assert r.day not in present
+        assert lo < r.day < hi
+        assert r.n_missing_in_year == per_year[r.year]
