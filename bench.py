@@ -182,6 +182,7 @@ HEADLINE = (
     "adv_new_vs_returning_users",
     "adv_rolling_zscore_anomalies",
     "rel_calendar_gap_audit",
+    "sim_pq_encode_report",
 )
 
 

@@ -1099,7 +1099,174 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- product quantization (fourth compression path) ----------------------
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = DIM // PQ_SUBSPACES
+PQ_K = 8  # codes per subspace -> 4 x 3 bits; 64 floats become 4 codes
+PQ_ITERS = 2
+
+
+def _l2_sq(a, b):
+    """Squared L2 distance between two double arrays, sequential
+    index-order accumulation (engine-identical)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subspace_codebook(sub_sample: DataFrame) -> DataFrame:
+    """L2 k-means codebook (code, c) for one subspace — the IVF
+    trainer's discipline (md5-seeded deterministic pick, fixed k,
+    Lloyd iterations with MEAN_DIGITS-rounded means) applied to a
+    16-dim slice with Euclidean distance (the PQ standard)."""
+    seeds = sub_sample.orderBy("h", "vec_id").limit(PQ_K)
+    cb = seeds.select(
+        (F.row_number().over(W.orderBy("h", "vec_id")) - 1).alias("code"),
+        F.col("sub").alias("c"),
+    )
+    for _ in range(PQ_ITERS):
+        scored = sub_sample.crossJoin(F.broadcast(cb)).select(
+            "vec_id", "sub", "code", _l2_sq(F.col("sub"), F.col("c")).alias("d")
+        )
+        rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d", "code"))
+        assign = scored.withColumn("rn", rn).filter(F.col("rn") == 1)
+        comps = assign.select("code", F.posexplode("sub").alias("j", "x"))
+        means = comps.groupBy("code", "j").agg(
+            round_half_up(F.avg("x"), MEAN_DIGITS).alias("m")
+        )
+        cb = (
+            means.groupBy("code")
+            .agg(F.array_sort(F.collect_list(F.struct("j", "m"))).alias("jm"))
+            .select("code", F.transform("jm", lambda s: s["m"]).alias("c"))
+        )
+    return cb
+
+
+def pq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011): split each 64-dim
+    vector into 4 subspaces of 16, train an 8-code L2 codebook per
+    subspace, and encode every vector as 4 codes — the compression
+    path that takes 256 bytes of floats to a few bits and underlies
+    every billion-scale ANN index; the fourth compression member
+    beside int8 quantization, random projection, and IVF cells.
+
+    Per vector: the '|'-joined code word and the total reconstruction
+    error (sum of per-subspace squared distances — the distortion PQ
+    training minimizes). Codebooks are 8 rows each and broadcast;
+    encoding is map-side; training is sample-bounded like the IVF
+    quantizer. The four per-subspace assignments join back on vec_id
+    — four co-partitioned joins of (id, code, err) triples.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"), "embedding"
+    )
+    out = None
+    for s in range(PQ_SUBSPACES):
+        sub = F.transform(
+            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM),
+            lambda x: x.cast("double"),
+        )
+        sub_df = base.select("vec_id", "h", sub.alias("sub"))
+        cb = _pq_subspace_codebook(
+            sub_df.filter(F.col("vec_id") % TRAIN_SAMPLE_MOD == 0)
+        )
+        scored = sub_df.crossJoin(F.broadcast(cb)).select(
+            "vec_id", "code", _l2_sq(F.col("sub"), F.col("c")).alias("d")
+        )
+        rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d", "code"))
+        assign = (
+            scored.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("code").alias(f"code{s}"), F.col("d").alias(f"err{s}"))
+        )
+        out = assign if out is None else out.join(assign, "vec_id")
+    recon = sum(F.col(f"err{s}") for s in range(PQ_SUBSPACES))
+    return out.select(
+        "vec_id",
+        F.concat_ws(
+            "|", *[F.col(f"code{s}").cast("string") for s in range(PQ_SUBSPACES)]
+        ).alias("codes"),
+        round_half_up(recon, 6).alias("recon_err"),
+    )
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB twin: per subspace, the unrolled L2 Lloyd iterations on
+    the slice, then full-corpus assignment; final join of the four
+    code/error columns."""
+    mean_f = float(10**MEAN_DIGITS)
+    ctes = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        sub = f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE))"
+        dist = (
+            f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),"
+            " i -> (v.sub[i] - c.c[i]) * (v.sub[i] - c.c[i])))"
+        )
+        ctes.append(f"""
+        sub{s} AS (
+            SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h, {sub} AS sub
+            FROM embeddings
+        ),
+        seeds{s} AS (
+            SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, sub AS c
+            FROM (SELECT * FROM sub{s} WHERE vec_id % {TRAIN_SAMPLE_MOD} = 0
+                  ORDER BY h, vec_id LIMIT {PQ_K})
+        )""")
+        prev = f"seeds{s}"
+        for i in range(1, PQ_ITERS + 1):
+            ctes.append(f"""
+        a{s}_{i} AS (
+            SELECT vec_id, code, sub FROM (
+                SELECT v.vec_id, c.code, v.sub,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {dist}, c.code) AS rn
+                FROM (SELECT * FROM sub{s} WHERE vec_id % {TRAIN_SAMPLE_MOD} = 0) v
+                CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ),
+        m{s}_{i} AS (
+            SELECT code, j, floor(avg(x) * {mean_f} + 0.5) / {mean_f} AS m
+            FROM (
+                SELECT code, generate_subscripts(sub, 1) AS j,
+                       unnest(sub) AS x
+                FROM a{s}_{i}
+            ) GROUP BY code, j
+        ),
+        c{s}_{i} AS (
+            SELECT code, list(m ORDER BY j) AS c FROM m{s}_{i} GROUP BY code
+        )""")
+            prev = f"c{s}_{i}"
+        ctes.append(f"""
+        assign{s} AS (
+            SELECT vec_id, code AS code{s}, d AS err{s} FROM (
+                SELECT v.vec_id, c.code, {dist} AS d,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {dist}, c.code) AS rn
+                FROM sub{s} v CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        )""")
+    joins = " ".join(
+        f"JOIN assign{s} USING (vec_id)" for s in range(1, PQ_SUBSPACES)
+    )
+    codes = " || '|' || ".join(
+        f"CAST(code{s} AS VARCHAR)" for s in range(PQ_SUBSPACES)
+    )
+    errs = " + ".join(f"err{s}" for s in range(PQ_SUBSPACES))
+    return f"""
+        WITH {",".join(ctes)}
+        SELECT vec_id, {codes} AS codes,
+               floor(({errs}) * 1000000.0 + 0.5) / 1000000.0 AS recon_err
+        FROM assign0 {joins}
+    """
+
+
 QUERIES = {
+    "sim_pq_encode_report": pq_encode_report,
     "sim_ivf_cell_balance_report": ivf_cell_balance_report,
     "sim_embedding_gram_matrix": embedding_gram_matrix,
     "sim_embedding_norm_audit": embedding_norm_audit,
@@ -1574,3 +1741,5 @@ ORACLES["sim_ivf_cell_balance_report"] = f"""
                  * 10000.0 + 0.5) / 10000.0 AS load_factor
     FROM sizes
 """
+
+ORACLES["sim_pq_encode_report"] = _pq_oracle_sql()

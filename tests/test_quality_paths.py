@@ -144,3 +144,35 @@ def test_append_sink_drops_over_watermark_late_event(spark, tmp_path):
         q.stop()
     rows = {r.ws: r.n for r in spark.table(name).collect()}
     assert rows == {"2024-01-01 00:00:00": 3}  # late event dropped, day 2 open
+
+
+def test_pq_distortion_beats_single_global_codebook_floor(spark, sf_dir):
+    # PQ invariants: every vector encodes to 4 in-range codes; the
+    # reconstruction error is non-negative and, averaged, lower than
+    # the trivial all-zeros reconstruction (sum of squared norms) —
+    # i.e., the codebooks actually learned something.
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.functions.columns import vec_norm
+    from mit_map_reduce_spark.operators.similarity import (
+        PQ_K,
+        PQ_SUBSPACES,
+        pq_encode_report,
+    )
+
+    rows = pq_encode_report(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    for r in rows:
+        codes = [int(c) for c in r.codes.split("|")]
+        assert len(codes) == PQ_SUBSPACES
+        assert all(0 <= c < PQ_K for c in codes)
+        assert r.recon_err >= 0
+    avg_err = sum(r.recon_err for r in rows) / n
+    avg_sq_norm = (
+        load_table(spark, sf_dir, "embeddings")
+        .select((vec_norm(F.col("embedding")) ** 2).alias("s"))
+        .agg(F.avg("s"))
+        .first()[0]
+    )
+    assert avg_err < avg_sq_norm
