@@ -196,6 +196,7 @@ _PRIORITY = [
     "adv_rolling_zscore_anomalies",
     "rel_calendar_gap_audit",
     "sim_pq_encode_report",
+    "sim_pq_adc_topk",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -183,6 +183,7 @@ HEADLINE = (
     "adv_rolling_zscore_anomalies",
     "rel_calendar_gap_audit",
     "sim_pq_encode_report",
+    "sim_pq_adc_topk",
 )
 
 

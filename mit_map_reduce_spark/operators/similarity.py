@@ -1265,7 +1265,183 @@ def _pq_oracle_sql() -> str:
     """
 
 
+PQ_ADC_TOPK = 5
+PQ_DIST_GRAIN = 1_000_000
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search by asymmetric distance computation (ADC): the query
+    stays full-precision and precomputes, per subspace, its squared
+    distance to each of the 8 codebook entries — a 32-entry lookup
+    table per query — and every encoded corpus vector's distance is
+    then the SUM of four table lookups, never a float op against the
+    original vectors. This is how a billion-vector PQ index actually
+    serves: the corpus is 4 codes/vector, the per-query work is a
+    table-lookup scan.
+
+    The distance tables broadcast (|queries| x 32 rows); the corpus
+    side is the melted (vec_id, subspace, code) encoding; the
+    per-pair sum adds four GRAINED lookups (1e-6-rounded — four
+    doubles summed in shuffle order would be order-sensitive), and
+    top-k ranks by (distance, neighbor id). Exactly TOP-K rows per
+    query, ties engine-invariant.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"), "embedding"
+    )
+    code_parts, table_parts = [], []
+    for s in range(PQ_SUBSPACES):
+        sub = F.transform(
+            F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM),
+            lambda x: x.cast("double"),
+        )
+        sub_df = base.select("vec_id", "h", sub.alias("sub"))
+        cb = _pq_subspace_codebook(
+            sub_df.filter(F.col("vec_id") % TRAIN_SAMPLE_MOD == 0)
+        )
+        scored = sub_df.crossJoin(F.broadcast(cb)).select(
+            "vec_id", "code", _l2_sq(F.col("sub"), F.col("c")).alias("d")
+        )
+        rn = F.row_number().over(W.partitionBy("vec_id").orderBy("d", "code"))
+        code_parts.append(
+            scored.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.lit(s).alias("subspace"), "code")
+        )
+        table_parts.append(
+            sub_df.filter(F.expr(QUERY_FILTER))
+            .crossJoin(F.broadcast(cb))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.lit(s).alias("subspace"),
+                "code",
+                F.floor(
+                    _l2_sq(F.col("sub"), F.col("c")) * PQ_DIST_GRAIN + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("dg"),
+            )
+        )
+    codes = code_parts[0]
+    for p in code_parts[1:]:
+        codes = codes.unionByName(p)
+    qt = table_parts[0]
+    for p in table_parts[1:]:
+        qt = qt.unionByName(p)
+    pair = (
+        codes.join(F.broadcast(qt), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dg").alias("adc_g"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("query_id").orderBy("adc_g", "vec_id")
+    )
+    return (
+        pair.withColumn("rank", rk)
+        .filter(F.col("rank") <= PQ_ADC_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            round_half_up(F.col("adc_g").cast("double") / PQ_DIST_GRAIN, 6).alias(
+                "adc_dist"
+            ),
+        )
+    )
+
+
+def _pq_adc_oracle_sql() -> str:
+    """DuckDB twin of the ADC search: codebook CTEs + full-corpus
+    assignments + per-query grained distance tables + the same
+    sum-of-lookups ranking."""
+    mean_f = float(10**MEAN_DIGITS)
+    ctes = []
+    code_sel, table_sel = [], []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        sub = f"list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE))"
+        dist = (
+            f"list_sum(list_transform(range(1, {PQ_SUBDIM + 1}),"
+            " i -> (v.sub[i] - c.c[i]) * (v.sub[i] - c.c[i])))"
+        )
+        ctes.append(f"""
+        sub{s} AS (
+            SELECT vec_id, md5(CAST(vec_id AS VARCHAR)) AS h, {sub} AS sub
+            FROM embeddings
+        ),
+        seeds{s} AS (
+            SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS code, sub AS c
+            FROM (SELECT * FROM sub{s} WHERE vec_id % {TRAIN_SAMPLE_MOD} = 0
+                  ORDER BY h, vec_id LIMIT {PQ_K})
+        )""")
+        prev = f"seeds{s}"
+        for i in range(1, PQ_ITERS + 1):
+            ctes.append(f"""
+        a{s}_{i} AS (
+            SELECT vec_id, code, sub FROM (
+                SELECT v.vec_id, c.code, v.sub,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {dist}, c.code) AS rn
+                FROM (SELECT * FROM sub{s} WHERE vec_id % {TRAIN_SAMPLE_MOD} = 0) v
+                CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ),
+        m{s}_{i} AS (
+            SELECT code, j, floor(avg(x) * {mean_f} + 0.5) / {mean_f} AS m
+            FROM (
+                SELECT code, generate_subscripts(sub, 1) AS j,
+                       unnest(sub) AS x
+                FROM a{s}_{i}
+            ) GROUP BY code, j
+        ),
+        c{s}_{i} AS (
+            SELECT code, list(m ORDER BY j) AS c FROM m{s}_{i} GROUP BY code
+        )""")
+            prev = f"c{s}_{i}"
+        ctes.append(f"""
+        assign{s} AS (
+            SELECT vec_id, {s} AS subspace, code FROM (
+                SELECT v.vec_id, c.code,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY {dist}, c.code) AS rn
+                FROM sub{s} v CROSS JOIN {prev} c
+            ) WHERE rn = 1
+        ),
+        qt{s} AS (
+            SELECT v.vec_id AS query_id, {s} AS subspace, c.code,
+                   CAST(floor({dist} * {PQ_DIST_GRAIN} + 0.5) AS BIGINT) AS dg
+            FROM (SELECT * FROM sub{s} WHERE {QUERY_FILTER}) v
+            CROSS JOIN {prev} c
+        )""")
+        code_sel.append(f"SELECT * FROM assign{s}")
+        table_sel.append(f"SELECT * FROM qt{s}")
+    return f"""
+        WITH {",".join(ctes)},
+        codes AS ({" UNION ALL ".join(code_sel)}),
+        qt AS ({" UNION ALL ".join(table_sel)}),
+        pair AS (
+            SELECT qt.query_id, codes.vec_id, sum(qt.dg) AS adc_g
+            FROM codes JOIN qt USING (subspace, code)
+            WHERE codes.vec_id <> qt.query_id
+            GROUP BY qt.query_id, codes.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, adc_g,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_g, vec_id) AS INTEGER) AS rank
+            FROM pair
+        )
+        SELECT query_id, vec_id AS neighbor_id, rank,
+               floor((CAST(adc_g AS DOUBLE) / {PQ_DIST_GRAIN}) * 1000000.0 + 0.5)
+                   / 1000000.0 AS adc_dist
+        FROM ranked WHERE rank <= {PQ_ADC_TOPK}
+    """
+
+
 QUERIES = {
+    "sim_pq_adc_topk": pq_adc_topk,
     "sim_pq_encode_report": pq_encode_report,
     "sim_ivf_cell_balance_report": ivf_cell_balance_report,
     "sim_embedding_gram_matrix": embedding_gram_matrix,
@@ -1743,3 +1919,5 @@ ORACLES["sim_ivf_cell_balance_report"] = f"""
 """
 
 ORACLES["sim_pq_encode_report"] = _pq_oracle_sql()
+
+ORACLES["sim_pq_adc_topk"] = _pq_adc_oracle_sql()

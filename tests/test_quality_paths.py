@@ -176,3 +176,24 @@ def test_pq_distortion_beats_single_global_codebook_floor(spark, sf_dir):
         .first()[0]
     )
     assert avg_err < avg_sq_norm
+
+
+def test_pq_adc_recall_vs_exact_bruteforce(spark, sf_dir):
+    # ADC over 4x8 codebooks is a coarse quantization of a coarse
+    # quantization — recall floor is modest but must be far above
+    # random (TOP_K/corpus ~ 1%). A broken distance table or code
+    # melt collapses to random.
+    from mit_map_reduce_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        pq_adc_topk,
+    )
+
+    exact: dict[int, set] = {}
+    for r in ann_bruteforce_topk(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx: dict[int, set] = {}
+    for r in pq_adc_topk(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(approx) == set(exact)
+    recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.1
