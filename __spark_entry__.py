@@ -197,6 +197,7 @@ _PRIORITY = [
     "rel_calendar_gap_audit",
     "sim_pq_encode_report",
     "sim_pq_adc_topk",
+    "adv_kaplan_meier_retention",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -184,6 +184,7 @@ HEADLINE = (
     "rel_calendar_gap_audit",
     "sim_pq_encode_report",
     "sim_pq_adc_topk",
+    "adv_kaplan_meier_retention",
 )
 
 

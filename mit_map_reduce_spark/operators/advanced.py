@@ -1383,7 +1383,87 @@ def adv_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored
 
 
+#: Sessions still open within this window before the stream horizon
+#: are right-censored (they might have continued past the data).
+KM_CENSOR_GUARD_MS = 60 * 60 * 1000
+#: ln(1 - d/n) terms round to 1e-9 grains before the cumulative sum.
+KM_LN_GRAIN = 1_000_000_000
+
+
+def adv_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of session duration — the
+    right-censoring-aware answer to "how long do sessions last?" that
+    a naive average gets wrong: sessions still open near the data
+    horizon haven't ended — treating them as ended biases duration
+    DOWN; the product-limit estimator exists exactly for this.
+
+    Durations come from the gap-based sessionization (minutes,
+    floored); a session whose last event falls within
+    ``KM_CENSOR_GUARD_MS`` of the stream horizon is censored. S(t)
+    multiplies (1 - d_i/n_i) over event times <= t — computed as exp
+    of a cumulative sum of ln terms pre-rounded to 1e-9 grains, so
+    the running product is exact-integer underneath and
+    engine-invariant. Everything after the per-session rollup runs on
+    the duration-level frame (bounded by minutes, not sessions).
+    """
+    sess = adv_sessionize_events(spark, sf_dir).select(
+        (F.unix_millis("session_start") + F.col("duration_ms")).alias("end_ms"),
+        F.floor(F.col("duration_ms") / 60000).cast("int").alias("duration_min"),
+    )
+    horizon = load_table(spark, sf_dir, "events").agg(
+        F.max(F.unix_millis("ts")).alias("h_ms")
+    )
+    per_sess = sess.crossJoin(F.broadcast(horizon)).select(
+        "duration_min",
+        ((F.col("h_ms") - F.col("end_ms")) < KM_CENSOR_GUARD_MS).alias("censored"),
+    )
+    by_t = per_sess.groupBy("duration_min").agg(
+        F.count(F.when(~F.col("censored"), 1)).alias("n_events"),
+        F.count(F.when(F.col("censored"), 1)).alias("n_censored"),
+    )
+    w = W.orderBy("duration_min")
+    prior = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    total = F.sum(F.col("n_events") + F.col("n_censored")).over(
+        W.orderBy("duration_min").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+    )
+    at_risk = total - prior
+    # Extinction guard: a time where every at-risk user churns sends
+    # S to exactly 0 (ln(0) is unrepresentable — flag instead of log).
+    ln_term = F.when(
+        (F.col("n_events") > 0) & (F.col("n_events") < at_risk),
+        F.floor(
+            F.log(1.0 - F.col("n_events").cast("double") / at_risk) * KM_LN_GRAIN
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    staged = by_t.select(
+        "duration_min", "n_events", "n_censored", at_risk.alias("n_at_risk"),
+        ln_term.alias("g"),
+        (F.col("n_events") >= at_risk).cast("int").alias("ext"),
+    )
+    run = W.orderBy("duration_min").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = F.sum("g").over(run)
+    extinct = F.max("ext").over(run) == 1
+    return staged.select(
+        "duration_min",
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        F.when(extinct, F.lit(0.0))
+        .otherwise(round_half_up(F.exp(cum.cast("double") / KM_LN_GRAIN), 6))
+        .alias("survival"),
+    )
+
+
 QUERIES = {
+    "adv_kaplan_meier_retention": adv_kaplan_meier_retention,
     "adv_new_vs_returning_users": adv_new_vs_returning_users,
     "adv_rolling_zscore_anomalies": adv_rolling_zscore_anomalies,
     "adv_decile_lift_table": adv_decile_lift_table,
@@ -1444,6 +1524,52 @@ _SESSION_INTERVALS_CTES = f"""
     )"""
 
 ORACLES = {
+    "adv_kaplan_meier_retention": f"""
+        WITH {_SESSION_INTERVALS_CTES},
+        horizon AS (SELECT max(epoch_ms(ts)) AS h_ms FROM events),
+        per_sess AS (
+            SELECT CAST((s_hi_ms - s_lo_ms) // 60000 AS INTEGER) AS duration_min,
+                   ((SELECT h_ms FROM horizon) - s_hi_ms)
+                       < {KM_CENSOR_GUARD_MS} AS censored
+            FROM sess
+        ),
+        by_t AS (
+            SELECT duration_min,
+                   CAST(count(*) FILTER (NOT censored) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (censored) AS BIGINT) AS n_censored
+            FROM per_sess GROUP BY duration_min
+        ),
+        staged AS (
+            SELECT duration_min, n_events, n_censored,
+                   sum(n_events + n_censored) OVER ()
+                       - coalesce(sum(n_events + n_censored) OVER (
+                             ORDER BY duration_min
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_at_risk
+            FROM by_t
+        ),
+        terms AS (
+            SELECT duration_min, n_events, n_censored, n_at_risk,
+                   CASE WHEN n_events > 0 AND n_events < n_at_risk
+                        THEN CAST(floor(ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
+                                        * {KM_LN_GRAIN} + 0.5) AS BIGINT)
+                        ELSE 0 END AS g,
+                   CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END AS ext
+            FROM staged
+        )
+        SELECT duration_min, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+               n_events, n_censored,
+               CASE WHEN max(ext) OVER (ORDER BY duration_min
+                        ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+                    ELSE {sql_round(
+                        "exp(CAST(sum(g) OVER (ORDER BY duration_min"
+                        " ROWS UNBOUNDED PRECEDING) AS DOUBLE)"
+                        f" / {KM_LN_GRAIN})",
+                        6,
+                    )}
+               END AS survival
+        FROM terms
+    """,
     "adv_new_vs_returning_users": """
         WITH active AS (
             SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day

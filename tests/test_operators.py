@@ -1102,3 +1102,27 @@ def test_calendar_gaps_are_really_absent(spark, sf_dir):
         assert r.day not in present
         assert lo < r.day < hi
         assert r.n_missing_in_year == per_year[r.year]
+
+
+def test_kaplan_meier_monotone_and_reconciles(spark, sf_dir):
+    # S is non-increasing from <= 1; at-risk counts telescope (each
+    # row's at_risk minus its events+censored equals the next row's
+    # at_risk); totals reconcile with the session count.
+    from mit_map_reduce_spark.operators.advanced import (
+        adv_kaplan_meier_retention,
+        adv_sessionize_events,
+    )
+
+    rows = sorted(
+        adv_kaplan_meier_retention(spark, sf_dir).collect(),
+        key=lambda r: r.duration_min,
+    )
+    assert rows and rows[0].n_at_risk == adv_sessionize_events(spark, sf_dir).count()
+    s_prev = 1.0 + 1e-9
+    for i, r in enumerate(rows):
+        assert 0.0 <= r.survival <= s_prev + 1e-9
+        s_prev = r.survival
+        if i + 1 < len(rows):
+            assert rows[i + 1].n_at_risk == r.n_at_risk - r.n_events - r.n_censored
+    # some sessions genuinely end inside the horizon (curve not flat)
+    assert rows[-1].survival < 1.0
