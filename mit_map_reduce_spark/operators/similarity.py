@@ -1171,8 +1171,16 @@ def pq_encode_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x.cast("double"),
         )
         sub_df = base.select("vec_id", "h", sub.alias("sub"))
-        cb = _pq_subspace_codebook(
-            sub_df.filter(F.col("vec_id") % TRAIN_SAMPLE_MOD == 0)
+        # Train-once per (session, corpus, subspace) — the IVF
+        # centroid-artifact discipline: encode and ADC search share
+        # one cached codebook instead of re-running Lloyd per call.
+        cb = shared_persist(
+            spark,
+            f"pq_codebook_{s}",
+            sf_dir,
+            lambda d=sub_df: _pq_subspace_codebook(
+                d.filter(F.col("vec_id") % TRAIN_SAMPLE_MOD == 0)
+            ),
         )
         scored = sub_df.crossJoin(F.broadcast(cb)).select(
             "vec_id", "code", _l2_sq(F.col("sub"), F.col("c")).alias("d")
@@ -1297,8 +1305,16 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x.cast("double"),
         )
         sub_df = base.select("vec_id", "h", sub.alias("sub"))
-        cb = _pq_subspace_codebook(
-            sub_df.filter(F.col("vec_id") % TRAIN_SAMPLE_MOD == 0)
+        # Train-once per (session, corpus, subspace) — the IVF
+        # centroid-artifact discipline: encode and ADC search share
+        # one cached codebook instead of re-running Lloyd per call.
+        cb = shared_persist(
+            spark,
+            f"pq_codebook_{s}",
+            sf_dir,
+            lambda d=sub_df: _pq_subspace_codebook(
+                d.filter(F.col("vec_id") % TRAIN_SAMPLE_MOD == 0)
+            ),
         )
         scored = sub_df.crossJoin(F.broadcast(cb)).select(
             "vec_id", "code", _l2_sq(F.col("sub"), F.col("c")).alias("d")
