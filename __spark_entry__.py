@@ -198,6 +198,8 @@ _PRIORITY = [
     "sim_pq_encode_report",
     "sim_pq_adc_topk",
     "adv_kaplan_meier_retention",
+    "text_pipeline_funnel_report",
+    "adv_sequence_pattern_support",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -185,6 +185,8 @@ HEADLINE = (
     "sim_pq_encode_report",
     "sim_pq_adc_topk",
     "adv_kaplan_meier_retention",
+    "text_pipeline_funnel_report",
+    "adv_sequence_pattern_support",
 )
 
 

@@ -1462,7 +1462,83 @@ def adv_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_sequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining over sessions: for every ORDERED
+    event-type pair (a -> b), in how many sessions does a's first
+    occurrence precede b's — the order-aware sibling of the basket
+    association rules (`adv_association_rules_sessions` asks "do they
+    co-occur"; this asks "does a lead to b"), the primitive behind
+    next-action models and UX-flow analysis.
+
+    Per-session event positions come from one rank over the session
+    ordering (integer positions — no timestamp tie ambiguity); first
+    occurrences aggregate per (session, type); the ordered-pair join
+    runs on the session key over type-level rows (≤ |types| per
+    session, so the fan-out is bounded by |types|^2 per session —
+    never event-quadratic). Support and confidence divide exact
+    session counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gap = ms - F.lag(ms).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0)
+    sess_ev = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int")
+        .alias("session_seq"),
+    )
+    pos = F.row_number().over(
+        W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    )
+    firsts = (
+        sess_ev.withColumn("pos", pos)
+        .groupBy("user_id", "session_seq", "event_type")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    a = firsts.select(
+        "user_id", "session_seq",
+        F.col("event_type").alias("antecedent"),
+        F.col("first_pos").alias("pa"),
+    )
+    b = firsts.select(
+        "user_id", "session_seq",
+        F.col("event_type").alias("consequent"),
+        F.col("first_pos").alias("pb"),
+    )
+    ordered = (
+        a.join(b, ["user_id", "session_seq"])
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("pa") < F.col("pb"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("n_sessions_ordered"))
+    )
+    n_sessions = firsts.select("user_id", "session_seq").distinct().count()
+    with_a = firsts.groupBy(F.col("event_type").alias("antecedent")).agg(
+        F.count("*").alias("n_with_a")
+    )
+    return ordered.join(F.broadcast(with_a), "antecedent").select(
+        "antecedent",
+        "consequent",
+        "n_sessions_ordered",
+        round_half_up(
+            F.col("n_sessions_ordered").cast("double") / F.lit(float(n_sessions)), 4
+        ).alias("support"),
+        round_half_up(
+            F.col("n_sessions_ordered").cast("double") / F.col("n_with_a"), 4
+        ).alias("confidence"),
+    )
+
+
 QUERIES = {
+    "adv_sequence_pattern_support": adv_sequence_pattern_support,
     "adv_kaplan_meier_retention": adv_kaplan_meier_retention,
     "adv_new_vs_returning_users": adv_new_vs_returning_users,
     "adv_rolling_zscore_anomalies": adv_rolling_zscore_anomalies,
@@ -1524,6 +1600,45 @@ _SESSION_INTERVALS_CTES = f"""
     )"""
 
 ORACLES = {
+    "adv_sequence_pattern_support": f"""
+        WITH e AS (
+            SELECT user_id, event_id, ts, event_type, epoch_ms(ts) AS ms FROM events
+        ),
+        g AS (
+            SELECT *, ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM e
+        ),
+        se AS (
+            SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MS} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_seq
+            FROM g
+        ),
+        posed AS (
+            SELECT user_id, session_seq, event_type,
+                   row_number() OVER (PARTITION BY user_id, session_seq
+                                      ORDER BY ts, event_id) AS pos
+            FROM se
+        ),
+        firsts AS (
+            SELECT user_id, session_seq, event_type, min(pos) AS first_pos
+            FROM posed GROUP BY user_id, session_seq, event_type
+        ),
+        ordered AS (
+            SELECT a.event_type AS antecedent, b.event_type AS consequent,
+                   CAST(count(*) AS BIGINT) AS n_sessions_ordered
+            FROM firsts a JOIN firsts b
+              ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+             AND a.event_type <> b.event_type AND a.first_pos < b.first_pos
+            GROUP BY 1, 2
+        ),
+        tot AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, session_seq FROM firsts)),
+        wa AS (SELECT event_type AS antecedent, count(*) AS n_with_a FROM firsts GROUP BY 1)
+        SELECT o.antecedent, o.consequent, o.n_sessions_ordered,
+               {sql_round("CAST(o.n_sessions_ordered AS DOUBLE) / tot.n", 4)} AS support,
+               {sql_round("CAST(o.n_sessions_ordered AS DOUBLE) / wa.n_with_a", 4)} AS confidence
+        FROM ordered o JOIN wa USING (antecedent) CROSS JOIN tot
+    """,
     "adv_kaplan_meier_retention": f"""
         WITH {_SESSION_INTERVALS_CTES},
         horizon AS (SELECT max(epoch_ms(ts)) AS h_ms FROM events),

@@ -1754,7 +1754,98 @@ def text_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Funnel stage labels, in drop order (index = stage number).
+FUNNEL_STAGES_PIPE = (
+    "raw",
+    "corpus(non-benchmark)",
+    "quality",
+    "not-repetitive",
+    "decontaminated",
+    "canonical-copy",
+    "in-training-mix",
+)
+
+
+def text_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-page corpus-pipeline funnel: how many documents survive
+    each stage of the training-data build (benchmark split -> quality
+    -> repetition -> decontamination -> exact-dedup canonical ->
+    language-balanced mix) — the health readout a data team reads
+    before anything trains, because "the mix shrank 40% this week"
+    means nothing until you know WHICH stage ate it.
+
+    Each stage's predicate comes from the standalone operator
+    (identical constants, identical joins — absent rows count as
+    dropped exactly as the mix's inner joins drop them), all seven
+    stage counters come out of ONE aggregation over the assembled
+    flag frame, and the 7-row unpivot adds shares and per-stage drop
+    counts. Cost: the component derivations once each, then a
+    single-row pass.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    q = text_quality(spark, sf_dir).select("doc_id", "quality")
+    rep = text_repetition(spark, sf_dir).select(
+        "doc_id", F.col("repetitive").alias("rep")
+    )
+    con = text_contamination(spark, sf_dir).select(
+        "doc_id", F.col("contaminated").alias("con")
+    )
+    all_docs = load_table(spark, sf_dir, "documents")
+    keep = all_docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("keep_doc_id")
+    )
+    canon = (
+        all_docs.join(keep, F.md5(all_docs.text) == keep.h)
+        .filter(F.col("doc_id") == F.col("keep_doc_id"))
+        .select("doc_id", F.lit(True).alias("canon"))
+    )
+    mix = text_training_mix(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("in_mix")
+    )
+    j = (
+        docs.join(q, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(con, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .join(mix, "doc_id", "left")
+    )
+    s1 = F.col("doc_id") % CONTAM_BENCH_MOD != 0
+    s2 = s1 & (F.col("quality") >= PIPE_MIN_QUALITY)
+    s3 = s2 & F.col("rep").isNotNull() & ~F.col("rep")
+    s4 = s3 & F.col("con").isNotNull() & ~F.col("con")
+    s5 = s4 & F.col("canon").isNotNull()
+    s6 = F.col("in_mix").isNotNull()
+    stages = [F.lit(True), s1, s2, s3, s4, s5, s6]
+    counts = j.agg(
+        *[
+            F.count(F.when(cond, 1)).alias(f"s{i}")
+            for i, cond in enumerate(stages)
+        ]
+    )
+    stack_expr = ", ".join(
+        f"{i}, '{name}', s{i}" for i, name in enumerate(FUNNEL_STAGES_PIPE)
+    )
+    tall = counts.selectExpr(
+        f"stack({len(FUNNEL_STAGES_PIPE)}, {stack_expr})"
+        " AS (stage, stage_name, n_docs)"
+    )
+    w = W.orderBy("stage")
+    raw = F.first("n_docs").over(
+        W.orderBy("stage").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return tall.select(
+        "stage",
+        "stage_name",
+        "n_docs",
+        round_half_up(F.col("n_docs").cast("double") / raw, 4).alias("share_of_raw"),
+        F.coalesce(F.lag("n_docs").over(w) - F.col("n_docs"), F.lit(0)).alias(
+            "n_dropped"
+        ),
+    )
+
+
 QUERIES = {
+    "text_pipeline_funnel_report": text_pipeline_funnel_report,
     "text_js_divergence_sources": text_js_divergence_sources,
     "text_perplexity_buckets": text_perplexity_buckets,
     "text_pmi_collocations": text_pmi_collocations,
@@ -2823,4 +2914,61 @@ ORACLES["text_js_divergence_sources"] = f"""
            floor((CAST(sum(g) AS DOUBLE) / {JS_GRAIN}) * 1000000.0 + 0.5)
                / 1000000.0 AS js_divergence
     FROM terms GROUP BY source_a, source_b
+"""
+
+#: Funnel oracle: the component oracles wrapped verbatim as derived
+#: tables, stage flags identical to the Spark side, shares via one
+#: window over the 7-row frame.
+_FUNNEL_COUNT_EXPRS = ", ".join(
+    [
+        "CAST(count(*) AS BIGINT) AS s0",
+        f"CAST(count(*) FILTER (doc_id % {CONTAM_BENCH_MOD} <> 0) AS BIGINT) AS s1",
+        f"CAST(count(*) FILTER (doc_id % {CONTAM_BENCH_MOD} <> 0"
+        f" AND quality >= {PIPE_MIN_QUALITY}) AS BIGINT) AS s2",
+        f"CAST(count(*) FILTER (doc_id % {CONTAM_BENCH_MOD} <> 0"
+        f" AND quality >= {PIPE_MIN_QUALITY}"
+        " AND repetitive = false) AS BIGINT) AS s3",
+        f"CAST(count(*) FILTER (doc_id % {CONTAM_BENCH_MOD} <> 0"
+        f" AND quality >= {PIPE_MIN_QUALITY}"
+        " AND repetitive = false AND contaminated = false) AS BIGINT) AS s4",
+        f"CAST(count(*) FILTER (doc_id % {CONTAM_BENCH_MOD} <> 0"
+        f" AND quality >= {PIPE_MIN_QUALITY}"
+        " AND repetitive = false AND contaminated = false"
+        " AND canon) AS BIGINT) AS s5",
+        "CAST(count(*) FILTER (in_mix) AS BIGINT) AS s6",
+    ]
+)
+
+ORACLES["text_pipeline_funnel_report"] = f"""
+    WITH q AS ({ORACLES["text_quality"]}),
+    rep AS ({ORACLES["text_repetition"]}),
+    con AS ({ORACLES["text_contamination"]}),
+    keepl AS (SELECT min(doc_id) AS keep_doc_id FROM documents GROUP BY md5(text)),
+    mix AS ({ORACLES["text_training_mix"]}),
+    j AS (
+        SELECT d.doc_id, q.quality, rep.repetitive, con.contaminated,
+               k.keep_doc_id IS NOT NULL AS canon,
+               m.doc_id IS NOT NULL AS in_mix
+        FROM documents d
+        LEFT JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN rep ON rep.doc_id = d.doc_id
+        LEFT JOIN con ON con.doc_id = d.doc_id
+        LEFT JOIN keepl k ON k.keep_doc_id = d.doc_id
+        LEFT JOIN mix m ON m.doc_id = d.doc_id
+    ),
+    counts AS (SELECT {_FUNNEL_COUNT_EXPRS} FROM j),
+    tall AS (
+        {" UNION ALL ".join(
+            f"SELECT {i} AS stage, '{name}' AS stage_name, s{i} AS n_docs FROM counts"
+            for i, name in enumerate(FUNNEL_STAGES_PIPE)
+        )}
+    )
+    SELECT CAST(stage AS INTEGER) AS stage, stage_name, n_docs,
+           floor((CAST(n_docs AS DOUBLE)
+                  / first_value(n_docs) OVER (ORDER BY stage
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+                 * 10000.0 + 0.5) / 10000.0 AS share_of_raw,
+           CAST(coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS BIGINT)
+               AS n_dropped
+    FROM tall
 """
