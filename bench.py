@@ -187,6 +187,7 @@ HEADLINE = (
     "adv_kaplan_meier_retention",
     "text_pipeline_funnel_report",
     "adv_sequence_pattern_support",
+    "text_bpe_train_merges",
 )
 
 

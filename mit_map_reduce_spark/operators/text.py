@@ -1844,7 +1844,129 @@ def text_pipeline_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TRAIN_MERGES = 3
+
+
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's full loop, ``BPE_TRAIN_MERGES`` rounds deep:
+    each round finds the corpus's most frequent adjacent symbol pair
+    (weighted by word frequency, ties to the lexicographically
+    smallest pair) and MERGES it into one symbol everywhere before
+    the next round counts — the actual Sennrich et al. 2016 training
+    procedure, of which ``text_bpe_pair_counts`` is a single round.
+
+    Scale shape (the one real trainers use): the corpus is touched
+    ONCE for the word-frequency table; every merge round then runs on
+    the distinct-vocabulary frame (thousands of rows at any corpus
+    size). The winning pair is a one-row driver decision per round —
+    the same bounded collect as the terasort boundary pick — and the
+    merge applies as two plain string-replace passes over padded
+    symbol strings (pass one catches odd occurrences, pass two the
+    ones adjacent to them; left-to-right non-overlapping replace is
+    identical in both engines, reproducing greedy BPE merge order).
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    words = docs.select(
+        F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count("*").alias("c"))
+    chars = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.substr(F.col("word"), i, F.lit(1)),
+        ),
+        " ",
+    )
+    syms = freq.select(
+        "c", F.concat(F.lit(" "), chars, F.lit(" ")).alias("s")
+    ).persist()
+    merges = []
+    for rank in range(BPE_TRAIN_MERGES):
+        arr = F.split(F.trim("s"), " ")
+        pair_arr = F.when(F.size(arr) < 2, F.array()).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 1),
+                lambda i: F.concat(
+                    F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+                ),
+            )
+        )
+        best = (
+            syms.select("c", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("c").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b = best.pair.split(" ")
+        merges.append((rank, a, b, a + b, best.n))
+        merged = syms.withColumn(
+            "s",
+            F.replace(
+                F.replace(
+                    F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+                ),
+                F.lit(f" {a} {b} "),
+                F.lit(f" {a}{b} "),
+            ),
+        ).persist()
+        merged.count()
+        syms.unpersist()
+        syms = merged
+    syms.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, sym_a string, sym_b string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_train_oracle_sql() -> str:
+    """Unrolled trainer twin: per round, a 1-row best-pair CTE and a
+    re-written vocabulary CTE (same two-pass replace)."""
+    sql = """
+        WITH freq AS (
+            SELECT word, count(*) AS c FROM (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^\\p{L}]+'), x -> x <> '')) AS word
+                FROM documents
+            ) GROUP BY word
+        ),
+        w0 AS (
+            SELECT c, ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+                           i -> substring(word, i, 1)), ' ') || ' ' AS s
+            FROM freq
+        )"""
+    prev = "w0"
+    selects = []
+    for r in range(BPE_TRAIN_MERGES):
+        sql += f""",
+        p{r} AS (
+            SELECT pair, sum(c) AS n FROM (
+                SELECT c, unnest(list_transform(range(1, len(arr)),
+                           i -> arr[i] || ' ' || arr[i + 1])) AS pair
+                FROM (SELECT c, string_split(trim(s), ' ') AS arr FROM {prev})
+            ) GROUP BY pair
+        ),
+        b{r} AS (
+            SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b, n
+            FROM p{r} ORDER BY n DESC, pair LIMIT 1
+        ),
+        w{r + 1} AS (
+            SELECT c, replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                              ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+            FROM {prev} CROSS JOIN b{r}
+        )"""
+        prev = f"w{r + 1}"
+        selects.append(
+            f"SELECT {r} AS merge_rank, a AS sym_a, b AS sym_b,"
+            f" a || b AS merged, CAST(n AS BIGINT) AS pair_count FROM b{r}"
+        )
+    return sql + "\n" + " UNION ALL ".join(selects)
+
+
 QUERIES = {
+    "text_bpe_train_merges": text_bpe_train_merges,
     "text_pipeline_funnel_report": text_pipeline_funnel_report,
     "text_js_divergence_sources": text_js_divergence_sources,
     "text_perplexity_buckets": text_perplexity_buckets,
@@ -2972,3 +3094,5 @@ ORACLES["text_pipeline_funnel_report"] = f"""
                AS n_dropped
     FROM tall
 """
+
+ORACLES["text_bpe_train_merges"] = _bpe_train_oracle_sql()

@@ -297,3 +297,57 @@ def test_perplexity_buckets_partition_corpus(spark, sf_dir):
             assert a.avg_neg_logp <= b.avg_neg_logp + 1e-9
         for r in rs:
             assert r.min_neg_logp <= r.avg_neg_logp <= r.max_neg_logp
+
+
+def test_bpe_trainer_matches_pure_python_bpe(spark, sf_dir):
+    # Golden test: re-run Sennrich-style BPE training in plain Python
+    # over the same word-frequency table; the learned merge sequence
+    # (pairs AND counts) must match exactly.
+    from collections import Counter
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table, spread
+    from mit_map_reduce_spark.functions.columns import tokenize_letters
+    from mit_map_reduce_spark.operators.text import (
+        BPE_TRAIN_MERGES,
+        text_bpe_train_merges,
+    )
+
+    freq = Counter()
+    for r in (
+        spread(load_table(spark, sf_dir, "documents"))
+        .select(F.explode(tokenize_letters(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ):
+        freq[tuple(r.w)] = r.c
+    expect = []
+    vocab = dict(freq)
+    for rank in range(BPE_TRAIN_MERGES):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, a, b, a + b, n))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    got = [
+        (r.merge_rank, r.sym_a, r.sym_b, r.merged, r.pair_count)
+        for r in sorted(
+            text_bpe_train_merges(spark, sf_dir).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    assert got == expect
