@@ -201,6 +201,7 @@ _PRIORITY = [
     "text_pipeline_funnel_report",
     "adv_sequence_pattern_support",
     "text_bpe_train_merges",
+    "text_bpe_apply_encode",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -188,6 +188,7 @@ HEADLINE = (
     "text_pipeline_funnel_report",
     "adv_sequence_pattern_support",
     "text_bpe_train_merges",
+    "text_bpe_apply_encode",
 )
 
 

@@ -1865,6 +1865,25 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones adjacent to them; left-to-right non-overlapping replace is
     identical in both engines, reproducing greedy BPE merge order).
     """
+    merges, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, sym_a string, sym_b string, merged string, pair_count bigint",
+    )
+
+
+#: Memoized (merges, final-vocab frame) per (session, corpus): the
+#: trainer and the apply query share one training pass.
+_BPE_TRAINED: dict = {}
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the merge-learning loop once per (session, corpus); returns
+    the merge list and the final per-WORD symbolization frame
+    (word, c, s) — the trained tokenizer state both queries consume."""
+    key = (id(spark), sf_dir)
+    if key in _BPE_TRAINED:
+        return _BPE_TRAINED[key]
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
@@ -1878,7 +1897,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ",
     )
     syms = freq.select(
-        "c", F.concat(F.lit(" "), chars, F.lit(" ")).alias("s")
+        "word", "c", F.concat(F.lit(" "), chars, F.lit(" ")).alias("s")
     ).persist()
     merges = []
     for rank in range(BPE_TRAIN_MERGES):
@@ -1914,16 +1933,49 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.count()
         syms.unpersist()
         syms = merged
-    syms.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, sym_a string, sym_b string, merged string, pair_count bigint",
+    _BPE_TRAINED[key] = (merges, syms)  # syms stays persisted for apply
+    return _BPE_TRAINED[key]
+
+
+def text_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges back to the corpus — the encode
+    half of the tokenizer: every document reports its token count
+    under the learned vocabulary and the compression the merges
+    bought over plain characters (the number a tokenizer team watches
+    as merges accumulate).
+
+    The trained per-word symbolization is vocab-sized and broadcast;
+    encoding is ONE broadcast join of the corpus word stream against
+    it plus a per-doc rollup — the corpus text never reshuffles, and
+    at 100 TB this is exactly how a trained tokenizer is applied
+    (broadcast the merge table, map the stream).
+    """
+    _, syms = _bpe_train(spark, sf_dir)
+    vocab = syms.select(
+        "word",
+        F.size(F.split(F.trim("s"), " ")).alias("n_syms"),
+        F.length("word").alias("n_chars"),
+    )
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    doc_words = docs.select(
+        "doc_id", F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+    )
+    j = doc_words.join(F.broadcast(vocab), "word")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_syms").alias("n_bpe_tokens"),
+        round_half_up(
+            F.sum("n_chars").cast("double") / F.sum("n_syms"), 4
+        ).alias("chars_per_token"),
     )
 
 
-def _bpe_train_oracle_sql() -> str:
-    """Unrolled trainer twin: per round, a 1-row best-pair CTE and a
-    re-written vocabulary CTE (same two-pass replace)."""
+def _bpe_cte_prefix() -> str:
+    """Unrolled trainer CTE chain (shared by the trainer and apply
+    oracles): per round, a 1-row best-pair CTE and a re-written
+    vocabulary CTE (same two-pass replace); the word rides along so
+    the apply oracle can map the corpus back through the result."""
     sql = """
         WITH freq AS (
             SELECT word, count(*) AS c FROM (
@@ -1933,12 +1985,12 @@ def _bpe_train_oracle_sql() -> str:
             ) GROUP BY word
         ),
         w0 AS (
-            SELECT c, ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+            SELECT word, c,
+                   ' ' || array_to_string(list_transform(range(1, length(word) + 1),
                            i -> substring(word, i, 1)), ' ') || ' ' AS s
             FROM freq
         )"""
     prev = "w0"
-    selects = []
     for r in range(BPE_TRAIN_MERGES):
         sql += f""",
         p{r} AS (
@@ -1953,20 +2005,51 @@ def _bpe_train_oracle_sql() -> str:
             FROM p{r} ORDER BY n DESC, pair LIMIT 1
         ),
         w{r + 1} AS (
-            SELECT c, replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
-                              ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
+            SELECT word, c,
+                   replace(replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' '),
+                           ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s
             FROM {prev} CROSS JOIN b{r}
         )"""
         prev = f"w{r + 1}"
-        selects.append(
-            f"SELECT {r} AS merge_rank, a AS sym_a, b AS sym_b,"
-            f" a || b AS merged, CAST(n AS BIGINT) AS pair_count FROM b{r}"
+    return sql
+
+
+def _bpe_train_oracle_sql() -> str:
+    selects = [
+        f"SELECT {r} AS merge_rank, a AS sym_a, b AS sym_b,"
+        f" a || b AS merged, CAST(n AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(BPE_TRAIN_MERGES)
+    ]
+    return _bpe_cte_prefix() + "\n" + " UNION ALL ".join(selects)
+
+
+def _bpe_apply_oracle_sql() -> str:
+    last = f"w{BPE_TRAIN_MERGES}"
+    return f"""{_bpe_cte_prefix()},
+        vocab AS (
+            SELECT word, len(string_split(trim(s), ' ')) AS n_syms,
+                   length(word) AS n_chars
+            FROM {last}
+        ),
+        doc_words AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^\\p{{L}}]+'), x -> x <> '')) AS word
+            FROM documents
         )
-    return sql + "\n" + " UNION ALL ".join(selects)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+               floor((CAST(sum(n_chars) AS DOUBLE) / sum(n_syms)) * 10000.0 + 0.5)
+                   / 10000.0 AS chars_per_token
+        FROM doc_words JOIN vocab USING (word)
+        GROUP BY doc_id
+    """
 
 
 QUERIES = {
     "text_bpe_train_merges": text_bpe_train_merges,
+    "text_bpe_apply_encode": text_bpe_apply_encode,
     "text_pipeline_funnel_report": text_pipeline_funnel_report,
     "text_js_divergence_sources": text_js_divergence_sources,
     "text_perplexity_buckets": text_perplexity_buckets,
@@ -3096,3 +3179,5 @@ ORACLES["text_pipeline_funnel_report"] = f"""
 """
 
 ORACLES["text_bpe_train_merges"] = _bpe_train_oracle_sql()
+
+ORACLES["text_bpe_apply_encode"] = _bpe_apply_oracle_sql()

@@ -351,3 +351,17 @@ def test_bpe_trainer_matches_pure_python_bpe(spark, sf_dir):
         )
     ]
     assert got == expect
+
+
+def test_bpe_apply_compression_bounded_by_merges(spark, sf_dir):
+    # Token counts are bounded: chars >= bpe tokens >= words (merges
+    # only shrink, never below one symbol per word); compression
+    # ratio recomputes from the row's own integers.
+    from mit_map_reduce_spark.operators.text import text_bpe_apply_encode
+
+    rows = text_bpe_apply_encode(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_chars >= r.n_bpe_tokens >= r.n_words
+        import math
+        assert r.chars_per_token == math.floor(r.n_chars / r.n_bpe_tokens * 10000 + 0.5) / 10000
