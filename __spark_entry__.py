@@ -202,6 +202,10 @@ _PRIORITY = [
     "adv_sequence_pattern_support",
     "text_bpe_train_merges",
     "text_bpe_apply_encode",
+    "rel_pk_uniqueness_audit",
+    "text_stopword_discovery",
+    "text_vocab_coverage_curve",
+    "adv_cohort_ltv_curve",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -189,6 +189,10 @@ HEADLINE = (
     "adv_sequence_pattern_support",
     "text_bpe_train_merges",
     "text_bpe_apply_encode",
+    "rel_pk_uniqueness_audit",
+    "text_stopword_discovery",
+    "text_vocab_coverage_curve",
+    "adv_cohort_ltv_curve",
 )
 
 

@@ -1537,7 +1537,57 @@ def adv_sequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adv_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per user by signup cohort over day offsets —
+    the LTV curve that turns the retention matrix
+    (``adv_retention_cohorts`` counts WHO came back) into money (how
+    much each cohort has EARNED per member by day N): the payback
+    readout acquisition spend is judged against.
+
+    Cohort = the user's first-seen day; purchase revenue accumulates
+    as integer grains per (cohort, offset); the running total is a
+    window cumsum of exact integers per cohort and the per-user
+    normalization divides by the cohort's exact size. Both fact
+    shuffles ride the user_id partitioning; the curve frame is
+    calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.when(
+            F.col("event_type") == "purchase", money_grains("value")
+        ).otherwise(F.lit(0).cast("decimal(38,0)")).alias("rev_g"),
+    )
+    cohort = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    j = days.join(cohort, "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").alias("day_offset"),
+        "rev_g",
+    )
+    per = j.groupBy("cohort_day", "day_offset").agg(F.sum("rev_g").alias("rev_g"))
+    w = W.partitionBy("cohort_day").orderBy("day_offset").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = F.sum("rev_g").over(w)
+    return (
+        per.withColumn("cum_g", cum)
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "cohort_size",
+            round_half_up(F.col("rev_g").cast("double") / 1e4, 2).alias("revenue"),
+            round_half_up(
+                F.col("cum_g").cast("double") / 1e4 / F.col("cohort_size"), 4
+            ).alias("cum_revenue_per_user"),
+        )
+    )
+
+
 QUERIES = {
+    "adv_cohort_ltv_curve": adv_cohort_ltv_curve,
     "adv_sequence_pattern_support": adv_sequence_pattern_support,
     "adv_kaplan_meier_retention": adv_kaplan_meier_retention,
     "adv_new_vs_returning_users": adv_new_vs_returning_users,
@@ -1600,6 +1650,37 @@ _SESSION_INTERVALS_CTES = f"""
     )"""
 
 ORACLES = {
+    "adv_cohort_ltv_curve": f"""
+        WITH days AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 10000.0 + 0.5) AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END AS rev_g
+            FROM events
+        ),
+        cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id),
+        sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+                  FROM cohort GROUP BY cohort_day),
+        per AS (
+            SELECT c.cohort_day,
+                   date_diff('day', c.cohort_day, d.day) AS day_offset,
+                   sum(d.rev_g) AS rev_g
+            FROM days d JOIN cohort c USING (user_id)
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT cohort_day, CAST(day_offset AS INTEGER) AS day_offset, rev_g,
+                   sum(rev_g) OVER (PARTITION BY cohort_day ORDER BY day_offset
+                                    ROWS UNBOUNDED PRECEDING) AS cum_g
+            FROM per
+        )
+        SELECT cohort_day, day_offset, sizes.cohort_size,
+               {sql_round("CAST(rev_g AS DOUBLE) / 10000.0", 2)} AS revenue,
+               {sql_round(
+                   "CAST(cum_g AS DOUBLE) / 10000.0 / sizes.cohort_size", 4
+               )} AS cum_revenue_per_user
+        FROM cum JOIN sizes USING (cohort_day)
+    """,
     "adv_sequence_pattern_support": f"""
         WITH e AS (
             SELECT user_id, event_id, ts, event_type, epoch_ms(ts) AS ms FROM events

@@ -2076,6 +2076,54 @@ def rel_calendar_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Primary keys audited for uniqueness (table -> key column).
+_PK_COLUMNS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "embeddings": "vec_id",
+    "documents": "doc_id",
+}
+
+
+def rel_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit — the other half of the
+    constraint layer beside :func:`rel_fk_integrity_audit`: per
+    table, row count, distinct key count, and how many rows sit in
+    duplicated-key groups (the rows an upsert would silently
+    collapse). One partial-aggregated count-distinct per table; the
+    duplicate-row count comes from the same grouped pass (sum of
+    group sizes where size > 1), so each table costs one scan.
+    """
+    frames = []
+    for t, pk in _PK_COLUMNS.items():
+        groups = (
+            load_table(spark, sf_dir, t)
+            .groupBy(F.col(pk).alias("k"))
+            .agg(F.count("*").alias("c"))
+        )
+        frames.append(
+            groups.agg(
+                F.lit(t).alias("table_name"),
+                F.sum("c").alias("n_rows"),
+                F.count("*").alias("n_distinct_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+                ).alias("n_rows_in_dup_groups"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.withColumn(
+        "pk_ok", F.col("n_rows") == F.col("n_distinct_keys")
+    )
+
+
 QUERIES = {
     "rel_revenue_trend_forecast": rel_revenue_trend_forecast,
     "rel_fk_integrity_audit": rel_fk_integrity_audit,
@@ -2085,6 +2133,7 @@ QUERIES = {
     "rel_table_checksums": rel_table_checksums,
     "rel_segment_priority_chi2": rel_segment_priority_chi2,
     "rel_calendar_gap_audit": rel_calendar_gap_audit,
+    "rel_pk_uniqueness_audit": rel_pk_uniqueness_audit,
     "rel_benford_price_audit": rel_benford_price_audit,
     "rel_join_key_skew_report": rel_join_key_skew_report,
     "rel_price_balance_correlation": rel_price_balance_correlation,
@@ -2242,6 +2291,20 @@ ORACLES = {
         GROUP BY o_orderpriority
     """,
     "rel_table_checksums": _checksum_oracle_sql(),
+    "rel_pk_uniqueness_audit": "\nUNION ALL\n".join(
+        f"""
+        SELECT '{t}' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT {pk}) AS BIGINT) AS n_distinct_keys,
+               CAST(count(*) - count(DISTINCT {pk})
+                    + (SELECT CAST(coalesce(count(*), 0) AS BIGINT) FROM (
+                           SELECT {pk} FROM {t} GROUP BY {pk} HAVING count(*) > 1
+                       )) AS BIGINT) AS n_rows_in_dup_groups,
+               count(*) = count(DISTINCT {pk}) AS pk_ok
+        FROM {t}
+        """
+        for t, pk in _PK_COLUMNS.items()
+    ),
     "rel_calendar_gap_audit": """
         WITH days AS (
             SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day

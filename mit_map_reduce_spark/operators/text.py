@@ -2047,7 +2047,105 @@ def _bpe_apply_oracle_sql() -> str:
     """
 
 
+#: Stopword rule: document frequency share at or above this.
+STOPWORD_DF_SHARE = 0.5
+STOPWORD_TOP = 25
+
+
+def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven stopword discovery: the words present in the
+    largest share of documents — how the stopword lexicons the
+    quality/language-ID operators consume get built in the first
+    place (a new language or domain has no curated list; its
+    ubiquitous words ARE the list).
+
+    One distinct-(doc, word) aggregation gives document frequencies;
+    the share divides exact integers against the corpus size; the
+    top-``STOPWORD_TOP`` ranking breaks ties by word. Output is
+    lexicon-sized whatever the corpus.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    dfreq = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(tokenize_letters(F.lower(F.col("text"))))
+            ).alias("word"),
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    share = F.col("df").cast("double") / F.lit(float(n_docs))
+    w = W.orderBy(F.col("df").desc(), "word")
+    return (
+        dfreq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= STOPWORD_TOP)
+        .select(
+            "rank",
+            "word",
+            "df",
+            round_half_up(share, 4).alias("df_share"),
+            (share >= STOPWORD_DF_SHARE).alias("is_stopword"),
+        )
+    )
+
+
+#: Vocabulary truncation points for the coverage curve.
+COVERAGE_KS = (10, 50, 100, 500, 1000)
+
+
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of all corpus TOKENS a
+    top-K frequency vocabulary covers, for several K — the
+    truncation-tradeoff readout behind every vocab-size decision
+    (the complement of the OOV rate at each K).
+
+    One corpus token-frequency aggregation; ranks by (count desc,
+    word); each K's covered-token count is a conditional sum over the
+    ranked vocab frame (vocab-sized); shares divide exact integers.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    freq = (
+        docs.select(
+            F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W.orderBy(F.col("c").desc(), "word")
+    ranked = freq.withColumn("rank", F.row_number().over(w))
+    total = F.sum("c").over(
+        W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    frames = []
+    agg = ranked.select("rank", "c", total.alias("total"))
+    for k in COVERAGE_KS:
+        frames.append(
+            agg.agg(
+                F.lit(k).alias("vocab_k"),
+                F.coalesce(
+                    F.sum(F.when(F.col("rank") <= k, F.col("c"))), F.lit(0)
+                ).alias("tokens_covered"),
+                F.min("total").alias("tokens_total"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "vocab_k",
+        "tokens_covered",
+        "tokens_total",
+        round_half_up(
+            F.col("tokens_covered").cast("double") / F.col("tokens_total"), 4
+        ).alias("coverage"),
+    )
+
+
 QUERIES = {
+    "text_stopword_discovery": text_stopword_discovery,
+    "text_vocab_coverage_curve": text_vocab_coverage_curve,
     "text_bpe_train_merges": text_bpe_train_merges,
     "text_bpe_apply_encode": text_bpe_apply_encode,
     "text_pipeline_funnel_report": text_pipeline_funnel_report,
@@ -3181,3 +3279,47 @@ ORACLES["text_pipeline_funnel_report"] = f"""
 ORACLES["text_bpe_train_merges"] = _bpe_train_oracle_sql()
 
 ORACLES["text_bpe_apply_encode"] = _bpe_apply_oracle_sql()
+
+ORACLES["text_stopword_discovery"] = f"""
+    WITH dfreq AS (
+        SELECT word, count(*) AS df FROM (
+            SELECT DISTINCT doc_id, word FROM (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^\\p{{L}}]+'), x -> x <> '')) AS word
+                FROM documents
+            )
+        ) GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    ranked AS (
+        SELECT word, CAST(df AS BIGINT) AS df,
+               CAST(row_number() OVER (ORDER BY df DESC, word) AS INTEGER) AS rank
+        FROM dfreq
+    )
+    SELECT rank, word, df,
+           floor((df / n.n_docs) * 10000.0 + 0.5) / 10000.0 AS df_share,
+           df / n.n_docs >= {STOPWORD_DF_SHARE} AS is_stopword
+    FROM ranked CROSS JOIN n
+    WHERE rank <= {STOPWORD_TOP}
+"""
+
+ORACLES["text_vocab_coverage_curve"] = f"""
+    WITH freq AS (
+        SELECT word, count(*) AS c FROM (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^\\p{{L}}]+'), x -> x <> '')) AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rank FROM freq
+    ),
+    ks(vocab_k) AS (VALUES {", ".join(f"({k})" for k in COVERAGE_KS)})
+    SELECT CAST(vocab_k AS INTEGER) AS vocab_k,
+           CAST(coalesce(sum(c) FILTER (rank <= vocab_k), 0) AS BIGINT) AS tokens_covered,
+           CAST(sum(c) AS BIGINT) AS tokens_total,
+           floor((CAST(coalesce(sum(c) FILTER (rank <= vocab_k), 0) AS DOUBLE)
+                  / sum(c)) * 10000.0 + 0.5) / 10000.0 AS coverage
+    FROM ranked CROSS JOIN ks
+    GROUP BY vocab_k
+"""

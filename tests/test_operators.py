@@ -1176,3 +1176,52 @@ def test_sequence_support_bounds_and_antisymmetry(spark, sf_dir):
     for pair, n in both.items():
         a, b = sorted(pair)
         assert ordered.get((a, b), 0) + ordered.get((b, a), 0) == n
+
+
+def test_pk_audit_covers_tables_and_is_clean(spark, sf_dir):
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.relational import (
+        _PK_COLUMNS,
+        rel_pk_uniqueness_audit,
+    )
+
+    rows = {r.table_name: r for r in rel_pk_uniqueness_audit(spark, sf_dir).collect()}
+    assert set(rows) == set(_PK_COLUMNS)
+    for t in _PK_COLUMNS:
+        r = rows[t]
+        assert r.pk_ok and r.n_rows_in_dup_groups == 0
+        assert r.n_rows == r.n_distinct_keys == load_table(spark, sf_dir, t).count()
+
+
+def test_coverage_curve_monotone_in_k(spark, sf_dir):
+    from mit_map_reduce_spark.operators.text import text_vocab_coverage_curve
+
+    rows = sorted(
+        text_vocab_coverage_curve(spark, sf_dir).collect(), key=lambda r: r.vocab_k
+    )
+    totals = {r.tokens_total for r in rows}
+    assert len(totals) == 1
+    prev = -1
+    for r in rows:
+        assert r.tokens_covered >= prev
+        prev = r.tokens_covered
+        assert 0 < r.coverage <= 1.0
+
+
+def test_ltv_curve_monotone_per_cohort(spark, sf_dir):
+    # Cumulative revenue per user never decreases within a cohort and
+    # cohort sizes sum to the distinct user count at offset 0.
+    from collections import defaultdict
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.advanced import adv_cohort_ltv_curve
+
+    per = defaultdict(list)
+    for r in adv_cohort_ltv_curve(spark, sf_dir).collect():
+        per[r.cohort_day].append(r)
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(rs[0].cohort_size for rs in per.values()) == n_users
+    for rs in per.values():
+        rs.sort(key=lambda r: r.day_offset)
+        assert rs[0].day_offset == 0
+        for a, b in zip(rs, rs[1:]):
+            assert b.cum_revenue_per_user >= a.cum_revenue_per_user - 1e-9
