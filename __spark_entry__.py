@@ -206,6 +206,7 @@ _PRIORITY = [
     "text_stopword_discovery",
     "text_vocab_coverage_curve",
     "adv_cohort_ltv_curve",
+    "sim_embedding_drift_report",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

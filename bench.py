@@ -193,6 +193,7 @@ HEADLINE = (
     "text_stopword_discovery",
     "text_vocab_coverage_curve",
     "adv_cohort_ltv_curve",
+    "sim_embedding_drift_report",
 )
 
 

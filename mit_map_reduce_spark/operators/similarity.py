@@ -1456,7 +1456,72 @@ def _pq_adc_oracle_sql() -> str:
     """
 
 
+#: Drift split: even vec_ids play "batch A", odd play "batch B".
+DRIFT_MEAN_GRAIN = 100_000_000.0  # per-dim coords to 1e-8 grains
+DRIFT_SQ_GRAIN = 1_000_000_000_000.0  # squared diffs to 1e-12 grains
+
+
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift between two batches, per label:
+    the L2 distance between the batches' per-label mean vectors — the
+    monitoring signal an embedding service watches across model or
+    data updates (a centroid that moved means retrieval quality
+    silently changed; re-index before users notice).
+
+    The deterministic even/odd id split stands in for "yesterday vs
+    today". Per-(label, batch, dim) means come from exact 1e-8 grain
+    sums (one partial-aggregated shuffle whose output is
+    labels x 2 x 64 rows at ANY corpus size); the squared per-dim
+    differences pre-round to 1e-12 grains so the cross-dim sum is
+    exact-integer; one sqrt closes it.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("batch_a"),
+        F.posexplode("embedding").alias("j", "x"),
+    )
+    means = dims.groupBy("label", "batch_a", "j").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.col("x").cast("double") * DRIFT_MEAN_GRAIN + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        ).alias("g"),
+    )
+    m = F.col("g").cast("double") / DRIFT_MEAN_GRAIN / F.col("n")
+    a = means.filter("batch_a").select(
+        "label", "j", m.alias("ma"), F.col("n").alias("n_a")
+    )
+    b = means.filter(~F.col("batch_a")).select(
+        "label", "j", m.alias("mb"), F.col("n").alias("n_b")
+    )
+    diff_g = F.floor(
+        (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")) * DRIFT_SQ_GRAIN
+        + F.lit(0.5)
+    ).cast("long")
+    per_label = (
+        a.join(b, ["label", "j"])
+        .select("label", "n_a", "n_b", diff_g.alias("dg"))
+        .groupBy("label")
+        .agg(
+            F.min("n_a").alias("n_batch_a"),
+            F.min("n_b").alias("n_batch_b"),
+            F.sum("dg").alias("sq_g"),
+        )
+    )
+    return per_label.select(
+        "label",
+        "n_batch_a",
+        "n_batch_b",
+        round_half_up(
+            F.sqrt(F.col("sq_g").cast("double") / DRIFT_SQ_GRAIN), 6
+        ).alias("mean_l2_shift"),
+    )
+
+
 QUERIES = {
+    "sim_embedding_drift_report": embedding_drift_report,
     "sim_pq_adc_topk": pq_adc_topk,
     "sim_pq_encode_report": pq_encode_report,
     "sim_ivf_cell_balance_report": ivf_cell_balance_report,
@@ -1937,3 +2002,32 @@ ORACLES["sim_ivf_cell_balance_report"] = f"""
 ORACLES["sim_pq_encode_report"] = _pq_oracle_sql()
 
 ORACLES["sim_pq_adc_topk"] = _pq_adc_oracle_sql()
+
+ORACLES["sim_embedding_drift_report"] = f"""
+    WITH dims AS (
+        SELECT label, vec_id % 2 = 0 AS batch_a,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS j,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    means AS (
+        SELECT label, batch_a, j, count(*) AS n,
+               sum(CAST(floor(x * {DRIFT_MEAN_GRAIN} + 0.5) AS HUGEINT)) AS g
+        FROM dims GROUP BY label, batch_a, j
+    ),
+    a AS (SELECT label, j, CAST(g AS DOUBLE) / {DRIFT_MEAN_GRAIN} / n AS ma,
+                 n AS n_a FROM means WHERE batch_a),
+    b AS (SELECT label, j, CAST(g AS DOUBLE) / {DRIFT_MEAN_GRAIN} / n AS mb,
+                 n AS n_b FROM means WHERE NOT batch_a),
+    terms AS (
+        SELECT a.label, a.n_a, b.n_b,
+               CAST(floor((ma - mb) * (ma - mb) * {DRIFT_SQ_GRAIN} + 0.5) AS BIGINT) AS dg
+        FROM a JOIN b ON a.label = b.label AND a.j = b.j
+    )
+    SELECT label,
+           CAST(min(n_a) AS BIGINT) AS n_batch_a,
+           CAST(min(n_b) AS BIGINT) AS n_batch_b,
+           floor((sqrt(CAST(sum(dg) AS DOUBLE) / {DRIFT_SQ_GRAIN})) * 1000000.0 + 0.5)
+               / 1000000.0 AS mean_l2_shift
+    FROM terms GROUP BY label
+"""

@@ -197,3 +197,29 @@ def test_pq_adc_recall_vs_exact_bruteforce(spark, sf_dir):
     assert set(approx) == set(exact)
     recalls = [len(exact[q] & approx[q]) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.1
+
+
+def test_embedding_drift_matches_numpy(spark, sf_dir):
+    # Golden: recompute each label's batch-mean L2 shift with NumPy.
+    import numpy as np
+    from collections import defaultdict
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.similarity import embedding_drift_report
+
+    by = defaultdict(lambda: ([], []))
+    for r in load_table(spark, sf_dir, "embeddings").collect():
+        by[r.label][0 if r.vec_id % 2 == 0 else 1].append(r.embedding)
+    got = {r.label: r for r in embedding_drift_report(spark, sf_dir).collect()}
+    for label, (a, b) in by.items():
+        if not a or not b:
+            assert label not in got
+            continue
+        shift = float(
+            np.linalg.norm(
+                np.mean(np.array(a, dtype=np.float64), axis=0)
+                - np.mean(np.array(b, dtype=np.float64), axis=0)
+            )
+        )
+        r = got[label]
+        assert (r.n_batch_a, r.n_batch_b) == (len(a), len(b))
+        assert abs(r.mean_l2_shift - shift) < 1e-4
