@@ -207,6 +207,8 @@ _PRIORITY = [
     "text_vocab_coverage_curve",
     "adv_cohort_ltv_curve",
     "sim_embedding_drift_report",
+    "adv_smoothed_conversion_ranking",
+    "adv_linear_touch_attribution",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

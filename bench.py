@@ -194,6 +194,8 @@ HEADLINE = (
     "text_vocab_coverage_curve",
     "adv_cohort_ltv_curve",
     "sim_embedding_drift_report",
+    "adv_smoothed_conversion_ranking",
+    "adv_linear_touch_attribution",
 )
 
 

@@ -1586,7 +1586,131 @@ def adv_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Beta-prior pseudo-count for smoothed rate ranking.
+SMOOTH_ALPHA = 20.0
+
+
+def adv_smoothed_conversion_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-smoothed conversion ranking per user cohort tier —
+    "sort by average done right": raw purchase rates rank tiny groups
+    with 3 lucky events above solid ones; shrinking every group's
+    rate toward the global prior by ``SMOOTH_ALPHA`` pseudo-events
+    (Beta-Binomial posterior mean) is the standard fix, and the
+    rank FLIPS it causes against the raw ordering are the point of
+    the report.
+
+    Groups are the props.k deciles (10 groups). All inputs are exact
+    integer counts; the global rate and each posterior mean are
+    single float expressions over those integers; both rankings are
+    integer-ordered window ranks with deterministic tie-breaks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    grp = ev.groupBy(
+        F.floor(F.get_json_object("props", "$.k").cast("int") / 10)
+        .cast("int")
+        .alias("k_decile")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+    tot = W.partitionBy()
+    prior = F.sum("n_purchases").over(tot).cast("double") / F.sum("n_events").over(tot)
+    raw = F.col("n_purchases").cast("double") / F.col("n_events")
+    smoothed = (F.col("n_purchases") + SMOOTH_ALPHA * prior) / (
+        F.col("n_events") + SMOOTH_ALPHA
+    )
+    staged = grp.select(
+        "k_decile", "n_events", "n_purchases",
+        raw.alias("raw_rate_f"), smoothed.alias("smoothed_f"),
+    )
+    return staged.select(
+        "k_decile",
+        "n_events",
+        "n_purchases",
+        round_half_up("raw_rate_f", 4).alias("raw_rate"),
+        round_half_up("smoothed_f", 4).alias("smoothed_rate"),
+        F.row_number()
+        .over(W.orderBy(F.col("raw_rate_f").desc(), "k_decile"))
+        .cast("int")
+        .alias("raw_rank"),
+        F.row_number()
+        .over(W.orderBy(F.col("smoothed_f").desc(), "k_decile"))
+        .cast("int")
+        .alias("smoothed_rank"),
+    )
+
+
+#: Credit grain for the attribution shares (1/n rationals).
+ATTR_GRAIN = 1_000_000
+
+
+def adv_linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit
+    of credit EQUALLY across the distinct channel types that touched
+    the user earlier in the same session — the first honest step past
+    last-click (``adv_asof_join_last_click`` is the last-click
+    baseline; this spreads the credit).
+
+    Session assignment is the shared gap construction; touches join
+    purchases on the session key with an earlier-position predicate,
+    collapse to distinct (purchase, channel), and each contributes
+    ``1/n_channels`` — pre-rounded to 1e-6 grains so the per-channel
+    totals are exact-integer sums. Purchases with no prior touch
+    surface under the ``(none)`` channel, so total credit equals the
+    purchase count exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis(F.col("ts"))
+    gap = ms - F.lag(ms).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_MS), 1).otherwise(0)
+    se = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("int")
+        .alias("sess"),
+    ).withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("user_id", "sess").orderBy("ts", "event_id")),
+    )
+    purchases = se.filter(F.col("event_type") == "purchase").select(
+        "user_id", "sess", F.col("event_id").alias("pid"), F.col("pos").alias("ppos")
+    )
+    touches = se.filter(F.col("event_type") != "purchase").select(
+        "user_id", "sess", F.col("event_type").alias("channel"), "pos"
+    )
+    prior = (
+        purchases.join(touches, ["user_id", "sess"])
+        .filter(F.col("pos") < F.col("ppos"))
+        .select("pid", "channel")
+        .distinct()
+    )
+    # Purchases with no PRIOR touch (none in session, or all later)
+    # surface as "(none)" so total credit == purchase count exactly.
+    untouched = (
+        purchases.select("pid")
+        .join(prior.select("pid").distinct(), "pid", "left_anti")
+        .withColumn("channel", F.lit("(none)"))
+    )
+    touched = prior.unionByName(untouched)
+    n_ch = F.count("*").over(W.partitionBy("pid"))
+    credit_g = F.floor(F.lit(1.0) / n_ch * ATTR_GRAIN + F.lit(0.5)).cast("long")
+    return (
+        touched.select("pid", "channel", credit_g.alias("g"))
+        .groupBy("channel")
+        .agg(
+            F.count_distinct("pid").alias("n_purchases_touched"),
+            round_half_up(F.sum("g").cast("double") / ATTR_GRAIN, 2).alias(
+                "attributed_purchases"
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "adv_smoothed_conversion_ranking": adv_smoothed_conversion_ranking,
+    "adv_linear_touch_attribution": adv_linear_touch_attribution,
     "adv_cohort_ltv_curve": adv_cohort_ltv_curve,
     "adv_sequence_pattern_support": adv_sequence_pattern_support,
     "adv_kaplan_meier_retention": adv_kaplan_meier_retention,
@@ -1650,6 +1774,79 @@ _SESSION_INTERVALS_CTES = f"""
     )"""
 
 ORACLES = {
+    "adv_smoothed_conversion_ranking": f"""
+        WITH grp AS (
+            SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+                        AS INTEGER) AS k_decile,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchases
+            FROM events GROUP BY 1
+        ),
+        staged AS (
+            SELECT k_decile, n_events, n_purchases,
+                   CAST(n_purchases AS DOUBLE) / n_events AS raw_rate_f,
+                   (n_purchases + {SMOOTH_ALPHA} * (CAST(sum(n_purchases) OVER () AS DOUBLE)
+                        / sum(n_events) OVER ()))
+                       / (n_events + {SMOOTH_ALPHA}) AS smoothed_f
+            FROM grp
+        )
+        SELECT k_decile, n_events, n_purchases,
+               {sql_round("raw_rate_f", 4)} AS raw_rate,
+               {sql_round("smoothed_f", 4)} AS smoothed_rate,
+               CAST(row_number() OVER (ORDER BY raw_rate_f DESC, k_decile)
+                    AS INTEGER) AS raw_rank,
+               CAST(row_number() OVER (ORDER BY smoothed_f DESC, k_decile)
+                    AS INTEGER) AS smoothed_rank
+        FROM staged
+    """,
+    "adv_linear_touch_attribution": f"""
+        WITH e AS (
+            SELECT user_id, event_id, ts, event_type, epoch_ms(ts) AS ms FROM events
+        ),
+        g AS (
+            SELECT *, ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM e
+        ),
+        se AS (
+            SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_MS} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS INTEGER) AS sess
+            FROM g
+        ),
+        posed AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id, sess
+                                         ORDER BY ts, event_id) AS pos
+            FROM se
+        ),
+        purchases AS (
+            SELECT user_id, sess, event_id AS pid, pos AS ppos
+            FROM posed WHERE event_type = 'purchase'
+        ),
+        prior AS (
+            SELECT DISTINCT p.pid, t.event_type AS channel
+            FROM purchases p JOIN posed t
+              ON t.user_id = p.user_id AND t.sess = p.sess
+             AND t.event_type <> 'purchase' AND t.pos < p.ppos
+        ),
+        touched AS (
+            SELECT pid, channel FROM prior
+            UNION ALL
+            SELECT pid, '(none)' AS channel FROM purchases
+            WHERE pid NOT IN (SELECT pid FROM prior)
+        ),
+        credits AS (
+            SELECT pid, channel,
+                   CAST(floor(1.0 / count(*) OVER (PARTITION BY pid)
+                              * {ATTR_GRAIN} + 0.5) AS BIGINT) AS g
+            FROM touched
+        )
+        SELECT channel,
+               CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases_touched,
+               {sql_round(f"CAST(sum(g) AS DOUBLE) / {ATTR_GRAIN}", 2)}
+                   AS attributed_purchases
+        FROM credits GROUP BY channel
+    """,
     "adv_cohort_ltv_curve": f"""
         WITH days AS (
             SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

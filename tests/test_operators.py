@@ -1225,3 +1225,38 @@ def test_ltv_curve_monotone_per_cohort(spark, sf_dir):
         assert rs[0].day_offset == 0
         for a, b in zip(rs, rs[1:]):
             assert b.cum_revenue_per_user >= a.cum_revenue_per_user - 1e-9
+
+
+def test_smoothing_shrinks_toward_prior(spark, sf_dir):
+    # Every smoothed rate lies between its raw rate and the global
+    # rate (shrinkage), and both rank columns are permutations.
+    from mit_map_reduce_spark.operators.advanced import adv_smoothed_conversion_ranking
+
+    rows = adv_smoothed_conversion_ranking(spark, sf_dir).collect()
+    tot_e = sum(r.n_events for r in rows)
+    tot_p = sum(r.n_purchases for r in rows)
+    prior = tot_p / tot_e
+    for r in rows:
+        lo, hi = sorted((r.raw_rate, prior))
+        assert lo - 1e-4 <= r.smoothed_rate <= hi + 1e-4
+    n = len(rows)
+    assert sorted(r.raw_rank for r in rows) == list(range(1, n + 1))
+    assert sorted(r.smoothed_rank for r in rows) == list(range(1, n + 1))
+
+
+def test_attribution_credit_conserved(spark, sf_dir):
+    # Total attributed credit equals the purchase count exactly
+    # (up to the 1e-6 grain per split), and channels are event types
+    # (or the explicit no-touch bucket).
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.advanced import adv_linear_touch_attribution
+
+    rows = adv_linear_touch_attribution(spark, sf_dir).collect()
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert abs(sum(r.attributed_purchases for r in rows) - n_purchases) < 0.05
+    assert {r.channel for r in rows} <= {"click", "view", "signup", "error", "(none)"}
