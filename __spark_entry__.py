@@ -209,6 +209,7 @@ _PRIORITY = [
     "sim_embedding_drift_report",
     "adv_smoothed_conversion_ranking",
     "adv_linear_touch_attribution",
+    "graph_clustering_coefficient",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

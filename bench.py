@@ -196,6 +196,7 @@ HEADLINE = (
     "sim_embedding_drift_report",
     "adv_smoothed_conversion_ranking",
     "adv_linear_touch_attribution",
+    "graph_clustering_coefficient",
 )
 
 

@@ -838,6 +838,41 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("supp").agg(F.count("*").alias("n_triangles"))
 
 
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: triangles through the
+    node divided by its wedge capacity d*(d-1)/2 — the classic
+    small-world/community-tightness measure (Watts & Strogatz 1998),
+    composing the shared triangle machinery with the degree table.
+
+    Pure composition over the cached kNN edge artifact: undirected
+    degrees in one aggregation, triangle participation from the same
+    node-iterator join as ``graph_triangle_count``, a left join so
+    triangle-free nodes report 0. The coefficient divides exact
+    integers; nodes with degree < 2 have no wedges and are excluded
+    (coefficient undefined).
+    """
+    e = _knn_copurchase_edges(spark, sf_dir)
+    und = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = und.groupBy("node").agg(F.count("*").alias("degree"))
+    tri = graph_triangle_count(spark, sf_dir).select(
+        F.col("supp").alias("node"), "n_triangles"
+    )
+    j = deg.filter(F.col("degree") >= 2).join(tri, "node", "left").fillna(
+        0, subset=["n_triangles"]
+    )
+    wedges = (F.col("degree") * (F.col("degree") - 1) / 2).cast("double")
+    return j.select(
+        "node",
+        "degree",
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        round_half_up(F.col("n_triangles").cast("double") / wedges, 4).alias(
+            "clustering_coef"
+        ),
+    )
+
+
 def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction over the mutual-kNN graph:
     score every NON-adjacent supplier pair with >= LP_MIN_COMMON shared
@@ -1171,6 +1206,7 @@ def _hits_oracle_sql() -> str:
 
 
 QUERIES = {
+    "graph_clustering_coefficient": graph_clustering_coefficient,
     "graph_hits_scores": graph_hits_scores,
     "graph_bfs_reach": graph_bfs_reach,
     "graph_degree_assortativity": graph_degree_assortativity,
@@ -1302,3 +1338,27 @@ ORACLES = {
         GROUP BY 1, degree
     """,
 }
+
+ORACLES["graph_clustering_coefficient"] = _KNN_EDGES_CTE + """,
+    und AS (SELECT a AS node FROM mutual UNION ALL SELECT b FROM mutual),
+    deg AS (SELECT node, count(*) AS degree FROM und GROUP BY node),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM mutual e1
+        JOIN mutual e2 ON e1.b = e2.a
+        JOIN mutual e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tnodes AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ),
+    tcount AS (SELECT node, count(*) AS n_triangles FROM tnodes GROUP BY node)
+    SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           floor((CAST(coalesce(t.n_triangles, 0) AS DOUBLE)
+                  / (CAST(d.degree AS DOUBLE) * (d.degree - 1) / 2))
+                 * 10000.0 + 0.5) / 10000.0 AS clustering_coef
+    FROM deg d LEFT JOIN tcount t ON t.node = d.node
+    WHERE d.degree >= 2
+"""

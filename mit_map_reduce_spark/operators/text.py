@@ -1872,69 +1872,80 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Memoized (merges, final-vocab frame) per (session, corpus): the
-#: trainer and the apply query share one training pass.
-_BPE_TRAINED: dict = {}
+#: Memoized merge lists per (session, corpus) — plain tuples, no JVM
+#: resources; the final-vocab FRAME rides the catalog's shared-persist
+#: registry so clear_shared_caches() releases it like every other
+#: cached intermediate.
+_BPE_MERGES: dict = {}
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str):
     """Run the merge-learning loop once per (session, corpus); returns
     the merge list and the final per-WORD symbolization frame
-    (word, c, s) — the trained tokenizer state both queries consume."""
+    (word, c, s) — the trained tokenizer state both queries consume.
+    The frame lives in the shared registry; the merge list (filled as
+    a side effect of the same build) in the plain memo — the memo
+    strictly outlives the registry entry, so a registry clear simply
+    retrains both."""
+    from mit_map_reduce_spark.catalog import shared_persist
+
     key = (id(spark), sf_dir)
-    if key in _BPE_TRAINED:
-        return _BPE_TRAINED[key]
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    words = docs.select(
-        F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
-    )
-    freq = words.groupBy("word").agg(F.count("*").alias("c"))
-    chars = F.array_join(
-        F.transform(
-            F.sequence(F.lit(1), F.length("word")),
-            lambda i: F.substr(F.col("word"), i, F.lit(1)),
-        ),
-        " ",
-    )
-    syms = freq.select(
-        "word", "c", F.concat(F.lit(" "), chars, F.lit(" ")).alias("s")
-    ).persist()
-    merges = []
-    for rank in range(BPE_TRAIN_MERGES):
-        arr = F.split(F.trim("s"), " ")
-        pair_arr = F.when(F.size(arr) < 2, F.array()).otherwise(
+
+    def build():
+        docs = spread(load_table(spark, sf_dir, "documents"))
+        words = docs.select(
+            F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+        )
+        freq = words.groupBy("word").agg(F.count("*").alias("c"))
+        chars = F.array_join(
             F.transform(
-                F.sequence(F.lit(1), F.size(arr) - 1),
-                lambda i: F.concat(
-                    F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
-                ),
-            )
-        )
-        best = (
-            syms.select("c", F.explode(pair_arr).alias("pair"))
-            .groupBy("pair")
-            .agg(F.sum("c").alias("n"))
-            .orderBy(F.col("n").desc(), "pair")
-            .limit(1)
-            .collect()[0]
-        )
-        a, b = best.pair.split(" ")
-        merges.append((rank, a, b, a + b, best.n))
-        merged = syms.withColumn(
-            "s",
-            F.replace(
-                F.replace(
-                    F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
-                ),
-                F.lit(f" {a} {b} "),
-                F.lit(f" {a}{b} "),
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substr(F.col("word"), i, F.lit(1)),
             ),
+            " ",
+        )
+        syms = freq.select(
+            "word", "c", F.concat(F.lit(" "), chars, F.lit(" ")).alias("s")
         ).persist()
-        merged.count()
-        syms.unpersist()
-        syms = merged
-    _BPE_TRAINED[key] = (merges, syms)  # syms stays persisted for apply
-    return _BPE_TRAINED[key]
+        merges = []
+        for rank in range(BPE_TRAIN_MERGES):
+            arr = F.split(F.trim("s"), " ")
+            pair_arr = F.when(F.size(arr) < 2, F.array()).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(arr) - 1),
+                    lambda i: F.concat(
+                        F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+                    ),
+                )
+            )
+            best = (
+                syms.select("c", F.explode(pair_arr).alias("pair"))
+                .groupBy("pair")
+                .agg(F.sum("c").alias("n"))
+                .orderBy(F.col("n").desc(), "pair")
+                .limit(1)
+                .collect()[0]
+            )
+            a, b = best.pair.split(" ")
+            merges.append((rank, a, b, a + b, best.n))
+            merged = syms.withColumn(
+                "s",
+                F.replace(
+                    F.replace(
+                        F.col("s"), F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+                    ),
+                    F.lit(f" {a} {b} "),
+                    F.lit(f" {a}{b} "),
+                ),
+            ).persist()
+            merged.count()
+            syms.unpersist()
+            syms = merged
+        _BPE_MERGES[key] = merges
+        return syms
+
+    syms = shared_persist(spark, "bpe_vocab_syms", sf_dir, build)
+    return _BPE_MERGES[key], syms
 
 
 def text_bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1260,3 +1260,19 @@ def test_attribution_credit_conserved(spark, sf_dir):
     )
     assert abs(sum(r.attributed_purchases for r in rows) - n_purchases) < 0.05
     assert {r.channel for r in rows} <= {"click", "view", "signup", "error", "(none)"}
+
+
+def test_clustering_coefficient_bounds_and_reconciles(spark, sf_dir):
+    # CC in [0, 1]; triangle counts match graph_triangle_count; every
+    # reported node has >= 2 neighbors.
+    from mit_map_reduce_spark.operators.graph import (
+        graph_clustering_coefficient,
+        graph_triangle_count,
+    )
+
+    tri = {r.supp: r.n_triangles for r in graph_triangle_count(spark, sf_dir).collect()}
+    rows = graph_clustering_coefficient(spark, sf_dir).collect()
+    for r in rows:
+        assert r.degree >= 2
+        assert 0.0 <= r.clustering_coef <= 1.0
+        assert r.n_triangles == tri.get(r.node, 0)
