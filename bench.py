@@ -197,6 +197,7 @@ HEADLINE = (
     "adv_smoothed_conversion_ranking",
     "adv_linear_touch_attribution",
     "graph_clustering_coefficient",
+    "dedup_bbit_minhash_report",
 )
 
 

@@ -967,7 +967,61 @@ def dedup_survivorship_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: b-bit minwise hashing: bits kept per hash and the collision floor
+#: C = 2^-b for the unbiased estimator (Li & Koenig 2010).
+BBIT_BITS = 2
+BBIT_C = 1.0 / (1 << BBIT_BITS)
+
+
+def bbit_minhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing error report: store only the lowest
+    ``BBIT_BITS`` bits of each minhash (a 16x compression of the
+    signature at b=2 vs the hex digest) and measure, on the verified
+    near-dup pairs, how well the debiased match-fraction estimator
+    J ≈ (m - C)/(1 - C) recovers the exact Jaccard — the readout that
+    says whether the compressed sketches are good enough to replace
+    the full signatures at 100 TB (Li & Koenig 2010; C = 2^-b is the
+    large-universe collision floor, so the estimate is approximate by
+    construction — the measured error IS the product).
+
+    The b-bit values derive from the existing signature table's last
+    hex digit (zero new hashing); per-pair match counts are exact
+    integers over the 8 hash slots; the estimator is one float
+    expression over those integers.
+    """
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir).select(
+        "doc_id",
+        "h",
+        (F.conv(F.substring("minhash", 32, 1), 16, 10).cast("int") % (1 << BBIT_BITS)).alias(
+            "bb"
+        ),
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), "h", F.col("bb").alias("ba"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), "h", F.col("bb").alias("bbv"))
+    matched = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(
+            F.count("*").alias("n_hashes"),
+            F.count(F.when(F.col("ba") == F.col("bbv"), 1)).alias("n_matches"),
+        )
+    )
+    mf = F.col("n_matches").cast("double") / F.col("n_hashes")
+    est = F.greatest(F.lit(0.0), (mf - BBIT_C) / (1.0 - BBIT_C))
+    return matched.select(
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").alias("exact_jaccard"),
+        "n_matches",
+        round_half_up(est, 4).alias("bbit_estimate"),
+        round_half_up(F.abs(est - F.col("jaccard")), 4).alias("abs_error"),
+    )
+
+
 QUERIES = {
+    "dedup_bbit_minhash_report": bbit_minhash_report,
     "dedup_survivorship_report": dedup_survivorship_report,
     "dedup_split_leakage_audit": dedup_split_leakage_audit,
     "dedup_cluster_size_report": dedup_cluster_size_report,
@@ -1449,4 +1503,31 @@ ORACLES["dedup_survivorship_report"] = f"""
            floor((CAST(count(*) AS DOUBLE) / sum(count(*)) OVER ()) * 10000.0 + 0.5)
                / 10000.0 AS share
     FROM j GROUP BY keep
+"""
+
+ORACLES["dedup_bbit_minhash_report"] = f"""
+    WITH {_PAIRS_CTES},
+    bb AS (
+        SELECT doc_id, h,
+               (strpos('0123456789abcdef', substr(minhash, 32, 1)) - 1)
+                   % {1 << BBIT_BITS} AS bb
+        FROM sig
+    ),
+    matched AS (
+        SELECT p.doc_a, p.doc_b, p.jaccard,
+               CAST(count(*) AS BIGINT) AS n_hashes,
+               CAST(count(*) FILTER (a.bb = b.bb) AS BIGINT) AS n_matches
+        FROM pairs p
+        JOIN bb a ON a.doc_id = p.doc_a
+        JOIN bb b ON b.doc_id = p.doc_b AND b.h = a.h
+        GROUP BY p.doc_a, p.doc_b, p.jaccard
+    )
+    SELECT doc_a, doc_b, jaccard AS exact_jaccard, n_matches,
+           floor((greatest(0.0, (CAST(n_matches AS DOUBLE) / n_hashes - {BBIT_C})
+                            / (1.0 - {BBIT_C}))) * 10000.0 + 0.5) / 10000.0
+               AS bbit_estimate,
+           floor((abs(greatest(0.0, (CAST(n_matches AS DOUBLE) / n_hashes - {BBIT_C})
+                            / (1.0 - {BBIT_C})) - jaccard)) * 10000.0 + 0.5) / 10000.0
+               AS abs_error
+    FROM matched
 """

@@ -250,3 +250,23 @@ def test_cluster_size_report_reconciles_with_keep_list(spark, sf_dir):
     n_dropped = sum(1 for r in kl if not r.keep)
     assert sum(r.n_docs_dropped for r in rows) == n_dropped
     assert abs(sum(r.corpus_share for r in rows) - 1.0) < 0.01
+
+
+def test_bbit_estimator_formula_and_exact_match_saturation(spark, sf_dir):
+    # The estimator recomputes from the row's own integers; pairs with
+    # identical full signatures (all 8 b-bit slots match) estimate 1.0.
+    from mit_map_reduce_spark.operators.dedup import (
+        BBIT_C,
+        bbit_minhash_report,
+        minhash_lsh_pairs,
+    )
+
+    rows = bbit_minhash_report(spark, sf_dir).collect()
+    assert len(rows) == minhash_lsh_pairs(spark, sf_dir).count()
+    for r in rows:
+        mf = r.n_matches / 8
+        expect = max(0.0, (mf - BBIT_C) / (1 - BBIT_C))
+        assert abs(r.bbit_estimate - expect) < 1e-4
+        assert abs(r.abs_error - abs(expect - r.exact_jaccard)) < 1e-4
+        if r.n_matches == 8:
+            assert r.bbit_estimate == 1.0
