@@ -198,6 +198,7 @@ HEADLINE = (
     "adv_linear_touch_attribution",
     "graph_clustering_coefficient",
     "dedup_bbit_minhash_report",
+    "mr_udtf_wordcount",
 )
 
 

@@ -92,6 +92,43 @@ def mr_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mr_udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ``Map``-as-UDTF contract on Spark's NATIVE
+    Python UDTF surface (Spark 3.5+; the SURVEY §2a#2 mapping made
+    concrete): a table function takes one document row and emits one
+    row per token — exactly ``mapf(file, contents) -> [(k, v)]``
+    (reference src/mr/worker.go:138) — then plain SQL aggregates, via
+    a LATERAL join over the registered view.
+
+    This is the faithful-surface demo: the UDTF runs the SAME Python
+    tokenizer as the MapReduce facade (mapreduce/apps.py), so an
+    opaque user map function ports verbatim. The Catalyst-native
+    ``mr_wordcount`` is the fast path — row-at-a-time Python is the
+    price of opaque-UDF semantics, which is why it is the exception
+    surface here, not the default.
+    """
+    from pyspark.sql.functions import udtf
+
+    from mit_map_reduce_spark.catalog import register_views
+    from mit_map_reduce_spark.mapreduce.apps import tokenize
+
+    @udtf(returnType="word string")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in tokenize(text):
+                yield (w,)
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("split_words", SplitWords)
+    return spark.sql(
+        """
+        SELECT t.word, count(*) AS cnt
+        FROM documents d, LATERAL split_words(d.text) t
+        GROUP BY t.word
+        """
+    )
+
+
 GREP_PATTERN = r"data \w+ (scan|sort)"
 
 
@@ -250,6 +287,7 @@ def mr_terasort_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "mr_udtf_wordcount": mr_udtf_wordcount,
     "mr_positional_index": mr_positional_index,
     "mr_terasort_manifest": mr_terasort_manifest,
     "mr_reduce_side_join": mr_reduce_side_join,
@@ -264,6 +302,14 @@ _TOKENS = r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')"
 from mit_map_reduce_spark.functions.columns import sql_money_sum as _sms
 
 ORACLES = {
+    # The Python tokenizer ([^\W\d_]+ letters) and the oracle's
+    # \p{L} split agree on letter-only tokens (pinned by the facade
+    # parity tests).
+    "mr_udtf_wordcount": r"""
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '[^\p{L}]+'), x -> x <> '')) AS word FROM documents)
+        GROUP BY word
+    """,
     "mr_positional_index": f"""
         WITH words AS (SELECT doc_id, {_TOKENS} AS ws FROM documents),
         pos AS (

@@ -145,3 +145,16 @@ def test_text_sink_format(spark, corpus_dir, tmp_path):
         lines.extend(p.read_text().splitlines())
     golden = run_sequential(wc_map, wc_reduce, inputs)
     assert sorted(lines) == sorted(f"{k} {v}" for k, v in golden)
+
+
+def test_udtf_wordcount_matches_native(spark, sf_dir):
+    # The Python-UDTF surface and the Catalyst-native formulation must
+    # produce identical counts (same tokenizer semantics).
+    from mit_map_reduce_spark.operators.mr_queries import (
+        mr_udtf_wordcount,
+        mr_wordcount,
+    )
+
+    native = {(r.word, r.cnt) for r in mr_wordcount(spark, sf_dir).collect()}
+    udtf = {(r.word, r.cnt) for r in mr_udtf_wordcount(spark, sf_dir).collect()}
+    assert udtf == native
