@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table, spread
+from mit_map_reduce_spark.catalog import load_table, shared_persist, spread
 from mit_map_reduce_spark.functions.columns import round_half_up, tokenize_letters, whitespace_tokens, word_kgrams
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -58,7 +58,19 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = 0.4 * min(1, n_tokens/100)
           + 0.3 * stopword_ratio
           + 0.3 * (1 - |avg_token_len - 5| / 10)
+
+    Session-shared: the training mix, corpus pipeline, survivorship
+    audit, perplexity buckets, and funnel report all consume these
+    scores — one cached copy per (session, corpus), the shingle-cache
+    discipline.
     """
+    return shared_persist(
+        spark, "text_quality_scores", sf_dir,
+        lambda: _text_quality_build(spark, sf_dir),
+    )
+
+
+def _text_quality_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = whitespace_tokens(F.lower(F.col("text")))
     n = F.size(ws)
@@ -439,6 +451,13 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with corpus size, not corpus length — no global hot key is
     possible (a gram is counted within its document only).
     """
+    return shared_persist(
+        spark, "text_repetition_flags", sf_dir,
+        lambda: _text_repetition_build(spark, sf_dir),
+    )
+
+
+def _text_repetition_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = tokenize_letters(F.lower(F.col("text")))
     base = docs.select("doc_id", words.alias("ws")).filter(F.size("ws") >= 2)
@@ -494,6 +513,13 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving doc: how many distinct grams are contaminated and how
     many benchmark docs it overlaps.
     """
+    return shared_persist(
+        spark, "text_contamination_flags", sf_dir,
+        lambda: _text_contamination_build(spark, sf_dir),
+    )
+
+
+def _text_contamination_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = tokenize_letters(F.lower(F.col("text")))
     grams = F.array_distinct(word_kgrams(words, CONTAM_NGRAM_K))
