@@ -203,10 +203,12 @@ def test_langid_ngram_broadcasts_profiles(spark, sf_dir):
 def test_repetition_has_partial_aggregation(spark, sf_dir):
     # The (doc_id, gram) counting must show a partial hash aggregate
     # before its exchange, so document-length explosion is absorbed
-    # map-side (same combine discipline as wordcount).
-    from mit_map_reduce_spark.operators.text import text_repetition
+    # map-side (same combine discipline as wordcount). Probe the BUILD
+    # pipeline — the registered query now serves a session-cached copy
+    # whose top plan is just the InMemoryTableScan.
+    from mit_map_reduce_spark.operators.text import _text_repetition_build
 
-    plan = physical_plan(text_repetition(spark, sf_dir))
+    plan = physical_plan(_text_repetition_build(spark, sf_dir))
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[:first_exchange]
 
