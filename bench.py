@@ -199,6 +199,7 @@ HEADLINE = (
     "graph_clustering_coefficient",
     "dedup_bbit_minhash_report",
     "mr_udtf_wordcount",
+    "rel_revenue_autocorrelation",
 )
 
 

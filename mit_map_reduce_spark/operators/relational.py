@@ -2124,8 +2124,53 @@ def rel_pk_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rel_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue — the time-series
+    diagnostic that closes the family (trend fit, seasonality index,
+    CUSUM level shifts, rolling z-scores): is today's revenue
+    predictive of tomorrow's, or is the series white noise (TPC-H's
+    generator should say noise — |r| near 0 — which is the audit)?
+
+    The exact-sum discipline of ``rel_price_balance_correlation``
+    applied to the lagged pair frame: (x, y) = (day t, day t+1)
+    revenue GRAINS, five accumulators summed as decimal(38,0)
+    (x*y products overflow int64 at scale), Pearson r as one float
+    expression over the exact sums. The lag runs over the tiny
+    day-level frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.sum(money_grains("o_totalprice")).alias("g")
+    )
+    w = W.orderBy("day")
+    pairs = daily.select(
+        F.col("g").alias("x"), F.lead("g").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    sums = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return sums.select(
+        F.col("n").alias("n_pairs"),
+        round_half_up(r, 6).alias("lag1_autocorr"),
+        (F.abs(r) < 0.1).alias("looks_like_noise"),
+    )
+
+
 QUERIES = {
     "rel_revenue_trend_forecast": rel_revenue_trend_forecast,
+    "rel_revenue_autocorrelation": rel_revenue_autocorrelation,
     "rel_fk_integrity_audit": rel_fk_integrity_audit,
     "rel_incremental_agg_merge": rel_incremental_agg_merge,
     "rel_seasonality_index_monthly": rel_seasonality_index_monthly,
@@ -2291,6 +2336,39 @@ ORACLES = {
         GROUP BY o_orderpriority
     """,
     "rel_table_checksums": _checksum_oracle_sql(),
+    "rel_revenue_autocorrelation": f"""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+                   sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS HUGEINT)) AS g
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT g AS x, lead(g) OVER (ORDER BY day) AS y FROM daily
+        ),
+        sums AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pairs WHERE y IS NOT NULL
+        )
+        SELECT CAST(n AS BIGINT) AS n_pairs,
+               {sql_round(
+                   "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+                   " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+                   " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+                   " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+                   " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+                   " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))",
+                   6,
+               )} AS lag1_autocorr,
+               abs((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) < 0.1
+                   AS looks_like_noise
+        FROM sums
+    """,
     "rel_pk_uniqueness_audit": "\nUNION ALL\n".join(
         f"""
         SELECT '{t}' AS table_name,

@@ -1276,3 +1276,27 @@ def test_clustering_coefficient_bounds_and_reconciles(spark, sf_dir):
         assert r.degree >= 2
         assert 0.0 <= r.clustering_coef <= 1.0
         assert r.n_triangles == tri.get(r.node, 0)
+
+
+def test_autocorrelation_matches_numpy(spark, sf_dir):
+    # Golden: recompute lag-1 Pearson r with NumPy over the same
+    # daily grain series.
+    import numpy as np
+    from pyspark.sql import functions as F
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.functions.columns import money_grains
+    from mit_map_reduce_spark.operators.relational import rel_revenue_autocorrelation
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(money_grains("o_totalprice")).alias("g"))
+        .orderBy("day")
+        .collect()
+    )
+    g = np.array([float(r.g) for r in daily])
+    expect = float(np.corrcoef(g[:-1], g[1:])[0, 1])
+    got = rel_revenue_autocorrelation(spark, sf_dir).first()
+    assert got.n_pairs == len(g) - 1
+    assert abs(got.lag1_autocorr - expect) < 1e-5
+    assert got.looks_like_noise == (abs(expect) < 0.1)
