@@ -213,6 +213,7 @@ _PRIORITY = [
     "dedup_bbit_minhash_report",
     "mr_udtf_wordcount",
     "rel_revenue_autocorrelation",
+    "sketch_bloom_union_merge",
     # ---- 51+: remaining grain-swept money queries (values verified
     # identical under the full-precision local gate; standing rows
     # remain accurate), then the long-stable tail in rotation order.

@@ -200,6 +200,7 @@ HEADLINE = (
     "dedup_bbit_minhash_report",
     "mr_udtf_wordcount",
     "rel_revenue_autocorrelation",
+    "sketch_bloom_union_merge",
 )
 
 

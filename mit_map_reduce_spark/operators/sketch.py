@@ -516,7 +516,66 @@ def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_bloom_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom filters: build one premium-customer filter PER
+    market segment, OR-merge the five bit sets, and prove the merge
+    equals the filter built directly over all segments — the property
+    (bloom(A) | bloom(B) == bloom(A ∪ B), same params) that lets each
+    partition/day build its filter independently and a coordinator
+    fold them, exactly the ``sketch_hll_union_merge`` contract for
+    membership instead of cardinality.
+
+    All bit positions are md5-derived integers, so every row —
+    per-segment, merged, and direct — carries an exact bit count plus
+    an md5 fingerprint of its sorted bit list; merged == direct is a
+    string equality the driver hashes, not a tolerance.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    premium = cust.filter(F.col("c_acctbal") > BLOOM_MIN_BAL).select(
+        "c_mktsegment", "c_custkey"
+    )
+    bits = premium.select(
+        "c_mktsegment",
+        F.explode(
+            F.array(*[_bloom_bit(i, F.col("c_custkey")) for i in range(BLOOM_HASHES)])
+        ).alias("bit"),
+    ).distinct()
+
+    def fingerprint(df, label_col):
+        return df.groupBy(label_col).agg(
+            F.count("*").alias("n_bits_set"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_set("bit")),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("bits_md5"),
+        )
+
+    per_seg = fingerprint(bits, F.col("c_mktsegment").alias("scope"))
+    merged = fingerprint(
+        bits.select("bit").distinct().withColumn("scope", F.lit("MERGED")), "scope"
+    )
+    direct = fingerprint(
+        premium.select(
+            F.explode(
+                F.array(
+                    *[_bloom_bit(i, F.col("c_custkey")) for i in range(BLOOM_HASHES)]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+        .withColumn("scope", F.lit("DIRECT")),
+        "scope",
+    )
+    return per_seg.unionByName(merged).unionByName(direct)
+
+
 QUERIES = {
+    "sketch_bloom_union_merge": sketch_bloom_union_merge,
     "sketch_ams_second_moment": sketch_ams_second_moment,
     "sketch_hll_intersection": sketch_hll_intersection,
     "sketch_cms_topk_by_source": sketch_cms_topk_by_source,
@@ -546,6 +605,30 @@ def _bloom_bit_sql(key_expr: str) -> str:
 
 
 ORACLES = {
+    "sketch_bloom_union_merge": f"""
+        WITH premium AS (
+            SELECT c_mktsegment, c_custkey FROM customer
+            WHERE c_acctbal > {BLOOM_MIN_BAL}
+        ),
+        bits AS (
+            SELECT DISTINCT c_mktsegment,
+                   {_bloom_bit_sql("c_custkey")} AS bit
+            FROM premium CROSS JOIN range({BLOOM_HASHES}) t(i)
+        ),
+        scoped AS (
+            SELECT c_mktsegment AS scope, bit FROM bits
+            UNION ALL
+            SELECT 'MERGED' AS scope, bit FROM (SELECT DISTINCT bit FROM bits)
+            UNION ALL
+            SELECT 'DIRECT' AS scope, bit FROM (
+                SELECT DISTINCT {_bloom_bit_sql("c_custkey")} AS bit
+                FROM premium CROSS JOIN range({BLOOM_HASHES}) t(i)
+            )
+        )
+        SELECT scope, CAST(count(*) AS BIGINT) AS n_bits_set,
+               md5(string_agg(CAST(bit AS VARCHAR), ',' ORDER BY bit)) AS bits_md5
+        FROM scoped GROUP BY scope
+    """,
     "sketch_ams_second_moment": f"""
         WITH words AS (
             SELECT unnest(list_filter(regexp_split_to_array(lower(text),

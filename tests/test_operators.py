@@ -1300,3 +1300,17 @@ def test_autocorrelation_matches_numpy(spark, sf_dir):
     assert got.n_pairs == len(g) - 1
     assert abs(got.lag1_autocorr - expect) < 1e-5
     assert got.looks_like_noise == (abs(expect) < 0.1)
+
+
+def test_bloom_union_merge_equals_direct(spark, sf_dir):
+    # The OR-merge of per-segment filters must equal the directly
+    # built global filter bit-for-bit, and each segment's bits are a
+    # subset of the merged set (n_bits_set can only grow).
+    from mit_map_reduce_spark.operators.sketch import sketch_bloom_union_merge
+
+    rows = {r.scope: r for r in sketch_bloom_union_merge(spark, sf_dir).collect()}
+    assert rows["MERGED"].bits_md5 == rows["DIRECT"].bits_md5
+    assert rows["MERGED"].n_bits_set == rows["DIRECT"].n_bits_set
+    for scope, r in rows.items():
+        if scope not in ("MERGED", "DIRECT"):
+            assert r.n_bits_set <= rows["MERGED"].n_bits_set
