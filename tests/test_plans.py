@@ -204,10 +204,13 @@ def test_repetition_has_partial_aggregation(spark, sf_dir):
     # The (doc_id, gram) counting must show a partial hash aggregate
     # before its exchange, so document-length explosion is absorbed
     # map-side (same combine discipline as wordcount). Probe the BUILD
-    # pipeline — the registered query now serves a session-cached copy
-    # whose top plan is just the InMemoryTableScan.
+    # pipeline with the shared registry cleared first: with the cached
+    # copy alive, Spark's CacheManager substitutes the InMemoryRelation
+    # into ANY equivalent plan, which would make this pin vacuous.
+    from mit_map_reduce_spark.catalog import clear_shared_caches
     from mit_map_reduce_spark.operators.text import _text_repetition_build
 
+    clear_shared_caches()
     plan = physical_plan(_text_repetition_build(spark, sf_dir))
     first_exchange = plan.index("Exchange")
     assert "HashAggregate" in plan[:first_exchange]
