@@ -36,12 +36,135 @@ def entry(spark: SparkSession) -> DataFrame:
 #: come last. Every entry is still verified by the full local gate
 #: (tools/check_correctness.py) regardless of position.
 _PRIORITY = [
-    # ---- position 1: the one red round-3 row, re-verified first with
-    # the decimal-grain fix (order-invariant money accumulation).
+    # ---- positions 1-8: queries re-planned THIS round (two-pass
+    # distributed rank wired into the order-statistics family; capped
+    # terasort sample; group-threaded rank) — fresh driver rows needed
+    # because behavior-adjacent plans changed.
+    "text_weighted_median_quality",
+    "adv_decile_lift_table",
+    "adv_auc_purchase_score",
+    "adv_rfm_segmentation",
+    "rel_join_key_skew_report",
+    "mr_terasort_manifest",
+    "adv_iqr_outlier_orders",
+    "rel_trimmed_mean_acctbal",
+    # ---- positions 9-15: the flagship round-4 families the round-4
+    # verdict asked to driver-verify first (BPE train/apply, product
+    # quantization, SemDeDup, incremental-ingest dedup, checkpoint
+    # restart streaming).
+    "text_bpe_train_merges",
+    "text_bpe_apply_encode",
+    "sim_pq_encode_report",
+    "sim_pq_adc_topk",
+    "dedup_semantic_ivf",
+    "dedup_incremental_ingest",
+    "stream_incremental_restart",
+    # ---- positions 16-50: remaining never-verified queries, in
+    # registry rotation order — fills the round-5 driver window.
+    "text_bpe_pair_counts",
+    "text_chunk_overlap",
+    "graph_label_propagation",
+    "sketch_hll_union_merge",
+    "sim_embedding_quantize_int8",
+    "mm_audio_energy_windows",
+    "stream_late_data_metrics",
+    "mr_reduce_side_join",
+    "sketch_cms_topk_by_source",
+    "text_shuffle_order",
+    "sim_ann_mmr_topk",
+    "text_trigram_backoff_logprob",
+    "sim_embedding_random_projection",
+    "adv_retention_cohorts",
+    "adv_ab_experiment_readout",
+    "text_vocab_growth",
+    "graph_triangle_count",
+    "graph_jaccard_link_prediction",
+    "adv_markov_event_transitions",
+    "adv_rolling_active_users",
+    "adv_association_rules_sessions",
+    "text_zipf_slope",
+    "text_term_burstiness",
+    "sketch_hll_intersection",
+    "src_schema_evolution_merge",
+    "rel_table_profile_orders",
+    "sim_hard_negative_mining",
+    "rel_monthly_revenue_mom",
+    "rel_price_balance_correlation",
+    "graph_personalized_pagerank",
+    "src_compact_small_files",
+    "sim_ann_recall_report",
+    "adv_activity_heatmap",
+    "graph_degree_assortativity",
+    "mm_shot_boundaries",
+    # ---- positions 51-113: never-verified tail — the round-6
+    # window starts here. All pass the full-precision local gate
+    # (tools/check_correctness.py --vanilla).
+    "text_oov_rate",
+    "stream_dedup_within_watermark",
+    "dedup_lsh_tuning_report",
+    "adv_k_anonymity_audit",
+    "mm_audio_vad_segments",
+    "rel_benford_price_audit",
+    "text_distinctive_terms",
+    "text_priority_sample",
+    "graph_modularity_report",
+    "sim_quantization_recall_report",
+    "sketch_ams_second_moment",
+    "text_quality_drift",
+    "rel_revenue_trend_forecast",
+    "stream_outer_join_unattributed",
+    "rel_fk_integrity_audit",
+    "rel_incremental_agg_merge",
+    "adv_scd2_user_tier_history",
+    "adv_cusum_changepoint_revenue",
+    "adv_campaign_session_overlap",
+    "text_langid_agreement",
+    "text_char_entropy",
+    "text_tokenizer_fertility",
+    "dedup_split_leakage_audit",
+    "dedup_cluster_size_report",
+    "graph_bfs_reach",
+    "sim_embedding_norm_audit",
+    "src_gzip_jsonl_roundtrip_docs",
+    "stream_topk_trending_users",
+    "mm_keyframe_select",
+    "sim_embedding_gram_matrix",
+    "rel_seasonality_index_monthly",
+    "rel_snapshot_diff_orders",
+    "rel_table_checksums",
+    "mr_positional_index",
+    "sim_ivf_cell_balance_report",
+    "text_pmi_collocations",
+    "stream_error_rate_alerts",
+    "text_perplexity_buckets",
+    "src_csv_malformed_quarantine",
+    "src_dynamic_partition_overwrite",
+    "graph_hits_scores",
+    "adv_pit_join_purchase_tier",
+    "rel_segment_priority_chi2",
+    "text_js_divergence_sources",
+    "dedup_survivorship_report",
+    "adv_new_vs_returning_users",
+    "adv_rolling_zscore_anomalies",
+    "rel_calendar_gap_audit",
+    "adv_kaplan_meier_retention",
+    "text_pipeline_funnel_report",
+    "adv_sequence_pattern_support",
+    "rel_pk_uniqueness_audit",
+    "text_stopword_discovery",
+    "text_vocab_coverage_curve",
+    "adv_cohort_ltv_curve",
+    "sim_embedding_drift_report",
+    "adv_smoothed_conversion_ranking",
+    "adv_linear_touch_attribution",
+    "graph_clustering_coefficient",
+    "dedup_bbit_minhash_report",
+    "mr_udtf_wordcount",
+    "rel_revenue_autocorrelation",
+    "sketch_bloom_union_merge",
+    # ---- positions 114-250: queries with standing green official
+    # driver rows (r1-r4), in rotation order.
     "rel_q9_product_profit",
-    # ---- positions 2-30: the 29 queries that have NEVER had an
-    # official driver row (round-3 verdict #3: they outgrew the 50-row
-    # window; all are green under the full-precision local gate).
     "adv_sessionize_events",
     "text_unigram_logprob",
     "text_langid_ngram",
@@ -71,9 +194,6 @@ _PRIORITY = [
     "rel_q17_small_quantity_revenue",
     "rel_q20_excess_stock_suppliers",
     "dedup_embedding_cosine_pairs_np",
-    # ---- positions 31-37: behavior changed this round — every
-    # streaming query moved off the memory sink (file sink /
-    # foreachBatch upsert); session windows became a real stream.
     "stream_session_windows",
     "stream_tumbling_counts",
     "stream_sliding_counts",
@@ -81,7 +201,6 @@ _PRIORITY = [
     "stream_windowed_distinct_users",
     "stream_append_tumbling_file_sink",
     "stream_stream_join_attribution",
-    # ---- positions 38-48: new round-4 operators.
     "text_bigram_logprob",
     "text_pii_scrub",
     "text_pack_sequences",
@@ -93,130 +212,8 @@ _PRIORITY = [
     "adv_latest_event_per_user",
     "src_text_kv_roundtrip_wc",
     "mm_phash_dedup",
-    # ---- positions 49-50: the two ratio-shaped money queries most
-    # exposed to the float-sum class of bug before the grain sweep.
     "rel_q8_market_share",
     "rel_q14_promo_share",
-    # ---- 51+: round-4 late additions — registered after the 50-row
-    # window filled; first in line for the round-5 window.
-    "text_bpe_pair_counts",
-    "text_chunk_overlap",
-    "graph_label_propagation",
-    "sketch_hll_union_merge",
-    "sim_embedding_quantize_int8",
-    "mm_audio_energy_windows",
-    "stream_late_data_metrics",
-    "mr_reduce_side_join",
-    "dedup_incremental_ingest",
-    "sketch_cms_topk_by_source",
-    "text_shuffle_order",
-    "sim_ann_mmr_topk",
-    "text_trigram_backoff_logprob",
-    "stream_incremental_restart",
-    "sim_embedding_random_projection",
-    "adv_retention_cohorts",
-    "rel_trimmed_mean_acctbal",
-    "adv_ab_experiment_readout",
-    "text_vocab_growth",
-    "graph_triangle_count",
-    "graph_jaccard_link_prediction",
-    "adv_markov_event_transitions",
-    "adv_rolling_active_users",
-    "adv_iqr_outlier_orders",
-    "adv_association_rules_sessions",
-    "text_zipf_slope",
-    "text_term_burstiness",
-    "sketch_hll_intersection",
-    "src_schema_evolution_merge",
-    "dedup_semantic_ivf",
-    "adv_rfm_segmentation",
-    "rel_table_profile_orders",
-    "sim_hard_negative_mining",
-    "rel_monthly_revenue_mom",
-    "mr_terasort_manifest",
-    "rel_price_balance_correlation",
-    "graph_personalized_pagerank",
-    "src_compact_small_files",
-    "adv_auc_purchase_score",
-    "sim_ann_recall_report",
-    "adv_activity_heatmap",
-    "graph_degree_assortativity",
-    "mm_shot_boundaries",
-    "text_oov_rate",
-    "stream_dedup_within_watermark",
-    "rel_join_key_skew_report",
-    "dedup_lsh_tuning_report",
-    "adv_k_anonymity_audit",
-    "mm_audio_vad_segments",
-    "rel_benford_price_audit",
-    "text_distinctive_terms",
-    "text_priority_sample",
-    "graph_modularity_report",
-    "sim_quantization_recall_report",
-    "sketch_ams_second_moment",
-    "text_quality_drift",
-    "rel_revenue_trend_forecast",
-    "stream_outer_join_unattributed",
-    "text_weighted_median_quality",
-    # ---- round-4 fourth-session additions (never yet in a window;
-    # they follow the 58-query never-verified block in round-6 order).
-    "rel_fk_integrity_audit",
-    "rel_incremental_agg_merge",
-    "adv_scd2_user_tier_history",
-    "adv_cusum_changepoint_revenue",
-    "adv_campaign_session_overlap",
-    "text_langid_agreement",
-    "text_char_entropy",
-    "text_tokenizer_fertility",
-    "dedup_split_leakage_audit",
-    "dedup_cluster_size_report",
-    "graph_bfs_reach",
-    "sim_embedding_norm_audit",
-    "src_gzip_jsonl_roundtrip_docs",
-    "stream_topk_trending_users",
-    "mm_keyframe_select",
-    "sim_embedding_gram_matrix",
-    "rel_seasonality_index_monthly",
-    "rel_snapshot_diff_orders",
-    "rel_table_checksums",
-    "mr_positional_index",
-    "sim_ivf_cell_balance_report",
-    "text_pmi_collocations",
-    "stream_error_rate_alerts",
-    "text_perplexity_buckets",
-    "src_csv_malformed_quarantine",
-    "src_dynamic_partition_overwrite",
-    "graph_hits_scores",
-    "adv_pit_join_purchase_tier",
-    "adv_decile_lift_table",
-    "rel_segment_priority_chi2",
-    "text_js_divergence_sources",
-    "dedup_survivorship_report",
-    "adv_new_vs_returning_users",
-    "adv_rolling_zscore_anomalies",
-    "rel_calendar_gap_audit",
-    "sim_pq_encode_report",
-    "sim_pq_adc_topk",
-    "adv_kaplan_meier_retention",
-    "text_pipeline_funnel_report",
-    "adv_sequence_pattern_support",
-    "text_bpe_train_merges",
-    "text_bpe_apply_encode",
-    "rel_pk_uniqueness_audit",
-    "text_stopword_discovery",
-    "text_vocab_coverage_curve",
-    "adv_cohort_ltv_curve",
-    "sim_embedding_drift_report",
-    "adv_smoothed_conversion_ranking",
-    "adv_linear_touch_attribution",
-    "graph_clustering_coefficient",
-    "dedup_bbit_minhash_report",
-    "mr_udtf_wordcount",
-    "rel_revenue_autocorrelation",
-    "sketch_bloom_union_merge",
-    # ---- 51+: remaining grain-swept money queries (values verified
-    # identical under the full-precision local gate; standing rows
-    # remain accurate), then the long-stable tail in rotation order.
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",

@@ -1,7 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE short JSON line on stdout:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {10 slowest},
+   "n_queries": K, "detail": "BENCH_DETAIL.json", "sf": ...}
+kept under the driver's ~2000-byte stdout tail capture; the full
+per-query timing dict goes to stderr and BENCH_DETAIL.json.
 
 ``value`` is total wall-clock over the headline set after a warm-up of
 the session (JVM + parquet footer caches), matching how a resident
@@ -300,14 +303,33 @@ def main() -> None:
     print(f"# mr_facade_wordcount_3mb: {dt:.2f}s ({n} rows; ref bound 45s)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Full per-query detail: stderr + a sidecar file. The driver's tail
+    # capture keeps only the last ~2000 bytes of stdout, so the one
+    # stdout JSON line must stay short (round-4 verdict #2: the full
+    # ~5 kB line clipped the headline and BENCH_r04 parsed as null).
+    print(json.dumps(full), file=sys.stderr)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "sf": sf_val,
             }
         )
     )
