@@ -23,6 +23,7 @@ from mit_map_reduce_spark.functions.columns import (
     round_half_up,
     sql_round,
 )
+from mit_map_reduce_spark.functions.rank import distributed_prefix, ntile_from_rank
 
 BAND_WIDTH = 50_000.0
 N_BANDS = 10
@@ -775,19 +776,23 @@ def adv_iqr_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.5 * IQR, and a count of orders outside each fence — the robust
     screen that runs before any learned anomaly model.
 
-    One window per priority group computes ranks; the quartile picks
-    are conditional MIN aggregates over that rank; the 5-row fence
-    table broadcasts back onto the fact scan for the outlier counts.
-    Fence arithmetic is a single multiply/subtract chain on two exact
-    stored values — deterministic IEEE, no accumulation anywhere.
+    Ranks come from the group-keyed two-pass distributed rank
+    (``functions.rank``): range partitioning splits on (priority,
+    price, orderkey), so each of the 5 hot priority groups spreads
+    over many partitions instead of sorting as one task; the quartile
+    picks are conditional MIN aggregates over that rank; the 5-row
+    fence table broadcasts back onto the fact scan for the outlier
+    counts. Fence arithmetic is a single multiply/subtract chain on
+    two exact stored values — deterministic IEEE, no accumulation
+    anywhere.
     """
     orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    ranked = orders.select(
-        "o_orderpriority",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(W.partitionBy("o_orderpriority")).alias("n"),
+    ranked = distributed_prefix(
+        orders.select("o_orderpriority", "o_totalprice", "o_orderkey"),
+        ["o_totalprice", "o_orderkey"],
+        group_by=["o_orderpriority"],
+        row_number="rn",
+        total_count="n",
     )
     quartiles = ranked.groupBy("o_orderpriority").agg(
         F.max("n").alias("n_orders"),
@@ -897,13 +902,13 @@ def adv_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: recency is INTEGER days against the corpus max order
     date (a broadcast 1-row aggregate, not a wall clock); monetary
-    accumulates integer money grains; each ntile(5) runs over a TOTAL
-    order (metric, then custkey), so both engines assign identical
-    quintiles. One shuffle builds the per-customer table; the three
-    window passes share its partitioning (ntile needs a single
-    ordered pass per metric — at 100 TB you'd swap in percentile-rank
-    against broadcast quantile fences to avoid the global sorts; the
-    quintile SEMANTICS are what this query pins).
+    accumulates integer money grains; each quintile cut runs over a
+    TOTAL order (metric, then custkey), so both engines assign
+    identical quintiles. One shuffle builds the per-customer table;
+    each metric then takes one two-pass distributed rank
+    (``functions.rank``) plus the exact SQL ntile rule — three range
+    exchanges of the customer-sized frame, never a single-task
+    ordered window.
     """
     orders = load_table(spark, sf_dir, "orders")
     horizon = orders.agg(F.max("o_orderdate").alias("horizon"))
@@ -922,16 +927,21 @@ def adv_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mon_grains",
         )
     )
-    r_w = W.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
-    f_w = W.orderBy(F.col("frequency").asc(), F.col("o_custkey"))
-    m_w = W.orderBy(F.col("mon_grains").asc(), F.col("o_custkey"))
-    scored = per_cust.select(
-        "o_custkey",
-        "mon_grains",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+    def quintile(df: DataFrame, order, out: str) -> DataFrame:
+        ranked = distributed_prefix(df, order, row_number="__rn", total_count="__n")
+        return ranked.withColumn(
+            out, ntile_from_rank(F.col("__rn"), F.col("__n"), 5)
+        ).drop("__rn", "__n")
+
+    scored = quintile(
+        per_cust, [F.col("recency_days").desc(), F.col("o_custkey")], "r_score"
     )
+    scored = quintile(
+        scored, [F.col("frequency").asc(), F.col("o_custkey")], "f_score"
+    )
+    scored = quintile(
+        scored, [F.col("mon_grains").asc(), F.col("o_custkey")], "m_score"
+    ).select("o_custkey", "mon_grains", "r_score", "f_score", "m_score")
     segment = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
         .when(F.col("r_score") <= 2, "at_risk")
@@ -959,12 +969,11 @@ def adv_auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     has 2*avg_rank = 2*r0 + c - 1 (integer), so every accumulator is
     an exactly-summed integer and the final AUC is one division.
     Plan: one aggregation collapses events to distinct-score groups
-    (with per-group positive counts); a cumulative-count window over
-    the score order assigns r0. The window here is a single global
-    pass over DISTINCT scores — at 100 TB swap in the two-pass
-    distributed rank (range partition -> local cumsum -> broadcast
-    offsets, exactly text_shuffle_order's construction); group
-    arithmetic is unchanged.
+    (with per-group positive counts); the rank r0 of each score group
+    is the exclusive running count over the score order, computed with
+    the two-pass distributed rank (``functions.rank``) — the
+    distinct-score frame never collapses to a single window task even
+    when the score is continuous and the frame is corpus-sized.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "value", (F.col("event_type") == "purchase").cast("long").alias("pos")
@@ -972,8 +981,9 @@ def adv_auc_purchase_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = ev.groupBy("value").agg(
         F.count("*").alias("c"), F.sum("pos").alias("p")
     )
-    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
-    ranked = grp.withColumn("r0", F.coalesce(F.sum("c").over(w), F.lit(0)) + 1)
+    ranked = distributed_prefix(grp, ["value"], sums={"cum_c": "c"}).withColumn(
+        "r0", F.col("cum_c") - F.col("c") + 1
+    )
     contrib = F.col("p") * (2 * F.col("r0") + F.col("c") - 1)
     sums = ranked.agg(
         F.sum("c").alias("n"),
@@ -1286,21 +1296,29 @@ def adv_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     capture of all positives — what a campaign-targeting readout
     actually prints.
 
-    The ntile orders by (score DESC, event_id) so tile assignment is
+    The tile cut orders by (score DESC, event_id) so assignment is
     total and engine-invariant; every reported ratio divides exact
     integers (decile counts, positive counts, running sums over the
-    10-row decile frame). The global sort is the same single-pass
-    note as the AUC: at 100 TB swap in the two-pass distributed rank
-    (text_shuffle_order's construction) — decile arithmetic is
-    unchanged.
+    10-row decile frame). The decile comes from the two-pass
+    distributed rank (``functions.rank``) plus the exact SQL ntile
+    rule on (rank, total) — no single-task global sort; the event
+    frame stays range-partitioned at any scale.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.col("value").alias("score"),
         (F.col("event_type") == "purchase").cast("long").alias("pos"),
     )
-    w = W.orderBy(F.col("score").desc(), "event_id")
-    tiled = ev.withColumn("decile", F.ntile(LIFT_DECILES).over(w))
+    ranked = distributed_prefix(
+        ev,
+        [F.col("score").desc(), F.col("event_id")],
+        row_number="rn",
+        total_count="n_total",
+    )
+    tiled = ranked.withColumn(
+        "decile",
+        ntile_from_rank(F.col("rn"), F.col("n_total"), LIFT_DECILES),
+    )
     per = tiled.groupBy("decile").agg(
         F.count("*").alias("n"),
         F.sum("pos").alias("n_pos"),

@@ -227,6 +227,7 @@ def mr_reduce_side_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TERA_PARTS = 16  # range partitions in the terasort manifest
+TERA_SAMPLE_K = 1024  # fixed boundary-sample size, corpus-independent
 
 
 def mr_terasort_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,12 +242,14 @@ def mr_terasort_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale honesty: keys are md5 hex (uniform, adversary-proof — the
     reason TeraSort samples rather than trusting the raw
-    distribution); the sample is the deterministic 1/16 of keys
-    starting with '0', so it stays proportionally small and both
-    engines pick the identical rows. Only the SAMPLE is globally
-    sorted (one bounded single-partition window — at 100 TB the
-    sample is capped, exactly as TeraSort's partitioner samples ~1e5
-    keys); the full corpus never sorts globally here: each key does
+    distribution); the sample is the fixed ``TERA_SAMPLE_K`` keys
+    smallest by a SECOND hash (md5 of the key, tie-broken by the key)
+    — a deterministic uniform draw both engines pick identically, and
+    a TakeOrdered reduction in Spark (per-partition top-K, then a
+    K-row merge on the driver — never a global sort). The sample is
+    CAPPED at any corpus size, exactly as TeraSort's partitioner
+    samples ~1e5 keys; the only ordered window runs over those K
+    rows. The full corpus never sorts globally here: each key does
     one broadcast boundary-array comparison, then a pid-keyed
     aggregate. ``repartitionByRange`` does all this internally with a
     nondeterministic reservoir sample — spelling the boundaries out
@@ -255,7 +258,12 @@ def mr_terasort_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     keyed = ev.select(F.md5(F.col("event_id").cast("string")).alias("k"))
-    sample = keyed.filter(F.substring("k", 1, 1) == "0")
+    sample = (
+        keyed.select("k", F.md5(F.col("k")).alias("s"))
+        .orderBy("s", "k")
+        .limit(TERA_SAMPLE_K)
+        .select("k")
+    )
     bkt = sample.select(
         "k", F.ntile(TERA_PARTS).over(W.orderBy("k")).alias("b")
     )
@@ -325,7 +333,9 @@ ORACLES = {
         WITH keyed AS (
             SELECT md5(CAST(event_id AS VARCHAR)) AS k FROM events
         ),
-        sample AS (SELECT k FROM keyed WHERE substr(k, 1, 1) = '0'),
+        sample AS (
+            SELECT k FROM keyed ORDER BY md5(k), k LIMIT {TERA_SAMPLE_K}
+        ),
         bkt AS (
             SELECT k, ntile({TERA_PARTS}) OVER (ORDER BY k) AS b FROM sample
         ),

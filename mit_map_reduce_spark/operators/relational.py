@@ -32,6 +32,7 @@ from mit_map_reduce_spark.functions.columns import (
     sql_round,
 )
 from mit_map_reduce_spark.catalog import load_table
+from mit_map_reduce_spark.functions.rank import distributed_prefix
 
 
 def _t(spark, sf_dir, name):
@@ -1398,15 +1399,18 @@ def rel_trimmed_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     need a defined total order: rows rank by (acctbal, custkey) so
     ties cut deterministically in both engines; the kept rows'
     balances then accumulate as integer money grains (order-invariant
-    sum). One window sort per group + one aggregation — the same
-    shuffle the plain groupBy would do, plus the in-partition sort.
+    sum). Ranks ride the group-keyed two-pass distributed rank
+    (``functions.rank``): range partitioning on (segment, acctbal,
+    custkey) spreads each of the 5 hot segment groups across many
+    partitions — no per-group single-task sort at any scale.
     """
     cust = load_table(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    ranked = cust.select("c_mktsegment", "c_acctbal", "c_custkey").select(
-        "*",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(W.partitionBy("c_mktsegment")).alias("n"),
+    ranked = distributed_prefix(
+        cust.select("c_mktsegment", "c_acctbal", "c_custkey"),
+        ["c_acctbal", "c_custkey"],
+        group_by=["c_mktsegment"],
+        row_number="rn",
+        total_count="n",
     )
     k = F.floor(F.col("n") * TRIM_PCT / 100).cast("int")
     kept = ranked.filter((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
@@ -1580,18 +1584,19 @@ def rel_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = (2*sum(i*c_i) - (n+1)*sum(c_i)) / (n*sum(c_i)) over counts
     sorted ascending with a total tie-break — every accumulator an
     exactly-summed integer, one IEEE finish. One fact-sized shuffle
-    produces the key counts; the ranking window runs over the
-    key-cardinality frame (at 100 TB: the two-pass distributed rank,
-    as elsewhere). Shares divide exact integers, 4 dp half-up.
+    produces the key counts; the rank over the key-cardinality frame
+    is the two-pass distributed rank (``functions.rank``) — stays
+    partitioned even when the key space itself is huge. Shares divide
+    exact integers, 4 dp half-up.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
     counts = li.groupBy("l_suppkey").agg(F.count("*").alias("c"))
-    w = W.orderBy(F.col("c").asc(), F.col("l_suppkey").asc())
-    ranked = counts.select(
-        "c",
-        F.row_number().over(w).alias("i"),
-        F.count("*").over(W.partitionBy()).alias("n"),
-    )
+    ranked = distributed_prefix(
+        counts,
+        [F.col("c").asc(), F.col("l_suppkey").asc()],
+        row_number="i",
+        total_count="n",
+    ).select("c", "i", "n")
     sums = ranked.agg(
         F.max("n").alias("n_keys"),
         F.sum("c").alias("total_rows"),

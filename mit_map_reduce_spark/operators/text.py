@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 
 from mit_map_reduce_spark.catalog import load_table, shared_persist, spread
 from mit_map_reduce_spark.functions.columns import round_half_up, tokenize_letters, whitespace_tokens, word_kgrams
+from mit_map_reduce_spark.functions.rank import distributed_prefix
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -1025,44 +1026,27 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-fit-in-order packing; no document is split).
 
     The running offset is an INTEGER prefix sum — exact in any
-    engine/order — computed with the classic two-pass DISTRIBUTED
-    prefix sum (a naive global window would be one single-task sort):
-    range-partition by doc_id, per-partition running sums in parallel,
-    then each partition's subtotal rolls into a tiny (n_partitions-row)
-    offset table that broadcasts back. The assignment depends only on
-    the doc_id order, never on where the (sampled, nondeterministic)
-    range boundaries fall, so the serial-window DuckDB oracle matches
-    exactly.
+    engine/order — computed with the two-pass DISTRIBUTED prefix sum
+    (``functions.rank.distributed_prefix``, factored from this query's
+    original inline construction): range-partition by doc_id,
+    per-partition running sums in parallel, then each partition's
+    subtotal rolls into a tiny offset table that broadcasts back. The
+    assignment depends only on the doc_id order, never on where the
+    (sampled, nondeterministic) range boundaries fall, so the
+    serial-window DuckDB oracle matches exactly.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.size(tokenize_letters(F.col("text"))).alias("n_tokens")
     )
-    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
-    with_pid = toks.repartitionByRange(n_parts, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_in = (
-        W.partitionBy("pid")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    local = with_pid.withColumn("local_cum", F.sum("n_tokens").over(w_in))
-    w_off = (
-        W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    offsets = (
-        with_pid.groupBy("pid")  # pre-window frame: subtotal needs no sort
-        .agg(F.sum("n_tokens").alias("subtotal"))
-        .withColumn("offset", F.sum("subtotal").over(w_off) - F.col("subtotal"))
-        .select("pid", "offset")
-    )
-    placed = local.join(F.broadcast(offsets), "pid").withColumn(
+    placed = distributed_prefix(
+        toks, ["doc_id"], sums={"cum_tok": "n_tokens"}
+    ).withColumn(
         "seq_id",
         # floor, not a double->int cast: Spark casts truncate but
         # DuckDB casts round-to-nearest; floor agrees everywhere.
         F.floor(
-            (F.col("offset") + F.col("local_cum") - F.col("n_tokens")) / PACK_BUDGET
+            (F.col("cum_tok") - F.col("n_tokens")) / PACK_BUDGET
         ).cast("bigint"),
     )
     return placed.groupBy("seq_id").agg(
@@ -1174,36 +1158,21 @@ def text_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     point: re-running the build on any cluster/partitioning gives byte-
     identical data order, so a training run is replayable.
 
-    A naive global ``row_number`` is one single-task sort; this uses
-    the same two-pass distributed prefix pattern as
-    ``text_pack_sequences``: range-partition by the shuffle key, rank
-    locally in parallel, then roll the per-partition counts into a
-    broadcast offset table. Positions depend only on the md5 total
-    order, never on where the sampled range boundaries fall.
+    A naive global ``row_number`` is one single-task sort; this is the
+    two-pass distributed rank (``functions.rank.distributed_prefix``,
+    factored from this query's original inline construction):
+    range-partition by the shuffle key, rank locally in parallel, then
+    roll the per-partition counts into a broadcast offset table.
+    Positions depend only on the md5 total order, never on where the
+    sampled range boundaries fall.
     """
     docs = load_table(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id", F.md5(F.col("doc_id").cast("string")).alias("skey")
     )
-    n_parts = max(2, spark.sparkContext.defaultParallelism // 2)
-    with_pid = keyed.repartitionByRange(n_parts, "skey").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    w_in = W.partitionBy("pid").orderBy("skey")
-    local = with_pid.withColumn("local_rn", F.row_number().over(w_in))
-    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, W.currentRow)
-    offsets = (
-        with_pid.groupBy("pid")
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("offset", F.sum("cnt").over(w_off) - F.col("cnt"))
-        .select("pid", "offset")
-    )
     return (
-        local.join(F.broadcast(offsets), "pid")
-        .select(
-            "doc_id",
-            (F.col("offset") + F.col("local_rn") - 1).alias("shuffle_pos"),
-        )
+        distributed_prefix(keyed, ["skey"], row_number="rn")
+        .select("doc_id", (F.col("rn") - 1).alias("shuffle_pos"))
         .withColumn("shard", (F.col("shuffle_pos") % SHUFFLE_SHARDS).cast("int"))
     )
 
@@ -1363,10 +1332,10 @@ def text_weighted_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the median is the MIN quality among rows where
     2*cum_weight >= total_weight (an integer comparison; the 2x trick
     avoids halving). The plain doc median (value at rank ceil(n/2))
-    rides the same window for contrast. Single global window over
-    doc-level rows — at 100 TB swap in the two-pass distributed rank
-    (text_shuffle_order's construction); the comparison arithmetic is
-    unchanged.
+    rides the same pass for contrast. The rank and running weight come
+    from the two-pass distributed prefix (``functions.rank``) — no
+    unpartitioned window anywhere, so the doc frame never collapses to
+    a single task at any scale.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     ws = whitespace_tokens(F.lower(F.col("text")))
@@ -1385,17 +1354,14 @@ def text_weighted_median_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id", round_half_up(score, 4).alias("q"), n.cast("long").alias("w")
     )
-    w_cum = W.orderBy("q", "doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    ranked = scored.select(
-        "q",
-        "w",
-        F.sum("w").over(w_cum).alias("cum_w"),
-        F.row_number().over(W.orderBy("q", "doc_id")).alias("rn"),
+    ranked = distributed_prefix(
+        scored,
+        ["q", "doc_id"],
+        sums={"cum_w": "w"},
+        row_number="rn",
+        total_count="n_docs",
     )
-    totals = ranked.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("w").alias("total_tokens"),
-    )
+    totals = ranked.agg(F.sum("w").alias("total_tokens"))
     j = ranked.crossJoin(F.broadcast(totals))
     return j.agg(
         F.max("n_docs").alias("n_docs"),

@@ -312,13 +312,18 @@ def test_rolling_actives_explodes_instead_of_range_join(spark, sf_dir):
 def test_terasort_never_sorts_the_full_corpus(spark, sf_dir):
     # The corpus side must reach its range assignment through a
     # broadcast boundary-array comparison — no global sort, no hash
-    # exchange before the pid aggregate. The only SinglePartition
-    # exchanges are the bounded sample window and the 16-row manifest
-    # window; the only hash exchange keys on pid.
-    from mit_map_reduce_spark.operators.mr_queries import mr_terasort_manifest
+    # exchange before the pid aggregate. The boundary sample is a
+    # CAPPED TakeOrdered reduction (fixed K, corpus-independent); the
+    # only SinglePartition exchange is the 16-row manifest window; the
+    # only hash exchange keys on pid.
+    from mit_map_reduce_spark.operators.mr_queries import (
+        TERA_SAMPLE_K,
+        mr_terasort_manifest,
+    )
 
     plan = physical_plan(mr_terasort_manifest(spark, sf_dir))
-    assert plan.count("Exchange SinglePartition") == 2
+    assert f"TakeOrderedAndProject(limit={TERA_SAMPLE_K}" in plan
+    assert plan.count("Exchange SinglePartition") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastNestedLoopJoin" in plan  # boundary array broadcast
 

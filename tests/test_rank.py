@@ -1,0 +1,182 @@
+"""The two-pass distributed rank (functions/rank.py): value parity
+against naive single-window ranking, SQL-ntile parity, partitioning
+invariance, and the structural pin that NO query routed through it
+runs an unpartitioned window over a corpus-sized (file-scan-rooted)
+frame — the round-4 verdict's "wire the two-pass rank in" item.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from mit_map_reduce_spark.functions.rank import distributed_prefix, ntile_from_rank
+
+
+def synth(spark, n=4000):
+    # Unique id, duplicate-heavy value, 5-way group — the shapes the
+    # order-statistics family feeds in.
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("grp"),
+        F.md5(F.col("id").cast("string")).alias("u"),
+        ((F.col("id") * 2654435761) % 97).alias("v"),
+    )
+
+
+def test_global_rank_and_sums_match_naive_window(spark):
+    df = synth(spark)
+    got = (
+        distributed_prefix(
+            df,
+            [F.col("v").asc(), F.col("id").asc()],
+            sums={"cum_v": "v"},
+            row_number="rn",
+            total_count="n",
+        )
+        .select("id", "rn", "cum_v", "n")
+        .collect()
+    )
+    w = W.orderBy("v", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    exp = df.select(
+        "id",
+        F.row_number().over(W.orderBy("v", "id")).alias("rn"),
+        F.sum("v").over(w).alias("cum_v"),
+        F.count("*").over(W.partitionBy()).alias("n"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, exp))
+
+
+def test_desc_order_matches_naive_window(spark):
+    df = synth(spark)
+    got = distributed_prefix(
+        df, [F.col("v").desc(), F.col("id").asc()], row_number="rn"
+    ).select("id", "rn")
+    exp = df.select(
+        "id", F.row_number().over(W.orderBy(F.col("v").desc(), "id")).alias("rn")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_grouped_rank_matches_naive_window(spark):
+    df = synth(spark)
+    got = distributed_prefix(
+        df,
+        ["v", "id"],
+        group_by=["grp"],
+        sums={"cum_v": "v"},
+        row_number="rn",
+        total_count="n",
+    ).select("id", "rn", "cum_v", "n")
+    wg = W.partitionBy("grp").orderBy("v", "id")
+    exp = df.select(
+        "id",
+        F.row_number().over(wg).alias("rn"),
+        F.sum("v").over(wg.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+            "cum_v"
+        ),
+        F.count("*").over(W.partitionBy("grp")).alias("n"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_rank_is_permutation_and_nparts_invariant(spark):
+    # The contract that broke round-5's first draft: both consumers of
+    # the range exchange must see ONE boundary draw — ranks must form
+    # an exact permutation 1..N at any partition count.
+    df = synth(spark, 3001)
+    for n_parts in (2, 7, 32):
+        r = distributed_prefix(df, ["u"], row_number="rn", n_parts=n_parts)
+        agg = r.agg(
+            F.count("*").alias("c"),
+            F.countDistinct("rn").alias("d"),
+            F.min("rn").alias("mn"),
+            F.max("rn").alias("mx"),
+        ).collect()[0]
+        assert (agg.c, agg.d, agg.mn, agg.mx) == (3001, 3001, 1, 3001)
+
+
+@pytest.mark.parametrize("n,k", [(7, 5), (10, 10), (23, 4), (1024, 10), (3, 8)])
+def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
+    df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
+    got = df.select(
+        "rn", ntile_from_rank(F.col("rn"), F.lit(n).cast("long"), k).alias("t")
+    )
+    exp = df.select("rn", F.ntile(k).over(W.orderBy("rn")).alias("t"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Structural pin: no unpartitioned WindowExec over a file-scan-rooted
+# subtree in any query routed through the helper. Bounded windows are
+# fine in two shapes: partition spec non-empty (per-__pid locals), or
+# an unpartitioned window whose subtree is capped by a limit/TakeOrdered
+# (terasort's fixed-K sample) or rooted at a cached/aggregated frame.
+# ---------------------------------------------------------------------------
+
+_BOUNDED_NODES = {
+    "TakeOrderedAndProjectExec",
+    "CollectLimitExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+}
+
+
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def _subtree_has_unbounded_filescan(node):
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDED_NODES:
+        return False
+    if name in ("FileSourceScanExec", "BatchScanExec"):
+        return True
+    ch = node.children()
+    return any(
+        _subtree_has_unbounded_filescan(ch.apply(i)) for i in range(ch.size())
+    )
+
+
+def unpartitioned_corpus_windows(df) -> list:
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    bad = []
+    for node in _walk(plan):
+        if node.getClass().getSimpleName() == "WindowExec":
+            if node.partitionSpec().isEmpty() and _subtree_has_unbounded_filescan(
+                node
+            ):
+                bad.append(node.nodeName())
+    return bad
+
+
+#: query -> allowed unpartitioned scan-rooted windows. Zero except
+#: terasort, whose single allowed window is the lag over the 16-row
+#: (TERA_PARTS-row) manifest aggregate — scan-rooted but provably
+#: bounded by the pid grouping.
+_REWIRED = {
+    "adv_decile_lift_table": 0,
+    "adv_auc_purchase_score": 0,
+    "adv_rfm_segmentation": 0,
+    "adv_iqr_outlier_orders": 0,
+    "rel_trimmed_mean_acctbal": 0,
+    "rel_join_key_skew_report": 0,
+    "text_weighted_median_quality": 0,
+    "text_pack_sequences": 0,
+    "text_shuffle_order": 0,
+    "mr_terasort_manifest": 1,
+}
+
+
+@pytest.mark.parametrize("qname", sorted(_REWIRED))
+def test_no_unpartitioned_corpus_window(spark, sf_dir, qname):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[qname](spark, sf_dir)
+    assert len(unpartitioned_corpus_windows(df)) == _REWIRED[qname]
