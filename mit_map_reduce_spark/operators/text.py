@@ -1091,11 +1091,12 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.expr("substring(word, i, 2)").alias("pair"), "c")
     )
     agg = pairs.groupBy("pair").agg(F.sum("c").alias("pair_count"))
+    # Top-K via TakeOrdered (per-partition top-K + K-row driver merge),
+    # then rank the K survivors — never a global sort of the pair vocab.
+    top = agg.orderBy(F.col("pair_count").desc(), "pair").limit(BPE_TOP)
     w = W.orderBy(F.col("pair_count").desc(), "pair")
-    return (
-        agg.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= BPE_TOP)
-        .select("rank", "pair", "pair_count")
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"), "pair", "pair_count"
     )
 
 
@@ -2064,8 +2065,9 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One distinct-(doc, word) aggregation gives document frequencies;
     the share divides exact integers against the corpus size; the
-    top-``STOPWORD_TOP`` ranking breaks ties by word. Output is
-    lexicon-sized whatever the corpus.
+    top-``STOPWORD_TOP`` cut is a TakeOrdered reduction (ties broken
+    by word), ranked only after the K-row frame exists — the vocab
+    never sorts globally. Output is lexicon-sized whatever the corpus.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     dfreq = (
@@ -2080,17 +2082,14 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_docs = load_table(spark, sf_dir, "documents").count()
     share = F.col("df").cast("double") / F.lit(float(n_docs))
+    top = dfreq.orderBy(F.col("df").desc(), "word").limit(STOPWORD_TOP)
     w = W.orderBy(F.col("df").desc(), "word")
-    return (
-        dfreq.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= STOPWORD_TOP)
-        .select(
-            "rank",
-            "word",
-            "df",
-            round_half_up(share, 4).alias("df_share"),
-            (share >= STOPWORD_DF_SHARE).alias("is_stopword"),
-        )
+    return top.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "word",
+        "df",
+        round_half_up(share, 4).alias("df_share"),
+        (share >= STOPWORD_DF_SHARE).alias("is_stopword"),
     )
 
 
@@ -2104,9 +2103,11 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation-tradeoff readout behind every vocab-size decision
     (the complement of the OOV rate at each K).
 
-    One corpus token-frequency aggregation; ranks by (count desc,
-    word); each K's covered-token count is a conditional sum over the
-    ranked vocab frame (vocab-sized); shares divide exact integers.
+    One corpus token-frequency aggregation; only the top
+    ``max(COVERAGE_KS)`` terms can contribute to any truncation, so
+    the ranked frame is a fixed-K TakeOrdered reduction (never a
+    global vocab sort) and the total token count is a plain scalar
+    aggregate; shares divide exact integers.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     freq = (
@@ -2116,13 +2117,13 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("c"))
     )
-    w = W.orderBy(F.col("c").desc(), "word")
-    ranked = freq.withColumn("rank", F.row_number().over(w))
-    total = F.sum("c").over(
-        W.orderBy("rank").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    total = freq.agg(F.sum("c").alias("total"))
+    top = freq.orderBy(F.col("c").desc(), "word").limit(max(COVERAGE_KS))
+    ranked = top.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.col("c").desc(), "word"))
     )
     frames = []
-    agg = ranked.select("rank", "c", total.alias("total"))
+    agg = ranked.crossJoin(F.broadcast(total)).select("rank", "c", "total")
     for k in COVERAGE_KS:
         frames.append(
             agg.agg(

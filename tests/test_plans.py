@@ -389,3 +389,23 @@ def test_entropy_shuffle_carries_counts_not_text(spark, sf_dir):
     read = scan_read_schema(df)
     assert "doc_id" in read and "text" in read
     assert "lang" not in read and "source" not in read
+
+
+def test_vocab_topk_queries_use_takeordered_not_global_sort(spark, sf_dir):
+    # Top-K over a vocab-sized frame must plan as TakeOrderedAndProject
+    # (per-partition top-K + K-row merge) — a row_number window over
+    # the whole vocabulary would be one single task holding the full
+    # term table at 100 TB.
+    from mit_map_reduce_spark.operators.text import (
+        text_bpe_pair_counts,
+        text_stopword_discovery,
+        text_vocab_coverage_curve,
+    )
+
+    for fn in (
+        text_bpe_pair_counts,
+        text_stopword_discovery,
+        text_vocab_coverage_curve,
+    ):
+        plan = physical_plan(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, fn.__name__
