@@ -22,7 +22,10 @@ key, ranks depend only on the ordering, never on the boundaries
 (pinned by the partitioning-invariance property test). Callers with
 duplicate natural keys aggregate them first (AUC collapses to
 distinct scores) or append a tie-break column (``doc_id``,
-``event_id``).
+``event_id``). Order keys must also be non-null: Spark ranks nulls
+FIRST on ASC where the DuckDB oracles rank them LAST, so a nullable
+key would order differently across engines long before it reached
+this helper (current callers rank on non-null columns or md5 keys).
 
 No reference analog — the reference's sort is a per-reduce-task
 in-memory ``sort.Slice`` (reference ``src/main/mrworker.go`` path,

@@ -97,6 +97,38 @@ def test_rank_is_permutation_and_nparts_invariant(spark):
         assert (agg.c, agg.d, agg.mn, agg.mx) == (3001, 3001, 1, 3001)
 
 
+def test_grouped_rank_survives_extreme_group_skew(spark):
+    # One group holds ~99% of rows (the viral-boilerplate shape): the
+    # helper must still rank it correctly — range partitioning on
+    # (group, order) spreads the hot group across partitions, and the
+    # per-(group, pid) offsets must reassemble an exact permutation.
+    df = spark.range(5000).select(
+        F.col("id"),
+        F.when(F.col("id") < 4950, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold"), (F.col("id") % 7).cast("string"))
+        ).alias("grp"),
+    )
+    r = distributed_prefix(df, ["id"], group_by=["grp"], row_number="rn", n_parts=16)
+    agg = r.groupBy("grp").agg(
+        F.count("*").alias("c"),
+        F.countDistinct("rn").alias("d"),
+        F.min("rn").alias("mn"),
+        F.max("rn").alias("mx"),
+    )
+    for row in agg.collect():
+        assert (row.d, row.mn, row.mx) == (row.c, 1, row.c), row
+    # ...and the hot group really does span multiple range partitions.
+    spans = (
+        df.repartitionByRange(16, "grp", "id")
+        .withColumn("p", F.spark_partition_id())
+        .filter(F.col("grp") == "hot")
+        .select("p")
+        .distinct()
+        .count()
+    )
+    assert spans > 1
+
+
 @pytest.mark.parametrize("n,k", [(7, 5), (10, 10), (23, 4), (1024, 10), (3, 8)])
 def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
     df = spark.range(1, n + 1).select(F.col("id").alias("rn"))
