@@ -104,7 +104,10 @@ def distributed_prefix(
         single task: range partitioning splits on
         ``(group_by, order_by)``, so one hot group spreads over many
         partitions while the per-(group, partition) offset table keeps
-        ranks exact.
+        ranks exact. Intended for LOW-cardinality groups (the offset
+        table, ``n_groups * n_parts`` rows, must broadcast) — a
+        high-cardinality group key means small groups, where a plain
+        ``partitionBy(group)`` window is already the right plan.
     sums: ``{out_col: summed_col}`` — inclusive running totals over
         the order (the distributed prefix sum).
     row_number: name for a 1-based rank column.

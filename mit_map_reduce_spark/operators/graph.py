@@ -1033,12 +1033,22 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bfs_oracle_sql() -> str:
     """Round-unrolled BFS twin: d_r = neighbors(d_{r-1}) minus all
-    earlier levels, same seed rule."""
-    levels = ["d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % {m} = 0)".format(m=BFS_SEED_MOD)]
+    earlier levels, same seed rule.
+
+    The level CTEs (and the edge list they all probe) are
+    ``MATERIALIZED``: each level references every earlier level, so
+    letting DuckDB inline them expands the chain exponentially —
+    re-deriving the whole kNN pipeline per reference, which spilled
+    past local temp-disk at sf0.1 (sf0.01 hid it). Materialization
+    pins each level to one evaluation; 2.6 s at sf0.1.
+    """
+    levels = [
+        "d0 AS MATERIALIZED (SELECT node, 0 AS dist FROM nodes WHERE node % {m} = 0)".format(m=BFS_SEED_MOD)
+    ]
     for r in range(1, BFS_ROUNDS + 1):
         prev_union = " UNION ALL ".join(f"SELECT node FROM d{i}" for i in range(r))
         levels.append(
-            f"""d{r} AS (
+            f"""d{r} AS MATERIALIZED (
                 SELECT node, {r} AS dist FROM (
                     SELECT DISTINCT u.dst AS node
                     FROM d{r - 1} f JOIN und u ON u.src = f.node
@@ -1050,7 +1060,7 @@ def _bfs_oracle_sql() -> str:
         f"SELECT node, dist FROM d{i}" for i in range(BFS_ROUNDS + 1)
     )
     return f"""{_KNN_EDGES_CTE},
-        und AS (
+        und AS MATERIALIZED (
             SELECT a AS src, b AS dst FROM mutual
             UNION ALL
             SELECT b AS src, a AS dst FROM mutual
