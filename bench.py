@@ -204,6 +204,10 @@ HEADLINE = (
     "mr_udtf_wordcount",
     "rel_revenue_autocorrelation",
     "sketch_bloom_union_merge",
+    # round 5: the repo's heaviest in-block pair scan — benched so the
+    # single-task regression class (42 s at sf0.1 before the spread()
+    # fix) stays visible.
+    "adv_fuzzy_blocked_match",
 )
 
 
