@@ -139,6 +139,35 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n, k):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
 
 
+def test_ntile_from_rank_exhaustive_grid(spark):
+    # Every (n, k, rn) for n<=40, k<=12 in ONE job, against a Python
+    # transliteration of the SQL ntile rule (first n%k buckets get
+    # floor(n/k)+1 rows) — the spot-checked parametrize above can miss
+    # a boundary; 40*12 grids cannot.
+    def sql_ntile(rn, n, k):
+        base, rem = divmod(n, k)
+        big = rem * (base + 1)
+        if rn <= big:
+            return (rn + base) // (base + 1)
+        return rem + (rn - big + max(base, 1) - 1) // max(base, 1)
+
+    rows = [
+        (n, k, rn, sql_ntile(rn, n, k))
+        for n in range(1, 41)
+        for k in range(1, 13)
+        for rn in range(1, n + 1)
+    ]
+    df = spark.createDataFrame(rows, "n long, k int, rn long, exp int")
+    mismatches = [
+        df.filter(F.col("k") == k)
+        .withColumn("got", ntile_from_rank(F.col("rn"), F.col("n"), k))
+        .filter(F.col("got") != F.col("exp"))
+        .count()
+        for k in range(1, 13)
+    ]
+    assert mismatches == [0] * 12
+
+
 # ---------------------------------------------------------------------------
 # Structural pin: no unpartitioned WindowExec over a file-scan-rooted
 # subtree in any query routed through the helper. Bounded windows are
