@@ -97,6 +97,25 @@ def test_rank_is_permutation_and_nparts_invariant(spark):
         assert (agg.c, agg.d, agg.mn, agg.mx) == (3001, 3001, 1, 3001)
 
 
+def test_empty_and_singleton_frames(spark):
+    empty = synth(spark, 4000).filter(F.col("id") < 0)
+    out = distributed_prefix(
+        empty, ["u"], sums={"cum_v": "v"}, row_number="rn", total_count="n"
+    )
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "grp", "u", "v", "cum_v", "rn", "n"}
+    one = synth(spark, 1)
+    row = distributed_prefix(
+        one, ["u"], sums={"cum_v": "v"}, row_number="rn", total_count="n"
+    ).collect()[0]
+    assert (row.rn, row.n, row.cum_v) == (1, 1, row.v)
+
+
+def test_requires_some_output_column(spark):
+    with pytest.raises(ValueError):
+        distributed_prefix(synth(spark, 10), ["u"])
+
+
 def test_grouped_rank_survives_extreme_group_skew(spark):
     # One group holds ~99% of rows (the viral-boilerplate shape): the
     # helper must still rank it correctly — range partitioning on
