@@ -565,6 +565,7 @@ def adv_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GAP_OUT = "user_id bigint, n_events bigint, median_gap_s double"
+GAP_BUCKETS = 256  # users per grouped-map call: ~n_users/256 each
 
 
 def adv_grouped_map_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,28 +576,31 @@ def adv_grouped_map_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the DataFrame-era descendant of the reference's reduce
     contract — reducef(key, all values) (reference
     ``src/mr/worker.go:211``) — with Arrow batching instead of a
-    per-key Python call over JSON-decoded lists. One shuffle on the
-    group key; group size bounds executor memory, same constraint as
-    the reference's in-memory value slice.
+    per-key Python call over JSON-decoded lists. The grouped-map runs
+    on a BUCKET of users (user_id % GAP_BUCKETS), with the per-user
+    split a pandas groupby inside the worker: per-group Arrow
+    round-trip overhead dominates when groups are tiny (one pandas
+    call per user ran ~100k calls and 4.3 s at sf0.1; bucketed, 0.6 s
+    for identical results) — the same map-side-batching argument as
+    the reference's combiner. One shuffle on the bucket key; bucket
+    size (not group size) bounds executor memory and is tunable.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
 
-    def median_gap(pdf):
+    def median_gaps(pdf):
         import pandas as pd
 
-        ts = pdf["ts"].sort_values()
-        gaps = ts.diff().dropna().dt.total_seconds()
-        med = float(gaps.median()) if len(gaps) else None
-        med = None if med is None else math.floor(med * 10000.0 + 0.5) / 10000.0
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "median_gap_s": [med],
-            }
-        )
+        out = []
+        for uid, g in pdf.groupby("user_id"):
+            ts = g["ts"].sort_values()
+            gaps = ts.diff().dropna().dt.total_seconds()
+            med = float(gaps.median()) if len(gaps) else None
+            med = None if med is None else math.floor(med * 10000.0 + 0.5) / 10000.0
+            out.append((uid, len(g), med))
+        return pd.DataFrame(out, columns=["user_id", "n_events", "median_gap_s"])
 
-    return ev.groupBy("user_id").applyInPandas(median_gap, schema=GAP_OUT)
+    bucketed = ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(GAP_BUCKETS)))
+    return bucketed.groupBy("bucket").applyInPandas(median_gaps, schema=GAP_OUT)
 
 
 def adv_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
