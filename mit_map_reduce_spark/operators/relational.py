@@ -926,6 +926,25 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:8]
     t_li, t_ord = f"b_lineitem_{tag}", f"b_orders_{tag}"
     base = os.path.join(tempfile.gettempdir(), "mmrs_bucketed", tag)
+
+    def _register_existing(name: str, sub: str, df: DataFrame, key: str) -> bool:
+        # Another session already wrote this corpus's bucketed copy:
+        # register an external bucketed table over the finished files
+        # instead of rewriting them out from under concurrent readers
+        # (the cross-session stomp that flaked the suite once). The
+        # files carry bucket ids in their names, so the CLUSTERED BY
+        # metadata reattaches losslessly.
+        path = os.path.join(base, sub)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return False
+        ddl = df._jdf.schema().toDDL()
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return True
+
     if not spark.catalog.tableExists(t_li) or not spark.catalog.tableExists(t_ord):
         from mit_map_reduce_spark.sources.io import write_parquet
 
@@ -933,8 +952,12 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
         )
         orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-        write_parquet(li, os.path.join(base, "li"), bucket_by=(8, ["l_orderkey"]), table_name=t_li)
-        write_parquet(orders, os.path.join(base, "ord"), bucket_by=(8, ["o_orderkey"]), table_name=t_ord)
+        if not (
+            _register_existing(t_li, "li", li, "l_orderkey")
+            and _register_existing(t_ord, "ord", orders, "o_orderkey")
+        ):
+            write_parquet(li, os.path.join(base, "li"), bucket_by=(8, ["l_orderkey"]), table_name=t_li)
+            write_parquet(orders, os.path.join(base, "ord"), bucket_by=(8, ["o_orderkey"]), table_name=t_ord)
     a, b = spark.table(t_li), spark.table(t_ord)
     joined = a.join(b, a.l_orderkey == b.o_orderkey)
     return (
