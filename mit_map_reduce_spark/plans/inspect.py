@@ -85,3 +85,63 @@ def plan_report(df: DataFrame) -> dict:
         "read_columns": scan_read_schema(df),
         "pushed_filters": pushed_filters(df),
     }
+
+
+# --- unpartitioned-window probe (round 5) ---------------------------------
+
+#: Physical nodes that cap a subtree's row count regardless of input
+#: size — a window above one of these is bounded even if a file scan
+#: sits further down.
+_BOUNDED_NODES = frozenset(
+    {
+        "TakeOrderedAndProjectExec",
+        "CollectLimitExec",
+        "GlobalLimitExec",
+        "LocalLimitExec",
+    }
+)
+
+
+def _plan_root(df: DataFrame):
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    return plan
+
+
+def _walk_nodes(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_nodes(ch.apply(i))
+
+
+def _subtree_has_unbounded_filescan(node) -> bool:
+    name = node.getClass().getSimpleName()
+    if name in _BOUNDED_NODES:
+        return False
+    if name in ("FileSourceScanExec", "BatchScanExec"):
+        return True
+    ch = node.children()
+    return any(_subtree_has_unbounded_filescan(ch.apply(i)) for i in range(ch.size()))
+
+
+def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
+    """WindowExec nodes with an EMPTY partition spec whose subtree
+    reaches a file scan without passing a limit/TakeOrdered — the
+    "moving all data to a single partition" shape that dies at 100 TB.
+
+    Windows over bounded-domain aggregates (calendar days, deciles,
+    category cells) are still reported when scan-rooted — the caller
+    allowlists those with a justification (tools/scan_global_windows.py
+    keeps the repo-wide list; tests/test_rank.py pins the
+    order-statistics family at zero). The scale-safe alternative for a
+    genuinely corpus-sized frame is functions.rank.distributed_prefix.
+    """
+    return [
+        node.nodeName()
+        for node in _walk_nodes(_plan_root(df))
+        if node.getClass().getSimpleName() == "WindowExec"
+        and node.partitionSpec().isEmpty()
+        and _subtree_has_unbounded_filescan(node)
+    ]

@@ -189,51 +189,15 @@ def test_ntile_from_rank_exhaustive_grid(spark):
 
 # ---------------------------------------------------------------------------
 # Structural pin: no unpartitioned WindowExec over a file-scan-rooted
-# subtree in any query routed through the helper. Bounded windows are
-# fine in two shapes: partition spec non-empty (per-__pid locals), or
-# an unpartitioned window whose subtree is capped by a limit/TakeOrdered
-# (terasort's fixed-K sample) or rooted at a cached/aggregated frame.
+# subtree in any query routed through the helper (probe from the plans
+# product API; tools/scan_global_windows.py sweeps the whole registry).
+# Bounded windows are fine in two shapes: partition spec non-empty
+# (per-__pid locals), or an unpartitioned window whose subtree is
+# capped by a limit/TakeOrdered (terasort's fixed-K sample) or rooted
+# at a cached/aggregated frame.
 # ---------------------------------------------------------------------------
 
-_BOUNDED_NODES = {
-    "TakeOrderedAndProjectExec",
-    "CollectLimitExec",
-    "GlobalLimitExec",
-    "LocalLimitExec",
-}
-
-
-def _walk(node):
-    yield node
-    ch = node.children()
-    for i in range(ch.size()):
-        yield from _walk(ch.apply(i))
-
-
-def _subtree_has_unbounded_filescan(node):
-    name = node.getClass().getSimpleName()
-    if name in _BOUNDED_NODES:
-        return False
-    if name in ("FileSourceScanExec", "BatchScanExec"):
-        return True
-    ch = node.children()
-    return any(
-        _subtree_has_unbounded_filescan(ch.apply(i)) for i in range(ch.size())
-    )
-
-
-def unpartitioned_corpus_windows(df) -> list:
-    plan = df._jdf.queryExecution().executedPlan()
-    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        plan = plan.initialPlan()
-    bad = []
-    for node in _walk(plan):
-        if node.getClass().getSimpleName() == "WindowExec":
-            if node.partitionSpec().isEmpty() and _subtree_has_unbounded_filescan(
-                node
-            ):
-                bad.append(node.nodeName())
-    return bad
+from mit_map_reduce_spark.plans import unpartitioned_corpus_windows
 
 
 #: query -> allowed unpartitioned scan-rooted windows. Zero except

@@ -54,42 +54,12 @@ ALLOWED = {
     "text_vocab_growth": (1, "growth curve over the 10 corpus deciles"),
 }
 
-_BOUNDED_NODES = {
-    "TakeOrderedAndProjectExec",
-    "CollectLimitExec",
-    "GlobalLimitExec",
-    "LocalLimitExec",
-}
-
-
-def _subtree_has_unbounded_filescan(node) -> bool:
-    name = node.getClass().getSimpleName()
-    if name in _BOUNDED_NODES:
-        return False
-    if name in ("FileSourceScanExec", "BatchScanExec"):
-        return True
-    ch = node.children()
-    return any(_subtree_has_unbounded_filescan(ch.apply(i)) for i in range(ch.size()))
-
-
-def _walk(node):
-    yield node
-    ch = node.children()
-    for i in range(ch.size()):
-        yield from _walk(ch.apply(i))
-
-
 def unpartitioned_corpus_windows(df) -> int:
-    plan = df._jdf.queryExecution().executedPlan()
-    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
-        plan = plan.initialPlan()
-    return sum(
-        1
-        for node in _walk(plan)
-        if node.getClass().getSimpleName() == "WindowExec"
-        and node.partitionSpec().isEmpty()
-        and _subtree_has_unbounded_filescan(node)
+    from mit_map_reduce_spark.plans import (
+        unpartitioned_corpus_windows as probe,
     )
+
+    return len(probe(df))
 
 
 def main() -> int:
