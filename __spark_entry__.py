@@ -36,69 +36,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: come last. Every entry is still verified by the full local gate
 #: (tools/check_correctness.py) regardless of position.
 _PRIORITY = [
-    # ---- positions 1-8: queries re-planned THIS round (two-pass
-    # distributed rank wired into the order-statistics family; capped
-    # terasort sample; group-threaded rank) — fresh driver rows needed
-    # because behavior-adjacent plans changed.
-    "text_weighted_median_quality",
-    "adv_decile_lift_table",
-    "adv_auc_purchase_score",
-    "adv_rfm_segmentation",
-    "rel_join_key_skew_report",
-    "mr_terasort_manifest",
-    "adv_iqr_outlier_orders",
-    "rel_trimmed_mean_acctbal",
-    # ---- positions 9-15: the flagship round-4 families the round-4
-    # verdict asked to driver-verify first (BPE train/apply, product
-    # quantization, SemDeDup, incremental-ingest dedup, checkpoint
-    # restart streaming).
-    "text_bpe_train_merges",
-    "text_bpe_apply_encode",
-    "sim_pq_encode_report",
-    "sim_pq_adc_topk",
-    "dedup_semantic_ivf",
-    "dedup_incremental_ingest",
-    "stream_incremental_restart",
-    # ---- positions 16-50: remaining never-verified queries, in
-    # registry rotation order — fills the round-5 driver window.
-    "text_bpe_pair_counts",
-    "text_chunk_overlap",
-    "graph_label_propagation",
-    "sketch_hll_union_merge",
-    "sim_embedding_quantize_int8",
-    "mm_audio_energy_windows",
-    "stream_late_data_metrics",
-    "mr_reduce_side_join",
-    "sketch_cms_topk_by_source",
-    "text_shuffle_order",
-    "sim_ann_mmr_topk",
-    "text_trigram_backoff_logprob",
-    "sim_embedding_random_projection",
-    "adv_retention_cohorts",
-    "adv_ab_experiment_readout",
-    "text_vocab_growth",
-    "graph_triangle_count",
-    "graph_jaccard_link_prediction",
-    "adv_markov_event_transitions",
-    "adv_rolling_active_users",
-    "adv_association_rules_sessions",
-    "text_zipf_slope",
-    "text_term_burstiness",
-    "sketch_hll_intersection",
-    "src_schema_evolution_merge",
-    "rel_table_profile_orders",
-    "sim_hard_negative_mining",
-    "rel_monthly_revenue_mom",
-    "rel_price_balance_correlation",
-    "graph_personalized_pagerank",
-    "src_compact_small_files",
-    "sim_ann_recall_report",
-    "adv_activity_heatmap",
-    "graph_degree_assortativity",
-    "mm_shot_boundaries",
-    # ---- positions 51-113: never-verified tail — the round-6
-    # window starts here. All pass the full-precision local gate
-    # (tools/check_correctness.py --vanilla).
+    # ---- positions 1-63: the never-verified tail staged by round 5
+    # (previously positions 51-113). The round-6 driver window (first
+    # 50) covers positions 1-50; positions 51-63 are the 13 queries
+    # round 7 clears. All pass the full-precision local gate
+    # (tools/check_correctness.py --vanilla). Registry frozen at 250.
     "text_oov_rate",
     "stream_dedup_within_watermark",
     "dedup_lsh_tuning_report",
@@ -162,6 +104,58 @@ _PRIORITY = [
     "mr_udtf_wordcount",
     "rel_revenue_autocorrelation",
     "sketch_bloom_union_merge",
+    # ---- positions 64-113: verified green in round 5
+    # (CORRECTNESS_r05.json), in their round-5 window order.
+    "text_weighted_median_quality",
+    "adv_decile_lift_table",
+    "adv_auc_purchase_score",
+    "adv_rfm_segmentation",
+    "rel_join_key_skew_report",
+    "mr_terasort_manifest",
+    "adv_iqr_outlier_orders",
+    "rel_trimmed_mean_acctbal",
+    "text_bpe_train_merges",
+    "text_bpe_apply_encode",
+    "sim_pq_encode_report",
+    "sim_pq_adc_topk",
+    "dedup_semantic_ivf",
+    "dedup_incremental_ingest",
+    "stream_incremental_restart",
+    "text_bpe_pair_counts",
+    "text_chunk_overlap",
+    "graph_label_propagation",
+    "sketch_hll_union_merge",
+    "sim_embedding_quantize_int8",
+    "mm_audio_energy_windows",
+    "stream_late_data_metrics",
+    "mr_reduce_side_join",
+    "sketch_cms_topk_by_source",
+    "text_shuffle_order",
+    "sim_ann_mmr_topk",
+    "text_trigram_backoff_logprob",
+    "sim_embedding_random_projection",
+    "adv_retention_cohorts",
+    "adv_ab_experiment_readout",
+    "text_vocab_growth",
+    "graph_triangle_count",
+    "graph_jaccard_link_prediction",
+    "adv_markov_event_transitions",
+    "adv_rolling_active_users",
+    "adv_association_rules_sessions",
+    "text_zipf_slope",
+    "text_term_burstiness",
+    "sketch_hll_intersection",
+    "src_schema_evolution_merge",
+    "rel_table_profile_orders",
+    "sim_hard_negative_mining",
+    "rel_monthly_revenue_mom",
+    "rel_price_balance_correlation",
+    "graph_personalized_pagerank",
+    "src_compact_small_files",
+    "sim_ann_recall_report",
+    "adv_activity_heatmap",
+    "graph_degree_assortativity",
+    "mm_shot_boundaries",
     # ---- positions 114-250: queries with standing green official
     # driver rows (r1-r4), in rotation order.
     "rel_q9_product_profit",

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table, spread
+from mit_map_reduce_spark.catalog import load_table
 from mit_map_reduce_spark.functions.columns import (
     money_grains,
     money_sum,
@@ -511,41 +511,69 @@ def adv_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 FUZZY_MAX_DIST = 4
+#: Length-band width for the composite blocking key. Any pair within
+#: FUZZY_MAX_DIST edits has |len(a)-len(b)| <= FUZZY_MAX_DIST, so with
+#: band = floor(len/FUZZY_MAX_DIST) a true pair's bands differ by at
+#: most 1 — probing the 3 adjacent bands loses NO pair.
+FUZZY_BAND_W = FUZZY_MAX_DIST
 
 
 def adv_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution shape: fuzzy part-name matching with blocking.
 
-    Candidate pairs come from an equi-join on a blocking key (the
-    name's final token) — never the O(n^2) cross join; Levenshtein
-    (exact integer, identical in both engines) then scores within
-    blocks. Rolled up per block: the pattern behind dedup of product
-    catalogs / author names at scale.
+    AGGREGATE-THEN-COMPARE plan: collapse the corpus to DISTINCT
+    (block, name, multiplicity) with one map-side-combined shuffle,
+    run Levenshtein over distinct-name pairs only, then weight pair
+    counts back by multiplicity — exact results, with the quadratic
+    bounded by distinct-name vocabulary instead of row count. On this
+    corpus that is ~300 scored pairs instead of ~25M row pairs at
+    sf0.1 (names are adj+noun over an 8x8 vocabulary; row pairs per
+    block grow O((n/8)^2) with catalog size, distinct pairs do not
+    grow at all). At 100 TB the distinct frame stays vocabulary-sized
+    -> broadcast pair join; corpora with near-unique names fall back
+    to the composite (block, length-band) key below, which is
+    recall-lossless for dist <= FUZZY_MAX_DIST because edit distance
+    >= length difference, so a true pair's width-FUZZY_BAND_W bands
+    differ by at most 1 and the probe side explodes into its 3
+    adjacent bands (the equi-join key stays (blk, band); each
+    surviving pair matches at exactly one band: the build side's own).
 
-    Plan notes: the probe side is spread() so the in-block pair scan
-    parallelizes (a single-file scan + broadcast build otherwise ran
-    ~25M comparisons on ONE task — 42 s at sf0.1, now ~2 s); a length
-    prefilter (|len(a)-len(b)| <= max dist, a necessary condition for
-    edit distance) runs before the bounded-early-exit levenshtein.
-    Scale honesty: the block key's cardinality is VOCABULARY-bounded
-    (8 nouns in this corpus), so block sizes — and the in-block
-    quadratic — grow linearly with the catalog; a production run adds
-    more discriminative keys (q-gram or sorted-neighborhood blocking)
-    once blocks outgrow a task, which changes recall policy and so is
-    left to the caller.
+    Exactness of the weighting: an unordered row pair with distinct
+    names (x, y) has exactly one (partkey_a < partkey_b) orientation,
+    so it is counted once by cnt_x*cnt_y on the lexicographic x < y
+    join; same-name pairs contribute C(cnt, 2) at distance 0. The
+    weighted average divides two exactly-representable integer sums,
+    so the float matches the row-level oracle bit-for-bit.
     """
     part = load_table(spark, sf_dir, "part").select(
-        "p_partkey",
         "p_name",
         F.element_at(F.split("p_name", " "), -1).alias("blk"),
     )
-    a, b = spread(part).alias("a"), part.alias("b")
+    names = (
+        part.groupBy("blk", "p_name")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "band", F.floor(F.length("p_name") / F.lit(FUZZY_BAND_W))
+        )
+    )
+    a = names.withColumn(
+        "jband",
+        F.explode(
+            F.array(F.col("band") - F.lit(1), F.col("band"), F.col("band") + F.lit(1))
+        ),
+    ).alias("a")
+    b = names.withColumn("jband", F.col("band")).alias("b")
     len_ok = (
         F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
         <= FUZZY_MAX_DIST
     )
-    pairs = (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+    cross = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.jband") == F.col("b.jband"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
         .filter(len_ok)
         .select(
             F.col("a.blk").alias("blk"),
@@ -554,13 +582,22 @@ def adv_fuzzy_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(
                 F.col("a.p_name"), F.col("b.p_name"), FUZZY_MAX_DIST
             ).alias("dist"),
+            (F.col("a.cnt") * F.col("b.cnt")).alias("weight"),
         )
         .filter(F.col("dist") >= 0)
     )
+    same = names.filter(F.col("cnt") >= 2).select(
+        "blk",
+        F.lit(0).alias("dist"),
+        (F.col("cnt") * (F.col("cnt") - 1) / F.lit(2)).cast("long").alias("weight"),
+    )
+    pairs = cross.unionByName(same)
     return pairs.groupBy("blk").agg(
-        F.count("*").alias("n_pairs"),
+        F.sum("weight").alias("n_pairs"),
         F.min("dist").alias("min_dist"),
-        round_half_up(F.avg("dist"), 4).alias("avg_dist"),
+        round_half_up(
+            F.sum(F.col("dist") * F.col("weight")) / F.sum("weight"), 4
+        ).alias("avg_dist"),
     )
 
 

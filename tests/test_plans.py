@@ -409,3 +409,39 @@ def test_vocab_topk_queries_use_takeordered_not_global_sort(spark, sf_dir):
     ):
         plan = physical_plan(fn(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
+def test_fuzzy_match_compares_distinct_names_not_rows(spark, sf_dir):
+    # Aggregate-then-compare: the pair join must run over the DISTINCT
+    # (block, name) frame, so the number of levenshtein-scored
+    # candidate pairs is vocabulary-bounded — independent of catalog
+    # row count — and the join itself is a hash/sort-merge equi-join
+    # on the composite (blk, band) key, never a nested loop.
+    from mit_map_reduce_spark.operators.advanced import (
+        FUZZY_BAND_W,
+        adv_fuzzy_blocked_match,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    plan = physical_plan(adv_fuzzy_blocked_match(spark, sf01))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # the distinct frame this corpus produces: candidate pairs must be
+    # bounded by C(vocab,2)-ish, not C(rows,2) (~2e8 at sf0.1).
+    part = load_table(spark, sf01, "part").select(
+        F.element_at(F.split("p_name", " "), -1).alias("blk"), "p_name"
+    )
+    names = part.groupBy("blk", "p_name").count().withColumn(
+        "band", F.floor(F.length("p_name") / F.lit(FUZZY_BAND_W))
+    )
+    a, b = names.alias("a"), names.alias("b")
+    candidates = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.abs(F.col("a.band") - F.col("b.band")) <= 1)
+        & (F.col("a.p_name") < F.col("b.p_name")),
+    ).count()
+    rows = part.count()
+    assert candidates <= 1_000, candidates
+    assert candidates < rows  # vocab-bounded, not row-bounded
