@@ -108,6 +108,11 @@ def distributed_prefix(
         table, ``n_groups * n_parts`` rows, must broadcast) — a
         high-cardinality group key means small groups, where a plain
         ``partitionBy(group)`` window is already the right plan.
+        Null group keys are safe: the offset join matches them with
+        ``eqNullSafe`` (still valid broadcast-hash-join keys), so a
+        null group ranks as its own group — the same semantics a plain
+        ``partitionBy(group)`` window gives — instead of silently
+        vanishing through a null-unsafe equi-join.
     sums: ``{out_col: summed_col}`` — inclusive running totals over
         the order (the distributed prefix sum).
     row_number: name for a 1-based rank column.
@@ -175,7 +180,17 @@ def distributed_prefix(
         off_cols.append(F.sum("__cnt").over(w_all).alias("__grp_total"))
     offsets = sub.select(*group_by, "__pid", *off_cols)
 
-    joined = local.join(F.broadcast(offsets), [*group_by, "__pid"])
+    off = offsets
+    for c in [*group_by, "__pid"]:
+        off = off.withColumnRenamed(c, f"__r_{c}")
+    cond = F.col("__pid") == F.col("__r___pid")
+    for g in group_by:
+        # eqNullSafe: a NULL group must join its own offset row, not
+        # silently drop out (plain windows keep null groups).
+        cond = cond & F.col(g).eqNullSafe(F.col(f"__r_{g}"))
+    joined = local.join(F.broadcast(off), cond).drop(
+        *[f"__r_{c}" for c in [*group_by, "__pid"]]
+    )
     out_cols = [
         (F.col(f"__off_{name}") + F.col(f"__loc_{name}")).alias(name)
         for name in sums

@@ -628,7 +628,9 @@ def adv_grouped_map_median_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         out = []
-        for uid, g in pdf.groupby("user_id"):
+        # dropna=False: Spark's groupBy emits a null-keyed group; the
+        # pandas default silently drops NaN keys — keep parity.
+        for uid, g in pdf.groupby("user_id", dropna=False):
             ts = g["ts"].sort_values()
             gaps = ts.diff().dropna().dt.total_seconds()
             med = float(gaps.median()) if len(gaps) else None

@@ -17,6 +17,8 @@ Scale notes baked into every query:
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -927,14 +929,13 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_li, t_ord = f"b_lineitem_{tag}", f"b_orders_{tag}"
     base = os.path.join(tempfile.gettempdir(), "mmrs_bucketed", tag)
 
-    def _register_existing(name: str, sub: str, df: DataFrame, key: str) -> bool:
+    def _register_existing(name: str, path: str, df: DataFrame, key: str) -> bool:
         # Another session already wrote this corpus's bucketed copy:
         # register an external bucketed table over the finished files
         # instead of rewriting them out from under concurrent readers
         # (the cross-session stomp that flaked the suite once). The
         # files carry bucket ids in their names, so the CLUSTERED BY
         # metadata reattaches losslessly.
-        path = os.path.join(base, sub)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             return False
         ddl = df._jdf.schema().toDDL()
@@ -945,19 +946,49 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return True
 
-    if not spark.catalog.tableExists(t_li) or not spark.catalog.tableExists(t_ord):
+    def _ensure(name: str, sub: str, df: DataFrame, key: str) -> None:
+        # Each table is registered/written INDEPENDENTLY (a writer that
+        # died between the pair must not force a rewrite of the
+        # complete half a concurrent session may be registered over),
+        # and the shared-path write is guarded by an atomic mkdir lock
+        # so two fresh sessions racing on an absent artifact never
+        # overwrite each other. Lost race -> wait briefly for the
+        # winner's _SUCCESS; winner crashed (stale lock, no _SUCCESS)
+        # -> fall back to a session-private path, correctness intact.
+        import time
+
         from mit_map_reduce_spark.sources.io import write_parquet
 
-        li = _t(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
-        )
-        orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-        if not (
-            _register_existing(t_li, "li", li, "l_orderkey")
-            and _register_existing(t_ord, "ord", orders, "o_orderkey")
-        ):
-            write_parquet(li, os.path.join(base, "li"), bucket_by=(8, ["l_orderkey"]), table_name=t_li)
-            write_parquet(orders, os.path.join(base, "ord"), bucket_by=(8, ["o_orderkey"]), table_name=t_ord)
+        if spark.catalog.tableExists(name):
+            return
+        path = os.path.join(base, sub)
+        if _register_existing(name, path, df, key):
+            return
+        lock = f"{path}.lock"
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.mkdir(lock)  # atomic: exactly one session wins
+        except FileExistsError:
+            for _ in range(60):  # writer in flight: wait for _SUCCESS
+                time.sleep(0.5)
+                if _register_existing(name, path, df, key):
+                    return
+            # stale lock (writer died): private path, never contended
+            path = os.path.join(base, f"{sub}_{os.getpid()}")
+            write_parquet(df, path, bucket_by=(8, [key]), table_name=name)
+            return
+        try:
+            write_parquet(df, path, bucket_by=(8, [key]), table_name=name)
+        finally:
+            with contextlib.suppress(OSError):
+                os.rmdir(lock)
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    _ensure(t_li, "li", li, "l_orderkey")
+    _ensure(t_ord, "ord", orders, "o_orderkey")
     a, b = spark.table(t_li), spark.table(t_ord)
     joined = a.join(b, a.l_orderkey == b.o_orderkey)
     return (
