@@ -906,20 +906,26 @@ def dedup_cluster_size_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two tiny aggregations stacked on the session-shared CC label
     artifact (every doc -> its cluster id via the keep-list view):
     cluster sizes, then the size histogram — each a partial-aggregated
-    shuffle whose output is bounded by distinct sizes, plus exact
-    integer shares against the window total.
+    shuffle whose output is bounded by distinct sizes. The corpus
+    total joins in as a BROADCAST 1-row aggregate rather than a
+    global window over the histogram: the distinct-size domain is
+    usually tiny but an adversarial near-dup distribution can make it
+    large, and the broadcast form is size-distribution-proof (no
+    single-partition window exists in this plan at all).
     """
     kl = near_dup_keep_list(spark, sf_dir)
     sizes = kl.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     hist = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
-    total_docs = F.sum(F.col("cluster_size") * F.col("n_clusters")).over(W.partitionBy())
-    return hist.select(
+    total = sizes.agg(F.sum("cluster_size").alias("__total_docs"))
+    return hist.crossJoin(F.broadcast(total)).select(
         "cluster_size",
         "n_clusters",
         (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
         ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_docs_dropped"),
         round_half_up(
-            (F.col("cluster_size") * F.col("n_clusters")).cast("double") / total_docs, 4
+            (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+            / F.col("__total_docs"),
+            4,
         ).alias("corpus_share"),
     )
 

@@ -1116,14 +1116,22 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .groupBy("dst")
                     .agg(F.sum("g").alias("node_g"))
                 )
-                a_tot = F.sum("node_g").over(W.partitionBy())
-                auths = a_sum.select(
-                    F.col("dst").alias("node"),
-                    round_half_up(
-                        F.col("node_g").cast("double") / a_tot.cast("double"),
-                        RANK_DIGITS,
-                    ).alias("score"),
-                ).persist()
+                # L1 total as a broadcast 1-row aggregate, never a
+                # global window: the score frame is node-sized, and a
+                # single-partition window over it dies at graph scale.
+                a_tot = a_sum.agg(F.sum("node_g").alias("__tot"))
+                auths = (
+                    a_sum.crossJoin(F.broadcast(a_tot))
+                    .select(
+                        F.col("dst").alias("node"),
+                        round_half_up(
+                            F.col("node_g").cast("double")
+                            / F.col("__tot").cast("double"),
+                            RANK_DIGITS,
+                        ).alias("score"),
+                    )
+                    .persist()
+                )
                 a_g = auths.select(
                     "node",
                     F.floor(F.col("score") * grain + F.lit(0.5))
@@ -1135,14 +1143,19 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .groupBy("src")
                     .agg(F.sum("g").alias("node_g"))
                 )
-                h_tot = F.sum("node_g").over(W.partitionBy())
-                new_hubs = h_sum.select(
-                    F.col("src").alias("node"),
-                    round_half_up(
-                        F.col("node_g").cast("double") / h_tot.cast("double"),
-                        RANK_DIGITS,
-                    ).alias("score"),
-                ).persist()
+                h_tot = h_sum.agg(F.sum("node_g").alias("__tot"))
+                new_hubs = (
+                    h_sum.crossJoin(F.broadcast(h_tot))
+                    .select(
+                        F.col("src").alias("node"),
+                        round_half_up(
+                            F.col("node_g").cast("double")
+                            / F.col("__tot").cast("double"),
+                            RANK_DIGITS,
+                        ).alias("score"),
+                    )
+                    .persist()
+                )
                 new_hubs.count()
                 for s in superseded:
                     s.unpersist()

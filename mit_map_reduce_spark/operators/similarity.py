@@ -1088,13 +1088,17 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = _assign_cells(emb, cents).groupBy("cell").agg(
         F.count("*").alias("n_vectors")
     )
-    total = F.sum("n_vectors").over(W.partitionBy())
-    return sizes.select(
+    # Corpus total as a broadcast 1-row aggregate (not a global window
+    # over the cell frame): same exact integers, zero single-partition
+    # window regardless of K_CELLS.
+    total = sizes.agg(F.sum("n_vectors").alias("__total"))
+    t = F.col("__total").cast("double")
+    return sizes.crossJoin(F.broadcast(total)).select(
         "cell",
         "n_vectors",
-        round_half_up(F.col("n_vectors").cast("double") / total, 4).alias("share"),
+        round_half_up(F.col("n_vectors").cast("double") / t, 4).alias("share"),
         round_half_up(
-            F.col("n_vectors").cast("double") * K_CELLS / total, 4
+            F.col("n_vectors").cast("double") * K_CELLS / t, 4
         ).alias("load_factor"),
     )
 

@@ -19,5 +19,6 @@ from mit_map_reduce_spark.plans.inspect import (  # noqa: F401
     broadcast_join_count,
     wholestage_codegen_ids,
     plan_report,
+    streaming_plan_report,
     unpartitioned_corpus_windows,
 )

@@ -109,21 +109,82 @@ def _plan_root(df: DataFrame):
     return plan
 
 
+def _inner_plans(node):
+    """Plans nested inside ``node`` that a plain children() walk would
+    miss: a cached frame's plan behind InMemoryTableScanExec (a LEAF
+    to children()) and a nested AdaptiveSparkPlanExec's inner plan.
+    Missing either made the probe treat a cached corpus scan as
+    bounded — a false-negative surface for the repo-wide audit."""
+    name = node.getClass().getSimpleName()
+    if name == "InMemoryTableScanExec":
+        try:
+            yield node.relation().cachedPlan()
+        except Exception:
+            pass
+    elif name == "AdaptiveSparkPlanExec":
+        try:
+            yield node.initialPlan()
+        except Exception:
+            pass
+
+
+def _subquery_plans(node):
+    """Physical plans of the node's subquery expressions (scalar / IN
+    subqueries) — WindowExec nodes hide in there too."""
+    try:
+        sq = node.subqueries()
+    except Exception:
+        return
+    for i in range(sq.size()):
+        yield sq.apply(i)
+
+
 def _walk_nodes(node):
     yield node
     ch = node.children()
     for i in range(ch.size()):
         yield from _walk_nodes(ch.apply(i))
+    for inner in _inner_plans(node):
+        yield from _walk_nodes(inner)
+    for sub in _subquery_plans(node):
+        yield from _walk_nodes(sub)
+
+
+_AGG_NODES = frozenset(
+    {"HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec"}
+)
+
+
+def _is_pid_offset_aggregate(node) -> bool:
+    """functions.rank.distributed_prefix's offset table: an aggregate
+    grouped on the range-partition id ``__pid`` (plus the low-card
+    group keys). Its output is n_groups * n_parts rows — the helper's
+    contract requires it to broadcast — so a window above it is
+    bounded even though a corpus scan sits below the aggregate."""
+    if node.getClass().getSimpleName() not in _AGG_NODES:
+        return False
+    try:
+        ge = node.groupingExpressions()
+        return any("__pid" in ge.apply(i).name() for i in range(ge.size()))
+    except Exception:
+        return False
 
 
 def _subtree_has_unbounded_filescan(node) -> bool:
+    # Subqueries are deliberately NOT searched here: their rows reach
+    # the parent via a broadcast/scalar value, not the window's input
+    # stream, so a scan inside one doesn't make the frame corpus-sized.
     name = node.getClass().getSimpleName()
     if name in _BOUNDED_NODES:
         return False
     if name in ("FileSourceScanExec", "BatchScanExec"):
         return True
+    if _is_pid_offset_aggregate(node):
+        return False
     ch = node.children()
-    return any(_subtree_has_unbounded_filescan(ch.apply(i)) for i in range(ch.size()))
+    if any(_subtree_has_unbounded_filescan(ch.apply(i)) for i in range(ch.size())):
+        return True
+    return any(_subtree_has_unbounded_filescan(p) for p in _inner_plans(node))
 
 
 def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
@@ -145,3 +206,42 @@ def unpartitioned_corpus_windows(df: DataFrame) -> list[str]:
         and node.partitionSpec().isEmpty()
         and _subtree_has_unbounded_filescan(node)
     ]
+
+
+# --- streaming micro-batch probes (round 6) -------------------------------
+
+
+def streaming_plan_report(query) -> dict:
+    """Scale-relevant facts of a StreamingQuery's LAST micro-batch
+    executed plan (IncrementalExecution) — the streaming analog of
+    :func:`plan_report`, so stream queries get the same anti-pattern
+    audit (unpartitioned windows, non-broadcast small joins) batch
+    queries do. Call after at least one batch (e.g. right after
+    ``processAllAvailable``) and before ``stop()``.
+    """
+    # _jsq is the public StreamingQueryWrapper; the StreamExecution
+    # behind it owns the per-batch IncrementalExecution.
+    le = query._jsq.streamingQuery().lastExecution()
+    if le is None:
+        return {}
+    plan = le.executedPlan()
+    s = plan.toString()
+    return {
+        "plan": s,
+        "unpartitioned_windows": [
+            node.nodeName()
+            for node in _walk_nodes(plan)
+            if node.getClass().getSimpleName() == "WindowExec"
+            and node.partitionSpec().isEmpty()
+        ],
+        "broadcast_joins": s.count("BroadcastHashJoin"),
+        "sort_merge_joins": s.count("SortMergeJoin"),
+        "shuffles": len(
+            re.findall(
+                r"\bExchange (?:hashpartitioning|rangepartitioning|"
+                r"RoundRobinPartitioning|SinglePartition)",
+                s,
+            )
+        ),
+        "state_stores": s.count("StateStoreSave"),
+    }

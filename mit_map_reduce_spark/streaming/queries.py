@@ -61,6 +61,25 @@ def _scratch_dir(*parts: str) -> str:
     return d
 
 
+#: Executed-plan report of the most recently driven stream's last
+#: micro-batch (plans.streaming_plan_report). The sink runners refresh
+#: it on every run so the plan audit (tests/test_streaming_plans.py,
+#: tools/scan_global_windows.py) can grade streaming physical plans —
+#: a StreamingQuery's plan only exists while the query runs, so it
+#: must be captured at drive time, not probed afterwards.
+LAST_STREAM_PLAN: dict = {}
+
+
+def _capture_stream_plan(q) -> None:
+    from mit_map_reduce_spark.plans import streaming_plan_report
+
+    global LAST_STREAM_PLAN
+    try:
+        LAST_STREAM_PLAN = streaming_plan_report(q)
+    except Exception:  # plan capture must never fail the query itself
+        LAST_STREAM_PLAN = {}
+
+
 def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """readStream over one testdata parquet table.
 
@@ -126,6 +145,7 @@ def _run_to_file_sink(agg: DataFrame, shuffle_partitions: int = 8) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     try:
         q.processAllAvailable()
+        _capture_stream_plan(q)
     finally:
         q.stop()
     # A stream whose watermark never closed a single window commits no
@@ -398,6 +418,7 @@ def stream_incremental_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             try:
                 q.processAllAvailable()
+                _capture_stream_plan(q)
             finally:
                 q.stop()
     finally:
@@ -775,6 +796,7 @@ def _run_to_upsert_sink(
         spark.conf.set("spark.sql.shuffle.partitions", old)
     try:
         q.processAllAvailable()
+        _capture_stream_plan(q)
     finally:
         q.stop()
     if not os.path.exists(current):  # zero batches -> empty result

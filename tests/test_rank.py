@@ -205,7 +205,10 @@ from mit_map_reduce_spark.plans import unpartitioned_corpus_windows
 #: (TERA_PARTS-row) manifest aggregate — scan-rooted but provably
 #: bounded by the pid grouping.
 _REWIRED = {
-    "adv_decile_lift_table": 0,
+    # 1: the running-lift window over the 10 decile cells — bounded
+    # domain, visible since the probe descends into the pinned
+    # exchange's cached plan (also in the repo-wide allowlist).
+    "adv_decile_lift_table": 1,
     "adv_auc_purchase_score": 0,
     "adv_rfm_segmentation": 0,
     "adv_iqr_outlier_orders": 0,
@@ -224,3 +227,23 @@ def test_no_unpartitioned_corpus_window(spark, sf_dir, qname):
 
     df = entrymod.queries()[qname](spark, sf_dir)
     assert len(unpartitioned_corpus_windows(df)) == _REWIRED[qname]
+
+
+def test_null_group_keys_rank_as_their_own_group(spark):
+    # A NULL group must not vanish through the offset join (it is
+    # null-safe); parity with the plain-window semantics that keep
+    # null-keyed groups.
+    df = synth(spark, 600).withColumn(
+        "grp", F.when(F.col("grp") == 3, None).otherwise(F.col("grp"))
+    )
+    got = distributed_prefix(
+        df, ["v", "id"], group_by=["grp"], row_number="rn", total_count="n"
+    ).select("id", "rn", "n")
+    wg = W.partitionBy("grp").orderBy("v", "id")
+    exp = df.select(
+        "id",
+        F.row_number().over(wg).alias("rn"),
+        F.count("*").over(W.partitionBy("grp")).alias("n"),
+    )
+    assert got.count() == 600
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))

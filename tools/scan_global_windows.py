@@ -28,6 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALLOWED = {
     "adv_activity_heatmap": (1, "share over the 168 dow x hour cells"),
     "adv_cusum_changepoint_revenue": (2, "CUSUM over the calendar-day frame"),
+    "adv_decile_lift_table": (
+        1,
+        "running lift over the 10 decile cells (visible since the probe "
+        "descends into the pinned exchange's cached plan)",
+    ),
     "adv_kaplan_meier_retention": (
         2,
         "product-limit over distinct duration minutes (observation-window bounded)",
@@ -36,10 +41,6 @@ ALLOWED = {
     "adv_smoothed_conversion_ranking": (
         3,
         "raw/smoothed ranks over the k-decile frame (tens of rows)",
-    ),
-    "dedup_cluster_size_report": (
-        1,
-        "histogram shares over distinct cluster sizes (size-domain bounded)",
     ),
     "dedup_survivorship_report": (1, "shares over the verdict-category cells"),
     "mr_terasort_manifest": (1, "contiguity lag over the TERA_PARTS-row manifest"),
@@ -62,25 +63,46 @@ def unpartitioned_corpus_windows(df) -> int:
     return len(probe(df))
 
 
-def main() -> int:
-    from mit_map_reduce_spark.session import get_spark
+def scan_repo(spark, sf_dir: str) -> list[str]:
+    """Audit every registered query; returns human-readable flags
+    (empty = clean). Batch queries: count unpartitioned scan-rooted
+    WindowExec nodes vs the allowlist. Streaming queries: drive the
+    stream and grade the captured micro-batch plan (plans only exist
+    while the query runs) — ANY unpartitioned window there is a flag,
+    no allowlist (micro-batch aggregation is state-store based)."""
+    from mit_map_reduce_spark.streaming import queries as sq
 
     import __spark_entry__ as entrymod
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark("window_audit")
     bad = []
     for name, fn in entrymod.queries().items():
-        if name.startswith("stream_"):  # plans require a running query
-            continue
         try:
-            got = unpartitioned_corpus_windows(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            if name.startswith("stream_"):
+                report = sq.LAST_STREAM_PLAN
+                if not report:
+                    bad.append(f"{name}: no micro-batch plan captured")
+                elif report["unpartitioned_windows"]:
+                    bad.append(
+                        f"{name}: {len(report['unpartitioned_windows'])} "
+                        "unpartitioned windows in the micro-batch plan"
+                    )
+                continue
+            got = unpartitioned_corpus_windows(df)
         except Exception as ex:  # pragma: no cover - surfaced for triage
             bad.append(f"{name}: plan build failed: {ex}")
             continue
         allowed = ALLOWED.get(name, (0, ""))[0]
         if got != allowed:
             bad.append(f"{name}: {got} unpartitioned scan-rooted windows (allowed {allowed})")
+    return bad
+
+
+def main() -> int:
+    from mit_map_reduce_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    bad = scan_repo(get_spark("window_audit"), sf_dir)
     for line in bad:
         print("FLAG", line)
     print(f"{len(bad)} unexplained (allowlist {len(ALLOWED)} entries)")
