@@ -262,6 +262,65 @@ def bench_mr_facade_wc(spark) -> tuple[float, int]:
     return round(sorted(runs)[len(runs) // 2], 3), n
 
 
+def _round_no(repo: str) -> int:
+    """Current build round: one past the newest official BENCH_r{N}
+    record (the driver writes that file after the round ends)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
+def _report_regressions(repo: str, timings: dict[str, float]) -> None:
+    """Diff this run against the newest round-stamped detail file and
+    flag queries >1.5x slower (and >0.3 s absolute, so toy-scale noise
+    on 50 ms queries doesn't alarm) — regressions like round 3's
+    environment slowdown or a re-plan cost get caught at the source,
+    not two rounds later in a verdict."""
+    import glob
+    import re
+
+    stamped = sorted(
+        (
+            (int(m.group(1)), p)
+            for p in glob.glob(os.path.join(repo, "BENCH_DETAIL_r*.json"))
+            if (m := re.search(r"BENCH_DETAIL_r(\d+)\.json$", p))
+        ),
+    )
+    if not stamped:
+        return
+    rnd, path = stamped[-1]
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if str(prev.get("sf")) != sf and str(prev.get("sf")) != str(
+        float(sf) if sf.replace(".", "").isdigit() else sf
+    ):
+        print(
+            f"# regression check skipped: baseline r{rnd} ran at sf={prev.get('sf')}",
+            file=sys.stderr,
+        )
+        return
+    base = prev.get("queries", {})
+    flagged = [
+        (q, base[q], t)
+        for q, t in sorted(timings.items())
+        if q in base and base[q] > 0 and t > 1.5 * base[q] and t - base[q] > 0.3
+    ]
+    for q, b, t in flagged:
+        print(f"# REGRESSION vs r{rnd}: {q} {b:.2f}s -> {t:.2f}s", file=sys.stderr)
+    if not flagged:
+        print(f"# no regressions vs BENCH_DETAIL_r{rnd:02d}.json", file=sys.stderr)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -320,9 +379,20 @@ def main() -> None:
     # stdout JSON line must stay short (round-4 verdict #2: the full
     # ~5 kB line clipped the headline and BENCH_r04 parsed as null).
     print(json.dumps(full), file=sys.stderr)
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    _report_regressions(repo, timings)
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
+    # Round-stamped copy so the NEXT round has this round's numbers to
+    # diff against (the unstamped file is overwritten every run). Only
+    # the official SF stamps — a quick sf0.001 pass must not become a
+    # future round's baseline.
+    if SF_DIR.rstrip("/").endswith("sf0.1"):
+        with open(
+            os.path.join(repo, f"BENCH_DETAIL_r{_round_no(repo):02d}.json"), "w"
+        ) as f:
+            json.dump(full, f, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
