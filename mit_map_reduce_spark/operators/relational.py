@@ -2227,7 +2227,303 @@ def rel_revenue_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- equi-depth histogram: the optimizer-statistics operator -----------
+
+EQUIDEPTH_BINS = 16
+
+
+def rel_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of order values — the
+    statistics structure a cost-based optimizer keeps per column
+    (selectivity estimation needs value boundaries that equalize ROW
+    counts, not value ranges, under skew). The reference has no
+    statistics layer at all; this is the §2c sorts/order-statistics
+    category applied to metadata production.
+
+    Bins come from the exact SQL ntile rule over a deterministic total
+    order (o_totalprice, o_orderkey) — computed via the two-pass
+    distributed rank (``functions.rank``), so no single-task global
+    window exists at any corpus size; the per-bin rollup is one
+    16-key aggregation. Bin boundaries (lo/hi) are raw data values
+    (identical doubles in both engines); per-bin revenue accumulates
+    integer money grains.
+    """
+    from mit_map_reduce_spark.functions.rank import ntile_from_rank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranked = distributed_prefix(
+        orders,
+        ["o_totalprice", "o_orderkey"],
+        row_number="rn",
+        total_count="n",
+    )
+    b = ntile_from_rank(F.col("rn"), F.col("n"), EQUIDEPTH_BINS)
+    return (
+        ranked.select(b.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_half_up(F.min("o_totalprice"), 2).alias("bin_lo"),
+            round_half_up(F.max("o_totalprice"), 2).alias("bin_hi"),
+            money_sum("o_totalprice", 2).alias("bin_revenue"),
+        )
+    )
+
+
+# --- declarative constraint expectations (data-quality gate) -----------
+
+#: (expectation name, violation condition builder) — the row-level
+#: checks; uniqueness and the FK probe are structural and handled
+#: separately. Bounds are deliberately tighter than the data so the
+#: report exercises both passing and failing expectations.
+_EXPECTATION_ROWS = (
+    ("o_orderkey_not_null", lambda: F.col("o_orderkey").isNull()),
+    (
+        "o_totalprice_in_0_400k",
+        lambda: ~F.col("o_totalprice").between(0.0, 400000.0),
+    ),
+    (
+        "o_orderstatus_in_domain",
+        lambda: ~F.col("o_orderstatus").isin("O", "F", "P"),
+    ),
+    (
+        "o_orderdate_before_2000",
+        lambda: F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"),
+    ),
+)
+
+
+def rel_constraint_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over ``orders`` — the
+    Great-Expectations/dbt-test shape: each expectation reports rows
+    checked, violations, and pass/fail in ONE result frame, so a
+    pipeline gate is a single query instead of N ad-hoc scans.
+
+    One scan computes every row-level check as a conditional count
+    plus the key-uniqueness delta (count - count distinct); the FK
+    probe rides the same scan through a broadcast join against the
+    customer keys (null c_custkey after a left join = orphan). The
+    per-expectation rows come from a stack (unpivot) of the single
+    aggregate row — bounded output, no second scan, all exact
+    integers.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust_keys = _t(spark, sf_dir, "customer").select("c_custkey").distinct()
+    j = orders.join(
+        F.broadcast(cust_keys),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    aggs = [F.count("*").alias("n")]
+    for name, cond in _EXPECTATION_ROWS:
+        aggs.append(F.count(F.when(cond(), 1)).alias(name))
+    aggs.append(
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("o_orderkey_unique")
+    )
+    aggs.append(
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("o_custkey_fk_customer")
+    )
+    one = j.agg(*aggs)
+    names = [n for n, _ in _EXPECTATION_ROWS] + [
+        "o_orderkey_unique",
+        "o_custkey_fk_customer",
+    ]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return one.select(
+        F.expr(f"stack({len(names)}, {stack}) as (expectation, n_violations)"),
+        F.col("n").alias("n_checked"),
+    ).select(
+        "expectation",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+# --- CDC changelog apply (ordered upsert/delete log -> table state) ----
+
+#: Deterministic synthetic changelog derived from orders: seq 1 is the
+#: initial snapshot insert; seq 2 updates every 7th key's price; seq 3
+#: deletes every 13th key; seq 4 re-inserts every 26th key at a
+#: flagged priority. Overlaps are the point — %91 keys see
+#: insert+update+delete, %26 keys see delete-then-reinsert — so only
+#: a correct LAST-WRITER-WINS apply reproduces the oracle.
+CDC_UPDATE_MOD, CDC_DELETE_MOD, CDC_REINSERT_MOD = 7, 13, 26
+CDC_PRICE_BUMP = 5.0
+
+
+def rel_cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply an ordered CDC changelog (insert/update/delete events
+    with a sequence number) to materialize final table state — the
+    Debezium-consumer / Delta-CDF shape: the log arrives unordered
+    across partitions, and the apply must pick each key's LATEST
+    change (max seq) and drop keys whose latest op is DELETE.
+
+    The apply is ONE hash shuffle on the key: ``max_by(payload, seq)``
+    — Spark's partial-aggregating last-writer-wins (each map task
+    keeps one candidate per key before the exchange; a per-key
+    ordered window would sort instead of fold). The verification
+    output aggregates final state per priority with grain-exact
+    money sums.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    snapshot = orders.select(
+        k.alias("key"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    updates = orders.filter(k % CDC_UPDATE_MOD == 0).select(
+        k.alias("key"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + CDC_PRICE_BUMP).alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    deletes = orders.filter(k % CDC_DELETE_MOD == 0).select(
+        k.alias("key"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("string").alias("priority"),
+    )
+    reinserts = orders.filter(k % CDC_REINSERT_MOD == 0).select(
+        k.alias("key"),
+        F.lit(4).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.lit("9-REINSTATED").alias("priority"),
+    )
+    log = snapshot.unionByName(updates).unionByName(deletes).unionByName(reinserts)
+    latest = log.groupBy("key").agg(
+        F.max_by(F.struct("op", "price", "priority"), F.col("seq")).alias("s")
+    )
+    final = latest.filter(F.col("s.op") != "D").select(
+        F.col("s.priority").alias("priority"), F.col("s.price").alias("price")
+    )
+    return final.groupBy("priority").agg(
+        F.count("*").alias("n_rows"),
+        money_sum("price", 2).alias("total_price"),
+    )
+
+
+# --- Z-order clustering receipt (multi-dimensional data layout) --------
+
+#: Files per layout and the 2-D probe predicate: one eighth of the
+#: quantized domain on EACH dimension (cells 64..95 of 0..255).
+ZORDER_FILES = 64
+ZORDER_SEL_LO, ZORDER_SEL_HI = 64, 95
+
+
+def _interleave_bits(a, b):
+    """16-bit Morton code: bit k of ``a`` lands at position 2k+1, bit
+    k of ``b`` at 2k (Morton 1966 — the interleaving Delta's OPTIMIZE
+    ZORDER and Hudi's space-filling-curve layout use). Pure integer
+    arithmetic so both engines compute it bit-identically."""
+    z = F.lit(0).cast("long")
+    for kk in range(8):
+        z = (
+            z
+            + F.shiftright(a, kk).bitwiseAND(F.lit(1)) * (2 ** (2 * kk + 1))
+            + F.shiftright(b, kk).bitwiseAND(F.lit(1)) * (2 ** (2 * kk))
+        )
+    return z
+
+
+def rel_zorder_clustering_receipt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout receipt comparing LINEAR (sort by one key) against
+    Z-ORDER (Morton-interleaved two-key) file clustering for a
+    two-dimensional selective predicate — the decision artifact behind
+    'should this 100 TB table be Z-ordered': per layout, how many of
+    the 64 files' (min,max) ranges intersect the probe predicate, and
+    the scan amplification (rows in touched files / rows actually
+    matching). Linear clustering gives perfect pruning on its sort key
+    and NONE on the second dimension; the Morton curve buys pruning on
+    both. File-level min/max pruning is exactly what parquet row-group
+    stats / Delta file stats implement.
+
+    Both dimensions quantize to 8 bits against broadcast 1-row domain
+    maxima (every row computes the same exact float divide+floor in
+    both engines); file assignment, min/max collection, and the
+    touched-file test are pure integer arithmetic — one scan, one
+    (layout, file)-key aggregation (128 groups), one bounded rollup.
+    """
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    dom = orders.agg(
+        F.max("o_custkey").alias("ck_max"), F.max("o_totalprice").alias("tp_max")
+    )
+    o = orders.crossJoin(F.broadcast(dom))
+    c8 = F.least(
+        F.lit(255).cast("long"),
+        F.floor(F.col("o_custkey") * 256 / (F.col("ck_max") + 1)),
+    ).cast("long")
+    p8 = F.least(
+        F.lit(255).cast("long"),
+        F.floor(F.col("o_totalprice") * 256.0 / F.col("tp_max")),
+    ).cast("long")
+    cells = o.select(c8.alias("c8"), p8.alias("p8"))
+    zfile = F.floor(_interleave_bits(F.col("c8"), F.col("p8")) * ZORDER_FILES / 65536)
+    lfile = F.floor(F.col("c8") * ZORDER_FILES / 256)
+    tagged = cells.select(
+        "c8",
+        "p8",
+        F.explode(
+            F.array(
+                F.struct(F.lit("linear").alias("layout"), lfile.alias("file_id")),
+                F.struct(F.lit("zorder").alias("layout"), zfile.alias("file_id")),
+            )
+        ).alias("t"),
+    ).select("c8", "p8", F.col("t.layout").alias("layout"), F.col("t.file_id").alias("file_id"))
+    lo, hi = ZORDER_SEL_LO, ZORDER_SEL_HI
+    in_pred = F.col("c8").between(lo, hi) & F.col("p8").between(lo, hi)
+    files = tagged.groupBy("layout", "file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("c8").alias("c_min"),
+        F.max("c8").alias("c_max"),
+        F.min("p8").alias("p_min"),
+        F.max("p8").alias("p_max"),
+        F.count(F.when(in_pred, 1)).alias("n_match"),
+    )
+    touched = (
+        (F.col("c_min") <= hi)
+        & (F.col("c_max") >= lo)
+        & (F.col("p_min") <= hi)
+        & (F.col("p_max") >= lo)
+    )
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.count(F.when(touched, 1)).alias("files_touched"),
+            F.sum(F.when(touched, F.col("n_rows")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+            F.sum("n_match").alias("rows_matching"),
+        )
+        .select(
+            "layout",
+            "n_files",
+            "files_touched",
+            "rows_scanned",
+            "rows_matching",
+            round_half_up(
+                F.col("rows_scanned").cast("double")
+                / F.col("rows_matching").cast("double"),
+                4,
+            ).alias("scan_amplification"),
+        )
+    )
+
+
 QUERIES = {
+    "rel_equidepth_histogram": rel_equidepth_histogram,
+    "rel_constraint_expectations": rel_constraint_expectations,
+    "rel_cdc_apply_changelog": rel_cdc_apply_changelog,
+    "rel_zorder_clustering_receipt": rel_zorder_clustering_receipt,
     "rel_revenue_trend_forecast": rel_revenue_trend_forecast,
     "rel_revenue_autocorrelation": rel_revenue_autocorrelation,
     "rel_fk_integrity_audit": rel_fk_integrity_audit,
@@ -2367,7 +2663,138 @@ def _checksum_oracle_sql() -> str:
     return "\nUNION ALL\n".join(selects)
 
 
+def _zorder_oracle_sql() -> str:
+    z_terms = " + ".join(
+        f"(((c8 >> {kk}) & 1) * {2 ** (2 * kk + 1)})"
+        f" + (((p8 >> {kk}) & 1) * {2 ** (2 * kk)})"
+        for kk in range(8)
+    )
+    lo, hi = ZORDER_SEL_LO, ZORDER_SEL_HI
+    return f"""
+        WITH dom AS (
+            SELECT max(o_custkey) AS ck_max, max(o_totalprice) AS tp_max
+            FROM orders
+        ),
+        cells AS (
+            SELECT least(255, CAST(floor(o_custkey * 256 / (ck_max + 1))
+                       AS BIGINT)) AS c8,
+                   least(255, CAST(floor(o_totalprice * 256.0 / tp_max)
+                       AS BIGINT)) AS p8
+            FROM orders, dom
+        ),
+        tagged AS (
+            SELECT c8, p8, 'linear' AS layout,
+                   CAST(floor(c8 * {ZORDER_FILES} / 256) AS BIGINT) AS file_id
+            FROM cells
+            UNION ALL
+            SELECT c8, p8, 'zorder' AS layout,
+                   CAST(floor(({z_terms}) * {ZORDER_FILES} / 65536) AS BIGINT)
+                       AS file_id
+            FROM cells
+        ),
+        files AS (
+            SELECT layout, file_id, count(*) AS n_rows,
+                   min(c8) AS c_min, max(c8) AS c_max,
+                   min(p8) AS p_min, max(p8) AS p_max,
+                   count(CASE WHEN c8 BETWEEN {lo} AND {hi}
+                              AND p8 BETWEEN {lo} AND {hi} THEN 1 END) AS n_match
+            FROM tagged GROUP BY layout, file_id
+        )
+        SELECT layout,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(count(CASE WHEN c_min <= {hi} AND c_max >= {lo}
+                               AND p_min <= {hi} AND p_max >= {lo}
+                          THEN 1 END) AS BIGINT) AS files_touched,
+               CAST(sum(CASE WHEN c_min <= {hi} AND c_max >= {lo}
+                             AND p_min <= {hi} AND p_max >= {lo}
+                        THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(sum(n_match) AS BIGINT) AS rows_matching,
+               {sql_round(
+                   "CAST(sum(CASE WHEN c_min <= " + str(hi)
+                   + " AND c_max >= " + str(lo)
+                   + " AND p_min <= " + str(hi)
+                   + " AND p_max >= " + str(lo)
+                   + " THEN n_rows ELSE 0 END) AS DOUBLE)"
+                   " / CAST(sum(n_match) AS DOUBLE)",
+                   4,
+               )} AS scan_amplification
+        FROM files GROUP BY layout
+    """
+
+
 ORACLES = {
+    "rel_equidepth_histogram": f"""
+        WITH ranked AS (
+            SELECT o_totalprice,
+                   ntile({EQUIDEPTH_BINS}) OVER (
+                       ORDER BY o_totalprice, o_orderkey) AS bin
+            FROM orders
+        )
+        SELECT bin, CAST(count(*) AS BIGINT) AS n_orders,
+               {sql_round("min(o_totalprice)", 2)} AS bin_lo,
+               {sql_round("max(o_totalprice)", 2)} AS bin_hi,
+               {sql_money_sum("o_totalprice")} AS bin_revenue
+        FROM ranked GROUP BY bin
+    """,
+    "rel_constraint_expectations": """
+        WITH agg AS (
+            SELECT count(*) AS n,
+                   count(CASE WHEN o_orderkey IS NULL THEN 1 END)
+                       AS v_notnull,
+                   count(CASE WHEN o_totalprice NOT BETWEEN 0.0 AND 400000.0
+                              THEN 1 END) AS v_range,
+                   count(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                              THEN 1 END) AS v_domain,
+                   count(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+                              THEN 1 END) AS v_date,
+                   count(*) - count(DISTINCT o_orderkey) AS v_unique,
+                   count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS v_fk
+            FROM orders o
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                ON o.o_custkey = c.c_custkey
+        )
+        SELECT u.expectation, CAST(n AS BIGINT) AS n_checked,
+               CAST(u.n_violations AS BIGINT) AS n_violations,
+               u.n_violations = 0 AS passed
+        FROM agg, LATERAL (
+            SELECT * FROM (VALUES
+                ('o_orderkey_not_null', v_notnull),
+                ('o_totalprice_in_0_400k', v_range),
+                ('o_orderstatus_in_domain', v_domain),
+                ('o_orderdate_before_2000', v_date),
+                ('o_orderkey_unique', v_unique),
+                ('o_custkey_fk_customer', v_fk)
+            ) AS t(expectation, n_violations)
+        ) u
+    """,
+    "rel_cdc_apply_changelog": f"""
+        WITH log AS (
+            SELECT o_orderkey AS key, 1 AS seq, 'I' AS op,
+                   o_totalprice AS price, o_orderpriority AS priority
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 2, 'U', o_totalprice + {CDC_PRICE_BUMP},
+                   o_orderpriority
+            FROM orders WHERE o_orderkey % {CDC_UPDATE_MOD} = 0
+            UNION ALL
+            SELECT o_orderkey, 3, 'D', NULL, NULL
+            FROM orders WHERE o_orderkey % {CDC_DELETE_MOD} = 0
+            UNION ALL
+            SELECT o_orderkey, 4, 'I', o_totalprice, '9-REINSTATED'
+            FROM orders WHERE o_orderkey % {CDC_REINSERT_MOD} = 0
+        ),
+        latest AS (
+            SELECT key, op, price, priority,
+                   row_number() OVER (PARTITION BY key ORDER BY seq DESC)
+                       AS rn
+            FROM log
+        )
+        SELECT priority, CAST(count(*) AS BIGINT) AS n_rows,
+               {sql_money_sum("price")} AS total_price
+        FROM latest WHERE rn = 1 AND op <> 'D'
+        GROUP BY priority
+    """,
+    "rel_zorder_clustering_receipt": _zorder_oracle_sql(),
     "rel_snapshot_diff_orders": f"""
         WITH old AS (
             SELECT o_orderkey, o_orderpriority,

@@ -458,7 +458,73 @@ def src_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- fixed-width text (mainframe / COBOL-extract ingestion) ------------
+
+#: Column layout of the fixed-width record: (name, width). The price
+#: travels as integer CENTS (money grains at 2 dp) so the text render
+#: is exact — a %.2f float render would hit the engines' different
+#:  rounding modes at half boundaries.
+FW_LAYOUT = (
+    ("o_orderkey", 18),
+    ("o_custkey", 12),
+    ("o_orderstatus", 1),
+    ("price_cents", 15),
+    ("o_orderpriority", 15),
+)
+
+
+def src_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text round trip — the mainframe-extract ingestion
+    format (COBOL copybook layouts) that has no first-class Spark
+    reader: orders render to fixed-offset records (``format_string``,
+    zero-padded numerics, right-padded strings), land as a plain text
+    source, and parse back by ``substring`` offsets with explicit
+    casts — no schema inference, no delimiter scanning, map-side only
+    in both directions. The receipt re-aggregates the PARSED rows per
+    status; any offset or padding bug shifts a column and breaks the
+    money sum against the oracle's direct computation.
+    """
+    from mit_map_reduce_spark.functions.columns import money_grains
+    from mit_map_reduce_spark.sources.io import read_text_lines
+
+    out = _artifact_dir(sf_dir, "fixedwidth|v1", "orders")
+
+    def write(d: str) -> None:
+        orders = load_table(spark, sf_dir, "orders")
+        fmt = "%018d%012d%-1s%015d%-15s"
+        line = F.format_string(
+            fmt,
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            money_grains("o_totalprice", 2).cast("long"),
+            F.col("o_orderpriority"),
+        )
+        orders.select(line.alias("value")).repartition(4).write.text(d)
+
+    _ensure_written(write, out)
+    lines = read_text_lines(spark, out)
+    pos, cols = 1, []
+    for name, width in FW_LAYOUT:
+        cols.append(F.substring("line", pos, width).alias(name))
+        pos += width
+    parsed = lines.select(*cols).select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        F.col("o_orderstatus"),
+        (F.col("price_cents").cast("bigint") / 100.0).alias("o_totalprice"),
+        F.rtrim(F.col("o_orderpriority")).alias("o_orderpriority"),
+    )
+    return parsed.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.sum("o_orderkey").alias("key_sum"),
+        money_sum("o_totalprice", 2).alias("total_price"),
+    )
+
+
 QUERIES = {
+    "src_fixed_width_roundtrip": src_fixed_width_roundtrip,
     "src_csv_malformed_quarantine": src_csv_malformed_quarantine,
     "src_dynamic_partition_overwrite": src_dynamic_partition_overwrite,
     "src_gzip_jsonl_roundtrip_docs": src_gzip_jsonl_roundtrip_docs,
@@ -472,6 +538,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "src_fixed_width_roundtrip": f"""
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               {sql_money_sum("o_totalprice")} AS total_price
+        FROM orders GROUP BY o_orderstatus
+    """,
     "src_csv_malformed_quarantine": f"""
         SELECT o_orderpriority,
                CAST(count(*) AS BIGINT) AS n_rows,
