@@ -1790,7 +1790,286 @@ def adv_linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- distributed logistic regression (gradient descent, exact) ---------
+
+#: Training hyperparameters. Weights update from EXACT integer gradient
+#: sums (probabilities and features pre-rounded to 1e-6 grains before
+#: the multiply, so partial-aggregation order cannot move the sum) and
+#: re-round to 1e-9 after each step — both engines replay the identical
+#: float sequence.
+LOGREG_EPOCHS = 3
+LOGREG_LR = 5.0
+LOGREG_G = 1_000_000  # feature/probability grain (1e-6)
+LOGREG_WG = 1_000_000_000  # weight grain (1e-9)
+
+
+def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(y, x1, x2, x1_g, x2_g): urgent-order label with two bounded
+    features — scaled price and a customer-bucket rate — each stored
+    BOTH as a 1e-6 integer grain (for exact gradient sums) and as the
+    double the grain encodes (for the model's float dot product)."""
+    from mit_map_reduce_spark.catalog import shared_persist
+
+    def build() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        x1_g = F.floor(
+            F.col("o_totalprice") / 500000.0 * LOGREG_G + F.lit(0.5)
+        ).cast("long")
+        x2_g = F.floor(
+            (F.col("o_custkey") % 97).cast("double") / 97.0 * LOGREG_G + F.lit(0.5)
+        ).cast("long")
+        y = (
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+        )
+        return orders.select(
+            y.alias("y"),
+            x1_g.alias("x1_g"),
+            x2_g.alias("x2_g"),
+            (x1_g.cast("double") / LOGREG_G).alias("x1"),
+            (x2_g.cast("double") / LOGREG_G).alias("x2"),
+        )
+
+    return shared_persist(spark, "logreg_features", sf_dir, build)
+
+
+def _logreg_p6(w: tuple[float, float, float]):
+    """Predicted probability as a 1e-6 grain for weight literals ``w``
+    — the one float expression both engines evaluate identically
+    (products and sums of identical doubles, then one exp)."""
+    z = (
+        F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return F.floor(p * LOGREG_G + F.lit(0.5)).cast("long")
+
+
+def adv_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression classifier INSIDE the engine by
+    full-batch gradient descent — the in-pipeline quality-classifier
+    shape (fastText-style filters in LLM data pipelines are exactly
+    'train a linear model on the corpus, score the corpus'): label =
+    order is urgent-priority, features = scaled price + customer
+    bucket. Each epoch is ONE partial-aggregated scan producing three
+    exact integer gradient sums; the 3-float weight update is a
+    bounded driver decision (the same discipline as the BPE trainer's
+    per-merge argmax — reference-scale driver work, never row work).
+
+    Exactness across engines: probabilities round to 1e-6 grains
+    BEFORE the gradient multiply (grain x grain = exact int64 sums in
+    any aggregation order), weights re-round to 1e-9 after each
+    update, and the oracle replays the identical unrolled epochs as
+    MATERIALIZED CTEs. At 100 TB each epoch stays one map-side-
+    combined aggregation; the model itself is 3 numbers.
+    """
+    feats = _logreg_features(spark, sf_dir)
+    w = (0.0, 0.0, 0.0)
+    n = None
+    for _ in range(LOGREG_EPOCHS):
+        p6 = _logreg_p6(w)
+        err = (p6 - F.col("y").cast("long") * LOGREG_G).cast("decimal(38,0)")
+        row = feats.agg(
+            F.count("*").alias("n"),
+            F.sum(err * F.lit(LOGREG_G).cast("decimal(38,0)")).alias("g0"),
+            F.sum(err * F.col("x1_g").cast("decimal(38,0)")).alias("g1"),
+            F.sum(err * F.col("x2_g").cast("decimal(38,0)")).alias("g2"),
+        ).collect()[0]
+        n = row["n"]
+        denom = float(n) * float(LOGREG_G) * float(LOGREG_G)
+        w = tuple(
+            math.floor(
+                (w[j] - LOGREG_LR * (float(row[f"g{j}"]) / denom)) * LOGREG_WG + 0.5
+            )
+            / LOGREG_WG
+            for j in range(3)
+        )
+    p6 = _logreg_p6(w)
+    correct = (p6 >= LOGREG_G // 2).cast("int") == F.col("y")
+    p_true = F.when(
+        F.col("y") == 1, F.greatest(p6, F.lit(1))
+    ).otherwise(F.lit(LOGREG_G) - F.least(p6, F.lit(LOGREG_G - 1)))
+    ll_g = F.floor(
+        -F.log(p_true.cast("double") / LOGREG_G) * LOGREG_G + F.lit(0.5)
+    ).cast("long")
+    return feats.select(ll_g.alias("ll_g_x"), correct.alias("ok")).agg(
+        F.count("*").alias("n_rows"),
+        F.lit(w[0]).alias("w_bias"),
+        F.lit(w[1]).alias("w_price"),
+        F.lit(w[2]).alias("w_bucket"),
+        round_half_up(
+            F.sum(F.col("ok").cast("long")).cast("double") / F.count("*"), 4
+        ).alias("accuracy"),
+        round_half_up(
+            F.sum("ll_g_x").cast("double") / LOGREG_G / F.count("*"), 6
+        ).alias("log_loss"),
+    )
+
+
+# --- l-diversity (the sensitive-attribute side of k-anonymity) ---------
+
+L_DIV = 3  # distinct-l threshold
+LDIV_LN_GRAIN = 1_000_000  # entropy ln terms pre-round to 1e-6
+
+
+def adv_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): k-anonymity's
+    blind spot is a well-sized quasi-identifier cell whose SENSITIVE
+    value is constant — group size protects nothing if everyone in the
+    group shares the secret. Per QI cell (market segment x nation over
+    the orders join), the distinct-l and entropy-l of the sensitive
+    attribute (order priority); rolled up per segment: worst-case l,
+    cells and rows below the l-diversity bar.
+
+    Two partial-aggregated shuffles on bounded key spaces (QI x
+    sensitive, then QI), then a 5-row rollup. Entropy terms p*ln(p)
+    pre-round to 1e-6 grains before summing (the ln-grain discipline),
+    so entropy-l is engine-exact at its 4 dp rendering.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    per_val = joined.groupBy(
+        "c_mktsegment", F.col("c_nationkey").alias("nation"), "o_orderpriority"
+    ).agg(F.count("*").alias("cnt"))
+    w_cell = W.partitionBy("c_mktsegment", "nation")
+    tot = F.sum("cnt").over(w_cell)
+    p = F.col("cnt").cast("double") / tot.cast("double")
+    term_g = F.floor(-p * F.log(p) * LDIV_LN_GRAIN + F.lit(0.5)).cast("long")
+    cells = (
+        per_val.select(
+            "c_mktsegment", "nation", "cnt", term_g.alias("term_g")
+        )
+        .groupBy("c_mktsegment", "nation")
+        .agg(
+            F.sum("cnt").alias("cell_rows"),
+            F.count("*").alias("l_distinct"),
+            F.sum("term_g").alias("h_g"),
+        )
+    )
+    entropy_l = F.exp(F.col("h_g").cast("double") / LDIV_LN_GRAIN)
+    return cells.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cells"),
+        F.sum("cell_rows").alias("n_rows"),
+        F.min("l_distinct").alias("min_l"),
+        F.count(F.when(F.col("l_distinct") < L_DIV, 1)).alias("n_cells_low_l"),
+        F.coalesce(
+            F.sum(F.when(F.col("l_distinct") < L_DIV, F.col("cell_rows"))),
+            F.lit(0),
+        ).alias("n_rows_at_risk"),
+        round_half_up(F.min(entropy_l), 4).alias("min_entropy_l"),
+    )
+
+
+# --- differentially-private release (seeded Laplace mechanism) ---------
+
+DP_EPSILON = 0.5  # per-count privacy budget; sensitivity 1 => scale 2.0
+
+
+def adv_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-priority order counts
+    with Laplace(1/epsilon) noise — the mechanism a data clean room
+    applies before letting aggregates leave (Dwork et al. 2006). The
+    uniform draw derives from md5 of the group key (the repo's
+    deterministic-sampling discipline), so the release is reproducible
+    across engines and runs while keeping the Laplace shape; a
+    production deployment swaps the hash for a sealed RNG seed.
+
+    One 5-row aggregation; the noise is one ln of an md5-derived
+    uniform (inverse-CDF), pre-rounded to 1e-6 grains. true_count
+    stays in the output as the audit column (the utility-loss readout
+    epsilon buys).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(F.count("*").alias("true_n"))
+    h = F.conv(
+        F.md5(F.concat(F.col("o_orderpriority"), F.lit("|dp"))).substr(1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / 4294967296.0
+    centered = u - 0.5
+    scale = 1.0 / DP_EPSILON
+    raw = -scale * F.signum(centered) * F.log(1.0 - 2.0 * F.abs(centered))
+    noise_g = F.floor(raw * 1e6 + F.lit(0.5)).cast("long")
+    noise = noise_g.cast("double") / 1e6
+    return counts.select(
+        "o_orderpriority",
+        "true_n",
+        round_half_up(noise, 6).alias("noise"),
+        (F.col("true_n") + F.floor(noise + F.lit(0.5))).cast("long").alias(
+            "noisy_n"
+        ),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )
+
+
+# --- MAD outliers (robust twin of the z-score scan) --------------------
+
+MAD_K = 3.0  # flag |x - median| > MAD_K * 1.4826 * MAD
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant
+
+
+def adv_mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection over order values —
+    the robust sibling of ``adv_rolling_zscore_anomalies``: mean/std
+    fences move when the outliers themselves inflate the std; the MAD
+    fence (Hampel) does not. Flags |x - median| > 3 * 1.4826 * MAD,
+    rolled up per priority with the fence columns exposed.
+
+    Both medians (values, then absolute deviations) are exact lower
+    medians over a deterministic total order, each computed by the
+    two-pass distributed rank — two range exchanges, two 1-row
+    broadcasts, zero single-task windows; deviations are exact float
+    subtractions of identical doubles.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    r1 = distributed_prefix(
+        orders,
+        ["o_totalprice", "o_orderkey"],
+        row_number="rn",
+        total_count="n",
+    )
+    med = r1.filter(
+        F.col("rn") == F.floor((F.col("n") + 1) / 2)
+    ).select(F.col("o_totalprice").alias("median_price"))
+    dev = orders.crossJoin(F.broadcast(med)).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        "median_price",
+        F.abs(F.col("o_totalprice") - F.col("median_price")).alias("dev"),
+    )
+    r2 = distributed_prefix(
+        dev.select("o_orderkey", "dev"),
+        ["dev", "o_orderkey"],
+        row_number="rn",
+        total_count="n",
+    )
+    mad = r2.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        F.col("dev").alias("mad")
+    )
+    fenced = dev.crossJoin(F.broadcast(mad))
+    is_out = F.col("dev") > MAD_K * MAD_CONSISTENCY * F.col("mad")
+    return fenced.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(is_out, 1)).alias("n_outliers"),
+        round_half_up(
+            F.count(F.when(is_out, 1)).cast("double") / F.count("*"), 4
+        ).alias("outlier_share"),
+        round_half_up(F.max("median_price"), 2).alias("median_price"),
+        round_half_up(F.max("mad"), 2).alias("mad"),
+    )
+
+
 QUERIES = {
+    "adv_logistic_regression_gd": adv_logistic_regression_gd,
+    "adv_l_diversity_audit": adv_l_diversity_audit,
+    "adv_dp_noisy_counts": adv_dp_noisy_counts,
+    "adv_mad_outlier_orders": adv_mad_outlier_orders,
     "adv_smoothed_conversion_ranking": adv_smoothed_conversion_ranking,
     "adv_linear_touch_attribution": adv_linear_touch_attribution,
     "adv_cohort_ltv_curve": adv_cohort_ltv_curve,
@@ -1855,7 +2134,202 @@ _SESSION_INTERVALS_CTES = f"""
         FROM s GROUP BY user_id, session_seq
     )"""
 
+def _sql_hex_int(expr: str, digits: int) -> str:
+    """Integer of the first ``digits`` md5 hex chars (DuckDB has no
+    conv(); positional expansion, same trick as text._HEX_BUCKET)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {k + 1}, 1)) - 1)"
+        f" * {16 ** (digits - 1 - k)}"
+        for k in range(digits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _logreg_oracle_sql() -> str:
+    """The unrolled gradient-descent epochs as MATERIALIZED CTEs —
+    each weight update replays the driver's exact float sequence."""
+    G, WG, LR = LOGREG_G, LOGREG_WG, LOGREG_LR
+
+    def p6(w0: str, w1: str, w2: str) -> str:
+        return (
+            f"CAST(floor(1.0 / (1.0 + exp(-(({w0} + ({w1} * x1)) + ({w2} * x2))))"
+            f" * {G} + 0.5) AS BIGINT)"
+        )
+
+    def epoch(tag: str, w0: str, w1: str, w2: str) -> str:
+        return f"""
+        {tag} AS MATERIALIZED (
+            SELECT count(*) AS n,
+                   sum(CAST(({p6(w0, w1, w2)} - y * {G}) AS HUGEINT) * {G}) AS g0,
+                   sum(CAST(({p6(w0, w1, w2)} - y * {G}) AS HUGEINT) * x1_g) AS g1,
+                   sum(CAST(({p6(w0, w1, w2)} - y * {G}) AS HUGEINT) * x2_g) AS g2
+            FROM feat{"" if tag == "e1" else ", w" + tag[1]}
+        )"""
+
+    def wcte(tag: str, prev_w: tuple[str, str, str], e: str) -> str:
+        upd = ", ".join(
+            f"floor(({prev_w[j]} - {LR} * (CAST(g{j} AS DOUBLE)"
+            f" / (CAST(n AS DOUBLE) * {float(G)} * {float(G)}))) * {WG} + 0.5)"
+            f" / {WG} AS w{j}"
+            for j in range(3)
+        )
+        return f"{tag} AS MATERIALIZED (SELECT {upd} FROM {e})"
+
+    final_p6 = p6("w0", "w1", "w2")
+    return f"""
+        WITH feat AS MATERIALIZED (
+            SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS y,
+                   CAST(floor(o_totalprice / 500000.0 * {G} + 0.5) AS BIGINT)
+                       AS x1_g,
+                   CAST(floor(CAST(o_custkey % 97 AS DOUBLE) / 97.0 * {G} + 0.5)
+                       AS BIGINT) AS x2_g,
+                   CAST(CAST(floor(o_totalprice / 500000.0 * {G} + 0.5)
+                       AS BIGINT) AS DOUBLE) / {G} AS x1,
+                   CAST(CAST(floor(CAST(o_custkey % 97 AS DOUBLE) / 97.0 * {G}
+                       + 0.5) AS BIGINT) AS DOUBLE) / {G} AS x2
+            FROM orders
+        ),
+        {epoch("e1", "0.0", "0.0", "0.0")},
+        {wcte("w2", ("0.0", "0.0", "0.0"), "e1")},
+        {epoch("e2", "w0", "w1", "w2")},
+        {wcte("w3", ("w0", "w1", "w2"), "e2, w2")},
+        {epoch("e3", "w0", "w1", "w2")},
+        {wcte("w4", ("w0", "w1", "w2"), "e3, w3")},
+        scored AS (
+            SELECT y,
+                   {final_p6} AS p6
+            FROM feat, w4
+        ),
+        metrics AS (
+            SELECT count(*) AS n_rows,
+                   sum(CASE WHEN (CASE WHEN p6 >= {G // 2} THEN 1 ELSE 0 END) = y
+                            THEN 1 ELSE 0 END) AS n_ok,
+                   sum(CAST(floor(-ln(CAST(CASE WHEN y = 1
+                                 THEN greatest(p6, 1)
+                                 ELSE {G} - least(p6, {G - 1}) END AS DOUBLE)
+                             / {G}) * {G} + 0.5) AS HUGEINT)) AS ll
+            FROM scored
+        )
+        SELECT CAST(n_rows AS BIGINT) AS n_rows,
+               w0 AS w_bias, w1 AS w_price, w2 AS w_bucket,
+               {sql_round("CAST(n_ok AS DOUBLE) / CAST(n_rows AS DOUBLE)", 4)}
+                   AS accuracy,
+               {sql_round(
+                   "CAST(ll AS DOUBLE) / " + str(float(G))
+                   + " / CAST(n_rows AS DOUBLE)",
+                   6,
+               )} AS log_loss
+        FROM metrics, w4
+    """
+
+
 ORACLES = {
+    "adv_logistic_regression_gd": _logreg_oracle_sql(),
+    "adv_l_diversity_audit": f"""
+        WITH per_val AS (
+            SELECT c_mktsegment, c_nationkey AS nation, o_orderpriority,
+                   count(*) AS cnt
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2, 3
+        ),
+        terms AS (
+            SELECT c_mktsegment, nation, cnt,
+                   CAST(floor(
+                       (-(CAST(cnt AS DOUBLE)
+                          / CAST(sum(cnt) OVER (PARTITION BY c_mktsegment,
+                                                nation) AS DOUBLE)))
+                       * ln(CAST(cnt AS DOUBLE)
+                            / CAST(sum(cnt) OVER (PARTITION BY c_mktsegment,
+                                                  nation) AS DOUBLE))
+                       * {LDIV_LN_GRAIN} + 0.5) AS BIGINT) AS term_g
+            FROM per_val
+        ),
+        cells AS (
+            SELECT c_mktsegment, nation, sum(cnt) AS cell_rows,
+                   count(*) AS l_distinct, sum(term_g) AS h_g
+            FROM terms GROUP BY 1, 2
+        )
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(cell_rows) AS BIGINT) AS n_rows,
+               CAST(min(l_distinct) AS BIGINT) AS min_l,
+               CAST(count(CASE WHEN l_distinct < {L_DIV} THEN 1 END) AS BIGINT)
+                   AS n_cells_low_l,
+               CAST(coalesce(sum(CASE WHEN l_distinct < {L_DIV}
+                                      THEN cell_rows END), 0) AS BIGINT)
+                   AS n_rows_at_risk,
+               {sql_round(
+                   "min(exp(CAST(h_g AS DOUBLE) / " + str(LDIV_LN_GRAIN) + "))",
+                   4,
+               )} AS min_entropy_l
+        FROM cells GROUP BY c_mktsegment
+    """,
+    "adv_dp_noisy_counts": f"""
+        WITH counts AS (
+            SELECT o_orderpriority, count(*) AS true_n FROM orders GROUP BY 1
+        ),
+        noised AS (
+            SELECT o_orderpriority, true_n,
+                   CAST(floor(
+                       -{1.0 / DP_EPSILON} * sign(
+                           (CAST({_sql_hex_int(
+                               "md5(o_orderpriority || '|dp')", 8
+                           )} AS DOUBLE) + 0.5) / 4294967296.0 - 0.5)
+                       * ln(1.0 - 2.0 * abs(
+                           (CAST({_sql_hex_int(
+                               "md5(o_orderpriority || '|dp')", 8
+                           )} AS DOUBLE) + 0.5) / 4294967296.0 - 0.5))
+                       * 1e6 + 0.5) AS BIGINT) AS noise_g
+            FROM counts
+        )
+        SELECT o_orderpriority, CAST(true_n AS BIGINT) AS true_n,
+               {sql_round("CAST(noise_g AS DOUBLE) / 1e6", 6)} AS noise,
+               CAST(true_n + CAST(floor(CAST(noise_g AS DOUBLE) / 1e6 + 0.5)
+                   AS BIGINT) AS BIGINT) AS noisy_n,
+               CAST({DP_EPSILON} AS DOUBLE) AS epsilon
+        FROM noised
+    """,
+    "adv_mad_outlier_orders": f"""
+        WITH ranked AS MATERIALIZED (
+            SELECT o_orderkey, o_orderpriority, o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM orders
+        ),
+        med AS (
+            SELECT o_totalprice AS median_price FROM ranked
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+        ),
+        dev AS MATERIALIZED (
+            SELECT o_orderkey, o_orderpriority, o_totalprice, median_price,
+                   abs(o_totalprice - median_price) AS dev
+            FROM ranked, med
+        ),
+        devranked AS (
+            SELECT dev, row_number() OVER (ORDER BY dev, o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT dev AS mad FROM devranked
+            WHERE rn = CAST(floor((n + 1) / 2) AS BIGINT)
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(CASE WHEN dev > {MAD_K} * {MAD_CONSISTENCY} * mad
+                          THEN 1 END) AS BIGINT) AS n_outliers,
+               {sql_round(
+                   "CAST(count(CASE WHEN dev > " + str(MAD_K) + " * "
+                   + str(MAD_CONSISTENCY)
+                   + " * mad THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)",
+                   4,
+               )} AS outlier_share,
+               {sql_round("max(median_price)", 2)} AS median_price,
+               {sql_round("max(mad)", 2)} AS mad
+        FROM dev, mad GROUP BY o_orderpriority
+    """,
     "adv_smoothed_conversion_ranking": f"""
         WITH grp AS (
             SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
