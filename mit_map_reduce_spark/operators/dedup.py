@@ -39,6 +39,7 @@ from mit_map_reduce_spark.catalog import load_table, shared_persist, spread
 from mit_map_reduce_spark.functions.columns import (
     round_half_up,
     dot_product,
+    sql_round,
     tokenize_letters,
     vec_norm,
     word_kgrams,
@@ -1026,7 +1027,83 @@ def bbit_minhash_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact char-substring duplication (Lee et al. 2021) ----------------
+
+ESS_K = 20  # anchor length in characters
+ESS_STRIDE = 5  # anchor sampling stride
+ESS_DROP_SHARE = 0.5  # dup-anchor share that flags a doc for removal
+
+
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact CHAR-level substring duplication — the detector behind
+    'Deduplicating Training Data Makes Language Models Better' (Lee
+    et al. 2021): their suffix-array ExactSubstr pass finds verbatim
+    spans repeated across documents, which token-level near-dup
+    (MinHash/SimHash) under-weights when the repeated span is a
+    fraction of each doc. Distributed reformulation: sample char
+    ``ESS_K``-gram anchors every ``ESS_STRIDE`` chars, group BY THE
+    ANCHOR STRING (exactness by construction — no hash verification
+    step), and call an anchor duplicated when it occurs in two
+    DISTINCT documents (min(doc)!=max(doc) — no count-distinct
+    state). Per source: anchor totals, the mean per-doc duplicated
+    share, and docs over the ``ESS_DROP_SHARE`` removal bar.
+
+    Scale: anchors shuffle once on the anchor string (partial-
+    aggregated; the 2x-stride char overhead replaces the suffix
+    array's O(n log n) global sort), the position->verdict join is a
+    second shuffle on the same key, and text itself never shuffles.
+    A df-capped variant (the HOT_SHINGLE_MAX_DF discipline) applies
+    when boilerplate anchors (headers, license text) get hot — at
+    this corpus the anchor fan-out is bounded by construction.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents")).filter(
+        F.length("text") >= ESS_K
+    )
+    anchors = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.length("text") - ESS_K, F.lit(ESS_STRIDE)
+                ),
+                lambda p: F.col("text").substr(p + 1, F.lit(ESS_K)),
+            )
+        ).alias("anc"),
+    )
+    verdict = anchors.groupBy("anc").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("is_dup")
+    )
+    per_doc = (
+        anchors.join(verdict, "anc")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.count(F.when(F.col("is_dup"), 1)).alias("n_dup"),
+        )
+    )
+    share_g = F.floor(
+        F.col("n_dup").cast("double") / F.col("n_anchors") * 1e6 + F.lit(0.5)
+    ).cast("long")
+    return (
+        per_doc.select("source", "n_anchors", "n_dup", share_g.alias("share_g"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_anchors").alias("n_anchors"),
+            F.sum("n_dup").alias("n_dup_anchors"),
+            round_half_up(
+                F.sum("share_g").cast("double") / 1e6 / F.count("*"), 4
+            ).alias("mean_dup_share"),
+            F.count(
+                F.when(F.col("share_g") >= int(ESS_DROP_SHARE * 1e6), 1)
+            ).alias("n_docs_flagged"),
+        )
+    )
+
+
 QUERIES = {
+    "dedup_exact_substring_spans": dedup_exact_substring_spans,
     "dedup_bbit_minhash_report": bbit_minhash_report,
     "dedup_survivorship_report": dedup_survivorship_report,
     "dedup_split_leakage_audit": dedup_split_leakage_audit,
@@ -1103,6 +1180,47 @@ _PAIRS_CTES = f"""{_SHINGLES_CTE}, {_SIG_CTE},
     )"""
 
 ORACLES = {
+    "dedup_exact_substring_spans": f"""
+        WITH d AS (
+            SELECT doc_id, source, text FROM documents
+            WHERE length(text) >= {ESS_K}
+        ),
+        anchors AS MATERIALIZED (
+            SELECT doc_id, source,
+                   substr(text, CAST(p AS INTEGER) + 1, {ESS_K}) AS anc
+            FROM d, LATERAL (
+                SELECT unnest(range(0, length(text) - {ESS_K} + 1,
+                              {ESS_STRIDE})) AS p
+            ) t
+        ),
+        verdict AS (
+            SELECT anc, min(doc_id) <> max(doc_id) AS is_dup
+            FROM anchors GROUP BY anc
+        ),
+        per_doc AS (
+            SELECT a.doc_id, a.source, count(*) AS n_anchors,
+                   count(CASE WHEN v.is_dup THEN 1 END) AS n_dup
+            FROM anchors a JOIN verdict v ON a.anc = v.anc
+            GROUP BY a.doc_id, a.source
+        ),
+        graded AS (
+            SELECT source, n_anchors, n_dup,
+                   CAST(floor(CAST(n_dup AS DOUBLE) / n_anchors * 1e6 + 0.5)
+                       AS BIGINT) AS share_g
+            FROM per_doc
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_anchors) AS BIGINT) AS n_anchors,
+               CAST(sum(n_dup) AS BIGINT) AS n_dup_anchors,
+               {sql_round(
+                   "CAST(sum(share_g) AS DOUBLE) / 1e6"
+                   " / CAST(count(*) AS DOUBLE)",
+                   4,
+               )} AS mean_dup_share,
+               CAST(count(CASE WHEN share_g >= {int(ESS_DROP_SHARE * 1e6)}
+                          THEN 1 END) AS BIGINT) AS n_docs_flagged
+        FROM graded GROUP BY source
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_md5,
                CAST(count(*) AS BIGINT) AS n_copies,

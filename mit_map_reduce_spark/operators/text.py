@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mit_map_reduce_spark.catalog import load_table, shared_persist, spread
-from mit_map_reduce_spark.functions.columns import round_half_up, tokenize_letters, whitespace_tokens, word_kgrams
+from mit_map_reduce_spark.functions.columns import round_half_up, sql_round, tokenize_letters, whitespace_tokens, word_kgrams
 from mit_map_reduce_spark.functions.rank import distributed_prefix
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -2147,7 +2147,125 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- encoding-artifact screen (ftfy-class quality gate) ----------------
+
+#: (class, regex) — patterns valid and identically-matching in both
+#: Java regex (Spark) and RE2 (DuckDB): literal alternations and plain
+#: counted classes only, leftmost non-overlapping matches.
+MOJIBAKE_PATTERNS = (
+    ("mojibake_utf8", "Ã|Â|â€"),
+    ("replacement_char", "�"),
+    ("repeated_punct", "[!?.,;]{3,}"),
+    ("digit_run", "[0-9]{6,}"),
+    ("multi_space", "   *"),
+)
+
+
+def text_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact screen — the ftfy-class gate a crawl pipeline
+    runs before tokenization: double-decoded UTF-8 markers (Ã/Â/â€ —
+    the signature of UTF-8 bytes re-read as Latin-1), U+FFFD
+    replacement chars (lossy transcoding), plus the mechanical noise
+    classes (punctuation runs, long digit runs, space runs) that
+    Gopher/C4-style quality rules strip. Per source: documents
+    affected and total occurrences per class — the dashboard that
+    says which feed needs re-ingestion.
+
+    One scan; each class is one vectorized ``regexp_extract_all``
+    count folded map-side (JVM regex, no UDF); the rollup is a
+    source-keyed partial aggregation. Patterns are restricted to the
+    Java-regex/RE2 common subset so the oracle matches match-for-match.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    cols = [F.col("source"), F.col("doc_id")]
+    for name, pat in MOJIBAKE_PATTERNS:
+        cols.append(
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(name)
+        )
+    per_doc = docs.select(*cols)
+    aggs = [F.count("*").alias("n_docs")]
+    for name, _ in MOJIBAKE_PATTERNS:
+        aggs.append(
+            F.count(F.when(F.col(name) > 0, 1)).alias(f"docs_{name}")
+        )
+        aggs.append(F.sum(name).alias(f"hits_{name}"))
+    clean = F.count(
+        F.when(
+            sum(F.col(n) for n, _ in MOJIBAKE_PATTERNS) == 0, 1
+        )
+    )
+    aggs.append(
+        round_half_up(clean.cast("double") / F.count("*"), 4).alias("clean_share")
+    )
+    return per_doc.groupBy("source").agg(*aggs)
+
+
+# --- per-document novelty (memorization / redundancy signal) -----------
+
+NOVELTY_GRAM_K = 3
+NOVELTY_DECILES = 10
+NOVELTY_LOW = 200_000  # novelty grain < 0.2 -> redundant-doc flag
+
+
+def text_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against everything ingested BEFORE it:
+    the share of a doc's distinct word trigrams whose corpus-wide
+    first appearance is the doc itself. ``text_vocab_growth`` answers
+    the corpus-level question (is the crawl still finding new
+    phrases); this is the per-DOC filter signal — a document whose
+    phrases were all seen earlier is redundant even if no single
+    earlier document near-duplicates it (the many-sources-stitched
+    case pairwise dedup misses). Rolled up per ingestion-order decile:
+    mean novelty and the redundant-doc share.
+
+    One min(doc_id) aggregation over the exploded gram stream, one
+    join of per-doc gram counts back to it (both partial-aggregated
+    shuffles on the gram key), then a 10-row rollup. Per-doc ratios
+    quantize to 1e-6 grains (one int/int division, identical in both
+    engines) before the decile mean.
+    """
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    ws = tokenize_letters(F.lower(F.col("text")))
+    grams = docs.select(
+        "doc_id", F.explode(word_kgrams(ws, NOVELTY_GRAM_K)).alias("gram")
+    )
+    per = grams.distinct()
+    first = per.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    j = per.join(first, "gram")
+    per_doc = j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1)).alias(
+            "n_first"
+        ),
+    )
+    nov_g = F.floor(
+        F.col("n_first").cast("double") / F.col("n_grams") * 1e6 + F.lit(0.5)
+    ).cast("long")
+    bounds = docs.agg((F.max("doc_id") + 1).alias("n_docs"))
+    decile = F.least(
+        F.lit(NOVELTY_DECILES - 1),
+        F.floor(F.col("doc_id") * NOVELTY_DECILES / F.col("n_docs")).cast("int"),
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(bounds))
+        .select(decile.alias("decile"), nov_g.alias("nov_g"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            round_half_up(F.sum("nov_g").cast("double") / 1e6 / F.count("*"), 4)
+            .alias("mean_novelty"),
+            round_half_up(
+                F.count(F.when(F.col("nov_g") < NOVELTY_LOW, 1)).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("redundant_share"),
+        )
+    )
+
+
 QUERIES = {
+    "text_mojibake_detect": text_mojibake_detect,
+    "text_doc_novelty": text_doc_novelty,
     "text_stopword_discovery": text_stopword_discovery,
     "text_vocab_coverage_curve": text_vocab_coverage_curve,
     "text_bpe_train_merges": text_bpe_train_merges,
@@ -2212,7 +2330,78 @@ _HEX_BUCKET = """( (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
                    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) )"""
 
+def _mojibake_oracle_sql() -> str:
+    per_doc_cols = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS {name}"
+        for name, pat in MOJIBAKE_PATTERNS
+    )
+    aggs = ["CAST(count(*) AS BIGINT) AS n_docs"]
+    for name, _ in MOJIBAKE_PATTERNS:
+        aggs.append(
+            f"CAST(count(CASE WHEN {name} > 0 THEN 1 END) AS BIGINT)"
+            f" AS docs_{name}"
+        )
+        aggs.append(f"CAST(sum({name}) AS BIGINT) AS hits_{name}")
+    zero = " + ".join(name for name, _ in MOJIBAKE_PATTERNS)
+    aggs.append(
+        sql_round(
+            f"CAST(count(CASE WHEN {zero} = 0 THEN 1 END) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE)",
+            4,
+        )
+        + " AS clean_share"
+    )
+    return f"""
+        WITH per_doc AS (
+            SELECT source, doc_id, {per_doc_cols} FROM documents
+        )
+        SELECT source, {", ".join(aggs)} FROM per_doc GROUP BY source
+    """
+
+
 ORACLES = {
+    "text_mojibake_detect": _mojibake_oracle_sql(),
+    "text_doc_novelty": f"""
+        WITH t AS (SELECT doc_id, {_LETTERS_LOWER} AS ws FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(ws) - 1),
+                       i -> ws[CAST(i AS INTEGER)] || ' '
+                            || ws[CAST(i + 1 AS INTEGER)] || ' '
+                            || ws[CAST(i + 2 AS INTEGER)])) AS gram
+            FROM t WHERE len(ws) >= {NOVELTY_GRAM_K}
+        ),
+        first_seen AS (
+            SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+        ),
+        per_doc AS (
+            SELECT g.doc_id, count(*) AS n_grams,
+                   count(CASE WHEN f.first_doc = g.doc_id THEN 1 END)
+                       AS n_first
+            FROM grams g JOIN first_seen f ON g.gram = f.gram
+            GROUP BY g.doc_id
+        ),
+        bounds AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+        graded AS (
+            SELECT CAST(least({NOVELTY_DECILES - 1},
+                        floor(doc_id * {NOVELTY_DECILES} / n_docs))
+                       AS INTEGER) AS decile,
+                   CAST(floor(CAST(n_first AS DOUBLE) / n_grams * 1e6 + 0.5)
+                       AS BIGINT) AS nov_g
+            FROM per_doc CROSS JOIN bounds
+        )
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+               {sql_round(
+                   "CAST(sum(nov_g) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)",
+                   4,
+               )} AS mean_novelty,
+               {sql_round(
+                   "CAST(count(CASE WHEN nov_g < " + str(NOVELTY_LOW)
+                   + " THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)",
+                   4,
+               )} AS redundant_share
+        FROM graded GROUP BY decile
+    """,
     "text_quality_drift": f"""
         WITH t AS (SELECT doc_id, {_WS_LOWER} AS ws FROM documents),
         m AS (
