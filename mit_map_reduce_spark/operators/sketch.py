@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mit_map_reduce_spark.catalog import load_table
-from mit_map_reduce_spark.functions.columns import round_half_up
+from mit_map_reduce_spark.functions.columns import round_half_up, sql_round
 
 #: HLL++ relative standard deviation; the acceptance tolerance is 5
 #: sigma above it, so a correct sketch fails the boolean with
@@ -574,7 +574,115 @@ def sketch_bloom_union_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_seg.unionByName(merged).unionByName(direct)
 
 
+# --- mergeable quantile summaries (the q-digest/t-digest shape) --------
+
+QMERGE_SHARDS = 3  # independent shard summaries to merge
+QMERGE_K = 64  # equi-depth summary points per shard
+QMERGE_QS = (0.25, 0.5, 0.9, 0.99)
+QMERGE_REL_TOL = 0.05
+
+
+def sketch_quantile_merge_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile summaries — the missing member of the
+    mergeable-sketch family beside the HLL union and the Bloom
+    OR-merge, and the mechanism behind every distributed
+    t-digest/q-digest: each shard compresses its sorted values to a
+    ``QMERGE_K``-point equi-depth summary (value + covered-row
+    weight), a coordinator merges the tiny summaries by weighted
+    cumulative rank, and the merged estimates are graded against the
+    EXACT global quantiles computed beside them. The rank-error bound
+    of a K-point equi-depth summary is n_shard/K rows per shard —
+    the report shows what that buys at 192 summary points vs a full
+    sort.
+
+    Shard summaries ride the group-keyed two-pass distributed rank
+    (no per-shard single-task sort); the summary-point selection and
+    weights are pure integer arithmetic (K a power of two keeps every
+    division exact in both engines). The merge itself runs on the
+    coordinator over ``QMERGE_SHARDS * QMERGE_K`` rows — the bounded
+    driver decision that IS the mergeable-summary contract (at
+    100 TB the shard summaries are the only thing that moves).
+    """
+    from mit_map_reduce_spark.functions.rank import distributed_prefix
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    shards = orders.select(
+        (F.col("o_orderkey") % QMERGE_SHARDS).alias("shard"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    ranked = distributed_prefix(
+        shards,
+        ["o_totalprice", "o_orderkey"],
+        group_by=["shard"],
+        row_number="rn",
+        total_count="n",
+    )
+    K = QMERGE_K
+    n = F.col("n")
+    k_cand = F.floor((F.col("rn") * K + n - 1) / n)
+    selected = (
+        (k_cand >= 1)
+        & (k_cand <= K)
+        & (F.floor(k_cand * n / K) == F.col("rn"))
+    )
+    weight = F.col("rn") - F.floor((k_cand - 1) * n / K)
+    summary = (
+        ranked.filter(selected)
+        .select(
+            "shard",
+            F.col("o_totalprice").alias("v"),
+            weight.cast("long").alias("w"),
+            "rn",
+        )
+        .collect()
+    )
+    pts = sorted(summary, key=lambda r: (r["v"], r["shard"], r["rn"]))
+    n_total = sum(r["w"] for r in pts)
+    merged = {}
+    for q in QMERGE_QS:
+        cum = 0
+        for r in pts:
+            cum += r["w"]
+            if cum >= q * n_total:
+                merged[q] = r["v"]
+                break
+    granked = distributed_prefix(
+        orders,
+        ["o_totalprice", "o_orderkey"],
+        row_number="rn",
+        total_count="n",
+    )
+    frames = []
+    for q in QMERGE_QS:
+        frames.append(
+            granked.filter(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n"))
+            ).select(
+                F.lit(q).alias("q"),
+                F.col("o_totalprice").alias("exact_value"),
+                F.lit(merged[q]).alias("merged_value"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    rel = F.abs(F.col("merged_value") - F.col("exact_value")) / F.col(
+        "exact_value"
+    )
+    return out.select(
+        "q",
+        round_half_up("exact_value", 4).alias("exact_value"),
+        round_half_up("merged_value", 4).alias("merged_value"),
+        round_half_up(rel, 6).alias("rel_error"),
+        (rel <= QMERGE_REL_TOL).alias("within_tol"),
+    )
+
+
 QUERIES = {
+    "sketch_quantile_merge_report": sketch_quantile_merge_report,
     "sketch_bloom_union_merge": sketch_bloom_union_merge,
     "sketch_ams_second_moment": sketch_ams_second_moment,
     "sketch_hll_intersection": sketch_hll_intersection,
@@ -604,7 +712,69 @@ def _bloom_bit_sql(key_expr: str) -> str:
     )
 
 
+_QMERGE_QS_SQL = ", ".join(f"({q})" for q in QMERGE_QS)
+
 ORACLES = {
+    "sketch_quantile_merge_report": f"""
+        WITH shards AS (
+            SELECT o_orderkey % {QMERGE_SHARDS} AS shard, o_totalprice,
+                   o_orderkey
+            FROM orders
+        ),
+        ranked AS MATERIALIZED (
+            SELECT shard, o_totalprice, o_orderkey,
+                   row_number() OVER (PARTITION BY shard
+                       ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY shard) AS n
+            FROM shards
+        ),
+        summary AS MATERIALIZED (
+            SELECT shard, o_totalprice AS v, rn,
+                   CAST(rn - floor((floor((rn * {QMERGE_K} + n - 1) / n) - 1)
+                                   * n / {QMERGE_K}) AS BIGINT) AS w
+            FROM ranked
+            WHERE floor((rn * {QMERGE_K} + n - 1) / n)
+                      BETWEEN 1 AND {QMERGE_K}
+              AND floor(floor((rn * {QMERGE_K} + n - 1) / n) * n / {QMERGE_K})
+                      = rn
+        ),
+        cum AS MATERIALIZED (
+            SELECT v, shard, rn, w,
+                   sum(w) OVER (ORDER BY v, shard, rn
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(w) OVER () AS n_total
+            FROM summary
+        ),
+        qs(q) AS (VALUES {_QMERGE_QS_SQL}),
+        merged AS (
+            SELECT CAST(qs.q AS DOUBLE) AS q,
+                   min_by(c.v, c.cum) AS merged_value
+            FROM qs, cum c
+            WHERE c.cum >= CAST(qs.q AS DOUBLE) * c.n_total
+            GROUP BY 1
+        ),
+        granked AS MATERIALIZED (
+            SELECT o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER () AS n
+            FROM orders
+        ),
+        exact AS (
+            SELECT CAST(qs.q AS DOUBLE) AS q,
+                   o_totalprice AS exact_value
+            FROM qs, granked
+            WHERE rn = CAST(ceil(CAST(qs.q AS DOUBLE) * n) AS BIGINT)
+        )
+        SELECT e.q,
+               {sql_round("e.exact_value", 4)} AS exact_value,
+               {sql_round("m.merged_value", 4)} AS merged_value,
+               {sql_round(
+                   "abs(m.merged_value - e.exact_value) / e.exact_value", 6
+               )} AS rel_error,
+               abs(m.merged_value - e.exact_value) / e.exact_value
+                   <= CAST({QMERGE_REL_TOL} AS DOUBLE) AS within_tol
+        FROM exact e JOIN merged m ON e.q = m.q
+    """,
     "sketch_bloom_union_merge": f"""
         WITH premium AS (
             SELECT c_mktsegment, c_custkey FROM customer
