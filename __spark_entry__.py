@@ -36,11 +36,45 @@ def entry(spark: SparkSession) -> DataFrame:
 #: come last. Every entry is still verified by the full local gate
 #: (tools/check_correctness.py) regardless of position.
 _PRIORITY = [
-    # ---- positions 1-63: the never-verified tail staged by round 5
-    # (previously positions 51-113). The round-6 driver window (first
-    # 50) covers positions 1-50; positions 51-63 are the 13 queries
-    # round 7 clears. All pass the full-precision local gate
-    # (tools/check_correctness.py --vanilla). Registry frozen at 250.
+    # ---- position 1: src_csv_malformed_quarantine — the one red r6 row;
+    # artifact publish made atomic this round (see sources_queries.py),
+    # key bumped, needs a fresh driver row first.
+    "src_csv_malformed_quarantine",
+    # ---- positions 2-14: the 13-query never-verified tail staged by
+    # round 5 (_PRIORITY[51:63] last round). All pass the full-precision
+    # local gate.
+    "adv_sequence_pattern_support",
+    "rel_pk_uniqueness_audit",
+    "text_stopword_discovery",
+    "text_vocab_coverage_curve",
+    "adv_cohort_ltv_curve",
+    "sim_embedding_drift_report",
+    "adv_smoothed_conversion_ranking",
+    "adv_linear_touch_attribution",
+    "graph_clustering_coefficient",
+    "dedup_bbit_minhash_report",
+    "mr_udtf_wordcount",
+    "rel_revenue_autocorrelation",
+    "sketch_bloom_union_merge",
+    # ---- positions 15-27: the 13 queries registered in round 6
+    # (equi-depth histogram ... fixed-width source). All pass the local
+    # gate; never driver-verified.
+    "rel_equidepth_histogram",
+    "rel_constraint_expectations",
+    "rel_cdc_apply_changelog",
+    "rel_zorder_clustering_receipt",
+    "adv_logistic_regression_gd",
+    "adv_l_diversity_audit",
+    "adv_dp_noisy_counts",
+    "adv_mad_outlier_orders",
+    "dedup_exact_substring_spans",
+    "sketch_quantile_merge_report",
+    "text_mojibake_detect",
+    "text_doc_novelty",
+    "src_fixed_width_roundtrip",
+    # ---- positions 28-50: round-7 additions land here (one planned
+    # batch, then the registry re-freezes — see SURVEY §8).
+    # ---- verified green in round 6 (CORRECTNESS_r06.json), window order.
     "text_oov_rate",
     "stream_dedup_within_watermark",
     "dedup_lsh_tuning_report",
@@ -79,7 +113,6 @@ _PRIORITY = [
     "text_pmi_collocations",
     "stream_error_rate_alerts",
     "text_perplexity_buckets",
-    "src_csv_malformed_quarantine",
     "src_dynamic_partition_overwrite",
     "graph_hits_scores",
     "adv_pit_join_purchase_tier",
@@ -91,21 +124,7 @@ _PRIORITY = [
     "rel_calendar_gap_audit",
     "adv_kaplan_meier_retention",
     "text_pipeline_funnel_report",
-    "adv_sequence_pattern_support",
-    "rel_pk_uniqueness_audit",
-    "text_stopword_discovery",
-    "text_vocab_coverage_curve",
-    "adv_cohort_ltv_curve",
-    "sim_embedding_drift_report",
-    "adv_smoothed_conversion_ranking",
-    "adv_linear_touch_attribution",
-    "graph_clustering_coefficient",
-    "dedup_bbit_minhash_report",
-    "mr_udtf_wordcount",
-    "rel_revenue_autocorrelation",
-    "sketch_bloom_union_merge",
-    # ---- positions 64-113: verified green in round 5
-    # (CORRECTNESS_r05.json), in their round-5 window order.
+    # ---- verified green in rounds 1-5, prior window order.
     "text_weighted_median_quality",
     "adv_decile_lift_table",
     "adv_auc_purchase_score",
@@ -156,8 +175,6 @@ _PRIORITY = [
     "adv_activity_heatmap",
     "graph_degree_assortativity",
     "mm_shot_boundaries",
-    # ---- positions 114-250: queries with standing green official
-    # driver rows (r1-r4), in rotation order.
     "rel_q9_product_profit",
     "adv_sessionize_events",
     "text_unigram_logprob",
