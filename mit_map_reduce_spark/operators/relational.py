@@ -966,14 +966,34 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         lock = f"{path}.lock"
         os.makedirs(base, exist_ok=True)
-        try:
-            os.mkdir(lock)  # atomic: exactly one session wins
-        except FileExistsError:
+
+        def _acquire() -> bool:
+            try:
+                os.mkdir(lock)  # atomic: exactly one session wins
+                return True
+            except FileExistsError:
+                return False
+
+        won = _acquire()
+        if not won:
+            # A writer that died between mkdir and its finally leaves
+            # the lock forever; expire by mtime (no _SUCCESS after
+            # 5 min = crashed, not slow) so the shared path heals
+            # instead of every later session paying a private rewrite.
+            try:
+                stale = (time.time() - os.stat(lock).st_mtime) > 300.0
+            except OSError:
+                stale = False
+            if stale and not os.path.exists(os.path.join(path, "_SUCCESS")):
+                with contextlib.suppress(OSError):
+                    os.rmdir(lock)
+                won = _acquire()
+        if not won:
             for _ in range(60):  # writer in flight: wait for _SUCCESS
                 time.sleep(0.5)
                 if _register_existing(name, path, df, key):
                     return
-            # stale lock (writer died): private path, never contended
+            # wedged writer: private path, never contended
             path = os.path.join(base, f"{sub}_{os.getpid()}")
             write_parquet(df, path, bucket_by=(8, [key]), table_name=name)
             return

@@ -16,10 +16,12 @@ copy).
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,6 +51,28 @@ ORDERS_SCHEMA = (
 )
 
 
+#: Artifact layout revision — part of every artifact key, bumped when
+#: the publish protocol changes so artifacts written under an older
+#: protocol can never be read back. r7: atomic-mkdir-lock writers +
+#: marker-validated publish (the round-6 red driver row on
+#: src_csv_malformed_quarantine is attributed to a stale/partial
+#: artifact under the old check-by-listing protocol).
+_ARTIFACT_REV = "r7"
+
+#: Dropped INSIDE the temp dir before the atomic rename: its presence
+#: under the final path proves a complete, atomically-published
+#: artifact (Spark's own _SUCCESS is absent for multi-subdir writers).
+_PUBLISH_MARKER = "_MMRS_PUBLISHED"
+
+#: A lock this old with nothing published belongs to a crashed writer;
+#: expire it so the shared path heals instead of every later session
+#: timing out and paying a private rewrite.
+_LOCK_TTL_S = 300.0
+
+#: Lock-wait poll interval; patched down in tests.
+_LOCK_POLL_S = 0.5
+
+
 def _artifact_dir(sf_dir: str, fmt: str, table: str) -> str:
     # fmt doubles as a params/version key: changing the serialization
     # options must never silently reuse an artifact written with the
@@ -58,23 +82,81 @@ def _artifact_dir(sf_dir: str, fmt: str, table: str) -> str:
     # would keep aggregating the STALE scratch copy while the oracle
     # reads the fresh parquet.
     fp = corpus_fingerprint(sf_dir, table)
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fmt}|{fp}".encode()).hexdigest()[:12]
+    key = f"{os.path.abspath(sf_dir)}|{fmt}|{_ARTIFACT_REV}|{fp}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(), "mmrs_source_rt", tag)
 
 
-def _ensure_written(write_fn, out_dir: str) -> None:
-    if os.path.isdir(out_dir) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(out_dir)
-    ):
-        return
-    tmp = out_dir + "." + uuid.uuid4().hex[:8]
+def _is_published(out_dir: str) -> bool:
+    return os.path.exists(os.path.join(out_dir, _PUBLISH_MARKER))
+
+
+def _write_and_publish(write_fn, out_dir: str) -> None:
+    tmp = out_dir + ".tmp" + uuid.uuid4().hex[:8]
+    shutil.rmtree(tmp, ignore_errors=True)
     write_fn(tmp)
+    with open(os.path.join(tmp, _PUBLISH_MARKER), "w") as fh:
+        fh.write("ok\n")
+    shutil.rmtree(out_dir, ignore_errors=True)  # unpublished leftovers only
+    os.rename(tmp, out_dir)
+
+
+def _ensure_written(write_fn, out_dir: str) -> str:
+    """Write-once publish of a shared scratch artifact. Returns the
+    directory to READ — normally ``out_dir``, a session-private copy
+    only if a concurrent writer is wedged.
+
+    Protocol (same as the bucketed-table artifact in
+    relational.rel_bucketed_join_revenue): writers serialize on an
+    atomic ``os.mkdir`` lock; the winner writes to a temp dir, drops
+    ``_PUBLISH_MARKER`` inside it, and ``os.rename``s the whole dir
+    into place, so the marker's presence under the final path proves a
+    complete artifact and a reader can never observe partial state.
+    Losers wait for the marker; a stale lock (older than
+    ``_LOCK_TTL_S`` with nothing published — the writer died between
+    mkdir and its finally) is expired and retaken; a writer that is
+    merely slow makes the loser fall back to a session-private copy —
+    correctness intact, cross-session reuse lost.
+    """
+    if _is_published(out_dir):
+        return out_dir
     os.makedirs(os.path.dirname(out_dir), exist_ok=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    lock = out_dir + ".lock"
+
+    def _acquire() -> bool:
+        try:
+            os.mkdir(lock)  # atomic: exactly one session wins
+            return True
+        except FileExistsError:
+            return False
+
+    won = _acquire()
+    if not won:
+        try:
+            stale = (time.time() - os.stat(lock).st_mtime) > _LOCK_TTL_S
+        except OSError:  # lock vanished between mkdir attempt and stat
+            stale = False
+        if stale and not _is_published(out_dir):
+            with contextlib.suppress(OSError):
+                os.rmdir(lock)
+            won = _acquire()
+    if not won:
+        for _ in range(60):  # writer in flight: wait for its publish
+            time.sleep(_LOCK_POLL_S)
+            if _is_published(out_dir):
+                return out_dir
+        priv = f"{out_dir}.pid{os.getpid()}"  # wedged writer: go private
+        if not _is_published(priv):
+            _write_and_publish(write_fn, priv)
+        return priv
     try:
-        os.rename(tmp, out_dir)
-    except OSError:
-        shutil.rmtree(tmp, ignore_errors=True)  # concurrent writer won
+        if _is_published(out_dir):  # published while racing for the lock
+            return out_dir
+        _write_and_publish(write_fn, out_dir)
+        return out_dir
+    finally:
+        with contextlib.suppress(OSError):
+            os.rmdir(lock)
 
 
 def src_csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,7 +168,7 @@ def src_csv_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     quoting, nulls) breaks the hash.
     """
     out = _artifact_dir(sf_dir, f"csv|ntz|{CSV_TS_FORMAT}", "orders")
-    _ensure_written(
+    out = _ensure_written(
         lambda d: write_csv(
             load_table(spark, sf_dir, "orders"), d, options=CSV_TS_OPTS
         ),
@@ -108,7 +190,7 @@ def src_orc_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks predicate evaluation over the round-tripped columns.
     """
     out = _artifact_dir(sf_dir, "orc", "lineitem")
-    _ensure_written(
+    out = _ensure_written(
         lambda d: write_orc(load_table(spark, sf_dir, "lineitem"), d), out
     )
     back = read_orc(spark, out)
@@ -143,7 +225,7 @@ def src_json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-exact.
     """
     out = _artifact_dir(sf_dir, f"json|{JSON_TS_OPTS['timestampFormat']}", "events")
-    _ensure_written(
+    out = _ensure_written(
         lambda d: write_json(
             load_table(spark, sf_dir, "events"), d, options=JSON_TS_OPTS
         ),
@@ -176,7 +258,7 @@ def src_partitioned_pruning_events(spark: SparkSession, sf_dir: str) -> DataFram
     changes I/O, never values.
     """
     out = _artifact_dir(sf_dir, "parquet|partition_by=event_type", "events")
-    _ensure_written(
+    out = _ensure_written(
         lambda d: load_table(spark, sf_dir, "events")
         .write.mode("overwrite")
         .partitionBy("event_type")
@@ -217,7 +299,7 @@ def src_text_kv_roundtrip_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         write_text_kv(wc, d, n_partitions=4)
 
-    _ensure_written(write, out)
+    out = _ensure_written(write, out)
     lines = read_text_lines(spark, out)
     parsed = lines.select(
         F.regexp_extract("line", r"^(.*) (\S+)$", 1).alias("word"),
@@ -258,7 +340,7 @@ def src_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         legacy.write.parquet(os.path.join(d, "batch=1"))
         current.write.parquet(os.path.join(d, "batch=2"))
 
-    _ensure_written(write, out)
+    out = _ensure_written(write, out)
     back = spark.read.option("mergeSchema", "true").parquet(out)
     return back.groupBy(
         "batch",
@@ -303,7 +385,7 @@ def src_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(d, "compacted")
         )
 
-    _ensure_written(write, out)
+    out = _ensure_written(write, out)
     compact_dir = os.path.join(out, "compacted")
     n_files = sum(
         1
@@ -338,7 +420,7 @@ def src_gzip_jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     anywhere in the corpus flips the hash.
     """
     out = _artifact_dir(sf_dir, "jsonl|gzip|v1", "documents")
-    _ensure_written(
+    out = _ensure_written(
         lambda d: write_json(
             load_table(spark, sf_dir, "documents").repartition(4),
             d,
@@ -395,7 +477,7 @@ def src_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         lines.write.text(d)
 
-    _ensure_written(write, out)
+    out = _ensure_written(write, out)
     back = (
         spark.read.schema(
             "o_orderkey bigint, price_cents bigint, o_orderpriority string, "
@@ -450,7 +532,7 @@ def src_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
-    _ensure_written(write, out)
+    out = _ensure_written(write, out)
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -502,7 +584,7 @@ def src_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         orders.select(line.alias("value")).repartition(4).write.text(d)
 
-    _ensure_written(write, out)
+    out = _ensure_written(write, out)
     lines = read_text_lines(spark, out)
     pos, cols = 1, []
     for name, width in FW_LAYOUT:

@@ -62,3 +62,94 @@ def test_artifact_keys_track_corpus_content(tmp_path):
     assert k1 != k2
     # unchanged content -> stable key (artifacts still reused)
     assert _artifact_dir(str(sf), "csv", "orders") == k2
+
+
+def test_publish_protocol_write_once_and_marker(tmp_path):
+    """The winner writes once, publishes atomically (marker inside the
+    renamed dir), and every later call reuses without re-invoking the
+    writer."""
+    from mit_map_reduce_spark.operators.sources_queries import (
+        _PUBLISH_MARKER,
+        _ensure_written,
+        _is_published,
+    )
+
+    out = str(tmp_path / "art")
+    calls = []
+
+    def write(d):
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        calls.append(d)
+        with open(os.path.join(d, "data.txt"), "w") as fh:
+            fh.write("x")
+
+    got1 = _ensure_written(write, out)
+    got2 = _ensure_written(write, out)
+    assert got1 == got2 == out
+    assert len(calls) == 1
+    assert _is_published(out)
+    import os
+
+    assert os.path.exists(os.path.join(out, _PUBLISH_MARKER))
+    assert not os.path.exists(out + ".lock")  # lock released
+
+
+def test_publish_protocol_expires_stale_lock(tmp_path):
+    """A lock left by a crashed writer (old mtime, nothing published)
+    is expired so the SHARED path heals — no 30s wait, no pid-private
+    copy (round-6 ADVICE)."""
+    import os
+    import time
+
+    from mit_map_reduce_spark.operators.sources_queries import (
+        _LOCK_TTL_S,
+        _ensure_written,
+        _is_published,
+    )
+
+    out = str(tmp_path / "art")
+    lock = out + ".lock"
+    os.makedirs(lock)
+    old = time.time() - (_LOCK_TTL_S + 60)
+    os.utime(lock, (old, old))
+
+    def write(d):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "data.txt"), "w") as fh:
+            fh.write("x")
+
+    t0 = time.monotonic()
+    got = _ensure_written(write, out)
+    assert time.monotonic() - t0 < 5.0  # healed, did not wait out the loop
+    assert got == out
+    assert _is_published(out)
+    assert not os.path.exists(lock)
+
+
+def test_publish_protocol_fresh_lock_falls_back_private(tmp_path, monkeypatch):
+    """A FRESH lock (writer plausibly alive) is respected: after the
+    bounded wait the caller writes a session-private copy and returns
+    its path — correctness before reuse."""
+    import os
+
+    from mit_map_reduce_spark.operators import sources_queries as sq
+    from mit_map_reduce_spark.operators.sources_queries import (
+        _ensure_written,
+        _is_published,
+    )
+
+    monkeypatch.setattr(sq, "_LOCK_POLL_S", 0.001)
+    out = str(tmp_path / "art")
+    os.makedirs(out + ".lock")  # fresh mtime: looks in-flight
+
+    def write(d):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "data.txt"), "w") as fh:
+            fh.write("x")
+
+    got = _ensure_written(write, out)
+    assert got != out and got.startswith(out + ".pid")
+    assert _is_published(got)
+    assert not _is_published(out)
