@@ -1097,10 +1097,20 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         old = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
-            # customer -> supplier direction only (the bipartite HITS)
-            edges = _trade_edges(spark, sf_dir).filter(
-                F.col("src") >= NODE_OFFSET
-            ).persist()
+            # customer -> supplier direction only (the bipartite HITS).
+            # The working copy coalesces to the graph-suite partition
+            # sizing (the shared artifact keeps the session default):
+            # each iteration launches two scan jobs over this frame,
+            # and at test SF half the map tasks are pure launch
+            # overhead. At cluster scale GRAPH_SHUFFLE_PARTITIONS is
+            # the knob sized to the edge frame, same as every other
+            # loop in this module.
+            edges = (
+                _trade_edges(spark, sf_dir)
+                .filter(F.col("src") >= NODE_OFFSET)
+                .coalesce(GRAPH_SHUFFLE_PARTITIONS)
+                .persist()
+            )
             hubs = (
                 edges.select(F.col("src").alias("node")).distinct()
                 .withColumn("score", F.lit(1.0))
@@ -1115,22 +1125,26 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     edges.join(h_g, edges.src == h_g.node)
                     .groupBy("dst")
                     .agg(F.sum("g").alias("node_g"))
-                )
-                # L1 total as a broadcast 1-row aggregate, never a
-                # global window: the score frame is node-sized, and a
-                # single-partition window over it dies at graph scale.
-                a_tot = a_sum.agg(F.sum("node_g").alias("__tot"))
-                auths = (
-                    a_sum.crossJoin(F.broadcast(a_tot))
-                    .select(
-                        F.col("dst").alias("node"),
-                        round_half_up(
-                            F.col("node_g").cast("double")
-                            / F.col("__tot").cast("double"),
-                            RANK_DIGITS,
-                        ).alias("score"),
-                    )
                     .persist()
+                )
+                # The L1 total is a 1-row BOUNDED DRIVER DECISION (the
+                # BPE-merge / logreg-epoch doctrine): collect the exact
+                # integer-grain scalar and fold it back in as a
+                # literal. Never a global window (single-partition sort
+                # of a node-sized frame dies at graph scale), and
+                # cheaper than a per-iteration broadcast-exchange job:
+                # the persisted sum frame is materialized by the
+                # collect and reused by the projection below.
+                # decimal->double via float(Decimal) is the same
+                # nearest-double conversion Spark's cast performs, so
+                # the divisions stay engine-identical.
+                a_tot = a_sum.agg(F.sum("node_g").alias("__tot")).collect()[0][0]
+                auths = a_sum.select(
+                    F.col("dst").alias("node"),
+                    round_half_up(
+                        F.col("node_g").cast("double") / F.lit(float(a_tot)),
+                        RANK_DIGITS,
+                    ).alias("score"),
                 )
                 a_g = auths.select(
                     "node",
@@ -1142,24 +1156,21 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     edges.join(a_g, edges.dst == a_g.node)
                     .groupBy("src")
                     .agg(F.sum("g").alias("node_g"))
-                )
-                h_tot = h_sum.agg(F.sum("node_g").alias("__tot"))
-                new_hubs = (
-                    h_sum.crossJoin(F.broadcast(h_tot))
-                    .select(
-                        F.col("src").alias("node"),
-                        round_half_up(
-                            F.col("node_g").cast("double")
-                            / F.col("__tot").cast("double"),
-                            RANK_DIGITS,
-                        ).alias("score"),
-                    )
                     .persist()
                 )
-                new_hubs.count()
+                h_tot = h_sum.agg(F.sum("node_g").alias("__tot")).collect()[0][0]
+                new_hubs = h_sum.select(
+                    F.col("src").alias("node"),
+                    round_half_up(
+                        F.col("node_g").cast("double") / F.lit(float(h_tot)),
+                        RANK_DIGITS,
+                    ).alias("score"),
+                )
                 for s in superseded:
                     s.unpersist()
-                superseded = [hubs, auths]
+                # hubs/auths are cheap projections over these cached
+                # sum frames; keep the frames pinned one extra round.
+                superseded = [a_sum, h_sum]
                 hubs = new_hubs
             out = (
                 hubs.select("node", F.lit("hub").alias("role"), "score")

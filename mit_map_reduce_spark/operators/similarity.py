@@ -1085,20 +1085,27 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _emb_with_norm(spark, sf_dir)
     cents = _centroids_artifact(spark, sf_dir)
-    sizes = _assign_cells(emb, cents).groupBy("cell").agg(
-        F.count("*").alias("n_vectors")
+    sizes = (
+        _assign_cells(emb, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+        .persist()
     )
-    # Corpus total as a broadcast 1-row aggregate (not a global window
-    # over the cell frame): same exact integers, zero single-partition
-    # window regardless of K_CELLS.
-    total = sizes.agg(F.sum("n_vectors").alias("__total"))
-    t = F.col("__total").cast("double")
-    return sizes.crossJoin(F.broadcast(total)).select(
+    # The cell frame is bounded by K_CELLS (16 rows), so the corpus
+    # total is a 1-row bounded driver decision (the BPE/logreg
+    # doctrine): collect the exact integer and fold it back in as a
+    # literal. No global window, and no per-run broadcast-exchange job
+    # (the round-6 crossJoin(broadcast(agg)) shape cost 0.84 s at
+    # sf0.1 for what is one aggregation + a 16-row projection).
+    total = float(sizes.agg(F.sum("n_vectors")).collect()[0][0])
+    return sizes.select(
         "cell",
         "n_vectors",
-        round_half_up(F.col("n_vectors").cast("double") / t, 4).alias("share"),
+        round_half_up(F.col("n_vectors").cast("double") / F.lit(total), 4).alias(
+            "share"
+        ),
         round_half_up(
-            F.col("n_vectors").cast("double") * K_CELLS / t, 4
+            F.col("n_vectors").cast("double") * K_CELLS / F.lit(total), 4
         ).alias("load_factor"),
     )
 
