@@ -1835,7 +1835,18 @@ def _logreg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _logreg_p6(w: tuple[float, float, float]):
     """Predicted probability as a 1e-6 grain for weight literals ``w``
     — the one float expression both engines evaluate identically
-    (products and sums of identical doubles, then one exp)."""
+    (products and sums of identical doubles, then one exp).
+
+    Residual assumption (round-6 advice): unlike the money grains,
+    this is not exact BY CONSTRUCTION — it assumes JVM ``Math.exp``
+    and DuckDB's libm ``exp`` return the same double for the same
+    input. Neither is guaranteed correctly rounded; a 1-ulp divergence
+    landing within an ulp of a grain boundary would flip p6 and the
+    whole weight trajectory. The exposure is platform-dependent and
+    tiny (the gate passes at every SF on this container), and the same
+    caveat applies to the ``ln`` terms in adv_l_diversity_audit and
+    the log-loss. If a platform ever flips it, the fix is a
+    table-driven exp over grained z rather than chasing ulps."""
     z = (
         F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
     )

@@ -2530,10 +2530,17 @@ def rel_zorder_clustering_receipt(spark: SparkSession, sf_dir: str) -> DataFrame
             "files_touched",
             "rows_scanned",
             "rows_matching",
-            round_half_up(
-                F.col("rows_scanned").cast("double")
-                / F.col("rows_matching").cast("double"),
-                4,
+            # Zero guard: a corpus/predicate combination where nothing
+            # falls in the selection square must yield NULL, not
+            # NaN/Infinity (whose rendering differs between engines);
+            # the oracle mirrors with NULLIF.
+            F.when(
+                F.col("rows_matching") > 0,
+                round_half_up(
+                    F.col("rows_scanned").cast("double")
+                    / F.col("rows_matching").cast("double"),
+                    4,
+                ),
             ).alias("scan_amplification"),
         )
     )
@@ -2735,7 +2742,7 @@ def _zorder_oracle_sql() -> str:
                    + " AND p_min <= " + str(hi)
                    + " AND p_max >= " + str(lo)
                    + " THEN n_rows ELSE 0 END) AS DOUBLE)"
-                   " / CAST(sum(n_match) AS DOUBLE)",
+                   " / CAST(NULLIF(sum(n_match), 0) AS DOUBLE)",
                    4,
                )} AS scan_amplification
         FROM files GROUP BY layout

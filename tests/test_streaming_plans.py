@@ -57,6 +57,10 @@ def test_expectation_table_covers_registry():
 
 @pytest.mark.parametrize("qname", sorted(sq.QUERIES))
 def test_streaming_micro_batch_plan(spark, sf_dir, qname):
+    # Reset the capture slot first: a sink runner that forgot
+    # _capture_stream_plan must fail here, not inherit the previous
+    # parametrization's captured plan.
+    sq.LAST_STREAM_PLAN = {}
     sq.QUERIES[qname](spark, sf_dir)
     report = sq.LAST_STREAM_PLAN
     assert report, f"{qname}: no micro-batch plan captured"
