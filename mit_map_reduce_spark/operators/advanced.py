@@ -2076,7 +2076,95 @@ def adv_mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- two-sample Kolmogorov-Smirnov test (exact, integer-domain) ---------
+
+#: Priorities forming sample A; everything else is sample B.
+KS_A_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def adv_ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the order
+    values of urgent-class orders and the rest — the continuous-
+    distribution sibling of ``rel_segment_priority_chi2`` (chi-squared
+    tests categorical mixes; KS tests whether two VALUE distributions
+    differ, the drift test a data pipeline runs between corpus
+    snapshots or A/B cohorts).
+
+    Exact-by-construction: with c1(v), c2(v) the cumulative counts up
+    to each distinct value and n1, n2 the sample sizes,
+    D = max |c1/n1 - c2/n2| = max |c1*n2 - c2*n1| / (n1*n2) — the
+    maximum is taken over INTEGERS (one cross-multiplied long per
+    distinct value), so partial-aggregation order cannot move it; the
+    single division happens once, on identical doubles, in both
+    engines.
+
+    Scale shape: one groupBy on value (distinct-value frame), one
+    two-pass prefix sum (``distributed_prefix`` — range exchange, no
+    single-task window), one max-aggregate. n1/n2 are a 1-row bounded
+    driver decision (the BPE/logreg doctrine).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lab = orders.select(
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderpriority").isin(*KS_A_PRIORITIES).cast("long").alias("is_a"),
+    )
+    per = lab.groupBy("v").agg(
+        F.sum("is_a").alias("a_cnt"),
+        F.sum(1 - F.col("is_a")).alias("b_cnt"),
+    )
+    tot = per.agg(F.sum("a_cnt"), F.sum("b_cnt")).collect()[0]
+    n1, n2 = int(tot[0]), int(tot[1])
+    pre = distributed_prefix(per, ["v"], sums={"c1": "a_cnt", "c2": "b_cnt"})
+    d_gap = F.abs(F.col("c1") * F.lit(n2) - F.col("c2") * F.lit(n1))
+    return pre.agg(F.max(d_gap).alias("d_scaled")).select(
+        F.lit(n1).cast("bigint").alias("n_a"),
+        F.lit(n2).cast("bigint").alias("n_b"),
+        F.col("d_scaled").cast("bigint").alias("d_scaled"),
+        round_half_up(
+            F.col("d_scaled").cast("double") / F.lit(n1 * n2).cast("double"), 6
+        ).alias("ks_stat"),
+    )
+
+
+def adv_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count by day — the growth-curve readout
+    every product dashboard carries, and the classic window NO engine
+    evaluates directly (COUNT(DISTINCT) OVER a running frame is
+    unsupported in both Spark and DuckDB). The scalable identity:
+    cumulative distinct users at day d = #{users whose FIRST event is
+    <= d} — one min-aggregate per user, one count per day, one prefix
+    sum over the (bounded) day domain.
+
+    Scale shape: the only fact-sized shuffles are the per-user min and
+    the per-day distinct count; the prefix sum runs over the day frame
+    via ``distributed_prefix`` (no single-task window even if the
+    calendar grows unboundedly).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_by_day = first_seen.groupBy("first_day").agg(
+        F.count("*").alias("n_new")
+    )
+    daily = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    # Every first event IS an event, so new_by_day's days are a subset
+    # of daily's: left join + 0-fill is lossless.
+    joined = daily.join(
+        new_by_day, daily.day == new_by_day.first_day, "left"
+    ).select(
+        "day",
+        "n_active",
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    return distributed_prefix(joined, ["day"], sums={"cum_users": "n_new"})
+
+
 QUERIES = {
+    "adv_ks_test_segments": adv_ks_test_segments,
+    "adv_cumulative_distinct_users": adv_cumulative_distinct_users,
     "adv_logistic_regression_gd": adv_logistic_regression_gd,
     "adv_l_diversity_audit": adv_l_diversity_audit,
     "adv_dp_noisy_counts": adv_dp_noisy_counts,

@@ -40,7 +40,9 @@ def test_no_unexplained_bench_regressions():
     if not os.path.exists(detail):
         pytest.skip("no bench run recorded yet")
     base = _newest_stamped()
-    if base and os.path.getmtime(detail) < os.path.getmtime(base):
+    # 60 s slack: bench writes the sidecar a moment before stamping the
+    # round copy in the same run — that is fresh, not stale.
+    if base and os.path.getmtime(detail) + 60 < os.path.getmtime(base):
         pytest.skip("last bench run predates the newest stamped baseline")
     with open(detail) as f:
         d = json.load(f)
