@@ -72,8 +72,14 @@ _PRIORITY = [
     "text_mojibake_detect",
     "text_doc_novelty",
     "src_fixed_width_roundtrip",
-    # ---- positions 28-50: round-7 additions land here (one planned
-    # batch, then the registry re-freezes — see SURVEY §8).
+    # ---- positions 28-31: the round-7 batch (registry then re-frozen
+    # at 267 — see SURVEY §8): exact two-sample KS test, running
+    # distinct users, lexicon topic classifier, streaming gold-table
+    # grouping-sets rollup.
+    "adv_ks_test_segments",
+    "adv_cumulative_distinct_users",
+    "text_keyword_topic_classify",
+    "stream_multi_grain_counts",
     # ---- verified green in round 6 (CORRECTNESS_r06.json), window order.
     "text_oov_rate",
     "stream_dedup_within_watermark",

@@ -208,6 +208,11 @@ HEADLINE = (
     # single-task regression class (42 s at sf0.1 before the spread()
     # fix) stays visible.
     "adv_fuzzy_blocked_match",
+    # round 7 batch
+    "adv_ks_test_segments",
+    "adv_cumulative_distinct_users",
+    "text_keyword_topic_classify",
+    "stream_multi_grain_counts",
 )
 
 

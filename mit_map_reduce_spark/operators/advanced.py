@@ -2324,6 +2324,49 @@ def _logreg_oracle_sql() -> str:
 
 
 ORACLES = {
+    "adv_ks_test_segments": f"""
+        WITH lab AS (
+            SELECT o_totalprice AS v,
+                   CASE WHEN o_orderpriority IN {KS_A_PRIORITIES}
+                        THEN 1 ELSE 0 END AS is_a
+            FROM orders
+        ),
+        per AS (
+            SELECT v, sum(is_a) AS a_cnt, sum(1 - is_a) AS b_cnt
+            FROM lab GROUP BY v
+        ),
+        tot AS (SELECT sum(a_cnt) AS n1, sum(b_cnt) AS n2 FROM per),
+        cum AS (
+            SELECT sum(a_cnt) OVER (ORDER BY v) AS c1,
+                   sum(b_cnt) OVER (ORDER BY v) AS c2
+            FROM per
+        )
+        SELECT CAST(t.n1 AS BIGINT) AS n_a,
+               CAST(t.n2 AS BIGINT) AS n_b,
+               CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS BIGINT) AS d_scaled,
+               {sql_round(
+                   "CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS DOUBLE)"
+                   " / CAST(t.n1 * t.n2 AS DOUBLE)",
+                   6,
+               )} AS ks_stat
+        FROM cum, tot t GROUP BY t.n1, t.n2
+    """,
+    "adv_cumulative_distinct_users": """
+        WITH ev AS (
+            SELECT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        fs AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id),
+        nb AS (SELECT first_day AS day, count(*) AS n_new FROM fs GROUP BY 1),
+        da AS (
+            SELECT day, count(DISTINCT user_id) AS n_active FROM ev GROUP BY day
+        )
+        SELECT da.day,
+               CAST(n_active AS BIGINT) AS n_active,
+               CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+               CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY da.day) AS BIGINT)
+                   AS cum_users
+        FROM da LEFT JOIN nb ON da.day = nb.day
+    """,
     "adv_logistic_regression_gd": _logreg_oracle_sql(),
     "adv_l_diversity_audit": f"""
         WITH per_val AS (

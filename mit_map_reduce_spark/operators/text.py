@@ -2263,7 +2263,83 @@ def text_doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- lexicon topic / domain classification ------------------------------
+
+#: Keyword lexicons per topic — the fastText-lexicon-classifier shape
+#: LLM pipelines use to route documents to domain-specific handling
+#: (code vs prose vs boilerplate). Disjoint by construction so a
+#: token scores exactly one topic.
+TOPIC_LEXICON = {
+    "engine": ("scan", "filter", "hash", "merge", "sort", "agg", "join"),
+    "relational": (
+        "table",
+        "row",
+        "column",
+        "query",
+        "key",
+        "value",
+        "order",
+        "group",
+    ),
+    "pipeline": ("batch", "stream", "window", "spark", "data", "line", "vector"),
+}
+
+
+def text_keyword_topic_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based topic/domain classification with a per-source mix
+    report — the cheap router stage of a corpus pipeline: count each
+    doc's token OCCURRENCES per topic lexicon, label it with the
+    argmax topic (ties and zero-hit docs break deterministically:
+    lowest topic name; no hits at all -> ``unlabeled``), then report
+    per (source, topic) document counts, total lexicon hits, and the
+    topic's share of the source.
+
+    Scale shape: the lexicon broadcasts (dozens of rows); the only
+    fact-sized shuffles are the token explode's (doc, topic) count and
+    the per-doc argmax window (partitioned by doc_id — never global);
+    the share join is against a per-source total frame bounded by the
+    source domain.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lex_rows = [(t, w) for t, words in TOPIC_LEXICON.items() for w in words]
+    lex = spark.createDataFrame(lex_rows, "topic string, word string")
+    words = docs.select(
+        "doc_id", F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
+    )
+    hits = (
+        words.join(F.broadcast(lex), "word")
+        .groupBy("doc_id", "topic")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("hits").desc(), "topic")
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    labeled = (
+        docs.select("doc_id", "source")
+        .join(best.select("doc_id", "topic", "hits"), "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("topic", F.lit("unlabeled")).alias("topic"),
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+        )
+    )
+    per = labeled.groupBy("source", "topic").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("hits").alias("total_hits"),
+    )
+    tot = per.groupBy("source").agg(F.sum("n_docs").alias("n_src"))
+    return per.join(tot, "source").select(
+        "source",
+        "topic",
+        "n_docs",
+        F.col("total_hits").cast("bigint").alias("total_hits"),
+        round_half_up(
+            F.col("n_docs").cast("double") / F.col("n_src").cast("double"), 4
+        ).alias("share"),
+    )
+
+
 QUERIES = {
+    "text_keyword_topic_classify": text_keyword_topic_classify,
     "text_mojibake_detect": text_mojibake_detect,
     "text_doc_novelty": text_doc_novelty,
     "text_stopword_discovery": text_stopword_discovery,
@@ -3515,4 +3591,48 @@ ORACLES["text_vocab_coverage_curve"] = f"""
                   / sum(c)) * 10000.0 + 0.5) / 10000.0 AS coverage
     FROM ranked CROSS JOIN ks
     GROUP BY vocab_k
+"""
+
+#: VALUES list derived from TOPIC_LEXICON so query and oracle cannot
+#: drift apart.
+_TOPIC_LEX_VALUES = ", ".join(
+    f"('{t}', '{w}')" for t, ws in TOPIC_LEXICON.items() for w in ws
+)
+
+ORACLES["text_keyword_topic_classify"] = f"""
+    WITH lex(topic, word) AS (VALUES {_TOPIC_LEX_VALUES}),
+    words AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+            x -> x <> '')) AS word
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, topic, count(*) AS hits
+        FROM words JOIN lex USING (word) GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, topic, hits,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY hits DESC, topic) AS rn
+        FROM hits
+    ),
+    labeled AS (
+        SELECT d.source,
+               coalesce(b.topic, 'unlabeled') AS topic,
+               coalesce(b.hits, 0) AS hits
+        FROM documents d
+        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+    ),
+    per AS (
+        SELECT source, topic, count(*) AS n_docs, sum(hits) AS total_hits
+        FROM labeled GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(n_docs) AS n_src FROM per GROUP BY 1)
+    SELECT per.source, topic,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_hits AS BIGINT) AS total_hits,
+           {sql_round("CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE)", 4)}
+               AS share
+    FROM per JOIN tot ON per.source = tot.source
 """

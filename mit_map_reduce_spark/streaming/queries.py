@@ -40,6 +40,7 @@ from mit_map_reduce_spark.functions.columns import (
     money_grains,
     money_sum,
     round_half_up,
+    sql_money_sum,
 )
 from mit_map_reduce_spark.catalog import ensure_nanos_flag, load_table, table_path
 
@@ -913,7 +914,51 @@ def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_upsert_sink(out, keys=["text_md5"])
 
 
+def stream_multi_grain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gold table + multi-grain rollup — the lakehouse
+    medallion pattern: the stream maintains ONE finest-grain upserted
+    snapshot (1-day window x event_type, update mode, the
+    ``stream_tumbling_counts`` sink discipline), and every coarser
+    grain the dashboards need — per day, per type, grand total — is a
+    GROUPING SETS rollup over that snapshot, not extra streaming
+    state. Grouping sets are not streaming-legal aggregates in Spark,
+    and they do not need to be: the snapshot is key-bounded, so the
+    cube over it costs one bounded batch aggregation per refresh while
+    the stream keeps a single state store.
+
+    Money discipline: the snapshot's total_value is an exact multiple
+    of 0.01, so the second-level ``money_sum`` re-grains identical
+    doubles in both engines — the rollup stays order-invariant-exact
+    through both aggregation levels.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), money_sum("value", 2).alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
+    )
+    snap = _run_to_upsert_sink(agg, keys=["ws", "event_type"])
+    base = snap.select(
+        F.to_date("ws").alias("day"), "event_type", "n", "total_value"
+    )
+    rolled = base.cube("day", "event_type").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        money_sum("total_value", 2).alias("total_value"),
+    )
+    grain = (
+        F.when(F.col("day").isNull() & F.col("event_type").isNull(), F.lit("total"))
+        .when(F.col("day").isNull(), F.lit("by_type"))
+        .when(F.col("event_type").isNull(), F.lit("by_day"))
+        .otherwise(F.lit("by_day_type"))
+    )
+    return rolled.select(
+        grain.alias("grain"), "day", "event_type", "n_events", "total_value"
+    )
+
+
 QUERIES = {
+    "stream_multi_grain_counts": stream_multi_grain_counts,
     "stream_error_rate_alerts": stream_error_rate_alerts,
     "stream_topk_trending_users": stream_topk_trending_users,
     "stream_incremental_restart": stream_incremental_restart,
@@ -933,6 +978,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    # The upserted snapshot covers every window (update mode keeps the
+    # open day live), so the rollup equals grouping sets over the whole
+    # table; money re-grains through both levels exactly like the
+    # engine side.
+    "stream_multi_grain_counts": f"""
+        WITH per AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   count(*) AS n,
+                   {sql_money_sum("value", 2)} AS total_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CASE
+                   WHEN GROUPING(day) = 1 AND GROUPING(event_type) = 1
+                       THEN 'total'
+                   WHEN GROUPING(day) = 1 THEN 'by_type'
+                   WHEN GROUPING(event_type) = 1 THEN 'by_day'
+                   ELSE 'by_day_type'
+               END AS grain,
+               day, event_type,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               {sql_money_sum("total_value", 2)} AS total_value
+        FROM per
+        GROUP BY GROUPING SETS ((day, event_type), (day), (event_type), ())
+    """,
     "stream_error_rate_alerts": f"""
         WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
         win AS (

@@ -38,6 +38,8 @@ _EXPECT = {
     "stream_error_rate_alerts": {"state_stores": True},
     "stream_topk_trending_users": {"state_stores": True},
     "stream_cms_user_sketch": {"state_stores": True},
+    # gold-table upsert stream (the rollup over the snapshot is batch).
+    "stream_multi_grain_counts": {"state_stores": True},
     # static dimension (customer) must BROADCAST into the stream side,
     # never shuffle the stream to meet a tiny dim.
     "stream_static_enrich_by_segment": {"broadcast": True, "state_stores": True},
