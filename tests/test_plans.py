@@ -445,3 +445,52 @@ def test_fuzzy_match_compares_distinct_names_not_rows(spark, sf_dir):
     rows = part.count()
     assert candidates <= 1_000, candidates
     assert candidates < rows  # vocab-bounded, not row-bounded
+
+
+def test_topic_classify_broadcasts_lexicon(spark, sf_dir):
+    # The lexicon is dozens of rows: it must broadcast into the token
+    # stream — a shuffled join would re-partition the exploded corpus
+    # to meet a 22-row table.
+    from mit_map_reduce_spark.operators.text import text_keyword_topic_classify
+
+    df = text_keyword_topic_classify(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_test_has_no_unpartitioned_window(spark, sf_dir):
+    # The prefix sums run through distributed_prefix (range exchange +
+    # offset broadcast), never a single-task global window over the
+    # distinct-value frame.
+    from mit_map_reduce_spark.operators.advanced import adv_ks_test_segments
+
+    plan = physical_plan(adv_ks_test_segments(spark, sf_dir))
+    # the unpartitioned-window check lives in the repo-wide window
+    # audit (test_window_audit); here pin that the plan stays
+    # join/aggregate shaped:
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cumulative_distinct_users_shape(spark, sf_dir):
+    # Two fact-sized shuffles (per-user min, per-day distinct) plus the
+    # day-frame prefix machinery — and the day-frame join must not
+    # devolve into a nested loop.
+    from mit_map_reduce_spark.operators.advanced import (
+        adv_cumulative_distinct_users,
+    )
+
+    df = adv_cumulative_distinct_users(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    # the running total is monotone and ends at the corpus's distinct
+    # user count — a wrong join/fill shows up here immediately.
+    cums = [r.cum_users for r in sorted(rows, key=lambda r: r.day)]
+    assert cums == sorted(cums)
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert cums[-1] == n_users
