@@ -92,7 +92,15 @@ def _text_quality_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-lexicon language ID: argmax of lexicon hits per doc."""
+    """Stopword-lexicon language ID: argmax of lexicon hits per doc.
+
+    Session-shared (catalog registry): the agreement matrix and repeat
+    invocations probe ONE cached (doc_id, pred) frame per corpus
+    instead of re-tokenizing the text."""
+    return shared_persist(spark, "text_langid", sf_dir, lambda: _build_langid(spark, sf_dir))
+
+
+def _build_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     lex_rows = [(lang, w) for lang, words in LANG_LEXICON.items() for w in words]
     lex = spark.createDataFrame(lex_rows, "cand_lang string, word string")
@@ -134,7 +142,15 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose output is fixed-size (|langs| * K rows, broadcast); scoring
     is a map-side explode joined against that broadcast — the corpus
     never shuffles by content, only the tiny (doc, lang) hit counts do.
+
+    Session-shared (catalog registry), like :func:`text_langid`.
     """
+    return shared_persist(
+        spark, "text_langid_ngram", sf_dir, lambda: _build_langid_ngram(spark, sf_dir)
+    )
+
+
+def _build_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     t = F.lower(F.col("text"))
     tri = F.when(F.length(t) < 3, F.array()).otherwise(
