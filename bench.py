@@ -329,10 +329,31 @@ def _report_regressions(repo: str, timings: dict[str, float]) -> list[str]:
         )
         return []
     base = prev.get("queries", {})
+    # Environment normalization: round 3 measured a UNIFORM ~1.9x
+    # sandbox-contention multiplier on untouched queries. A plan
+    # regression is a query slower than its PEERS' drift, so the gate
+    # scales every baseline by the run's median ratio (clamped >= 1 —
+    # a faster environment must not hide absolute regressions). Noisy
+    # sub-50 ms queries are excluded from the median estimate.
+    ratios = sorted(
+        t / base[q]
+        for q, t in timings.items()
+        if q in base and base[q] > 0.05
+    )
+    scale = max(1.0, ratios[len(ratios) // 2]) if ratios else 1.0
+    if scale > 1.2:
+        print(
+            f"# environment drift: median ratio {scale:.2f}x vs r{rnd}; "
+            "baselines scaled accordingly",
+            file=sys.stderr,
+        )
     flagged = [
-        (q, base[q], t)
+        (q, base[q] * scale, t)
         for q, t in sorted(timings.items())
-        if q in base and base[q] > 0 and t > 1.5 * base[q] and t - base[q] > 0.3
+        if q in base
+        and base[q] > 0
+        and t > 1.5 * base[q] * scale
+        and t - base[q] * scale > 0.3
     ]
     for q, b, t in flagged:
         print(f"# REGRESSION vs r{rnd}: {q} {b:.2f}s -> {t:.2f}s", file=sys.stderr)

@@ -62,3 +62,28 @@ def test_allowlist_entries_are_registered_queries():
 
     unknown = set(bench.BENCH_ALLOWLIST) - set(entrymod.queries())
     assert not unknown, f"BENCH_ALLOWLIST names unknown queries: {unknown}"
+
+
+def test_gate_normalizes_uniform_environment_drift(tmp_path, monkeypatch):
+    """Round 3 measured a uniform ~1.9x sandbox-contention multiplier;
+    that must read as environment drift (no flags), while an isolated
+    regression on top of the same drift must still gate."""
+    import json
+
+    import bench
+
+    base = {f"q{i}": 1.0 for i in range(20)}
+    (tmp_path / "BENCH_DETAIL_r01.json").write_text(
+        json.dumps({"queries": base, "sf": 0.1})
+    )
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    uniform = {f"q{i}": 1.9 for i in range(20)}
+    assert bench._report_regressions(str(tmp_path), uniform) == []
+    mixed = dict(uniform)
+    mixed["q3"] = 5.0
+    assert bench._report_regressions(str(tmp_path), mixed) == ["q3"]
+    # a faster environment must not hide an absolute regression: clamp
+    # keeps the baseline at 1x, so q7 at 2.4x its baseline still gates.
+    fast = {f"q{i}": 0.5 for i in range(20)}
+    fast["q7"] = 2.4
+    assert bench._report_regressions(str(tmp_path), fast) == ["q7"]
