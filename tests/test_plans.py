@@ -274,14 +274,25 @@ def test_burstiness_shuffle_budget_and_broadcast_total(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
-def test_profiler_is_single_scan_with_expand(spark, sf_dir):
-    # All 24 metrics must come from ONE scan of orders; the exact
-    # distinct aggregates appear as a single Expand, not extra scans.
-    from mit_map_reduce_spark.operators.relational import rel_table_profile_orders
+def test_profiler_is_per_column_pruned_passes(spark, sf_dir):
+    # Round 7: one pruned pass PER COLUMN, combined by broadcast
+    # crossJoins of 1-row aggregates — NOT the single-scan EXPAND plan
+    # (which duplicated every fact row once per exact distinct
+    # aggregate into one (columns+1)x-wide shuffle; measured 4x slower
+    # at sf0.1). Each scan must read only its own column.
+    from mit_map_reduce_spark.operators.relational import (
+        _PROFILE_COLS,
+        rel_table_profile_orders,
+    )
 
     plan = physical_plan(rel_table_profile_orders(spark, sf_dir))
-    assert plan.count("Scan parquet") == 1
-    assert "Expand" in plan
+    assert "Expand" not in plan
+    assert plan.count("Scan parquet") == len(_PROFILE_COLS)
+    assert plan.count("BroadcastExchange") == len(_PROFILE_COLS) - 1
+    # scan_read_schema flattens all scans' ReadSchemas: with one
+    # pruned column per scan it is exactly the profile column list.
+    read = scan_read_schema(rel_table_profile_orders(spark, sf_dir))
+    assert sorted(read) == sorted(c for c, _ in _PROFILE_COLS), read
 
 
 def test_markov_single_fact_pass(spark, sf_dir):
