@@ -60,30 +60,81 @@ def test_allowlist_entries_are_registered_queries():
 
     import __spark_entry__ as entrymod
 
-    unknown = set(bench.BENCH_ALLOWLIST) - set(entrymod.queries())
+    unknown = (
+        set(bench.BENCH_ALLOWLIST) - set(entrymod.queries()) - {"__uniform_drift__"}
+    )
     assert not unknown, f"BENCH_ALLOWLIST names unknown queries: {unknown}"
 
 
-def test_gate_normalizes_uniform_environment_drift(tmp_path, monkeypatch):
+def _write_baseline(tmp_path, probe=1.0):
+    import json
+
+    base = {f"q{i}": 1.0 for i in range(20)}
+    (tmp_path / "BENCH_DETAIL_r01.json").write_text(
+        json.dumps({"queries": base, "sf": 0.1, "calibration_probe_sec": probe})
+    )
+
+
+def test_gate_normalizes_corroborated_uniform_drift(tmp_path, monkeypatch):
     """Round 3 measured a uniform ~1.9x sandbox-contention multiplier;
-    that must read as environment drift (no flags), while an isolated
-    regression on top of the same drift must still gate."""
+    when the calibration probe drifts WITH the queries, that must read
+    as environment drift (no flags), while an isolated regression on
+    top of the same drift must still gate."""
+    import bench
+
+    _write_baseline(tmp_path, probe=1.0)
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    uniform = {f"q{i}": 1.9 for i in range(20)}
+    # probe drifted 1.9x too -> corroborated, normalized away
+    assert bench._report_regressions(str(tmp_path), uniform, probe_sec=1.9) == []
+    mixed = dict(uniform)
+    mixed["q3"] = 5.0
+    assert bench._report_regressions(str(tmp_path), mixed, probe_sec=1.9) == ["q3"]
+    # a faster environment must not hide an absolute regression: clamp
+    # keeps the baseline at 1x, so q7 at 2.4x its baseline still gates.
+    fast = {f"q{i}": 0.5 for i in range(20)}
+    fast["q7"] = 2.4
+    assert bench._report_regressions(str(tmp_path), fast, probe_sec=0.5) == ["q7"]
+
+
+def test_gate_rejects_uncorroborated_uniform_drift(tmp_path, monkeypatch):
+    """A REAL codebase-wide slowdown (session-conf change, AQE off) is
+    also uniform — but the engine-independent calibration probe stays
+    flat, so the gate must NOT self-normalize it away (round-7 verdict
+    item 2): it caps the scale and emits __uniform_drift__."""
+    import bench
+
+    _write_baseline(tmp_path, probe=1.0)
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    uniform = {f"q{i}": 1.9 for i in range(20)}
+    gate = bench._report_regressions(str(tmp_path), uniform, probe_sec=1.0)
+    assert "__uniform_drift__" in gate
+    # ... unless explicitly allowlisted with a justification
+    monkeypatch.setattr(
+        bench, "BENCH_ALLOWLIST", {"__uniform_drift__": "test: known cause"}
+    )
+    assert (
+        bench._report_regressions(str(tmp_path), uniform, probe_sec=1.0) == []
+    )
+
+
+def test_gate_caps_drift_without_probe_baseline(tmp_path, monkeypatch):
+    """Stamped baselines that predate the probe can't corroborate
+    drift: normalization is capped at _UNCORROBORATED_DRIFT_CAP and a
+    1.9x uniform run gates rather than self-normalizing."""
     import json
 
     import bench
 
     base = {f"q{i}": 1.0 for i in range(20)}
     (tmp_path / "BENCH_DETAIL_r01.json").write_text(
-        json.dumps({"queries": base, "sf": 0.1})
+        json.dumps({"queries": base, "sf": 0.1})  # no calibration_probe_sec
     )
     monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
     uniform = {f"q{i}": 1.9 for i in range(20)}
-    assert bench._report_regressions(str(tmp_path), uniform) == []
-    mixed = dict(uniform)
-    mixed["q3"] = 5.0
-    assert bench._report_regressions(str(tmp_path), mixed) == ["q3"]
-    # a faster environment must not hide an absolute regression: clamp
-    # keeps the baseline at 1x, so q7 at 2.4x its baseline still gates.
-    fast = {f"q{i}": 0.5 for i in range(20)}
-    fast["q7"] = 2.4
-    assert bench._report_regressions(str(tmp_path), fast) == ["q7"]
+    assert "__uniform_drift__" in bench._report_regressions(
+        str(tmp_path), uniform, probe_sec=1.9
+    )
+    # mild drift within the cap still normalizes fine
+    mild = {f"q{i}": 1.25 for i in range(20)}
+    assert bench._report_regressions(str(tmp_path), mild, probe_sec=1.25) == []
