@@ -1011,7 +1011,55 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # overwritten out from under sessions registered over it.
             if _register_existing(name, path, df, key):
                 return
-            write_parquet(df, path, bucket_by=(8, [key]), table_name=name)
+            # Keep the lock visibly fresh while the write runs: expiry
+            # keys off lock mtime, and a bucketed write can legitimately
+            # exceed the TTL at large SF — a live writer must never look
+            # crashed (round-7 advice).
+            import shutil
+            import threading
+            import uuid
+
+            stop = threading.Event()
+
+            def _keep_fresh() -> None:
+                while not stop.wait(60.0):
+                    with contextlib.suppress(OSError):
+                        os.utime(lock)
+
+            threading.Thread(target=_keep_fresh, daemon=True).start()
+            # Write to a unique temp dir and os.rename into place
+            # (mirrors sources_queries._write_and_publish): even if a
+            # misfired expiry admits a second writer, each writes its
+            # own temp dir and exactly one rename wins — the shared
+            # path is never written in place, so it can never hold a
+            # torn mix of two writers' files.
+            tmp = f"{path}.wip{uuid.uuid4().hex[:8]}"
+            tmp_table = f"{name}_wip_{uuid.uuid4().hex[:8]}"
+            try:
+                write_parquet(df, tmp, bucket_by=(8, [key]), table_name=tmp_table)
+            finally:
+                stop.set()
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")  # external: files stay
+            if _register_existing(name, path, df, key):
+                shutil.rmtree(tmp, ignore_errors=True)  # racer published first
+                return
+            trash = f"{path}.trash{uuid.uuid4().hex[:8]}"
+            with contextlib.suppress(OSError):  # atomic move-aside of leftovers
+                os.rename(path, trash)
+            if os.path.exists(os.path.join(trash, "_SUCCESS")):
+                # A racer published between the check and the rename:
+                # restore their complete artifact, discard ours.
+                with contextlib.suppress(OSError):
+                    os.rename(trash, path)
+            with contextlib.suppress(OSError):  # lost rename -> reuse theirs
+                os.rename(tmp, path)
+            shutil.rmtree(trash, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)  # no-op when renamed in
+            if not _register_existing(name, path, df, key):
+                # Shared path unusable despite the write (pathological
+                # FS race): session-private fallback, never contended.
+                path = os.path.join(base, f"{sub}_{os.getpid()}")
+                write_parquet(df, path, bucket_by=(8, [key]), table_name=name)
         finally:
             with contextlib.suppress(OSError):
                 os.rmdir(lock)

@@ -104,11 +104,27 @@ def _write_and_publish(write_fn, out_dir: str) -> None:
     if _is_published(out_dir):
         shutil.rmtree(tmp, ignore_errors=True)
         return
-    shutil.rmtree(out_dir, ignore_errors=True)  # unpublished leftovers only
+    # Move unpublished leftovers aside ATOMICALLY rather than rmtree on
+    # the live path: rmtree is not atomic, so a racer publishing between
+    # the check above and the delete could be left half-deleted with the
+    # marker still present (round-7 advice). A rename either moves the
+    # whole dir or nothing.
+    trash = out_dir + ".trash" + uuid.uuid4().hex[:8]
+    with contextlib.suppress(OSError):  # ENOENT when out_dir absent — fine
+        os.rename(out_dir, trash)
+    if _is_published(trash):
+        # The racer won between the check and the rename: restore their
+        # complete artifact and discard ours.
+        with contextlib.suppress(OSError):
+            os.rename(trash, out_dir)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)  # no-op if restored
+        return
     try:
         os.rename(tmp, out_dir)
     except OSError:  # concurrent writer won the rename
         shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
 
 
 def _expire_stale_lock(lock: str) -> None:
