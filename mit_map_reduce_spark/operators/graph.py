@@ -1143,6 +1143,21 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # nearest-double conversion Spark's cast performs, so
                 # the divisions stay engine-identical.
                 a_tot = a_sum.agg(F.sum("node_g").alias("__tot")).collect()[0][0]
+                if a_tot is None:
+                    # Empty filtered edge frame: the 1-row agg returns
+                    # NULL and float(None) would raise — degrade to an
+                    # empty scored frame (same schema), matching the
+                    # oracle's no-rows result (round-7 advice). h_tot
+                    # needs no twin guard: a non-empty a_sum forces a
+                    # non-empty h_sum (every dst feeding a_sum has a
+                    # matching src row in edges).
+                    for s in superseded:
+                        s.unpersist()
+                    a_sum.unpersist()
+                    edges.unpersist()
+                    return hubs.select(
+                        "node", F.lit("hub").alias("role"), "score"
+                    ).limit(0)
                 auths = a_sum.select(
                     F.col("dst").alias("node"),
                     round_half_up(

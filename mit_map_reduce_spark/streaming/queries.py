@@ -942,14 +942,23 @@ def stream_multi_grain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = snap.select(
         F.to_date("ws").alias("day"), "event_type", "n", "total_value"
     )
+    # Label grains via GROUPING() bits (computed inside the cube's agg,
+    # the only place they are legal), matching the oracle's GROUPING()
+    # semantics: an isNull() label would misclassify a data row whose
+    # event_type (or unparsable-ts day) is genuinely NULL as a rollup
+    # row (round-7 advice).
     rolled = base.cube("day", "event_type").agg(
         F.sum("n").cast("bigint").alias("n_events"),
         money_sum("total_value", 2).alias("total_value"),
+        F.grouping("day").alias("_g_day"),
+        F.grouping("event_type").alias("_g_type"),
     )
     grain = (
-        F.when(F.col("day").isNull() & F.col("event_type").isNull(), F.lit("total"))
-        .when(F.col("day").isNull(), F.lit("by_type"))
-        .when(F.col("event_type").isNull(), F.lit("by_day"))
+        F.when(
+            (F.col("_g_day") == 1) & (F.col("_g_type") == 1), F.lit("total")
+        )
+        .when(F.col("_g_day") == 1, F.lit("by_type"))
+        .when(F.col("_g_type") == 1, F.lit("by_day"))
         .otherwise(F.lit("by_day_type"))
     )
     return rolled.select(
