@@ -153,3 +153,46 @@ def test_publish_protocol_fresh_lock_falls_back_private(tmp_path, monkeypatch):
     assert got != out and got.startswith(out + ".pid")
     assert _is_published(got)
     assert not _is_published(out)
+
+
+def test_publish_protocol_restores_racer_artifact(tmp_path, monkeypatch):
+    """TOCTOU closure (round-7 advice): a racer that publishes between
+    _write_and_publish's marker check and its move-aside must have its
+    COMPLETE artifact restored (it may already have readers), with the
+    late writer's copy discarded — and nothing may rmtree the live
+    path in between."""
+    import os
+
+    from mit_map_reduce_spark.operators import sources_queries as sq
+
+    out = str(tmp_path / "art")
+    # The racer's complete published artifact is already in place ...
+    os.makedirs(out)
+    with open(os.path.join(out, sq._PUBLISH_MARKER), "w") as fh:
+        fh.write("ok\n")
+    with open(os.path.join(out, "racer.txt"), "w") as fh:
+        fh.write("theirs")
+    # ... but the first marker check misses it (the TOCTOU window).
+    real = sq._is_published
+    seen = {"n": 0}
+
+    def late_publish_view(d):
+        seen["n"] += 1
+        if seen["n"] == 1 and d == out:
+            return False
+        return real(d)
+
+    monkeypatch.setattr(sq, "_is_published", late_publish_view)
+
+    def write(d):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "mine.txt"), "w") as fh:
+            fh.write("mine")
+
+    sq._write_and_publish(write, out)
+    # racer's artifact survived intact; ours was discarded; no scratch left
+    assert real(out)
+    assert os.path.exists(os.path.join(out, "racer.txt"))
+    assert not os.path.exists(os.path.join(out, "mine.txt"))
+    leftovers = [p for p in os.listdir(tmp_path) if p != "art"]
+    assert leftovers == [], leftovers

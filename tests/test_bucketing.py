@@ -59,3 +59,28 @@ def test_bucketed_join_query_zero_exchange(spark, sf_dir, no_broadcast):
     df = rel_bucketed_join_revenue(spark, sf_dir)  # first call writes tables
     df2 = rel_bucketed_join_revenue(spark, sf_dir)  # plan over existing tables
     assert count_shuffles(df2) == 0
+
+
+def test_bucketed_scratch_publishes_atomically(spark, sf_dir):
+    """The shared bucketed artifact is published via temp-dir +
+    os.rename (round-7 advice): after a fresh write the scratch base
+    holds only the final table dirs — no .wip/.trash leftovers — and
+    each published dir carries Spark's _SUCCESS marker."""
+    import os
+
+    from mit_map_reduce_spark.operators.relational import rel_bucketed_join_revenue
+
+    rel_bucketed_join_revenue(spark, sf_dir).count()
+    import hashlib
+    import tempfile
+
+    from mit_map_reduce_spark.catalog import corpus_fingerprint
+
+    fp = corpus_fingerprint(sf_dir, "lineitem", "orders")
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "mmrs_bucketed", tag)
+    entries = sorted(os.listdir(base))
+    strays = [e for e in entries if ".wip" in e or ".trash" in e or ".lock" in e]
+    assert strays == [], strays
+    for sub in ("li", "ord"):
+        assert os.path.exists(os.path.join(base, sub, "_SUCCESS"))
