@@ -400,7 +400,13 @@ def _report_regressions(
     # allowlisted.
     base_probe = prev.get("calibration_probe_sec")
     if probe_sec and base_probe:
-        cap = max(1.0, (probe_sec / base_probe) * _PROBE_SLACK)
+        # Floored at the uncorroborated cap: the probe is itself a
+        # noisy measurement, and an unluckily FAST probe must not
+        # shrink the tolerance below what a probe-less baseline gets
+        # (mild ~1.25x drift would otherwise false-fire the gate).
+        cap = max(
+            _UNCORROBORATED_DRIFT_CAP, (probe_sec / base_probe) * _PROBE_SLACK
+        )
     else:
         cap = _UNCORROBORATED_DRIFT_CAP
     scale = min(median, cap)

@@ -138,3 +138,15 @@ def test_gate_caps_drift_without_probe_baseline(tmp_path, monkeypatch):
     # mild drift within the cap still normalizes fine
     mild = {f"q{i}": 1.25 for i in range(20)}
     assert bench._report_regressions(str(tmp_path), mild, probe_sec=1.25) == []
+
+
+def test_gate_probe_noise_cannot_shrink_tolerance(tmp_path, monkeypatch):
+    """An unluckily FAST probe must not tighten the cap below the
+    probe-less fallback: mild ~1.25x drift with a flat-or-fast probe
+    stays ungated."""
+    import bench
+
+    _write_baseline(tmp_path, probe=1.0)
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    mild = {f"q{i}": 1.25 for i in range(20)}
+    assert bench._report_regressions(str(tmp_path), mild, probe_sec=0.9) == []
