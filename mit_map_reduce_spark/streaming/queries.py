@@ -951,11 +951,20 @@ def stream_multi_grain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = snap.select(
         F.to_date("ws").alias("day"), "event_type", "n", "total_value"
     )
-    # Label grains via GROUPING() bits (computed inside the cube's agg,
-    # the only place they are legal), matching the oracle's GROUPING()
-    # semantics: an isNull() label would misclassify a data row whose
-    # event_type (or unparsable-ts day) is genuinely NULL as a rollup
-    # row (round-7 advice).
+    return cube_with_grain(base)
+
+
+def cube_with_grain(base: DataFrame) -> DataFrame:
+    """CUBE(day, event_type) over a (day, event_type, n, total_value)
+    snapshot, with each output row labeled by its grain.
+
+    Grain labels derive from GROUPING() bits computed inside the
+    cube's aggregate list (the only place they are legal), matching
+    the oracle's GROUPING() semantics: an isNull() label would
+    misclassify a data row whose event_type (or unparsable-ts day) is
+    genuinely NULL as a rollup row (round-7 advice; NULL-data
+    semantics pinned by tests/test_streaming.py).
+    """
     rolled = base.cube("day", "event_type").agg(
         F.sum("n").cast("bigint").alias("n_events"),
         money_sum("total_value", 2).alias("total_value"),

@@ -262,3 +262,34 @@ def test_late_data_metrics_drop_admit_split(spark, sf_dir):
     r = out[last_emitted]
     assert r.n_late_admitted == raw[last_emitted].n_cohort > 0
     assert r.n == raw[last_emitted].n_all
+
+
+def test_multi_grain_cube_labels_null_data_rows_as_data(spark):
+    """A genuinely NULL event_type (or NULL day from an unparsable ts)
+    is DATA, not a rollup: the grain label must come from GROUPING()
+    bits, never isNull() (round-7 advice). The NULL-typed data row must
+    surface under by_day_type and also aggregate into its rollups."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from mit_map_reduce_spark.streaming.queries import cube_with_grain
+
+    d = datetime.date(2024, 1, 1)
+    base = spark.createDataFrame(
+        [(d, None, 5, 1.0), (d, "click", 3, 2.0)],
+        "day date, event_type string, n long, total_value double",
+    )
+    out = cube_with_grain(base).collect()
+    by_grain = {}
+    for r in out:
+        by_grain.setdefault(r["grain"], []).append(r)
+    # the NULL event_type row appears as DATA at the finest grain
+    finest = {(r["day"], r["event_type"]): r["n_events"] for r in by_grain["by_day_type"]}
+    assert finest == {(d, None): 5, (d, "click"): 3}
+    # ... and as a distinct by_type rollup keyed by NULL
+    per_type = {r["event_type"]: r["n_events"] for r in by_grain["by_type"]}
+    assert per_type == {None: 5, "click": 3}
+    # day and grand-total rollups absorb both rows
+    assert {r["n_events"] for r in by_grain["by_day"]} == {8}
+    assert {r["n_events"] for r in by_grain["total"]} == {8}
