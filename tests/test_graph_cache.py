@@ -61,3 +61,25 @@ def test_cc_fixpoint_is_registry_backed(spark, sf_dir):
     second = dedup_connected_components(spark, sf_dir).collect()
     assert _cached_rdd_count(spark) == before
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_hits_degrades_to_empty_frame_on_empty_edges(spark, tmp_path):
+    """An empty trade graph (no lineitem/orders rows) must yield an
+    empty scored frame with the (node, role, score) schema — the 1-row
+    L1-total agg returns NULL there and an unguarded float(None) raised
+    TypeError (round-7 advice)."""
+    import shutil
+
+    from mit_map_reduce_spark.catalog import TABLES, table_path
+    from mit_map_reduce_spark.operators.graph import graph_hits_scores
+
+    src = "/root/testdata/sf0.001"
+    empty_sf = str(tmp_path / "sf_empty")
+    for name in TABLES:
+        df = spark.read.parquet(table_path(src, name))
+        if name in ("lineitem", "orders"):
+            df = df.limit(0)
+        df.write.parquet(table_path(empty_sf, name))
+    out = graph_hits_scores(spark, empty_sf)
+    assert [f.name for f in out.schema.fields] == ["node", "role", "score"]
+    assert out.count() == 0
