@@ -317,6 +317,8 @@ def _calibration_probe(spark) -> float:
     change, AQE accidentally off) leaves the probe flat and now
     gates instead of reading as environment drift (round-7 verdict
     item 2)."""
+    from pyspark.sql import functions as F
+
     runs = []
     for _ in range(3):
         t0 = time.time()
@@ -324,8 +326,12 @@ def _calibration_probe(spark) -> float:
             spark.range(4_000_000)
             .selectExpr("id % 10000 AS k", "id AS v")
             .groupBy("k")
-            .agg({"v": "sum"})
-            .count()
+            .agg(F.sum("v").alias("s"))
+            # final 1-row reduction CONSUMES s, so column pruning cannot
+            # drop the per-key sum and quietly shrink the probe to a
+            # distinct-keys count (count() over the groupBy would).
+            .agg(F.sum("s"))
+            .collect()
         )
         runs.append(time.time() - t0)
     return round(sorted(runs)[1], 3)
@@ -412,13 +418,26 @@ def _report_regressions(
     scale = min(median, cap)
     uniform_drift_gated = False
     if median > cap:
-        uniform_drift_gated = "__uniform_drift__" not in BENCH_ALLOWLIST
-        print(
-            f"# UNCORROBORATED UNIFORM DRIFT: median ratio {median:.2f}x vs "
-            f"r{rnd} exceeds the calibration-probe cap {cap:.2f}x — "
-            "normalization capped; a codebase-wide slowdown is suspected",
-            file=sys.stderr,
-        )
+        if "__uniform_drift__" in BENCH_ALLOWLIST:
+            # The operator explicitly accepted this run's uniform drift
+            # (with a recorded cause): honor it FULLY — normalize by the
+            # median so per-query gates don't all fire against the
+            # capped baseline anyway (which would demand one allowlist
+            # entry per query and defeat the special key).
+            scale = median
+            print(
+                f"# uniform drift {median:.2f}x vs r{rnd} accepted via "
+                f"BENCH_ALLOWLIST: {BENCH_ALLOWLIST['__uniform_drift__']}",
+                file=sys.stderr,
+            )
+        else:
+            uniform_drift_gated = True
+            print(
+                f"# UNCORROBORATED UNIFORM DRIFT: median ratio {median:.2f}x vs "
+                f"r{rnd} exceeds the calibration-probe cap {cap:.2f}x — "
+                "normalization capped; a codebase-wide slowdown is suspected",
+                file=sys.stderr,
+            )
     elif scale > 1.2:
         print(
             f"# environment drift: median ratio {scale:.2f}x vs r{rnd} "

@@ -901,6 +901,23 @@ N_SALTS = 16
 BUCKET_JOIN_MIN_QTY = 150
 
 
+def bucketed_scratch_base(sf_dir: str) -> str:
+    """Shared scratch warehouse path for the bucketed lineitem/orders
+    copies — keyed by corpus CONTENT, not just path, so regenerated
+    testdata invalidates the layout (catalog.corpus_fingerprint).
+    Exposed as a helper so tests assert against the code's actual key
+    recipe instead of re-deriving it."""
+    import hashlib
+    import os
+    import tempfile
+
+    from mit_map_reduce_spark.catalog import corpus_fingerprint
+
+    fp = corpus_fingerprint(sf_dir, "lineitem", "orders")
+    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:8]
+    return os.path.join(tempfile.gettempdir(), "mmrs_bucketed", tag)
+
+
 def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact join on BUCKETED layout — the zero-exchange join at
     100 TB, exposed as a query (the plan property itself is pinned in
@@ -916,18 +933,11 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the oracle checks — bucketing must change the plan, never
     the answer.
     """
-    import hashlib
     import os
-    import tempfile
 
-    from mit_map_reduce_spark.catalog import corpus_fingerprint
-
-    # Keyed by corpus content, not just path: regenerated testdata must
-    # invalidate the bucketed layout (see catalog.corpus_fingerprint).
-    fp = corpus_fingerprint(sf_dir, "lineitem", "orders")
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:8]
+    base = bucketed_scratch_base(sf_dir)
+    tag = os.path.basename(base)
     t_li, t_ord = f"b_lineitem_{tag}", f"b_orders_{tag}"
-    base = os.path.join(tempfile.gettempdir(), "mmrs_bucketed", tag)
 
     def _register_existing(name: str, path: str, df: DataFrame, key: str) -> bool:
         # Another session already wrote this corpus's bucketed copy:
@@ -997,11 +1007,24 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     os.rmdir(tomb)
                 won = _acquire()
         if not won:
-            for _ in range(60):  # writer in flight: wait for _SUCCESS
+            # Writer in flight: wait for _SUCCESS as long as the lock
+            # stays FRESH (a live writer touches it every 60 s, so a
+            # legitimately slow large-SF write keeps us waiting instead
+            # of forcing every loser into a full duplicate private
+            # rewrite). A lock gone stale (>150 s untouched) or removed
+            # without a publish means the writer crashed — stop waiting.
+            deadline = time.time() + 900.0
+            while time.time() < deadline:
                 time.sleep(0.5)
                 if _register_existing(name, path, df, key):
                     return
-            # wedged writer: private path, never contended
+                try:
+                    fresh = (time.time() - os.stat(lock).st_mtime) < 150.0
+                except OSError:
+                    fresh = False  # lock gone and still no _SUCCESS
+                if not fresh:
+                    break
+            # crashed/wedged writer: private path, never contended
             path = os.path.join(base, f"{sub}_{os.getpid()}")
             write_parquet(df, path, bucket_by=(8, [key]), table_name=name)
             return
@@ -1015,9 +1038,22 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # keys off lock mtime, and a bucketed write can legitimately
             # exceed the TTL at large SF — a live writer must never look
             # crashed (round-7 advice).
+            import glob
             import shutil
             import threading
             import uuid
+
+            # Under the lock: sweep wip/trash leftovers from CRASHED
+            # writers (nothing else reclaims them — locks have TTL
+            # expiry, these didn't). Age-gated so a misfired-expiry
+            # concurrent writer's fresh temp dir is never touched; if
+            # one IS swept, its rename simply fails and it registers
+            # over the published files — degraded, never corrupted.
+            now = time.time()
+            for leftover in glob.glob(f"{path}.wip*") + glob.glob(f"{path}.trash*"):
+                with contextlib.suppress(OSError):
+                    if now - os.stat(leftover).st_mtime > 300.0:
+                        shutil.rmtree(leftover, ignore_errors=True)
 
             stop = threading.Event()
 

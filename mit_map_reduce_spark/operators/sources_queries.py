@@ -16,6 +16,7 @@ copy).
 
 from __future__ import annotations
 
+import atexit
 import contextlib
 import hashlib
 import os
@@ -507,15 +508,27 @@ def src_csv_malformed_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     scratch_root = os.path.join(tempfile.gettempdir(), "mmrs_quarantine_scratch")
     os.makedirs(scratch_root, exist_ok=True)
-    # Best-effort sweep of prior invocations' scratch (readers are
-    # long gone after an hour); never touches the dir written below.
+    # Best-effort sweep of CRASHED sessions' scratch: dir names carry
+    # the owning pid, and the sweep only removes dirs that are both
+    # stale (>1 h) and whose owner is gone — a long-lived session that
+    # lazily re-collects its returned frame can never have the files
+    # deleted out from under it. Healthy sessions clean their own dirs
+    # at interpreter exit (atexit below), so accumulation is bounded by
+    # live sessions, not invocation count within the hour.
     now = time.time()
     for name in os.listdir(scratch_root):
         p = os.path.join(scratch_root, name)
+        owner = name.split("_", 1)[0]
+        owner_alive = False
+        if owner.isdigit():
+            with contextlib.suppress(OSError):
+                os.kill(int(owner), 0)
+                owner_alive = True
         with contextlib.suppress(OSError):
-            if now - os.path.getmtime(p) > 3600:
+            if not owner_alive and now - os.path.getmtime(p) > 3600:
                 shutil.rmtree(p, ignore_errors=True)
-    out = os.path.join(scratch_root, uuid.uuid4().hex)
+    out = os.path.join(scratch_root, f"{os.getpid()}_{uuid.uuid4().hex}")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
 
     orders = load_table(spark, sf_dir, "orders")
     price = F.when(

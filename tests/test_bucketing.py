@@ -71,14 +71,9 @@ def test_bucketed_scratch_publishes_atomically(spark, sf_dir):
     from mit_map_reduce_spark.operators.relational import rel_bucketed_join_revenue
 
     rel_bucketed_join_revenue(spark, sf_dir).count()
-    import hashlib
-    import tempfile
+    from mit_map_reduce_spark.operators.relational import bucketed_scratch_base
 
-    from mit_map_reduce_spark.catalog import corpus_fingerprint
-
-    fp = corpus_fingerprint(sf_dir, "lineitem", "orders")
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:8]
-    base = os.path.join(tempfile.gettempdir(), "mmrs_bucketed", tag)
+    base = bucketed_scratch_base(sf_dir)
     entries = sorted(os.listdir(base))
     strays = [e for e in entries if ".wip" in e or ".trash" in e or ".lock" in e]
     assert strays == [], strays
