@@ -441,17 +441,23 @@ def graph_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer, supplier) incidence list on the customer key — never a
     cross join — and its fan-out per customer is degree^2, so hub
     customers (degree > PROJ_HUB_CAP) are dropped FIRST, exactly the
-    hot-shingle df-cap rule from dedup's inverted index. One shuffle
-    on the customer key, one on the (a, b) pair agg; both bounded.
+    hot-shingle df-cap rule from dedup's inverted index. The cap is a
+    count window PARTITIONED BY the customer key (round 8; previously
+    a broadcast join against a separate degree frame — but the degree
+    table is node-sized, one row per customer, and broadcasting a
+    node-sized frame dies at 100 TB where dims don't). One shuffle on
+    the customer key serves both the cap and the self-join; the (a, b)
+    pair agg is the second, both bounded.
     """
     edges = _trade_edges(spark, sf_dir)
     inc = edges.filter(F.col("src") >= NODE_OFFSET).select(
         F.col("src").alias("cust"), F.col("dst").alias("supp")
     )
-    deg = inc.groupBy("cust").agg(F.count("*").alias("d"))
-    small = inc.join(
-        F.broadcast(deg.filter(F.col("d") <= PROJ_HUB_CAP)), "cust"
-    ).select("cust", "supp")
+    small = (
+        inc.withColumn("d", F.count("*").over(W.partitionBy("cust")))
+        .filter(F.col("d") <= PROJ_HUB_CAP)
+        .select("cust", "supp")
+    )
     a = small.select("cust", F.col("supp").alias("supp_a"))
     b = small.select(F.col("cust").alias("cust_b"), F.col("supp").alias("supp_b"))
     pairs = a.join(
