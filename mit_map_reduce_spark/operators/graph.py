@@ -760,10 +760,16 @@ def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
             .distinct()
         )
-        deg = inc.groupBy("cust").agg(F.count("*").alias("d"))
-        small = inc.join(
-            F.broadcast(deg.filter(F.col("d") <= PROJ_HUB_CAP)), "cust"
-        ).select("cust", "supp")
+        # Hub cap via a count window partitioned by the customer key
+        # (round 8, same rewrite as graph_supplier_projection): the
+        # degree frame is CUSTOMER-sized — fact-adjacent, not a dim —
+        # so broadcasting it dies at scale, while the window reuses the
+        # single customer-key shuffle the self-join needs anyway.
+        small = (
+            inc.withColumn("d", F.count("*").over(W.partitionBy("cust")))
+            .filter(F.col("d") <= PROJ_HUB_CAP)
+            .select("cust", "supp")
+        )
         a = small.select("cust", F.col("supp").alias("a"))
         b = small.select(F.col("cust").alias("cust_b"), F.col("supp").alias("b"))
         w = (
@@ -912,6 +918,11 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         (wedge.supp_a == e.a) & (wedge.supp_b == e.b),
         "left_anti",
     )
+    # KNN-graph degrees are supplier-sized (a dim in this schema, and
+    # further K-capped) — broadcast is the deliberate, plan-pinned
+    # shape (tests/test_plans.py). At a scale where the node set
+    # outgrows broadcast, drop the hints and AQE re-plans these as
+    # shuffle joins.
     degrees = adj.groupBy(F.col("x").alias("node")).agg(F.count("*").alias("deg"))
     da = degrees.select(F.col("node").alias("supp_a"), F.col("deg").alias("deg_a"))
     db = degrees.select(F.col("node").alias("supp_b"), F.col("deg").alias("deg_b"))
