@@ -290,8 +290,11 @@ def _round_no(repo: str) -> int:
 #: shortcut was removed); delete it once the baseline absorbs the cost.
 #: The special key "__uniform_drift__" accepts a run whose MEDIAN drift
 #: exceeds what the calibration probe corroborates (see
-#: _report_regressions) — use only with a note explaining the known
-#: environment-wide cause.
+#: _report_regressions). Its note MUST start with "<=X.Y" — the max
+#: median ratio the entry accepts — so a stale entry can never silently
+#: normalize a LARGER later regression (an unbounded entry would have
+#: disabled the codebase-wide-slowdown gate forever); follow with the
+#: known environment-wide cause.
 BENCH_ALLOWLIST: dict[str, str] = {
     # Round-8 audit of the two round-7 "watch" outliers (verdict item
     # 5): executed plans re-read — both label joins in the modularity
@@ -418,16 +421,19 @@ def _report_regressions(
     scale = min(median, cap)
     uniform_drift_gated = False
     if median > cap:
-        if "__uniform_drift__" in BENCH_ALLOWLIST:
-            # The operator explicitly accepted this run's uniform drift
-            # (with a recorded cause): honor it FULLY — normalize by the
-            # median so per-query gates don't all fire against the
-            # capped baseline anyway (which would demand one allowlist
-            # entry per query and defeat the special key).
+        # An allowlist entry accepts uniform drift only up to its
+        # declared "<=X.Y" bound: within it, normalize FULLY by the
+        # median (so per-query gates don't all fire against the capped
+        # baseline, which would demand one entry per query); beyond it
+        # — or with a malformed bound — the entry does not apply, so a
+        # stale entry can never absorb a larger later regression.
+        note = BENCH_ALLOWLIST.get("__uniform_drift__", "")
+        m = re.match(r"<=\s*([0-9.]+)", note)
+        if m and median <= float(m.group(1)):
             scale = median
             print(
                 f"# uniform drift {median:.2f}x vs r{rnd} accepted via "
-                f"BENCH_ALLOWLIST: {BENCH_ALLOWLIST['__uniform_drift__']}",
+                f"BENCH_ALLOWLIST: {note}",
                 file=sys.stderr,
             )
         else:

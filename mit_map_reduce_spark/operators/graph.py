@@ -441,23 +441,27 @@ def graph_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customer, supplier) incidence list on the customer key — never a
     cross join — and its fan-out per customer is degree^2, so hub
     customers (degree > PROJ_HUB_CAP) are dropped FIRST, exactly the
-    hot-shingle df-cap rule from dedup's inverted index. The cap is a
-    count window PARTITIONED BY the customer key (round 8; previously
-    a broadcast join against a separate degree frame — but the degree
-    table is node-sized, one row per customer, and broadcasting a
-    node-sized frame dies at 100 TB where dims don't). One shuffle on
-    the customer key serves both the cap and the self-join; the (a, b)
-    pair agg is the second, both bounded.
+    hot-shingle df-cap rule from dedup's inverted index: compute
+    degrees with a map-side-combined groupBy, keep only the OVER-cap
+    hub list (tiny by definition — it is the set being capped), and
+    broadcast-anti-join it so hub rows are filtered map-side without
+    ever shuffling (round 8; previously the full node-sized degree
+    table was broadcast, which dies at 100 TB, and an intermediate
+    window rewrite would have shuffled + buffered every hub partition
+    precisely to drop it). One shuffle on the customer key for the
+    self-join, one on the (a, b) pair agg; both bounded.
     """
     edges = _trade_edges(spark, sf_dir)
     inc = edges.filter(F.col("src") >= NODE_OFFSET).select(
         F.col("src").alias("cust"), F.col("dst").alias("supp")
     )
-    small = (
-        inc.withColumn("d", F.count("*").over(W.partitionBy("cust")))
-        .filter(F.col("d") <= PROJ_HUB_CAP)
-        .select("cust", "supp")
+    hubs = (
+        inc.groupBy("cust")
+        .agg(F.count("*").alias("d"))
+        .filter(F.col("d") > PROJ_HUB_CAP)
+        .select("cust")
     )
+    small = inc.join(F.broadcast(hubs), "cust", "left_anti")
     a = small.select("cust", F.col("supp").alias("supp_a"))
     b = small.select(F.col("cust").alias("cust_b"), F.col("supp").alias("supp_b"))
     pairs = a.join(
@@ -760,16 +764,19 @@ def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
             .distinct()
         )
-        # Hub cap via a count window partitioned by the customer key
-        # (round 8, same rewrite as graph_supplier_projection): the
-        # degree frame is CUSTOMER-sized — fact-adjacent, not a dim —
-        # so broadcasting it dies at scale, while the window reuses the
-        # single customer-key shuffle the self-join needs anyway.
-        small = (
-            inc.withColumn("d", F.count("*").over(W.partitionBy("cust")))
-            .filter(F.col("d") <= PROJ_HUB_CAP)
-            .select("cust", "supp")
+        # Hub cap via the hot-key anti-join (round 8, same rewrite as
+        # graph_supplier_projection): the full degree frame is
+        # CUSTOMER-sized — fact-adjacent, not a dim — so broadcasting
+        # it dies at scale; the OVER-cap hub list is tiny by
+        # definition, broadcasts at any scale, and filters hub rows
+        # map-side without shuffling them.
+        hubs = (
+            inc.groupBy("cust")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") > PROJ_HUB_CAP)
+            .select("cust")
         )
+        small = inc.join(F.broadcast(hubs), "cust", "left_anti")
         a = small.select("cust", F.col("supp").alias("a"))
         b = small.select(F.col("cust").alias("cust_b"), F.col("supp").alias("b"))
         w = (

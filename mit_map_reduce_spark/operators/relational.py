@@ -1024,6 +1024,12 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fresh = False  # lock gone and still no _SUCCESS
                 if not fresh:
                     break
+            # One FINAL register check: a writer that published and
+            # removed its lock between this loop's register probe and
+            # its stat sees fresh=False — without this re-check the
+            # loser would pay a needless full private rewrite.
+            if _register_existing(name, path, df, key):
+                return
             # crashed/wedged writer: private path, never contended
             path = os.path.join(base, f"{sub}_{os.getpid()}")
             write_parquet(df, path, bucket_by=(8, [key]), table_name=name)
@@ -1045,24 +1051,17 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             # Under the lock: sweep wip/trash leftovers from CRASHED
             # writers (nothing else reclaims them — locks have TTL
-            # expiry, these didn't). Age-gated so a misfired-expiry
-            # concurrent writer's fresh temp dir is never touched; if
-            # one IS swept, its rename simply fails and it registers
-            # over the published files — degraded, never corrupted.
+            # expiry, these didn't). A LIVE writer's toucher thread
+            # keeps its wip dir's mtime fresh (below) — a dir's own
+            # mtime does not advance while file contents stream into
+            # existing files — so the age gate only ever matches dirs
+            # whose writer stopped touching: crashed, not slow.
             now = time.time()
             for leftover in glob.glob(f"{path}.wip*") + glob.glob(f"{path}.trash*"):
                 with contextlib.suppress(OSError):
                     if now - os.stat(leftover).st_mtime > 300.0:
                         shutil.rmtree(leftover, ignore_errors=True)
 
-            stop = threading.Event()
-
-            def _keep_fresh() -> None:
-                while not stop.wait(60.0):
-                    with contextlib.suppress(OSError):
-                        os.utime(lock)
-
-            threading.Thread(target=_keep_fresh, daemon=True).start()
             # Write to a unique temp dir and os.rename into place
             # (mirrors sources_queries._write_and_publish): even if a
             # misfired expiry admits a second writer, each writes its
@@ -1071,6 +1070,16 @@ def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             # torn mix of two writers' files.
             tmp = f"{path}.wip{uuid.uuid4().hex[:8]}"
             tmp_table = f"{name}_wip_{uuid.uuid4().hex[:8]}"
+            stop = threading.Event()
+
+            def _keep_fresh() -> None:
+                while not stop.wait(60.0):
+                    with contextlib.suppress(OSError):
+                        os.utime(lock)
+                    with contextlib.suppress(OSError):
+                        os.utime(tmp)  # exists once Spark starts writing
+
+            threading.Thread(target=_keep_fresh, daemon=True).start()
             try:
                 write_parquet(df, tmp, bucket_by=(8, [key]), table_name=tmp_table)
             finally:

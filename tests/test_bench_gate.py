@@ -109,13 +109,13 @@ def test_gate_rejects_uncorroborated_uniform_drift(tmp_path, monkeypatch):
     uniform = {f"q{i}": 1.9 for i in range(20)}
     gate = bench._report_regressions(str(tmp_path), uniform, probe_sec=1.0)
     assert "__uniform_drift__" in gate
-    # ... unless explicitly allowlisted with a justification — which
-    # must accept the drift FULLY: even a 2.8x uniform run (far above
-    # the per-query 2x threshold against a capped baseline) produces
-    # no per-query gates, and an isolated regression on top of the
-    # accepted drift still gates.
+    # ... unless explicitly allowlisted with a "<=X.Y"-bounded cause —
+    # which must accept the drift FULLY: even a 2.8x uniform run (far
+    # above the per-query 2x threshold against a capped baseline)
+    # produces no per-query gates, and an isolated regression on top
+    # of the accepted drift still gates.
     monkeypatch.setattr(
-        bench, "BENCH_ALLOWLIST", {"__uniform_drift__": "test: known cause"}
+        bench, "BENCH_ALLOWLIST", {"__uniform_drift__": "<=3.0 test: known cause"}
     )
     assert (
         bench._report_regressions(str(tmp_path), uniform, probe_sec=1.0) == []
@@ -124,6 +124,19 @@ def test_gate_rejects_uncorroborated_uniform_drift(tmp_path, monkeypatch):
     assert bench._report_regressions(str(tmp_path), big, probe_sec=1.0) == []
     big["q3"] = 9.0
     assert bench._report_regressions(str(tmp_path), big, probe_sec=1.0) == ["q3"]
+    # the entry is MAGNITUDE-BOUND: drift beyond its declared ratio
+    # still gates (a stale entry cannot absorb a larger regression),
+    # and an unbounded/malformed note never applies.
+    huge = {f"q{i}": 5.0 for i in range(20)}
+    assert "__uniform_drift__" in bench._report_regressions(
+        str(tmp_path), huge, probe_sec=1.0
+    )
+    monkeypatch.setattr(
+        bench, "BENCH_ALLOWLIST", {"__uniform_drift__": "no bound given"}
+    )
+    assert "__uniform_drift__" in bench._report_regressions(
+        str(tmp_path), uniform, probe_sec=1.0
+    )
 
 
 def test_gate_caps_drift_without_probe_baseline(tmp_path, monkeypatch):

@@ -66,17 +66,15 @@ def test_cc_fixpoint_is_registry_backed(spark, sf_dir):
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
 
 
-def test_hits_degrades_to_empty_frame_on_empty_edges(spark, tmp_path):
+def test_hits_degrades_to_empty_frame_on_empty_edges(spark, sf_dir, tmp_path):
     """An empty trade graph (no lineitem/orders rows) must yield an
     empty scored frame with the (node, role, score) schema — the 1-row
     L1-total agg returns NULL there and an unguarded float(None) raised
     TypeError (round-7 advice)."""
-    import shutil
-
     from mit_map_reduce_spark.catalog import TABLES, table_path
     from mit_map_reduce_spark.operators.graph import graph_hits_scores
 
-    src = "/root/testdata/sf0.001"
+    src = sf_dir
     empty_sf = str(tmp_path / "sf_empty")
     for name in TABLES:
         df = spark.read.parquet(table_path(src, name))
