@@ -296,16 +296,11 @@ def _round_no(repo: str) -> int:
 #: disabled the codebase-wide-slowdown gate forever); follow with the
 #: known environment-wide cause.
 BENCH_ALLOWLIST: dict[str, str] = {
-    # Round-8 audit of the two round-7 "watch" outliers (verdict item
-    # 5): executed plans re-read — both label joins in the modularity
-    # report are BroadcastHashJoin over the 16k-row cached label
-    # vector with ONE scan of the cached edge list and map-side
-    # partial aggregation; the gram matrix is the same shape. Nothing
-    # to fix: the r06->r08 deltas (0.47->0.9 s, 0.52->0.77 s) are
-    # environment-class drift on sub-second queries (this round's
-    # median ratio vs the r07 driver run is 1.11x across all 169).
-    "graph_modularity_report": "plan audited optimal; sub-second env drift",
-    "sim_embedding_gram_matrix": "plan audited optimal; sub-second env drift",
+    # (empty — the round-8 watch-outlier entries for
+    # graph_modularity_report / sim_embedding_gram_matrix were dropped
+    # in round 9: BENCH_DETAIL_r08 was stamped WITH the drifted times,
+    # so per the delete-once-absorbed rule above the entries had become
+    # redundant and would only have masked a future real regression.)
 }
 
 
@@ -428,7 +423,10 @@ def _report_regressions(
         # — or with a malformed bound — the entry does not apply, so a
         # stale entry can never absorb a larger later regression.
         note = BENCH_ALLOWLIST.get("__uniform_drift__", "")
-        m = re.match(r"<=\s*([0-9.]+)", note)
+        # Strict numeric group: a malformed bound like "<=." or
+        # "<=1.2.3" must mean entry-does-not-apply, not a float()
+        # ValueError crash (round-8 advice).
+        m = re.match(r"<=\s*([0-9]+(?:\.[0-9]+)?)(?![0-9.])", note)
         if m and median <= float(m.group(1)):
             scale = median
             print(

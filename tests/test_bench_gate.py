@@ -137,6 +137,15 @@ def test_gate_rejects_uncorroborated_uniform_drift(tmp_path, monkeypatch):
     assert "__uniform_drift__" in bench._report_regressions(
         str(tmp_path), uniform, probe_sec=1.0
     )
+    # Malformed bounds ("<=." / "<=1.2.3") must mean does-not-apply,
+    # never a float() crash (round-8 advice).
+    for bad in ("<=. broken", "<=1.2.3 broken"):
+        monkeypatch.setattr(
+            bench, "BENCH_ALLOWLIST", {"__uniform_drift__": bad}
+        )
+        assert "__uniform_drift__" in bench._report_regressions(
+            str(tmp_path), uniform, probe_sec=1.0
+        )
 
 
 def test_gate_caps_drift_without_probe_baseline(tmp_path, monkeypatch):

@@ -161,19 +161,57 @@ def test_gzip_jsonl_roundtrip_writes_gzip_parts(spark, sf_dir):
 
 
 def test_quarantine_isolates_exactly_planted_rows(spark, sf_dir):
-    # Quarantined == planted bad keys; good money total excludes them.
+    # Quarantined == planted bad keys; good money total excludes them
+    # and equals the pure-integer truth computed straight off parquet.
     from mit_map_reduce_spark.catalog import load_table
     from mit_map_reduce_spark.operators.sources_queries import (
         QUAR_BAD_MOD,
+        QUAR_PRICE_MOD,
         src_csv_malformed_quarantine,
     )
     from pyspark.sql import functions as F
 
     rows = src_csv_malformed_quarantine(spark, sf_dir).collect()
     orders = load_table(spark, sf_dir, "orders")
-    n_bad = orders.filter(F.col("o_orderkey") % QUAR_BAD_MOD == 0).count()
+    key = F.col("o_orderkey")
+    n_bad = orders.filter(key % QUAR_BAD_MOD == 0).count()
     assert sum(r.n_quarantined for r in rows) == n_bad
     assert sum(r.n_rows for r in rows) == orders.count()
+    truth = (
+        orders.filter(key % QUAR_BAD_MOD != 0)
+        .agg(F.sum(key % QUAR_PRICE_MOD))
+        .first()[0]
+    )
+    assert sum(r.good_price_cents for r in rows) == truth
+
+
+def test_quarantine_is_filesystem_free(spark, sf_dir, monkeypatch):
+    # Round-9 pin: three red driver rounds with green local emulations
+    # were traced to the only environment surfaces the query had — a
+    # /tmp scratch round trip and float money math through a string.
+    # Both are gone; this test makes any regression loud by failing the
+    # query if it touches a DataFrame writer, a file-based CSV/text
+    # read, or tempfile at all (the parquet table read stays allowed).
+    import tempfile
+
+    from pyspark.sql.readwriter import DataFrameReader, DataFrameWriter
+
+    from mit_map_reduce_spark.operators.sources_queries import (
+        src_csv_malformed_quarantine,
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("quarantine query must not touch the filesystem")
+
+    for attr in ("text", "csv", "json", "parquet", "orc", "save"):
+        monkeypatch.setattr(DataFrameWriter, attr, _boom)
+    for attr in ("text", "csv", "json", "orc"):
+        monkeypatch.setattr(DataFrameReader, attr, _boom)
+    monkeypatch.setattr(tempfile, "gettempdir", _boom)
+    monkeypatch.setattr(tempfile, "mkdtemp", _boom)
+    monkeypatch.setattr(tempfile, "mkstemp", _boom)
+    rows = src_csv_malformed_quarantine(spark, sf_dir).collect()
+    assert len(rows) == 5
 
 
 def test_dynamic_overwrite_preserves_untouched_partitions(spark, sf_dir):
