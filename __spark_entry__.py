@@ -37,63 +37,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: (tools/check_correctness.py) regardless of position.
 _PRIORITY = [
     # ---- driver window (50 rows/round): position 1 = the quarantine
-    # query (red driver hash in r6+r7; re-verify after the round-8
-    # parser-proof rewrite), then every other entry ordered STALEST
-    # DRIVER ROW FIRST (r2 vintage, then r3, ...), so each round's
-    # window refreshes the oldest evidence (round-7 verdict item 3).
-    # Recompute per round from CORRECTNESS_r*.json vintages.
+    # query (red driver hash r6-r8; re-verify after the round-9
+    # environment-free rewrite: in-memory from_csv + integer price
+    # math), then every other entry ordered STALEST DRIVER ROW FIRST
+    # (r3 vintage, then r4, ...), so each round's window refreshes the
+    # oldest evidence. Recomputed per round from CORRECTNESS_r*.json
+    # vintages (r9 rotation: 19 r3-vintage + 30 stalest r4-vintage rows
+    # fill the window behind the quarantine re-check).
     "src_csv_malformed_quarantine",
-    # -- last driver-verified round 2 --
-    "rel_q6_forecast_revenue",
-    "rel_q19_disjunctive_revenue",
-    "adv_window_range_frame_spend",
-    "adv_time_resample_daily",
-    "rel_array_funcs_embeddings",
-    "mm_feature_extract",
-    "mm_asset_stats",
-    "mm_decode_assets",
-    "mm_frame_sample",
-    "mm_resize_images",
-    "text_token_count",
-    "text_tfidf_top_terms",
-    "text_rolling_hash",
-    "text_deterministic_sample",
-    "text_corpus_pipeline",
-    "text_token_stats_by_lang",
-    "sketch_approx_distinct_buyers",
-    "sketch_approx_percentile_order_value",
-    "dedup_embedding_lsh_pairs",
-    "graph_pagerank_trade",
     # -- last driver-verified round 3 --
-    "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
-    "rel_q5_local_supplier_volume",
-    "rel_window_running_spend",
-    "rel_scalar_json_events",
-    "rel_unpivot_nation_metrics",
-    "rel_rollup_acctbal",
-    "rel_distinct_aggs_per_segment",
-    "rel_q22_idle_rich_customers",
-    "rel_q7_nation_trade",
-    "rel_cube_orders",
-    "rel_salted_agg_events_per_type",
-    "adv_range_join_price_bands",
-    "adv_correlated_subquery_small_qty",
-    "adv_grouping_sets_revenue",
-    "sim_ann_ivf_topk",
-    "text_langid",
-    "text_quality",
-    "text_fingerprint",
-    "dedup_simhash_band_pairs",
-    "dedup_ngram_containment_pairs",
-    "text_repetition",
-    "text_contamination",
-    "text_stratified_sample",
-    "text_training_mix",
-    "dedup_near_dup_keep_list",
-    "adv_time_resample_interp",
-    "dedup_exact",
-    "sim_ann_bruteforce_topk",
     "adv_asof_join_last_click",
     "adv_grouped_map_median_gap",
     "adv_percentiles_order_value",
@@ -315,6 +267,56 @@ _PRIORITY = [
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine_pairs",
     "sim_ann_lsh_topk",
+    # -- last driver-verified round 8 --
+    "rel_q6_forecast_revenue",
+    "rel_q19_disjunctive_revenue",
+    "adv_window_range_frame_spend",
+    "adv_time_resample_daily",
+    "rel_array_funcs_embeddings",
+    "mm_feature_extract",
+    "mm_asset_stats",
+    "mm_decode_assets",
+    "mm_frame_sample",
+    "mm_resize_images",
+    "text_token_count",
+    "text_tfidf_top_terms",
+    "text_rolling_hash",
+    "text_deterministic_sample",
+    "text_corpus_pipeline",
+    "text_token_stats_by_lang",
+    "sketch_approx_distinct_buyers",
+    "sketch_approx_percentile_order_value",
+    "dedup_embedding_lsh_pairs",
+    "graph_pagerank_trade",
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_window_running_spend",
+    "rel_scalar_json_events",
+    "rel_unpivot_nation_metrics",
+    "rel_rollup_acctbal",
+    "rel_distinct_aggs_per_segment",
+    "rel_q22_idle_rich_customers",
+    "rel_q7_nation_trade",
+    "rel_cube_orders",
+    "rel_salted_agg_events_per_type",
+    "adv_range_join_price_bands",
+    "adv_correlated_subquery_small_qty",
+    "adv_grouping_sets_revenue",
+    "sim_ann_ivf_topk",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+    "dedup_simhash_band_pairs",
+    "dedup_ngram_containment_pairs",
+    "text_repetition",
+    "text_contamination",
+    "text_stratified_sample",
+    "text_training_mix",
+    "dedup_near_dup_keep_list",
+    "adv_time_resample_interp",
+    "dedup_exact",
+    "sim_ann_bruteforce_topk",
 ]
 
 
