@@ -2,7 +2,7 @@
 
 The grading driver runs in a FRESH container: empty TMPDIR, a vanilla
 ``SparkSession`` (none of our session-factory configs), and it writes
-every scratch artifact itself. Twice (rounds 6 and 7) a ``src_*``
+every scratch artifact itself. Three times (rounds 6-8) a ``src_*``
 query passed every local check yet failed the driver's value hash —
 an environment-class divergence this suite is built to reproduce
 BEFORE the driver run: each ``src_*`` family is driven through
@@ -31,7 +31,9 @@ SF_DIR = "/root/testdata/sf0.01"
 
 #: Split so a failure names the family, while JVM startup (~5 s) is
 #: paid only a few times. The quarantine query runs ALONE — it is the
-#: two-time red driver row this canary exists for.
+#: three-time red driver row this canary exists for (scratch-free and
+#: integer-math since round 9, so the fresh-TMPDIR posture is now a
+#: regression tripwire rather than the suspect surface).
 FAMILIES = {
     "quarantine": ["src_csv_malformed_quarantine"],
     "roundtrips": [
