@@ -194,12 +194,15 @@ def _ensure_written(write_fn, out_dir: str) -> str:
         # that crashed between their rename steps (mirrors the bucketed-
         # table sweep in relational.py — nothing else reclaims these, so
         # crashed runs would otherwise accumulate orders-sized scratch).
-        # Age-gated by the lock TTL so a concurrent private writer's
-        # fresh temp dir is never swept.
+        # Age gate is 4x the lock TTL, wider than relational.py's: the
+        # sources writers have no mtime-toucher thread, and a live
+        # writer admitted by a misfired lock expiry must not have its
+        # in-flight temp dir swept — part-file creation does advance
+        # the dir mtime, but one long-streaming part file would not.
         now = time.time()
         for leftover in glob.glob(out_dir + ".tmp*") + glob.glob(out_dir + ".trash*"):
             with contextlib.suppress(OSError):
-                if now - os.stat(leftover).st_mtime > _LOCK_TTL_S:
+                if now - os.stat(leftover).st_mtime > 4 * _LOCK_TTL_S:
                     shutil.rmtree(leftover, ignore_errors=True)
         _write_and_publish(write_fn, out_dir)
         return out_dir

@@ -96,6 +96,44 @@ def test_publish_protocol_write_once_and_marker(tmp_path):
     assert not os.path.exists(out + ".lock")  # lock released
 
 
+def test_publish_sweeps_aged_crash_leftovers(tmp_path):
+    """A writer that crashed between its rename steps leaves orphan
+    .tmp*/.trash* siblings nothing else reclaims (round-8 advice): the
+    next lock-winning writer sweeps AGED ones (beyond 4x the lock TTL
+    — sources writers have no mtime toucher) and keeps FRESH ones (a
+    concurrent live writer's in-flight dir must survive)."""
+    import os
+    import time
+
+    from mit_map_reduce_spark.operators.sources_queries import (
+        _LOCK_TTL_S,
+        _ensure_written,
+        _is_published,
+    )
+
+    out = str(tmp_path / "art")
+    aged_tmp, aged_trash = out + ".tmpdead1234", out + ".trashdead567"
+    fresh_tmp = out + ".tmplive9999"
+    for d in (aged_tmp, aged_trash, fresh_tmp):
+        os.makedirs(d)
+        with open(os.path.join(d, "junk.txt"), "w") as fh:
+            fh.write("x")
+    old = time.time() - (4 * _LOCK_TTL_S + 60)
+    for d in (aged_tmp, aged_trash):
+        os.utime(d, (old, old))
+
+    def write(d):
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "data.txt"), "w") as fh:
+            fh.write("x")
+
+    got = _ensure_written(write, out)
+    assert got == out and _is_published(out)
+    assert not os.path.exists(aged_tmp)
+    assert not os.path.exists(aged_trash)
+    assert os.path.exists(fresh_tmp)
+
+
 def test_publish_protocol_expires_stale_lock(tmp_path):
     """A lock left by a crashed writer (old mtime, nothing published)
     is expired so the SHARED path heals — no 30s wait, no pid-private
