@@ -41,9 +41,11 @@ _PRIORITY = [
     # environment-free rewrite: in-memory from_csv + integer price
     # math), then every other entry ordered STALEST DRIVER ROW FIRST
     # (r3 vintage, then r4, ...), so each round's window refreshes the
-    # oldest evidence. Recomputed per round from CORRECTNESS_r*.json
-    # vintages (r9 rotation: 19 r3-vintage + 30 stalest r4-vintage rows
-    # fill the window behind the quarantine re-check).
+    # oldest evidence. Recomputed per round with
+    # `python tools/rotate_priority.py` (--check to audit) from the
+    # CORRECTNESS_r*.json vintages (r9 rotation: 19 r3-vintage + 30
+    # stalest r4-vintage rows fill the window behind the quarantine
+    # re-check).
     "src_csv_malformed_quarantine",
     # -- last driver-verified round 3 --
     "adv_asof_join_last_click",

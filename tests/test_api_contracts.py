@@ -54,3 +54,56 @@ def test_bench_headline_names_are_registered():
 
     missing = [n for n in bench.HEADLINE if n not in e.queries()]
     assert missing == [], missing
+
+
+def test_rotate_priority_orders_red_then_stalest(tmp_path, monkeypatch):
+    # tools/rotate_priority.py encodes the standing per-round rule:
+    # red-latest-driver-row queries first, then stalest vintage first,
+    # ties keeping their current relative order; --check reports
+    # without rewriting.
+    import importlib
+    import json
+    import os
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        rotate_priority = importlib.import_module("rotate_priority")
+    finally:
+        sys.path.pop(0)
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"q_old_a": ok, "q_old_b": ok, "q_red": ok})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_new": ok, "q_red": red})
+    )
+    entry = tmp_path / "__spark_entry__.py"
+    entry.write_text(
+        "_PRIORITY = [\n"
+        '    "q_new",\n'
+        '    "q_old_a",\n'
+        '    "q_red",\n'
+        '    "q_old_b",\n'
+        '    "q_never",\n'
+        "]\n"
+    )
+    monkeypatch.setattr(rotate_priority, "REPO", str(tmp_path))
+    monkeypatch.setattr(rotate_priority, "ENTRY", str(entry))
+    monkeypatch.setattr(sys, "argv", ["rotate_priority.py", "--check"])
+    assert rotate_priority.main() == 1  # rotation due, file untouched
+    assert 'q_new",\n    "q_old_a' in entry.read_text()
+
+    monkeypatch.setattr(sys, "argv", ["rotate_priority.py"])
+    assert rotate_priority.main() == 0
+    import re
+
+    names = re.findall(r'"([^"]+)"', entry.read_text())
+    # red first; never-verified next (maximally stale); then r1 rows in
+    # their original relative order; the fresh r2 row last.
+    assert names == ["q_red", "q_never", "q_old_a", "q_old_b", "q_new"]
+    monkeypatch.setattr(sys, "argv", ["rotate_priority.py", "--check"])
+    assert rotate_priority.main() == 0  # idempotent
