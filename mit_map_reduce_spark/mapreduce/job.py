@@ -26,6 +26,7 @@ for Catalyst to exploit. All *native* operators live in
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -88,12 +89,24 @@ def run_job(
 
 
 def save_text_output(df: DataFrame, out_dir: str, n_reduce: int = 10) -> None:
-    """Write ``"key value"`` lines, one file per reduce partition.
+    """Write ``"key value"`` lines, one file per reduce partition,
+    named ``mr-out-<R>`` like the reference's reduce tasks.
 
     Format parity with the reference sink (``src/mr/worker.go:214``:
-    ``fmt.Fprintf(ofile, "%v %v\\n", ...)``). Spark's output committer
-    provides the temp-file + atomic-rename publish the reference
-    hand-rolls (``src/mr/worker.go:195-219``).
+    ``fmt.Fprintf(ofile, "%v %v\\n", ...)``) AND naming parity with its
+    output files (``src/mr/worker.go:195-219``: ``oname := "mr-out-" +
+    strconv.Itoa(reduceID)``, one file per reduce task, created even
+    when the task received no keys). Spark's output committer provides
+    the temp-file + atomic-rename publish the reference hand-rolls;
+    the post-commit rename below goes through the Hadoop FileSystem
+    API so it works on any cluster filesystem, not just local paths.
+
+    Partition ASSIGNMENT parity (which key lands in which R) is
+    intentionally out of scope: the reference hashes with FNV
+    (``src/mr/worker.go:32-38``), Spark with Murmur3, and the
+    reference's own harness sorts ALL output files together before
+    comparing (``src/main/test-mr.sh:103``), so file membership is not
+    part of the observable contract — see SURVEY §2a#3.
     """
     (
         df.repartition(n_reduce, "key")
@@ -101,3 +114,21 @@ def save_text_output(df: DataFrame, out_dir: str, n_reduce: int = 10) -> None:
         .write.mode("overwrite")
         .text(out_dir)
     )
+    spark = df.sparkSession
+    jvm = spark._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path
+    root = hadoop_path(out_dir)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    renamed = set()
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        m = re.match(r"part-(\d+)", name)
+        if m:
+            r = int(m.group(1))
+            fs.rename(status.getPath(), hadoop_path(root, f"mr-out-{r}"))
+            renamed.add(r)
+    # Spark emits no file for an empty partition; the reference's
+    # reduce task creates mr-out-<R> regardless, so top up the gaps.
+    for r in range(n_reduce):
+        if r not in renamed:
+            fs.create(hadoop_path(root, f"mr-out-{r}")).close()

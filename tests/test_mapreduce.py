@@ -114,7 +114,7 @@ def test_job_chaining_via_text_sink(spark, corpus_dir, tmp_path):
     hist = dict(
         (r["key"], r["value"])
         for r in run_job(
-            spark, hist_map, hist_reduce, [os.path.join(out1, "part-*")], n_reduce=2
+            spark, hist_map, hist_reduce, [os.path.join(out1, "mr-out*")], n_reduce=2
         ).collect()
     )
     # independent truth: count words-per-frequency straight from job 1
@@ -141,7 +141,28 @@ def test_text_sink_format(spark, corpus_dir, tmp_path):
     out = tmp_path / "mr-out"
     save_text_output(df, str(out), n_reduce=2)
     lines = []
-    for p in out.glob("part-*"):
+    for p in out.glob("mr-out-*"):
+        lines.extend(p.read_text().splitlines())
+    golden = run_sequential(wc_map, wc_reduce, inputs)
+    assert sorted(lines) == sorted(f"{k} {v}" for k, v in golden)
+
+
+def test_text_sink_file_naming_parity(spark, corpus_dir, tmp_path):
+    """Naming parity: exactly one mr-out-<R> per reduce partition,
+    R = 0..nReduce-1, present even when a partition got no keys
+    (worker.go:195-219 creates the file unconditionally)."""
+    inputs = [os.path.join(corpus_dir, "pg-*.txt")]
+    # n_reduce far above the distinct-key count guarantees some empty
+    # reduce partitions, so the top-up path is exercised.
+    n_reduce = 64
+    df = run_job(spark, wc_map, wc_reduce, inputs, n_reduce=n_reduce)
+    out = tmp_path / "job_out"
+    save_text_output(df, str(out), n_reduce=n_reduce)
+    data_files = [p.name for p in out.iterdir() if not p.name.startswith(("_", "."))]
+    assert sorted(data_files) == sorted(f"mr-out-{r}" for r in range(n_reduce))
+    # Content is still the full job output after the renames.
+    lines = []
+    for p in out.glob("mr-out-*"):
         lines.extend(p.read_text().splitlines())
     golden = run_sequential(wc_map, wc_reduce, inputs)
     assert sorted(lines) == sorted(f"{k} {v}" for k, v in golden)
