@@ -93,11 +93,12 @@ def _render(order: list[str], vintage: dict[str, int]) -> str:
     prev: object = "start"
     _, red, _ = _vintages()
     for q in order:
-        tag = (
-            "red latest driver row"
-            if red.get(q, False)
-            else f"last driver-verified round {vintage.get(q, -1)}"
-        )
+        if red.get(q, False):
+            tag = "red latest driver row"
+        elif q not in vintage:
+            tag = "never driver-verified"
+        else:
+            tag = f"last driver-verified round {vintage[q]}"
         if tag != prev:
             lines.append(f"    # -- {tag} --")
             prev = tag
