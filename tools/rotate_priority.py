@@ -59,8 +59,10 @@ def _vintages() -> tuple[dict[str, int], dict[str, bool], int]:
     return vintage, red, newest
 
 
-def _rotated(current: list[str]) -> tuple[list[str], dict[str, int]]:
-    vintage, red, newest = _vintages()
+def _rotated(
+    current: list[str],
+) -> tuple[list[str], dict[str, int], dict[str, bool]]:
+    vintage, red, _newest = _vintages()
     # A query the driver has never verified is maximally stale: it
     # sorts ahead of every dated row (vintage -1) but behind reds.
     index = {q: i for i, q in enumerate(current)}
@@ -72,10 +74,12 @@ def _rotated(current: list[str]) -> tuple[list[str], dict[str, int]]:
             index[q],
         ),
     )
-    return order, vintage
+    return order, vintage, red
 
 
-def _render(order: list[str], vintage: dict[str, int]) -> str:
+def _render(
+    order: list[str], vintage: dict[str, int], red: dict[str, bool]
+) -> str:
     lines = ["_PRIORITY = ["]
     lines.append(
         "    # ---- driver window (50 rows/round): red-latest-driver-row"
@@ -91,7 +95,6 @@ def _render(order: list[str], vintage: dict[str, int]) -> str:
     )
     lines.append("    # CORRECTNESS_r*.json vintages; do not hand-sort.")
     prev: object = "start"
-    _, red, _ = _vintages()
     for q in order:
         if red.get(q, False):
             tag = "red latest driver row"
@@ -115,7 +118,7 @@ def main() -> int:
         print("no _PRIORITY list found in __spark_entry__.py")
         return 2
     current = re.findall(r'"([^"]+)"', m.group(0))
-    order, vintage = _rotated(current)
+    order, vintage, red = _rotated(current)
     if order == current:
         print(f"up to date ({len(order)} entries; window head: {order[0]})")
         return 0
@@ -128,7 +131,7 @@ def main() -> int:
             f"({current[first]!r} vs expected {order[first]!r})"
         )
         return 1
-    block = _render(order, vintage)
+    block = _render(order, vintage, red)
     with open(ENTRY, "w") as fh:
         fh.write(src[: m.start()] + block + src[m.end() :])
     print(f"rotated {len(order)} entries; window head: {order[0]}")
