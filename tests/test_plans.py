@@ -505,3 +505,20 @@ def test_cumulative_distinct_users_shape(spark, sf_dir):
         load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     )
     assert cums[-1] == n_users
+
+
+def test_quarantine_is_single_shuffle_two_column_scan(spark, sf_dir):
+    # The round-9 environment-free rewrite must stay the plan it
+    # shipped as: lines built in-memory (no second scan, no file read),
+    # exactly ONE exchange (the per-priority rollup), and the orders
+    # scan pruned to the two columns the lines are built from —
+    # o_totalprice left entirely unread.
+    from mit_map_reduce_spark.operators.sources_queries import (
+        src_csv_malformed_quarantine,
+    )
+
+    df = src_csv_malformed_quarantine(spark, sf_dir)
+    assert count_shuffles(df) == 1
+    read = scan_read_schema(df)
+    assert "o_orderkey" in read and "o_orderpriority" in read
+    assert "o_totalprice" not in read and "o_orderdate" not in read
