@@ -11,7 +11,10 @@ aggregate straight from the parquet. A lossless round trip is exactly
 Scratch copies are written once per (corpus, format) under tempdir and
 reused across sessions (same keyed-artifact discipline as the IVF
 centroids; atomic rename so a crashed writer cannot publish a partial
-copy).
+copy). The one exception is ``src_csv_malformed_quarantine``, which
+exercises the PERMISSIVE parser over in-memory-built lines and touches
+no filesystem at all (round-9 rewrite; the no-filesystem property is
+pytest-pinned).
 """
 
 from __future__ import annotations
