@@ -107,3 +107,39 @@ def test_rotate_priority_orders_red_then_stalest(tmp_path, monkeypatch):
     assert names == ["q_red", "q_never", "q_old_a", "q_old_b", "q_new"]
     monkeypatch.setattr(sys, "argv", ["rotate_priority.py", "--check"])
     assert rotate_priority.main() == 0  # idempotent
+
+
+def test_plan_snapshot_diff_flags_only_scale_regressions():
+    # tools/plan_snapshot.py diffs plan shapes across rounds: more
+    # shuffles, fewer broadcasts, or wider scans flag; improvements and
+    # unchanged entries stay silent.
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        ps = importlib.import_module("plan_snapshot")
+    finally:
+        sys.path.pop(0)
+
+    base = {
+        "q_same": {"shuffles": 2, "broadcast_joins": 1, "read_columns": ["a", "b"]},
+        "q_worse": {"shuffles": 1, "broadcast_joins": 2, "read_columns": ["a"]},
+        "q_better": {"shuffles": 3, "broadcast_joins": 0, "read_columns": ["a", "b", "c"]},
+        "q_gone": {"shuffles": 1, "broadcast_joins": 0, "read_columns": []},
+    }
+    cur = {
+        "q_same": {"shuffles": 2, "broadcast_joins": 1, "read_columns": ["b", "a"]},
+        "q_worse": {"shuffles": 2, "broadcast_joins": 1, "read_columns": ["a", "a", "z"]},
+        "q_better": {"shuffles": 1, "broadcast_joins": 2, "read_columns": ["a"]},
+        "q_new": {"shuffles": 0, "broadcast_joins": 0, "read_columns": []},
+    }
+    notes = ps._diff(base, cur)
+    text = "\n".join(notes)
+    assert "q_worse: shuffles 1 -> 2" in text
+    assert "q_worse: broadcast joins 2 -> 1" in text
+    assert "read more columns" in text and "'z'" in text
+    assert "q_gone: REMOVED" in text
+    assert "q_new: NEW" in text
+    assert "q_better" not in text and "q_same: " not in text
