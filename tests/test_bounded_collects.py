@@ -142,3 +142,34 @@ def test_every_driver_materialization_is_allowlisted():
     assert not gone, (
         f"stale ALLOWED entries (site no longer exists): {dict(gone)}"
     )
+
+
+def test_no_row_at_a_time_python_udfs():
+    # The sibling invariant: Python crosses the JVM boundary only in
+    # Arrow batches (pandas_udf / mapInPandas / applyInPandas) or the
+    # intentionally-registered UDTF surface — never via row-at-a-time
+    # F.udf / spark.udf.register, whose per-row pickling is the
+    # classic 10-100x hot-path tax.
+    offenders = []
+    for root, _, files in os.walk(PKG):
+        if "__pycache__" in root:
+            continue
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Call) and isinstance(
+                    node.func, ast.Attribute
+                ):
+                    f = node.func
+                    if f.attr == "udf" and isinstance(f.value, ast.Name):
+                        offenders.append((rel, node.lineno, "F.udf"))
+                    if f.attr == "register" and isinstance(
+                        f.value, ast.Attribute
+                    ) and f.value.attr == "udf":
+                        offenders.append((rel, node.lineno, "udf.register"))
+    assert not offenders, offenders
