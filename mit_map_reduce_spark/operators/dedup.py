@@ -894,8 +894,8 @@ def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_leaked_test_docs"))
     )
     return (
-        counts.crossJoin(pair_stats)
-        .crossJoin(leaked)
+        counts.crossJoin(F.broadcast(pair_stats))
+        .crossJoin(F.broadcast(leaked))
         .withColumn(
             "leak_rate",
             round_half_up(

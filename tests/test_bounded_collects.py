@@ -173,3 +173,39 @@ def test_no_row_at_a_time_python_udfs():
                     ) and f.value.attr == "udf":
                         offenders.append((rel, node.lineno, "udf.register"))
     assert not offenders, offenders
+
+
+def test_every_crossjoin_broadcasts_its_argument():
+    # The third invariant: a crossJoin's argument must be an explicit
+    # F.broadcast(...) of a bounded (usually 1-row aggregate) frame.
+    # Without the hint Spark falls back to size estimates, and a
+    # mis-estimated cartesian product at 100 TB is catastrophic; the
+    # explicit marker also makes the bounded-frame claim grep-able.
+    offenders = []
+    for root, _, files in os.walk(PKG):
+        if "__pycache__" in root:
+            continue
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(root, fname)
+            rel = os.path.relpath(path, PKG).replace(os.sep, "/")
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "crossJoin"
+                ):
+                    arg = node.args[0] if node.args else None
+                    ok = (
+                        isinstance(arg, ast.Call)
+                        and isinstance(arg.func, ast.Attribute)
+                        and arg.func.attr == "broadcast"
+                    )
+                    if not ok:
+                        offenders.append((rel, node.lineno))
+    assert not offenders, (
+        f"crossJoin without an explicit F.broadcast(...) argument: {offenders}"
+    )
