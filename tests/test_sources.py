@@ -237,3 +237,56 @@ def test_dynamic_overwrite_preserves_untouched_partitions(spark, sf_dir):
     for t, n in truth.items():
         assert got[t] == (n_clicks_kept if t == "click" else n)
     assert got["click"] < truth["click"]
+
+
+def test_csv_parse_mode_postures(spark, tmp_path):
+    # The three loader postures on the same malformed batch (documents
+    # the contract the quarantine query builds on): PERMISSIVE keeps
+    # the row with the bad field nulled + raw line captured;
+    # DROPMALFORMED silently drops it; FAILFAST kills the job. A
+    # parser upgrade that changes any of these changes loader
+    # semantics and must be caught here first. Note from_csv supports
+    # only PERMISSIVE and FAILFAST (PARSE_MODE_UNSUPPORTED otherwise);
+    # DROPMALFORMED exists only on the file reader — part of why the
+    # quarantine posture never uses it.
+    import pytest
+    from pyspark.sql import functions as F
+
+    lines = spark.createDataFrame(
+        [("1|100|A",), ("2|N/A|B",), ("3|300|C",)], "line string"
+    )
+    schema = "k bigint, cents bigint, pr string, _corrupt_record string"
+
+    def parsed(mode):
+        opts = {"sep": "|", "mode": mode}
+        if mode == "PERMISSIVE":
+            opts["columnNameOfCorruptRecord"] = "_corrupt_record"
+        return lines.select(
+            F.from_csv("line", schema, opts).alias("r")
+        ).select("r.*")
+
+    perm = parsed("PERMISSIVE").collect()
+    assert len(perm) == 3
+    bad = next(r for r in perm if r.k == 2)
+    assert bad.cents is None and bad.pr == "B"
+    assert bad._corrupt_record == "2|N/A|B"
+    assert all(r._corrupt_record is None for r in perm if r.k != 2)
+
+    with pytest.raises(Exception) as ei:
+        parsed("FAILFAST").collect()
+    assert "FAILFAST" in str(ei.value) or "Malformed" in str(ei.value)
+
+    with pytest.raises(Exception) as ei:
+        parsed("DROPMALFORMED").collect()
+    assert "PARSE_MODE_UNSUPPORTED" in str(ei.value)
+
+    p = tmp_path / "batch.csv"
+    p.write_text("1|100|A\n2|N/A|B\n3|300|C\n")
+    dropped = (
+        spark.read.schema("k bigint, cents bigint, pr string")
+        .option("sep", "|")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+        .collect()
+    )
+    assert sorted(r.k for r in dropped) == [1, 3]
