@@ -125,7 +125,13 @@ def save_text_output(df: DataFrame, out_dir: str, n_reduce: int = 10) -> None:
         m = re.match(r"part-(\d+)", name)
         if m:
             r = int(m.group(1))
-            fs.rename(status.getPath(), hadoop_path(root, f"mr-out-{r}"))
+            # Hadoop FileSystem.rename signals failure by returning false
+            # (it only raises on IO-level errors); on cluster filesystems
+            # rename=false is a real outcome, and silently skipping would
+            # leave this partition's rows in a part-* file the mr-out-*
+            # glob never sees.
+            if not fs.rename(status.getPath(), hadoop_path(root, f"mr-out-{r}")):
+                raise IOError(f"rename {name} -> mr-out-{r} failed in {out_dir}")
             renamed.add(r)
     # Spark emits no file for an empty partition; the reference's
     # reduce task creates mr-out-<R> regardless, so top up the gaps.

@@ -25,6 +25,7 @@ import hashlib
 import os
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 
@@ -98,7 +99,27 @@ def _is_published(out_dir: str) -> bool:
 def _write_and_publish(write_fn, out_dir: str) -> None:
     tmp = out_dir + ".tmp" + uuid.uuid4().hex[:8]
     shutil.rmtree(tmp, ignore_errors=True)
-    write_fn(tmp)
+    # Keep the temp dir's mtime visibly fresh while the write runs
+    # (same toucher pattern as the bucketed-table writer in
+    # relational.py): the under-lock sweep in _ensure_written reclaims
+    # crashed writers' leftovers by dir mtime, and a dir's own mtime
+    # does not advance while one long part file streams INTO it — so
+    # without the toucher a live writer admitted by a misfired lock
+    # expiry could have its in-flight dir swept out from under it
+    # (round-9 advice). With it, a stale mtime proves the writer
+    # stopped touching: crashed, not slow.
+    stop = threading.Event()
+
+    def _keep_fresh() -> None:
+        while not stop.wait(60.0):
+            with contextlib.suppress(OSError):
+                os.utime(tmp)  # exists once the writer creates it
+
+    threading.Thread(target=_keep_fresh, daemon=True).start()
+    try:
+        write_fn(tmp)
+    finally:
+        stop.set()
     with open(os.path.join(tmp, _PUBLISH_MARKER), "w") as fh:
         fh.write("ok\n")
     # Last-moment re-check: if a concurrent writer published while we
@@ -197,11 +218,11 @@ def _ensure_written(write_fn, out_dir: str) -> str:
         # that crashed between their rename steps (mirrors the bucketed-
         # table sweep in relational.py — nothing else reclaims these, so
         # crashed runs would otherwise accumulate orders-sized scratch).
-        # Age gate is 4x the lock TTL, wider than relational.py's: the
-        # sources writers have no mtime-toucher thread, and a live
-        # writer admitted by a misfired lock expiry must not have its
-        # in-flight temp dir swept — part-file creation does advance
-        # the dir mtime, but one long-streaming part file would not.
+        # Live writers keep their temp dir's mtime fresh via the
+        # toucher thread in _write_and_publish (60 s cadence), so a
+        # leftover older than the 4x-TTL gate provably stopped
+        # touching: crashed, not slow. The wide gate is belt-and-
+        # braces on top of the toucher.
         now = time.time()
         for leftover in glob.glob(out_dir + ".tmp*") + glob.glob(out_dir + ".trash*"):
             with contextlib.suppress(OSError):

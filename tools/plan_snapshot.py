@@ -45,10 +45,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _round_no() -> int:
+    # Key the round off existing PLAN_SNAPSHOT_r*.json stamps (max+1), not
+    # BENCH_r*.json: the driver stamps BENCH for the *current* round before
+    # this tool may re-run, so inferring from bench files would mislabel a
+    # late re-run as the NEXT round and poison a future --diff baseline.
     rounds = [
         int(m.group(1))
-        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
-        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        for p in glob.glob(os.path.join(REPO, "PLAN_SNAPSHOT_r*.json"))
+        if (m := re.search(r"PLAN_SNAPSHOT_r(\d+)\.json$", p))
     ]
     return (max(rounds) + 1) if rounds else 1
 

@@ -117,7 +117,10 @@ def main() -> int:
     if not m:
         print("no _PRIORITY list found in __spark_entry__.py")
         return 2
-    current = re.findall(r'"([^"]+)"', m.group(0))
+    # Parse only real entry lines (`    "name",`), not every double-quoted
+    # token in the block — a hand-edited comment like `# see "foo"` must
+    # not be mistaken for a query name and written back into the rotation.
+    current = re.findall(r'^\s*"([^"]+)",?\s*$', m.group(0), re.M)
     order, vintage, red = _rotated(current)
     if order == current:
         print(f"up to date ({len(order)} entries; window head: {order[0]})")
