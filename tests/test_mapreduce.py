@@ -14,6 +14,8 @@ from mit_map_reduce_spark.mapreduce import run_job, run_sequential, save_text_ou
 from mit_map_reduce_spark.mapreduce.apps import (
     crashsafe_map,
     crashsafe_reduce,
+    early_exit_map,
+    early_exit_reduce,
     indexer_map,
     indexer_reduce,
     wc_map,
@@ -43,6 +45,7 @@ APPS = {
     "wc": (wc_map, wc_reduce),
     "indexer": (indexer_map, indexer_reduce),
     "crashsafe": (crashsafe_map, crashsafe_reduce),
+    "early_exit": (early_exit_map, early_exit_reduce),
 }
 
 
@@ -166,6 +169,49 @@ def test_text_sink_file_naming_parity(spark, corpus_dir, tmp_path):
         lines.extend(p.read_text().splitlines())
     golden = run_sequential(wc_map, wc_reduce, inputs)
     assert sorted(lines) == sorted(f"{k} {v}" for k, v in golden)
+
+
+def test_early_exit_output_stable_under_stragglers(spark, corpus_dir, tmp_path):
+    """The reference's early-exit contract (src/main/test-mr.sh:232-282):
+    the moment the job is observed complete, ``sort mr-out*`` must equal
+    the quiescent re-read — no worker may still be finalizing output
+    after completion is signaled. Its plugin makes some reduce tasks
+    sleep to bait exactly that race (src/mrapps/early_exit.go:29-33).
+
+    Spark analog: reduce sleeps on a subset of keys (the stragglers);
+    the instant ``save_text_output`` returns we snapshot every
+    ``mr-out-*`` byte-for-byte, wait out any hypothetical in-flight
+    writer, and assert the quiescent re-read is identical AND matches
+    the sequential oracle.
+    """
+    import time
+
+    def straggler_reduce(key: str, values: list[str]) -> str:
+        # Same shape as early_exit.go:29-33: sleep on a named subset of
+        # keys so some reduce tasks finish long after the others start.
+        if "alpha" in key or "gamma" in key:
+            time.sleep(2.0)
+        return early_exit_reduce(key, values)
+
+    inputs = [os.path.join(corpus_dir, "pg-*.txt")]
+    out = str(tmp_path / "early_exit_out")
+    df = run_job(spark, early_exit_map, straggler_reduce, inputs, n_reduce=4)
+    save_text_output(df, out, n_reduce=4)
+
+    def read_all() -> dict[str, str]:
+        return {
+            p.name: p.read_text()
+            for p in (tmp_path / "early_exit_out").glob("mr-out-*")
+        }
+
+    initial = read_all()  # the moment the action returned
+    time.sleep(3.0)  # longer than any straggler's sleep
+    assert read_all() == initial, "output changed after completion was signaled"
+    lines = sorted(
+        line for body in initial.values() for line in body.splitlines()
+    )
+    golden = run_sequential(early_exit_map, straggler_reduce, inputs)
+    assert lines == sorted(f"{k} {v}" for k, v in golden)
 
 
 def test_udtf_wordcount_matches_native(spark, sf_dir):
