@@ -36,6 +36,35 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def strip_cached_subtrees(plan: str) -> str:
+    """Drop the stored build plan under every ``InMemoryRelation``.
+
+    A cached frame's subtree re-renders once the cache is MATERIALIZED
+    (``AdaptiveSparkPlan isFinalPlan=true`` with query-stage nodes), so
+    any count over the raw text depends on whether some earlier action
+    in the same session happened to materialize a shared cache — pure
+    rendering noise across runs (round-10 triage: the r09->r10
+    graph_degree_distribution / graph_supplier_projection "drift" was
+    exactly this). Counting above the cache boundary is stable: the
+    consumer pays those cached shuffles once per build, not per query,
+    and the build plan's own shape is pinned where the build lives.
+    """
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines():
+        m = re.search(r"[+:]-", line)
+        depth = m.start() if m else None
+        if skip_depth is not None:
+            if depth is not None and depth <= skip_depth:
+                skip_depth = None  # left the cached subtree
+            else:
+                continue
+        out.append(line)
+        if "InMemoryRelation" in line:
+            skip_depth = depth if depth is not None else 0
+    return "\n".join(out)
+
+
 def scan_read_schema(df: DataFrame) -> list[str]:
     """Column names each parquet scan actually reads (ReadSchema).
 
@@ -56,18 +85,27 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
-def count_shuffles(df: DataFrame) -> int:
+def count_shuffles(df: DataFrame, exclude_cached: bool = False) -> int:
     """Number of Exchange nodes. Every one is a full rewrite of its
     input over the network; the difference between 2 and 3 shuffles on
-    a 100 TB input is measured in hours."""
+    a 100 TB input is measured in hours.
+
+    ``exclude_cached=True`` counts only above ``InMemoryRelation``
+    boundaries — stable across cache-materialization state (see
+    :func:`strip_cached_subtrees`)."""
     plan = physical_plan(df)
+    if exclude_cached:
+        plan = strip_cached_subtrees(plan)
     return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", plan))
 
 
-def broadcast_join_count(df: DataFrame) -> int:
+def broadcast_join_count(df: DataFrame, exclude_cached: bool = False) -> int:
     """BroadcastHashJoin count — joins whose small side ships to every
     executor instead of shuffling the big side."""
-    return physical_plan(df).count("BroadcastHashJoin")
+    plan = physical_plan(df)
+    if exclude_cached:
+        plan = strip_cached_subtrees(plan)
+    return plan.count("BroadcastHashJoin")
 
 
 def wholestage_codegen_ids(df: DataFrame) -> list[int]:

@@ -522,3 +522,68 @@ def test_quarantine_is_single_shuffle_two_column_scan(spark, sf_dir):
     read = scan_read_schema(df)
     assert "o_orderkey" in read and "o_orderpriority" in read
     assert "o_totalprice" not in read and "o_orderdate" not in read
+
+
+def test_strip_cached_subtrees_is_materialization_invariant(spark, sf_dir):
+    """Plan counts above a cache boundary must not change when the
+    cache is materialized — the raw text DOES change (the stored
+    subtree re-renders as an AQE final plan with query-stage nodes),
+    which made PLAN_SNAPSHOT graph counts depend on sweep order
+    (round-10 triage)."""
+    from mit_map_reduce_spark.plans.inspect import strip_cached_subtrees
+
+    cached = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    try:
+        q = cached.groupBy((F.col("n") % 10).alias("b")).agg(
+            F.sum("n").alias("s")
+        )
+        before = (
+            count_shuffles(q, exclude_cached=True),
+            broadcast_join_count(q, exclude_cached=True),
+        )
+        cached.count()  # materialize: cached subtree now renders final
+        after = (
+            count_shuffles(q, exclude_cached=True),
+            broadcast_join_count(q, exclude_cached=True),
+        )
+        assert before == after
+        # and the stripper really removed the cached build's exchange
+        stripped = strip_cached_subtrees(physical_plan(q))
+        assert "InMemoryRelation" in stripped  # boundary line kept
+        # the cached BUILD's own shuffle (hashpartitioning on the group
+        # key) must be gone from the stripped text
+        assert "hashpartitioning(o_custkey" not in stripped.split(
+            "InMemoryRelation"
+        )[1]
+    finally:
+        cached.unpersist()
+
+
+def test_strip_cached_subtrees_text_contract():
+    from mit_map_reduce_spark.plans.inspect import strip_cached_subtrees
+
+    plan = "\n".join(
+        [
+            "AdaptiveSparkPlan isFinalPlan=false",
+            "+- HashAggregate",
+            "   +- Exchange hashpartitioning(a, 32)",
+            "      +- InMemoryTableScan [a]",
+            "            +- InMemoryRelation [a, b]",
+            "                  +- Exchange hashpartitioning(b, 32)",
+            "                     +- BroadcastHashJoin",
+            "                        :- FileScan parquet",
+            "                        +- BroadcastExchange",
+            "+- SecondBranch after cache",
+        ]
+    )
+    got = strip_cached_subtrees(plan)
+    assert "hashpartitioning(a" in got            # above cache: kept
+    assert "InMemoryRelation" in got              # boundary line: kept
+    assert "hashpartitioning(b" not in got        # stored build: dropped
+    assert "BroadcastHashJoin" not in got
+    assert "SecondBranch after cache" in got      # sibling at shallower depth resumes

@@ -18,6 +18,17 @@ actually read. The diff flags any query whose shuffle count rose,
 whose broadcast count fell, or whose scans started reading MORE
 columns — the three silent plan regressions that matter at scale.
 
+Counts are taken ABOVE ``InMemoryRelation`` boundaries
+(``exclude_cached=True``): a cached subtree re-renders as an AQE final
+plan once any earlier action in the sweep session materializes it, so
+raw counts depended on sweep order (the r09->r10 graph "drift" was
+exactly this noise — same code, same data). The cost: a broadcast or
+shuffle living INSIDE a shared cached build is no longer visible here;
+those build shapes are pinned by the targeted assertions in
+tests/test_plans.py instead. The r10 stamp re-based 26 entries'
+broadcast counts downward for this reason — all explained, none a real
+plan change.
+
 Scope: batch queries only. ``stream_*`` plans are pinned separately by
 ``tests/test_streaming_plans.py`` (building them here would run full
 micro-batch drains), and their returned frames are sink reads whose
@@ -88,8 +99,12 @@ def _build() -> dict[str, dict]:
         try:
             df = fn(spark, SF_DIR)
             snap[name] = {
-                "shuffles": count_shuffles(df),
-                "broadcast_joins": broadcast_join_count(df),
+                # exclude_cached: a cached subtree re-renders once some
+                # earlier query's action materializes it (AQE final
+                # plan), so raw counts depend on sweep order — counting
+                # above the cache boundary is the stable, per-query cost.
+                "shuffles": count_shuffles(df, exclude_cached=True),
+                "broadcast_joins": broadcast_join_count(df, exclude_cached=True),
                 # multiset, sorted: two scans of the same table count
                 # its columns twice; order of scans is plan-noise.
                 "read_columns": sorted(scan_read_schema(df)),
