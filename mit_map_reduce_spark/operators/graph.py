@@ -39,6 +39,24 @@ NODE_OFFSET = 1_000_000  # customer node id = c_custkey + NODE_OFFSET
 GRAPH_SHUFFLE_PARTITIONS = 32  # size to node count, not session default
 
 
+def _bounded_width(spark: SparkSession) -> int:
+    """Shuffle width for plan-embedded ``repartition`` calls: scales
+    with the CLUSTER (2x total cores), never with session conf.
+
+    The scoped shuffle-partition override the iterative builds use
+    only works because they MATERIALIZE inside the scope; a returned
+    lazy frame executes later under whatever conf the caller has —
+    under a bare driver session that meant 200-partition shuffles for
+    kilobyte-scale graph stages (the round-9 20.6 s
+    graph_supplier_projection vanilla row was ~pure task overhead).
+    An explicit ``repartition(P, keys)`` pins the width INTO the plan;
+    the co-partitioned aggregation downstream then reuses it instead
+    of adding a conf-width exchange, so the total shuffle count is
+    unchanged — only the width is bounded.
+    """
+    return max(2 * spark.sparkContext.defaultParallelism, GRAPH_SHUFFLE_PARTITIONS)
+
+
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (src, dst) edges, both directions, between customer
     nodes (offset) and supplier nodes — one edge per trading pair.
@@ -60,7 +78,13 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("o_custkey") + NODE_OFFSET).alias("cust_node"),
                 F.col("l_suppkey").alias("supp_node"),
             )
-            .distinct()
+            # The dedup aggregate reuses this pinned-width partitioning
+            # (same attribute ids) instead of adding a conf-width
+            # exchange — the cache build materializes lazily, OUTSIDE
+            # any scoped-conf block, so under a bare session the
+            # distinct would otherwise run 200 tasks over kilobytes.
+            .repartition(_bounded_width(spark), "cust_node", "supp_node")
+            .dropDuplicates()
         )
         fwd = pairs.select(F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"))
         rev = pairs.select(F.col("supp_node").alias("src"), F.col("cust_node").alias("dst"))
@@ -437,23 +461,28 @@ def graph_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     community detection. (A bipartite graph has no triangles; the
     projection is where its clustering structure lives.)
 
-    Scale shape: the pair generation is a self-equi-join of the
-    (customer, supplier) incidence list on the customer key — never a
-    cross join — and its fan-out per customer is degree^2, so hub
-    customers (degree > PROJ_HUB_CAP) are dropped FIRST, exactly the
-    hot-shingle df-cap rule from dedup's inverted index: compute
-    degrees with a map-side-combined groupBy, keep only the OVER-cap
-    hub list (tiny by definition — it is the set being capped), and
-    broadcast-anti-join it so hub rows are filtered map-side without
-    ever shuffling (round 8; previously the full node-sized degree
-    table was broadcast, which dies at 100 TB, and an intermediate
-    window rewrite would have shuffled + buffered every hub partition
-    precisely to drop it). One shuffle on the customer key for the
-    self-join, one on the (a, b) pair agg; both bounded.
+    Scale shape (round 10 — formerly a self-equi-join): hub customers
+    (degree > PROJ_HUB_CAP) are dropped FIRST, exactly the hot-shingle
+    df-cap rule from dedup's inverted index — compute degrees with a
+    map-side-combined groupBy, keep only the OVER-cap hub list (tiny
+    by definition — it is the set being capped), and broadcast-anti-
+    join it so hub rows are filtered map-side without ever shuffling.
+    After the cap every surviving customer has <= PROJ_HUB_CAP
+    suppliers, so the pair generation needs NO join at all: collect
+    the (bounded, <= CAP elements) supplier set per customer and
+    explode the a < b pairs map-side — degree^2 fan-out capped at
+    CAP^2 per row. Two pinned-width shuffles total (incidence grouped
+    on the customer key — reused by both the degree branch and the
+    set-collect via exchange reuse — and the (a, b) pair aggregation);
+    the self-join's second fact-sized sort-merge shuffle is gone, and
+    no stage's width rides session conf (see _bounded_width).
     """
+    width = _bounded_width(spark)
     edges = _trade_edges(spark, sf_dir)
-    inc = edges.filter(F.col("src") >= NODE_OFFSET).select(
-        F.col("src").alias("cust"), F.col("dst").alias("supp")
+    inc = (
+        edges.filter(F.col("src") >= NODE_OFFSET)
+        .select(F.col("src").alias("cust"), F.col("dst").alias("supp"))
+        .repartition(width, "cust")
     )
     hubs = (
         inc.groupBy("cust")
@@ -461,14 +490,19 @@ def graph_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("d") > PROJ_HUB_CAP)
         .select("cust")
     )
+    # Broadcast anti-join preserves the cust partitioning, so the
+    # collect_set aggregate below reuses it — no extra exchange. Sets
+    # are bounded by the cap BEFORE collection; no whale-group risk.
     small = inc.join(F.broadcast(hubs), "cust", "left_anti")
-    a = small.select("cust", F.col("supp").alias("supp_a"))
-    b = small.select(F.col("cust").alias("cust_b"), F.col("supp").alias("supp_b"))
-    pairs = a.join(
-        b, (F.col("cust") == F.col("cust_b")) & (F.col("supp_a") < F.col("supp_b"))
+    grouped = small.groupBy("cust").agg(F.collect_set("supp").alias("ss"))
+    pairs = (
+        grouped.select(F.explode("ss").alias("supp_a"), "ss")
+        .select("supp_a", F.explode("ss").alias("supp_b"))
+        .filter(F.col("supp_a") < F.col("supp_b"))
     )
     return (
-        pairs.groupBy("supp_a", "supp_b")
+        pairs.repartition(width, "supp_a", "supp_b")
+        .groupBy("supp_a", "supp_b")
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= PROJ_MIN_COMMON)
     )

@@ -587,3 +587,32 @@ def test_strip_cached_subtrees_text_contract():
     assert "hashpartitioning(b" not in got        # stored build: dropped
     assert "BroadcastHashJoin" not in got
     assert "SecondBranch after cache" in got      # sibling at shallower depth resumes
+
+
+def test_supplier_projection_has_no_join_after_hub_cap(spark, sf_dir):
+    """Round-10 rewrite: after the hub cap the pair generation is a
+    bounded collect_set + map-side explode — no self-join. At most
+    three pinned-width hash shuffles above the edge cache: incidence
+    on cust for the set-collect, the degree branch's own (narrower,
+    one-column — column pruning beats exchange reuse here) cust
+    shuffle, and the (a, b) pair agg. The only join left is the
+    broadcast anti for the hub drop."""
+    from mit_map_reduce_spark.operators.graph import graph_supplier_projection
+
+    df = graph_supplier_projection(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert count_shuffles(df, exclude_cached=True) <= 3
+    # every hash exchange is pinned (REPARTITION_BY_NUM), none rides
+    # session conf width
+    import re as _re
+
+    from mit_map_reduce_spark.plans.inspect import strip_cached_subtrees
+
+    hash_exchanges = _re.findall(
+        r"Exchange hashpartitioning[^\n]*", strip_cached_subtrees(plan)
+    )
+    assert hash_exchanges and all(
+        "REPARTITION_BY_NUM" in x for x in hash_exchanges
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
