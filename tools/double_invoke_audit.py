@@ -8,9 +8,15 @@ half-keyed cache shows up as a diff here and nowhere else
 (tests/test_artifact_reuse.py covers six representative queries; this
 tool sweeps all of them).
 
-    python tools/double_invoke_audit.py [sf_dir] [names...]
+    python tools/double_invoke_audit.py [--trials N] [sf_dir] [names...]
 
 Prints PASS/DIFF per query and exits nonzero on any DIFF.
+
+``--trials N`` (default 2) is the soak analog of the reference's
+``test-mr-many.sh`` flakiness amplifier (src/main/test-mr-many.sh:15-21
+reruns the whole suite N times because rare races need repetition to
+surface): every query runs N times in the one session and ALL N row
+multisets must agree — trial i vs trial 1, any difference fails.
 """
 
 from __future__ import annotations
@@ -35,8 +41,17 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from mit_map_reduce_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    trials = 2
+    if "--trials" in argv:
+        i = argv.index("--trials")
+        trials = int(argv[i + 1])
+        del argv[i : i + 2]
+    if trials < 2:
+        print("--trials must be >= 2 (a single run compares nothing)")
+        return 2
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     spark = get_spark("mmrs_double_invoke")
     failures = []
     for name, fn in entrymod.queries().items():
@@ -45,21 +60,27 @@ def main() -> int:
         t0 = time.time()
         try:
             first = _rows(fn(spark, sf_dir))
-            second = _rows(fn(spark, sf_dir))
+            bad = None
+            for t in range(1, trials):
+                again = _rows(fn(spark, sf_dir))
+                if again != first:
+                    bad = (t + 1, again)
+                    break
         except Exception as ex:  # surfaced for triage
             failures.append(name)
             print(f"ERROR {name}: {ex}")
             continue
-        if first == second and first is not None:
-            print(f"PASS {name} ({time.time() - t0:.1f}s, {len(first)} rows)")
+        if bad is None and first is not None:
+            print(f"PASS {name} ({time.time() - t0:.1f}s, {len(first)} rows, {trials} trials)")
         else:
             failures.append(name)
+            trial_no, second = bad
             a, b = len(first), len(second)
             diff = next(
                 (pair for pair in zip(first, second) if pair[0] != pair[1]),
                 None,
             )
-            print(f"DIFF {name}: {a} vs {b} rows; first diff {diff}")
+            print(f"DIFF {name}: trial {trial_no}: {a} vs {b} rows; first diff {diff}")
     print(f"{len(failures)} failures")
     return 1 if failures else 0
 
