@@ -77,6 +77,21 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     return df.repartition(n)
 
 
+def bounded_shuffle_width(spark: SparkSession, floor: int = 32) -> int:
+    """Shuffle width for plan-embedded ``repartition`` calls and
+    scoped-conf iterative builds: scales with the CLUSTER (2x total
+    cores, floored), never with ``spark.sql.shuffle.partitions``.
+
+    A returned lazy frame executes under the CALLER's conf — under a
+    bare driver session that means 200-partition shuffles even for
+    kilobyte-scale stages, which is pure task overhead (the round-9
+    20.6 s graph_supplier_projection vanilla row). Pinning an explicit
+    width into the plan (or into an in-scope materialized build) keeps
+    stage width proportional to actual parallelism at every scale.
+    """
+    return max(2 * spark.sparkContext.defaultParallelism, floor)
+
+
 def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize the events timestamp column to ``TimestampType``.
 

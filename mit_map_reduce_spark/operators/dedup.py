@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table, shared_persist, spread
+from mit_map_reduce_spark.catalog import bounded_shuffle_width, load_table, shared_persist, spread
 from mit_map_reduce_spark.functions.columns import (
     round_half_up,
     dot_product,
@@ -713,6 +713,24 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def build():
+        # The whole fixpoint materializes INSIDE this scope (per-round
+        # counts), so the scoped width applies — same pattern as the
+        # graph loops. The loop data is near-dup-pair-sized; under a
+        # bare 200-partition driver session each of the ~3 rounds' two
+        # joins + aggregate otherwise burns conf-width task overhead
+        # (measured 21.9 s total keep-list build at sf0.01, ~all
+        # scheduling). The upstream LSH-pair artifact builds lazily,
+        # so its first materialization lands in this scope too.
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(bounded_shuffle_width(spark))
+        )
+        try:
+            return _cc_fixpoint()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    def _cc_fixpoint():
         pairs = minhash_lsh_pairs(spark, sf_dir)
         edges = (
             pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))

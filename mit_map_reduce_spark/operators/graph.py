@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table, shared_persist
+from mit_map_reduce_spark.catalog import bounded_shuffle_width, load_table, shared_persist
 from mit_map_reduce_spark.functions.columns import round_half_up
 
 DAMPING = 0.85
@@ -40,8 +40,7 @@ GRAPH_SHUFFLE_PARTITIONS = 32  # size to node count, not session default
 
 
 def _bounded_width(spark: SparkSession) -> int:
-    """Shuffle width for plan-embedded ``repartition`` calls: scales
-    with the CLUSTER (2x total cores), never with session conf.
+    """Cluster-scaled pinned shuffle width (catalog.bounded_shuffle_width).
 
     The scoped shuffle-partition override the iterative builds use
     only works because they MATERIALIZE inside the scope; a returned
@@ -54,7 +53,7 @@ def _bounded_width(spark: SparkSession) -> int:
     of adding a conf-width exchange, so the total shuffle count is
     unchanged — only the width is bounded.
     """
-    return max(2 * spark.sparkContext.defaultParallelism, GRAPH_SHUFFLE_PARTITIONS)
+    return bounded_shuffle_width(spark, floor=GRAPH_SHUFFLE_PARTITIONS)
 
 
 def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -782,28 +781,36 @@ def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH endpoints kept it (mutual-kNN — the sparsifier that resists
     hub pollution).
 
-    Scale shape: the weight matrix never materializes beyond the
-    hub-capped incidence self-join (same ``PROJ_HUB_CAP`` discipline as
-    the bipartite projection); top-k is one hash-partitioned window per
-    node; the mutuality check is a self equi-join on the reversed key.
+    Scale shape (round 10 — formerly a self-equi-join + reversed-key
+    join, ~8 conf-width shuffle stages that cost 12 s of task overhead
+    over 81 edges under a bare 200-partition session): hub customers
+    are dropped FIRST via the broadcast anti-join (the OVER-cap list
+    is tiny by definition; the full degree frame is CUSTOMER-sized and
+    must never broadcast), after which every surviving customer has
+    <= PROJ_HUB_CAP suppliers — so directed pairs come from a bounded
+    collect_set + map-side explode, no join. Three pinned-width
+    exchanges total (see _bounded_width), each reused by everything
+    downstream of it: (1) incidence on cust — dedup, hub degrees, and
+    the set-collect all run on it; (2) pairs on a — the weight
+    aggregation (clustering (a, b) accepts the subset partitioning)
+    AND the per-a top-k window run on it with no further shuffle;
+    (3) canonical (x, y) — mutuality is count(directions) == 2 per
+    undirected key, replacing the reversed-key self-join (top-k rows
+    are unique per (a, b), so both-directions-kept <=> count 2).
     Shared-persisted: triangle count and link prediction probe one
     cached copy per (session, corpus).
     """
 
     def build():
+        width = _bounded_width(spark)
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         inc = (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-            .distinct()
+            .repartition(width, "cust")
+            .dropDuplicates()
         )
-        # Hub cap via the hot-key anti-join (round 8, same rewrite as
-        # graph_supplier_projection): the full degree frame is
-        # CUSTOMER-sized — fact-adjacent, not a dim — so broadcasting
-        # it dies at scale; the OVER-cap hub list is tiny by
-        # definition, broadcasts at any scale, and filters hub rows
-        # map-side without shuffling them.
         hubs = (
             inc.groupBy("cust")
             .agg(F.count("*").alias("d"))
@@ -811,10 +818,14 @@ def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cust")
         )
         small = inc.join(F.broadcast(hubs), "cust", "left_anti")
-        a = small.select("cust", F.col("supp").alias("a"))
-        b = small.select(F.col("cust").alias("cust_b"), F.col("supp").alias("b"))
+        grouped = small.groupBy("cust").agg(F.collect_set("supp").alias("ss"))
+        pairs = (
+            grouped.select(F.explode("ss").alias("a"), "ss")
+            .select("a", F.explode("ss").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
         w = (
-            a.join(b, (F.col("cust") == F.col("cust_b")) & (F.col("a") != F.col("b")))
+            pairs.repartition(width, "a")
             .groupBy("a", "b")
             .agg(F.count("*").alias("n_common"))
         )
@@ -824,11 +835,15 @@ def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= KNN_K)
             .select("a", "b")
         )
-        rev = topk.select(F.col("b").alias("ra"), F.col("a").alias("rb"))
         return (
-            topk.join(rev, (F.col("a") == F.col("ra")) & (F.col("b") == F.col("rb")))
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b")
+            topk.select(
+                F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+            )
+            .repartition(width, "x", "y")
+            .groupBy("x", "y")
+            .agg(F.count("*").alias("n_dir"))
+            .filter(F.col("n_dir") == 2)
+            .select(F.col("x").alias("a"), F.col("y").alias("b"))
         )
 
     return shared_persist(spark, "graph_knn_edges", sf_dir, build)
@@ -877,18 +892,34 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree cap (<= KNN_K), so wedge volume is at most K^2 per node at
     any corpus scale. One row per node in >= 1 triangle.
     """
+    width = _bounded_width(spark)
     e = _knn_copurchase_edges(spark, sf_dir)
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("wy"), F.col("b").alias("z"))
+    # Every exchange pinned to _bounded_width: the edge list is
+    # node-x-K-sized, and under a bare session the equi-joins would
+    # otherwise sort-merge at the 200-partition conf default.
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y")).repartition(
+        width, "y"
+    )
+    e2 = e.select(F.col("a").alias("wy"), F.col("b").alias("z")).repartition(
+        width, "wy"
+    )
     wedges = e1.join(e2, F.col("y") == F.col("wy")).select("x", "y", "z")
     closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = wedges.join(closing, ["x", "z"]).select("x", "y", "z")
+    tri = (
+        wedges.repartition(width, "x", "z")
+        .join(closing.repartition(width, "x", "z"), ["x", "z"])
+        .select("x", "y", "z")
+    )
     nodes = (
         tri.select(F.col("x").alias("supp"))
         .unionAll(tri.select(F.col("y").alias("supp")))
         .unionAll(tri.select(F.col("z").alias("supp")))
     )
-    return nodes.groupBy("supp").agg(F.count("*").alias("n_triangles"))
+    return (
+        nodes.repartition(width, "supp")
+        .groupBy("supp")
+        .agg(F.count("*").alias("n_triangles"))
+    )
 
 
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -904,11 +935,19 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; nodes with degree < 2 have no wedges and are excluded
     (coefficient undefined).
     """
+    width = _bounded_width(spark)
     e = _knn_copurchase_edges(spark, sf_dir)
     und = e.select(F.col("a").alias("node")).unionAll(
         e.select(F.col("b").alias("node"))
     )
-    deg = und.groupBy("node").agg(F.count("*").alias("degree"))
+    # Pinned width (see _bounded_width); the degree agg reuses the
+    # repartition, and the left join is co-partitioned with the
+    # triangle side (whose final agg is node-keyed at the same width).
+    deg = (
+        und.repartition(width, "node")
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
     tri = graph_triangle_count(spark, sf_dir).select(
         F.col("supp").alias("node"), "n_triangles"
     )
