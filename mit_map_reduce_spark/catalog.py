@@ -77,10 +77,11 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     return df.repartition(n)
 
 
-def bounded_shuffle_width(spark: SparkSession, floor: int = 32) -> int:
+def bounded_shuffle_width(spark: SparkSession, floor: int = 16) -> int:
     """Shuffle width for plan-embedded ``repartition`` calls and
-    scoped-conf iterative builds: scales with the CLUSTER (2x total
-    cores, floored), never with ``spark.sql.shuffle.partitions``.
+    scoped-conf iterative builds: scales with the CLUSTER (one task
+    wave — total cores, floored), never with
+    ``spark.sql.shuffle.partitions``.
 
     A returned lazy frame executes under the CALLER's conf — under a
     bare driver session that means 200-partition shuffles even for
@@ -88,8 +89,15 @@ def bounded_shuffle_width(spark: SparkSession, floor: int = 32) -> int:
     20.6 s graph_supplier_projection vanilla row). Pinning an explicit
     width into the plan (or into an in-scope materialized build) keeps
     stage width proportional to actual parallelism at every scale.
+    Exactly one wave, not 2x: an A/B at sf0.1 measured the projection
+    at 0.98 s with width=cores vs 2.47 s at 2x cores — REPARTITION_BY_NUM
+    is exempt from AQE coalescing, so every extra pinned partition is
+    pure scheduling overhead on the many kilobyte-scale stages this
+    serves. Use it where a stage would otherwise ride conf width; do
+    NOT pin stages AQE already handles well (tiny ENSURE_REQUIREMENTS
+    shuffles coalesce to fewer tasks than any honest pin).
     """
-    return max(2 * spark.sparkContext.defaultParallelism, floor)
+    return max(spark.sparkContext.defaultParallelism, floor)
 
 
 def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:

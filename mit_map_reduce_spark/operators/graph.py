@@ -892,34 +892,25 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree cap (<= KNN_K), so wedge volume is at most K^2 per node at
     any corpus scale. One row per node in >= 1 triangle.
     """
-    width = _bounded_width(spark)
     e = _knn_copurchase_edges(spark, sf_dir)
-    # Every exchange pinned to _bounded_width: the edge list is
-    # node-x-K-sized, and under a bare session the equi-joins would
-    # otherwise sort-merge at the 200-partition conf default.
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y")).repartition(
-        width, "y"
-    )
-    e2 = e.select(F.col("a").alias("wy"), F.col("b").alias("z")).repartition(
-        width, "wy"
-    )
+    # Deliberately UNPINNED (round 10): these equi-joins shuffle the
+    # cached node-x-K edge list via ENSURE_REQUIREMENTS exchanges,
+    # which AQE coalesces to a handful of tasks at any conf width —
+    # measured 0.6 s factory / acceptable vanilla, while pinned
+    # REPARTITION_BY_NUM (exempt from coalescing) cost 1.6 s factory.
+    # The conf-width hazard this module pins elsewhere applies to
+    # repartitions AQE cannot shrink, not to these.
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("wy"), F.col("b").alias("z"))
     wedges = e1.join(e2, F.col("y") == F.col("wy")).select("x", "y", "z")
     closing = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = (
-        wedges.repartition(width, "x", "z")
-        .join(closing.repartition(width, "x", "z"), ["x", "z"])
-        .select("x", "y", "z")
-    )
+    tri = wedges.join(closing, ["x", "z"]).select("x", "y", "z")
     nodes = (
         tri.select(F.col("x").alias("supp"))
         .unionAll(tri.select(F.col("y").alias("supp")))
         .unionAll(tri.select(F.col("z").alias("supp")))
     )
-    return (
-        nodes.repartition(width, "supp")
-        .groupBy("supp")
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    return nodes.groupBy("supp").agg(F.count("*").alias("n_triangles"))
 
 
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,19 +926,13 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; nodes with degree < 2 have no wedges and are excluded
     (coefficient undefined).
     """
-    width = _bounded_width(spark)
     e = _knn_copurchase_edges(spark, sf_dir)
     und = e.select(F.col("a").alias("node")).unionAll(
         e.select(F.col("b").alias("node"))
     )
-    # Pinned width (see _bounded_width); the degree agg reuses the
-    # repartition, and the left join is co-partitioned with the
-    # triangle side (whose final agg is node-keyed at the same width).
-    deg = (
-        und.repartition(width, "node")
-        .groupBy("node")
-        .agg(F.count("*").alias("degree"))
-    )
+    # Unpinned like the triangle joins: ENSURE_REQUIREMENTS exchanges
+    # over the cached edge list coalesce under AQE at any conf width.
+    deg = und.groupBy("node").agg(F.count("*").alias("degree"))
     tri = graph_triangle_count(spark, sf_dir).select(
         F.col("supp").alias("node"), "n_triangles"
     )
