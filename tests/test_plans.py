@@ -616,3 +616,24 @@ def test_supplier_projection_has_no_join_after_hub_cap(spark, sf_dir):
         "REPARTITION_BY_NUM" in x for x in hash_exchanges
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_knn_edge_build_has_no_join_after_hub_cap(spark, sf_dir):
+    """Round-10 rewrite of the mutual-kNN co-purchase build: pair
+    generation is a bounded collect_set + explode (no self-join), the
+    top-k window rides the SAME pinned exchange as the weight agg,
+    and mutuality is a count==2 aggregate (no reversed-key join). The
+    only join in the whole build is the broadcast anti hub drop."""
+    from mit_map_reduce_spark.operators.graph import _knn_copurchase_edges
+
+    df = _knn_copurchase_edges(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan
+    # exactly one join: the broadcast-anti hub filter
+    assert plan.count("Join") == plan.count("BroadcastHashJoin")
+    import re as _re
+
+    hash_exchanges = _re.findall(r"Exchange hashpartitioning[^\n]*", plan)
+    assert hash_exchanges and all(
+        "REPARTITION_BY_NUM" in x for x in hash_exchanges
+    )
