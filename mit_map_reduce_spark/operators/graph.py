@@ -470,11 +470,13 @@ def graph_supplier_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers, so the pair generation needs NO join at all: collect
     the (bounded, <= CAP elements) supplier set per customer and
     explode the a < b pairs map-side — degree^2 fan-out capped at
-    CAP^2 per row. Two pinned-width shuffles total (incidence grouped
-    on the customer key — reused by both the degree branch and the
-    set-collect via exchange reuse — and the (a, b) pair aggregation);
-    the self-join's second fact-sized sort-merge shuffle is gone, and
-    no stage's width rides session conf (see _bounded_width).
+    CAP^2 per row. Three pinned-width shuffles total: incidence on the
+    customer key for the set-collect, the degree branch's own cust
+    shuffle (column pruning makes it a narrower one-column exchange
+    than reuse would give), and the (a, b) pair aggregation. The
+    self-join's second fact-sized sort-merge shuffle is gone, and no
+    stage's width rides session conf (see _bounded_width); the plan is
+    pinned by test (no SortMergeJoin, all REPARTITION_BY_NUM).
     """
     width = _bounded_width(spark)
     edges = _trade_edges(spark, sf_dir)
