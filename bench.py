@@ -28,6 +28,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from mit_map_reduce_spark.catalog import drain_build_events
 from mit_map_reduce_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -501,16 +502,40 @@ def main() -> None:
     probe_sec = _calibration_probe(spark)
     print(f"# calibration probe: {probe_sec:.3f}s", file=sys.stderr)
 
+    drain_build_events()  # warmups may have built artifacts; not ours to report
     timings: dict[str, float] = {}
+    cold_builds: dict[str, list] = {}
     for name in HEADLINE:
         fn = queries[name]
         runs = []
         n = 0
-        for _ in range(REPEATS):
+        attempts = 0
+        # A run that materializes a session-shared artifact (e.g. the
+        # dedup CC fixpoint, ~10 s) is the once-per-session build, not
+        # the query: with median-of-3 it silently turns the reported
+        # number into max(two post-build runs), which amplified noise
+        # into the r7-r10 dedup_cluster_size_report ±50% oscillation.
+        # Exclude build runs from the median and take an extra run in
+        # their place (bounded; labeled below and in the sidecar).
+        while len(runs) < REPEATS:
+            attempts += 1
             t0 = time.time()
             df = fn(spark, SF_DIR)
             n = df.count()
-            runs.append(time.time() - t0)
+            dt = time.time() - t0
+            built = drain_build_events()
+            if built and attempts < REPEATS + 2:
+                cold_builds.setdefault(name, []).append(
+                    {"sec": round(dt, 3), "artifacts": [b[0] for b in built]}
+                )
+                arts = ", ".join(f"{b[0]} {b[1]:.2f}s" for b in built)
+                print(
+                    f"# {name}: excluded {dt:.2f}s cold run "
+                    f"(built shared artifacts: {arts})",
+                    file=sys.stderr,
+                )
+                continue
+            runs.append(dt)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         spread = " ".join(f"{r:.2f}" for r in runs)
         print(f"# {name}: {timings[name]:.2f}s median of [{spread}] ({n} rows)", file=sys.stderr)
@@ -529,11 +554,11 @@ def main() -> None:
         "sf": sf_val,
         "calibration_probe_sec": probe_sec,
     }
-    # Full per-query detail: stderr + a sidecar file. The driver's tail
-    # capture keeps only the last ~2000 bytes of stdout, so the one
-    # stdout JSON line must stay short (round-4 verdict #2: the full
-    # ~5 kB line clipped the headline and BENCH_r04 parsed as null).
-    print(json.dumps(full), file=sys.stderr)
+    if cold_builds:
+        # Which timed runs were excluded as once-per-session shared-
+        # artifact builds, and what they built — so the cost stays
+        # visible in the sidecar even though it is outside the medians.
+        full["cold_artifact_builds"] = cold_builds
     repo = os.path.dirname(os.path.abspath(__file__))
     # Recorded in the detail sidecar so the pytest gate
     # (tests/test_bench_gate.py) fails the suite on any unexplained
@@ -557,29 +582,43 @@ def main() -> None:
             "transient contention",
             file=sys.stderr,
         )
+        # Both medians go in the sidecar so an intermittent-but-real
+        # regression that only sometimes reproduces stays visible
+        # across rounds even when min() clears the gate (r10 advice).
+        retried: dict[str, dict[str, float]] = {}
         for name in retryable:
+            orig = timings[name]
             if name == "mr_facade_wordcount_3mb":
                 dt, _ = bench_mr_facade_wc(spark)
-                timings[name] = min(timings[name], dt)
-                continue
-            fn = queries.get(name)
-            if fn is None:
-                continue
-            runs = []
-            for _ in range(REPEATS):
-                t0 = time.time()
-                fn(spark, SF_DIR).count()
-                runs.append(time.time() - t0)
-            remeasured = sorted(runs)[len(runs) // 2]
-            timings[name] = round(min(timings[name], remeasured), 3)
+                remeasured = dt
+            else:
+                fn = queries.get(name)
+                if fn is None:
+                    continue
+                runs = []
+                for _ in range(REPEATS):
+                    t0 = time.time()
+                    fn(spark, SF_DIR).count()
+                    runs.append(time.time() - t0)
+                remeasured = sorted(runs)[len(runs) // 2]
+            timings[name] = round(min(orig, remeasured), 3)
+            retried[name] = {"orig": orig, "remeasured": round(remeasured, 3)}
             print(
                 f"# retry {name}: median {remeasured:.2f}s "
                 f"(kept {timings[name]:.2f}s)",
                 file=sys.stderr,
             )
         full["value"] = round(sum(timings.values()), 3)
+        full["retried"] = retried
         gate = _report_regressions(repo, timings, probe_sec)
     full["unexplained_regressions"] = gate
+    # Full per-query detail: stderr + the sidecar file, printed AFTER
+    # confirm-by-retry so every artifact of one run agrees (r10
+    # advice). The driver's tail capture keeps only the last ~2000
+    # bytes of stdout, so the one stdout JSON line must stay short
+    # (round-4 verdict #2: the full ~5 kB line clipped the headline
+    # and BENCH_r04 parsed as null).
+    print(json.dumps(full), file=sys.stderr)
     detail_path = os.path.join(repo, "BENCH_DETAIL.json")
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)

@@ -11,6 +11,7 @@ whole file — ``src/mr/worker.go:137``).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -142,13 +143,37 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 _SHARED_CACHE: dict[tuple, DataFrame] = {}
 
 
+#: (artifact name, factory seconds) per first-use build — bench drains
+#: this to tell a query's steady-state runs from the one run per
+#: session that pays a shared-artifact build (eager builders like the
+#: dedup CC fixpoint spend the whole cost inside factory(); lazy
+#: persists materialize during the same run's action, so the event
+#: still marks the right run even though its duration reads ~0).
+_BUILD_EVENTS: list[tuple[str, float]] = []
+
+
+def drain_build_events() -> list[tuple[str, float]]:
+    """Return and clear the shared-artifact build events recorded
+    since the last drain (see ``_BUILD_EVENTS``)."""
+    out = list(_BUILD_EVENTS)
+    _BUILD_EVENTS.clear()
+    return out
+
+
 def shared_persist(spark: SparkSession, name: str, sf_dir: str, factory) -> DataFrame:
     """Return the session's persisted copy of ``name`` for ``sf_dir``,
     building it via ``factory()`` on first use."""
     key = (id(spark), name, sf_dir)
     df = _SHARED_CACHE.get(key)
     if df is None:
+        t0 = time.monotonic()
         df = factory()
+        # Registry keys can be whole plan strings (rank.distributed_prefix);
+        # the event log is for humans — keep names one-line and short.
+        label = " ".join(name.split())
+        if len(label) > 60:
+            label = label[:57] + "..."
+        _BUILD_EVENTS.append((label, round(time.monotonic() - t0, 3)))
         # Iterative builders (graph loops) hand back a frame they
         # already persisted+materialized; re-persisting would emit the
         # very CacheManager duplicate-cache warning this registry kills.

@@ -51,7 +51,10 @@ def strip_cached_subtrees(plan: str) -> str:
     """
     out: list[str] = []
     skip_depth: int | None = None
+    skip_rest = False
     for line in plan.splitlines():
+        if skip_rest:
+            continue
         m = re.search(r"[+:]-", line)
         depth = m.start() if m else None
         if skip_depth is not None:
@@ -61,7 +64,15 @@ def strip_cached_subtrees(plan: str) -> str:
                 continue
         out.append(line)
         if "InMemoryRelation" in line:
-            skip_depth = depth if depth is not None else 0
+            if depth is None:
+                # Marker-less boundary = the relation IS the plan root,
+                # so everything after it is its stored build plan. The
+                # old depth=0 fallback dropped marker-less lines but
+                # kept any marker at column 0 — over/under-stripping
+                # both ways (r10 advice).
+                skip_rest = True
+            else:
+                skip_depth = depth
     return "\n".join(out)
 
 

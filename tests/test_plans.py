@@ -589,6 +589,26 @@ def test_strip_cached_subtrees_text_contract():
     assert "SecondBranch after cache" in got      # sibling at shallower depth resumes
 
 
+def test_strip_cached_subtrees_markerless_boundary():
+    """Corner case (r10 advice): an InMemoryRelation line with NO tree
+    marker is the plan root — the whole remainder is its stored build
+    plan and must be stripped, without the old depth=0 fallback's
+    drop-marker-less/keep-column-0-marker behavior."""
+    from mit_map_reduce_spark.plans.inspect import strip_cached_subtrees
+
+    plan = "\n".join(
+        [
+            "InMemoryRelation [a, b]",
+            "+- Exchange hashpartitioning(b, 32)",
+            "   +- FileScan parquet",
+        ]
+    )
+    got = strip_cached_subtrees(plan)
+    assert "InMemoryRelation" in got
+    assert "hashpartitioning(b" not in got
+    assert "FileScan" not in got
+
+
 def test_supplier_projection_has_no_join_after_hub_cap(spark, sf_dir):
     """Round-10 rewrite: after the hub cap the pair generation is a
     bounded collect_set + map-side explode — no self-join. At most

@@ -29,10 +29,16 @@ tests/test_plans.py instead. The r10 stamp re-based 26 entries'
 broadcast counts downward for this reason — all explained, none a real
 plan change.
 
-Scope: batch queries only. ``stream_*`` plans are pinned separately by
-``tests/test_streaming_plans.py`` (building them here would run full
-micro-batch drains), and their returned frames are sink reads whose
-plans say nothing about the streaming topology.
+``stream_*`` queries are covered too (r10 verdict #5): each runs its
+availableNow drain once and the entry records the LAST micro-batch's
+executed-plan facts captured by the sink runners
+(``streaming.queries.LAST_STREAM_PLAN`` — shuffles, broadcast joins,
+sort-merge joins, state stores, unpartitioned windows) instead of the
+batch probes; the returned frame is just a sink read whose plan says
+nothing about the streaming topology. The diff additionally flags any
+CHANGE in state-store count (a disappearance means a stateful op
+silently became a batch re-aggregation; a gain is a new stateful
+shuffle) and any unpartitioned window appearing.
 
 Advisory by design, not a pytest gate: broadcast planning keys off
 file-size estimates, so a driver testdata regeneration can
@@ -91,10 +97,28 @@ def _build() -> dict[str, dict]:
     )
     from mit_map_reduce_spark.session import get_spark
 
+    from mit_map_reduce_spark.streaming import queries as sq
+
     spark = get_spark("plan_snapshot")
     snap: dict[str, dict] = {}
     for name, fn in entrymod.queries().items():
         if name.startswith("stream_"):
+            try:
+                fn(spark, SF_DIR)  # availableNow drain; runner captures plan
+                rep = sq.LAST_STREAM_PLAN
+                if not rep:
+                    raise RuntimeError("no stream plan captured")
+                snap[name] = {
+                    "streaming": True,
+                    "shuffles": rep["shuffles"],
+                    "broadcast_joins": rep["broadcast_joins"],
+                    "sort_merge_joins": rep["sort_merge_joins"],
+                    "state_stores": rep["state_stores"],
+                    "unpartitioned_windows": len(rep["unpartitioned_windows"]),
+                }
+            except Exception as e:
+                snap[name] = {"error": f"{type(e).__name__}: {e}"}
+                print(f"# ERROR building {name}: {e}", file=sys.stderr)
             continue
         try:
             df = fn(spark, SF_DIR)
@@ -132,6 +156,9 @@ def _diff(base: dict, cur: dict) -> list[str]:
                     f"{b.get('error')!r} -> {c.get('error')!r}"
                 )
             continue
+        if b.get("streaming") != c.get("streaming"):
+            notes.append(f"{name}: streaming/batch capture mode changed")
+            continue
         if c["shuffles"] > b["shuffles"]:
             notes.append(
                 f"{name}: shuffles {b['shuffles']} -> {c['shuffles']}"
@@ -141,6 +168,24 @@ def _diff(base: dict, cur: dict) -> list[str]:
                 f"{name}: broadcast joins {b['broadcast_joins']} -> "
                 f"{c['broadcast_joins']}"
             )
+        if c.get("streaming"):
+            if c["state_stores"] != b["state_stores"]:
+                notes.append(
+                    f"{name}: state stores {b['state_stores']} -> "
+                    f"{c['state_stores']}"
+                )
+            if c["sort_merge_joins"] > b["sort_merge_joins"]:
+                notes.append(
+                    f"{name}: sort-merge joins {b['sort_merge_joins']} -> "
+                    f"{c['sort_merge_joins']}"
+                )
+            if c["unpartitioned_windows"] > b["unpartitioned_windows"]:
+                notes.append(
+                    f"{name}: unpartitioned windows "
+                    f"{b['unpartitioned_windows']} -> "
+                    f"{c['unpartitioned_windows']}"
+                )
+            continue
         grew = Counter(c["read_columns"]) - Counter(b["read_columns"])
         if grew:
             notes.append(
