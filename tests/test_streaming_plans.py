@@ -1,6 +1,6 @@
 """Streaming micro-batch plan audit (round-6 verdict #4).
 
-The 16 streaming queries are correctness-verified against batch
+The 17 streaming queries are correctness-verified against batch
 oracles, but a StreamingQuery's physical plan only exists while the
 query runs — so the sink runners capture the last micro-batch's
 executed plan (``streaming.queries.LAST_STREAM_PLAN``, via
