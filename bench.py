@@ -540,6 +540,15 @@ def main() -> None:
         spread = " ".join(f"{r:.2f}" for r in runs)
         print(f"# {name}: {timings[name]:.2f}s median of [{spread}] ({n} rows)", file=sys.stderr)
 
+    if cold_builds:
+        total_cold = sum(e["sec"] for evs in cold_builds.values() for e in evs)
+        print(
+            f"# cold-build exclusions: {sum(len(v) for v in cold_builds.values())} "
+            f"runs across {len(cold_builds)} queries, {total_cold:.1f}s total "
+            "(recorded in sidecar cold_artifact_builds)",
+            file=sys.stderr,
+        )
+
     dt, n = bench_mr_facade_wc(spark)
     timings["mr_facade_wordcount_3mb"] = dt
     print(f"# mr_facade_wordcount_3mb: {dt:.2f}s ({n} rows; ref bound 45s)", file=sys.stderr)

@@ -274,3 +274,62 @@ def test_cold_artifact_build_runs_excluded_from_median(monkeypatch, capsys):
         # (1 cold excluded + 2 timed)
     finally:
         shutil.move(saved, detail)
+
+
+def test_every_run_builds_falls_back_to_including_runs(monkeypatch, capsys):
+    """Attempt-cap fallback: a query that reports an artifact build on
+    EVERY run (no registry hit — pathological, but the loop must
+    terminate) still produces a median after REPEATS + 2 attempts,
+    with the overflow runs included rather than spinning forever."""
+    import shutil
+
+    import bench
+    from mit_map_reduce_spark import catalog
+
+    detail = os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
+    saved = detail + ".test_saved"
+    shutil.copy(detail, saved)
+
+    real_queries = None
+
+    def wrapped_queries():
+        qs = real_queries()
+        inner = qs["mr_wordcount"]
+        calls = {"n": 0}
+
+        def always_cold(spark, sf_dir):
+            calls["n"] += 1
+            catalog._BUILD_EVENTS.append((f"evergreen_{calls['n']}", 0.01))
+            return inner(spark, sf_dir)
+
+        qs["mr_wordcount"] = always_cold
+        qs["__calls__"] = calls  # smuggled out for the assertion
+        return qs
+
+    import __spark_entry__ as entrymod
+
+    real_queries = entrymod.queries
+    seen = {}
+
+    def capture_queries():
+        qs = wrapped_queries()
+        seen.update(calls=qs.pop("__calls__"))
+        return qs
+
+    try:
+        monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
+        monkeypatch.setattr(bench, "REPEATS", 2)
+        monkeypatch.setattr(bench, "HEADLINE", ["mr_wordcount"])
+        monkeypatch.setattr(bench, "_report_regressions", lambda *a, **k: [])
+        monkeypatch.setattr(entrymod, "queries", capture_queries)
+        bench.main()
+        with open(detail) as f:
+            side = json.load(f)
+        assert side["queries"]["mr_wordcount"] > 0  # a median was produced
+        # at most REPEATS+1 runs can be excluded (attempts < REPEATS+2),
+        # then REPEATS more are included regardless: 3 excluded + 2
+        # included = 5 calls total, bounded — never an infinite loop
+        assert seen["calls"]["n"] == 5
+        assert len(side["cold_artifact_builds"]["mr_wordcount"]) == 3
+    finally:
+        shutil.move(saved, detail)
