@@ -345,6 +345,49 @@ _UNCORROBORATED_DRIFT_CAP = 1.3
 _PROBE_SLACK = 1.25
 
 
+def _report_cold_build_drift(repo: str, cold_builds: dict[str, list]) -> None:
+    """Advisory stderr note when a shared-artifact build got >2x slower
+    than the newest stamped sidecar recorded. Build runs are excluded
+    from the gated medians (they are once-per-session costs), so this
+    is the only place a fixpoint/index build regression surfaces in a
+    bench log. Advisory only: build timings carry the full cold-JVM
+    variance, so a gate here would flake."""
+    import glob
+    import re
+
+    stamped = sorted(
+        (int(m.group(1)), p)
+        for p in glob.glob(os.path.join(repo, "BENCH_DETAIL_r*.json"))
+        if (m := re.search(r"BENCH_DETAIL_r(\d+)\.json$", p))
+    )
+    if not stamped:
+        return
+    rnd, path = stamped[-1]
+    try:
+        with open(path) as f:
+            prev = json.load(f).get("cold_artifact_builds", {})
+    except (OSError, ValueError):
+        return
+    # per-artifact max build-run seconds across queries, both rounds
+    def flat(cb: dict[str, list]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for evs in cb.values():
+            for e in evs:
+                for a in e["artifacts"]:
+                    out[a] = max(out.get(a, 0.0), e["sec"])
+        return out
+
+    base, cur = flat(prev), flat(cold_builds)
+    for art, sec in sorted(cur.items()):
+        b = base.get(art)
+        if b and b > 0.5 and sec > 2.0 * b:
+            print(
+                f"# COLD-BUILD DRIFT (advisory) vs r{rnd}: {art} "
+                f"{b:.2f}s -> {sec:.2f}s",
+                file=sys.stderr,
+            )
+
+
 def _report_regressions(
     repo: str, timings: dict[str, float], probe_sec: float | None = None
 ) -> list[str]:
@@ -548,6 +591,7 @@ def main() -> None:
             "(recorded in sidecar cold_artifact_builds)",
             file=sys.stderr,
         )
+        _report_cold_build_drift(os.path.dirname(os.path.abspath(__file__)), cold_builds)
 
     dt, n = bench_mr_facade_wc(spark)
     timings["mr_facade_wordcount_3mb"] = dt

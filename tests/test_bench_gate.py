@@ -333,3 +333,33 @@ def test_every_run_builds_falls_back_to_including_runs(monkeypatch, capsys):
         assert len(side["cold_artifact_builds"]["mr_wordcount"]) == 3
     finally:
         shutil.move(saved, detail)
+
+
+def test_cold_build_drift_advisory(tmp_path, capsys):
+    """_report_cold_build_drift prints (advisory, never gates) when an
+    artifact's max build-run seconds exceed 2x the newest stamped
+    sidecar's record — the one visibility hook for build regressions
+    now that build runs live outside the gated medians."""
+    import bench
+
+    (tmp_path / "BENCH_DETAIL_r01.json").write_text(
+        json.dumps(
+            {
+                "cold_artifact_builds": {
+                    "q1": [{"sec": 4.0, "artifacts": ["dedup_cc_labels"]}],
+                    "q2": [{"sec": 0.2, "artifacts": ["tiny_artifact"]}],
+                }
+            }
+        )
+    )
+    cur = {
+        "q1": [{"sec": 9.5, "artifacts": ["dedup_cc_labels"]}],
+        # tiny baselines (<0.5s) never alarm, whatever the ratio
+        "q2": [{"sec": 1.9, "artifacts": ["tiny_artifact"]}],
+        # unknown artifacts never alarm
+        "q3": [{"sec": 30.0, "artifacts": ["brand_new"]}],
+    }
+    bench._report_cold_build_drift(str(tmp_path), cur)
+    err = capsys.readouterr().err
+    assert "COLD-BUILD DRIFT" in err and "dedup_cc_labels" in err
+    assert "tiny_artifact" not in err and "brand_new" not in err
