@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -345,15 +346,10 @@ _UNCORROBORATED_DRIFT_CAP = 1.3
 _PROBE_SLACK = 1.25
 
 
-def _report_cold_build_drift(repo: str, cold_builds: dict[str, list]) -> None:
-    """Advisory stderr note when a shared-artifact build got >2x slower
-    than the newest stamped sidecar recorded. Build runs are excluded
-    from the gated medians (they are once-per-session costs), so this
-    is the only place a fixpoint/index build regression surfaces in a
-    bench log. Advisory only: build timings carry the full cold-JVM
-    variance, so a gate here would flake."""
-    import glob
-    import re
+def _newest_stamped_detail(repo: str) -> tuple[int, dict] | None:
+    """(round, parsed JSON) of the newest BENCH_DETAIL_r{N}.json, or
+    None when no stamp exists or it fails to parse."""
+    import glob  # noqa: local to the two stamp scanners
 
     stamped = sorted(
         (int(m.group(1)), p)
@@ -361,13 +357,35 @@ def _report_cold_build_drift(repo: str, cold_builds: dict[str, list]) -> None:
         if (m := re.search(r"BENCH_DETAIL_r(\d+)\.json$", p))
     )
     if not stamped:
-        return
+        return None
     rnd, path = stamped[-1]
     try:
         with open(path) as f:
-            prev = json.load(f).get("cold_artifact_builds", {})
+            return rnd, json.load(f)
     except (OSError, ValueError):
+        return None
+
+
+def _report_cold_build_drift(repo: str, cold_builds: dict[str, list]) -> None:
+    """Advisory stderr note when a shared-artifact build got >2x slower
+    than the newest stamped sidecar recorded. Build runs are excluded
+    from the gated medians (they are once-per-session costs), so this
+    is the only place a fixpoint/index build regression surfaces in a
+    bench log. Advisory only: build timings carry the full cold-JVM
+    variance, so a gate here would flake."""
+    newest = _newest_stamped_detail(repo)
+    if newest is None:
         return
+    rnd, detail = newest
+    # stamps are always sf0.1; a run at any other SF would make every
+    # build read as drift (larger SF) or mask real drift (smaller) —
+    # same guard as _report_regressions
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if str(detail.get("sf")) != sf and str(detail.get("sf")) != str(
+        float(sf) if sf.replace(".", "").isdigit() else sf
+    ):
+        return
+    prev = detail.get("cold_artifact_builds", {})
     # per-artifact max build-run seconds across queries, both rounds
     def flat(cb: dict[str, list]) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -400,24 +418,10 @@ def _report_regressions(
     Returns the GATE list: queries >2x slower with no BENCH_ALLOWLIST
     justification. main() records it in BENCH_DETAIL.json where
     tests/test_bench_gate.py fails on any entry."""
-    import glob
-    import re
-
-    stamped = sorted(
-        (
-            (int(m.group(1)), p)
-            for p in glob.glob(os.path.join(repo, "BENCH_DETAIL_r*.json"))
-            if (m := re.search(r"BENCH_DETAIL_r(\d+)\.json$", p))
-        ),
-    )
-    if not stamped:
+    newest = _newest_stamped_detail(repo)
+    if newest is None:
         return []
-    rnd, path = stamped[-1]
-    try:
-        with open(path) as f:
-            prev = json.load(f)
-    except (OSError, ValueError):
-        return []
+    rnd, prev = newest
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     if str(prev.get("sf")) != sf and str(prev.get("sf")) != str(
         float(sf) if sf.replace(".", "").isdigit() else sf
@@ -578,6 +582,23 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 continue
+            if built:
+                # attempt cap reached: the run is INCLUDED in the
+                # median despite building — record it marked so the
+                # sidecar never silently hides a build inside a median
+                cold_builds.setdefault(name, []).append(
+                    {
+                        "sec": round(dt, 3),
+                        "artifacts": [b[0] for b in built],
+                        "included_in_median": True,
+                    }
+                )
+                print(
+                    f"# {name}: attempt cap reached — {dt:.2f}s run "
+                    "INCLUDED in median despite building "
+                    f"{[b[0] for b in built]}",
+                    file=sys.stderr,
+                )
             runs.append(dt)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
         spread = " ".join(f"{r:.2f}" for r in runs)

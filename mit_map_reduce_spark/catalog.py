@@ -169,10 +169,17 @@ def shared_persist(spark: SparkSession, name: str, sf_dir: str, factory) -> Data
         t0 = time.monotonic()
         df = factory()
         # Registry keys can be whole plan strings (rank.distributed_prefix);
-        # the event log is for humans — keep names one-line and short.
+        # the event log is for humans — keep names one-line and short,
+        # but IDENTITY-STABLE: a bare prefix truncation would merge
+        # distinct long keys and break the bench's cross-round
+        # cold-build comparison whenever the plan text shifts, so long
+        # labels carry a hash of the FULL key.
         label = " ".join(name.split())
         if len(label) > 60:
-            label = label[:57] + "..."
+            import hashlib
+
+            digest = hashlib.md5(name.encode()).hexdigest()[:8]
+            label = f"{label[:48]}...#{digest}"
         _BUILD_EVENTS.append((label, round(time.monotonic() - t0, 3)))
         # Iterative builders (graph loops) hand back a frame they
         # already persisted+materialized; re-persisting would emit the

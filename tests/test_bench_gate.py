@@ -330,25 +330,39 @@ def test_every_run_builds_falls_back_to_including_runs(monkeypatch, capsys):
         # then REPEATS more are included regardless: 3 excluded + 2
         # included = 5 calls total, bounded — never an infinite loop
         assert seen["calls"]["n"] == 5
-        assert len(side["cold_artifact_builds"]["mr_wordcount"]) == 3
+        evs = side["cold_artifact_builds"]["mr_wordcount"]
+        # ALL 5 build runs are recorded; the 2 past the cap are marked
+        # included_in_median so the sidecar never silently hides a
+        # build inside a median
+        assert len(evs) == 5
+        assert [e.get("included_in_median", False) for e in evs] == [
+            False,
+            False,
+            False,
+            True,
+            True,
+        ]
     finally:
         shutil.move(saved, detail)
 
 
-def test_cold_build_drift_advisory(tmp_path, capsys):
+def test_cold_build_drift_advisory(tmp_path, capsys, monkeypatch):
     """_report_cold_build_drift prints (advisory, never gates) when an
     artifact's max build-run seconds exceed 2x the newest stamped
     sidecar's record — the one visibility hook for build regressions
-    now that build runs live outside the gated medians."""
+    now that build runs live outside the gated medians. Baselines at a
+    different SF never apply (same guard as the timing gate)."""
     import bench
 
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
     (tmp_path / "BENCH_DETAIL_r01.json").write_text(
         json.dumps(
             {
+                "sf": 0.1,
                 "cold_artifact_builds": {
                     "q1": [{"sec": 4.0, "artifacts": ["dedup_cc_labels"]}],
                     "q2": [{"sec": 0.2, "artifacts": ["tiny_artifact"]}],
-                }
+                },
             }
         )
     )
@@ -363,3 +377,7 @@ def test_cold_build_drift_advisory(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "COLD-BUILD DRIFT" in err and "dedup_cc_labels" in err
     assert "tiny_artifact" not in err and "brand_new" not in err
+    # an sf-mismatched baseline never applies
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
+    bench._report_cold_build_drift(str(tmp_path), cur)
+    assert "COLD-BUILD DRIFT" not in capsys.readouterr().err

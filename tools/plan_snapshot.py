@@ -104,6 +104,10 @@ def _build() -> dict[str, dict]:
     for name, fn in entrymod.queries().items():
         if name.startswith("stream_"):
             try:
+                # reset so a runner that forgets to capture FAILS here
+                # instead of inheriting the previous query's plan (same
+                # guard as tests/test_streaming_plans.py)
+                sq.LAST_STREAM_PLAN = {}
                 fn(spark, SF_DIR)  # availableNow drain; runner captures plan
                 rep = sq.LAST_STREAM_PLAN
                 if not rep:
