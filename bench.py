@@ -404,6 +404,19 @@ def _report_cold_build_drift(repo: str, cold_builds: dict[str, list]) -> None:
                 f"{b:.2f}s -> {sec:.2f}s",
                 file=sys.stderr,
             )
+    # Long rank: labels hash the full plan text, so a plan-text shift
+    # (column rename, Spark bump) silently renames the artifact and
+    # its drift coverage lapses — surface the lapse instead (r11
+    # advice): any baseline label not built this run gets a note.
+    missing = sorted(set(base) - set(cur))
+    if missing:
+        print(
+            f"# cold-build drift note vs r{rnd}: {len(missing)} baseline "
+            f"artifact label(s) not built this run (plan-text hash shift "
+            f"or retired artifact — per-artifact drift coverage lapsed): "
+            f"{missing}",
+            file=sys.stderr,
+        )
 
 
 def _report_regressions(
@@ -660,20 +673,52 @@ def main() -> None:
         # regression that only sometimes reproduces stays visible
         # across rounds even when min() clears the gate (r10 advice).
         retried: dict[str, dict[str, float]] = {}
+        # Shared artifacts are normally warm by now, but an evicted or
+        # cache-cleared artifact would otherwise put a build run INSIDE
+        # the retry median — the exact noise the headline loop excludes
+        # (r11 advice). Same drain/exclude/attempt-cap protocol here.
+        drain_build_events()
         for name in retryable:
             orig = timings[name]
             if name == "mr_facade_wordcount_3mb":
                 dt, _ = bench_mr_facade_wc(spark)
+                drain_build_events()
                 remeasured = dt
             else:
                 fn = queries.get(name)
                 if fn is None:
                     continue
                 runs = []
-                for _ in range(REPEATS):
+                attempts = 0
+                while len(runs) < REPEATS:
+                    attempts += 1
                     t0 = time.time()
                     fn(spark, SF_DIR).count()
-                    runs.append(time.time() - t0)
+                    dt = time.time() - t0
+                    built = drain_build_events()
+                    if built:
+                        ev = {
+                            "sec": round(dt, 3),
+                            "artifacts": [b[0] for b in built],
+                            "retry": True,
+                        }
+                        if attempts < REPEATS + 2:
+                            cold_builds.setdefault(name, []).append(ev)
+                            print(
+                                f"# retry {name}: excluded {dt:.2f}s cold run "
+                                f"(built {[b[0] for b in built]})",
+                                file=sys.stderr,
+                            )
+                            continue
+                        ev["included_in_median"] = True
+                        cold_builds.setdefault(name, []).append(ev)
+                        print(
+                            f"# retry {name}: attempt cap reached — {dt:.2f}s "
+                            f"run INCLUDED in median despite building "
+                            f"{[b[0] for b in built]}",
+                            file=sys.stderr,
+                        )
+                    runs.append(dt)
                 remeasured = sorted(runs)[len(runs) // 2]
             timings[name] = round(min(orig, remeasured), 3)
             retried[name] = {"orig": orig, "remeasured": round(remeasured, 3)}
@@ -684,6 +729,10 @@ def main() -> None:
             )
         full["value"] = round(sum(timings.values()), 3)
         full["retried"] = retried
+        if cold_builds:
+            # retry runs may have added build events after the sidecar
+            # key was (conditionally) set above
+            full["cold_artifact_builds"] = cold_builds
         gate = _report_regressions(repo, timings, probe_sec)
     full["unexplained_regressions"] = gate
     # Full per-query detail: stderr + the sidecar file, printed AFTER

@@ -48,11 +48,25 @@ def strip_cached_subtrees(plan: str) -> str:
     exactly this). Counting above the cache boundary is stable: the
     consumer pays those cached shuffles once per build, not per query,
     and the build plan's own shape is pinned where the build lives.
+
+    Input contract: ``plan`` is a SINGLE executed-plan tree string
+    (``df._jdf.queryExecution().executedPlan().toString()`` or one
+    ``simple``-mode explain). Multi-section text (``formatted`` mode,
+    ``===== Subqueries =====``) is NOT supported — the marker-less
+    root-relation branch strips to end-of-string, which would discard
+    later sections; as a guard, a ``==``-prefixed section header ends
+    any active strip.
     """
     out: list[str] = []
     skip_depth: int | None = None
     skip_rest = False
     for line in plan.splitlines():
+        if line.lstrip().startswith("=="):
+            # Section header (formatted explain / Subqueries): never
+            # part of a cached build plan — end any active strip so a
+            # multi-section string degrades gracefully (see contract).
+            skip_rest = False
+            skip_depth = None
         if skip_rest:
             continue
         m = re.search(r"[+:]-", line)
