@@ -278,15 +278,21 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     stream = normalize_nanos_ts(
         spark.readStream.schema(raw_schema).parquet(stream_dir)
     )
+    return _run_to_file_sink(_dedup_within_watermark_agg(stream))
+
+
+def _dedup_within_watermark_agg(stream: DataFrame) -> DataFrame:
+    """dropDuplicatesWithinWatermark -> tumbling count, over any
+    normalized events stream — shared by the registered query and the
+    crash-recovery test."""
     dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    agg = (
+    return (
         dedup.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "event_type", "n")
     )
-    return _run_to_file_sink(agg)
 
 
 def _stage_single_parquet(df: DataFrame, dest: str) -> None:
@@ -481,8 +487,17 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     completion over the finite input, the emitted matches equal the
     batch theta-join the oracle computes.
     """
+    return _run_to_file_sink(
+        _attribution_join(lambda: _events_stream(spark, sf_dir))
+    )
+
+
+def _attribution_join(mk_stream) -> DataFrame:
+    """The purchase<-click attribution stream-stream join over two
+    fresh source instances from ``mk_stream()`` — shared by the
+    registered query and the crash-recovery test."""
     clicks = (
-        _events_stream(spark, sf_dir)
+        mk_stream()
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -492,7 +507,7 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         .withWatermark("click_ts", "1 hour")
     )
     purchases = (
-        _events_stream(spark, sf_dir)
+        mk_stream()
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -501,7 +516,7 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withWatermark("purchase_ts", "1 hour")
     )
-    joined = purchases.join(
+    return purchases.join(
         clicks,
         F.expr(
             f"""p_user = c_user
@@ -515,7 +530,6 @@ def stream_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         "click_id",
         "click_ts",
     )
-    return _run_to_file_sink(joined)
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,8 +742,14 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reproduces it with the classic gaps-and-islands SQL
     bounded by the same watermark cutoff.
     """
-    ev = _events_stream(spark, sf_dir)
-    agg = (
+    return _run_to_file_sink(_session_windows_agg(_events_stream(spark, sf_dir)))
+
+
+def _session_windows_agg(ev: DataFrame) -> DataFrame:
+    """The session-window transformation over a normalized events
+    stream — shared by the registered query and the crash-recovery
+    test (which drives the SAME logic over an incremental feed)."""
+    return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
@@ -740,11 +760,14 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    return _run_to_file_sink(agg)
 
 
 def _run_to_upsert_sink(
-    out: DataFrame, keys: list[str], shuffle_partitions: int = 8
+    out: DataFrame,
+    keys: list[str],
+    shuffle_partitions: int = 8,
+    run_dir: str | None = None,
+    pre_commit_hook=None,
 ) -> DataFrame:
     """Drive an update-mode stateful stream into a PRODUCTION parquet
     sink via ``foreachBatch`` upsert — the pattern that replaces the
@@ -768,9 +791,18 @@ def _run_to_upsert_sink(
 
     All work inside ``upsert`` runs as distributed Spark jobs; the
     driver only swaps the pointer.
+
+    ``run_dir`` pins the checkpoint+snapshot location so a caller can
+    RESUME a prior run from its checkpoint (the crash-recovery tests);
+    default is a fresh scratch dir per call. ``pre_commit_hook(batch_id)``
+    fires after the snapshot files are written but BEFORE the pointer
+    swap — the torn-commit crash-injection seam: a raise here leaves
+    sink data on disk with the batch uncommitted, exactly the state a
+    mid-commit crash produces (tests assert the re-run converges).
     """
     spark = out.sparkSession
-    run_dir = _scratch_dir("upsert", uuid.uuid4().hex[:12])
+    if run_dir is None:
+        run_dir = _scratch_dir("upsert", uuid.uuid4().hex[:12])
     ckpt = os.path.join(run_dir, "ckpt")
     current = os.path.join(run_dir, "CURRENT")
 
@@ -788,6 +820,8 @@ def _run_to_upsert_sink(
             merged = keep.unionByName(batch_df)
         vdir = os.path.join(run_dir, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(vdir)
+        if pre_commit_hook is not None:
+            pre_commit_hook(batch_id)
         tmp = current + ".tmp"
         with open(tmp, "w") as fh:
             fh.write(vdir)
@@ -837,9 +871,17 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     user, so the result read back from files equals the batch
     aggregate, which is what the SQL oracle checks.
     """
+    ev = _events_stream(spark, sf_dir)
+    return _run_to_upsert_sink(_profile_update_out(ev), keys=["user_id"])
+
+
+def _profile_update_out(ev: DataFrame) -> DataFrame:
+    """The applyInPandasWithState per-user profile over a normalized
+    events stream — shared by the registered query and the
+    crash-recovery test."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    ev = _events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    ev = ev.select("user_id", "event_type", "ts")
 
     def update(key, pdfs, state):
         import pandas as pd
@@ -869,10 +911,9 @@ def stream_stateful_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    out = ev.groupBy("user_id").applyInPandasWithState(
+    return ev.groupBy("user_id").applyInPandasWithState(
         update, _PROFILE_OUT, _PROFILE_STATE, "update", GroupStateTimeout.NoTimeout
     )
-    return _run_to_upsert_sink(out, keys=["user_id"])
 
 
 _DEDUP_OUT = "text_md5 string, first_doc_id bigint, n_seen bigint"
