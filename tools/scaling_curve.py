@@ -1,0 +1,336 @@
+"""Empirical scaling curve for the 100 TB-path operators (round-12
+verdict order #3): banded-LSH dedup, IVF ANN, and the CC-fixpoint
+build, measured at 1x / 3x / 10x the sf0.1 corpus.
+
+The scale story for these paths was previously argued from plan shape
+only (equi-joins on (band, bucket), no self-joins, bounded collects);
+this tool converts it into data. A k-x corpus is synthesized from
+sf0.1 by duplicate+perturb:
+
+- documents: copy c of each doc gets doc_id += c*5000 and every token
+  salted with a per-copy LETTER suffix (the letter tokenizer drops
+  digits), so the ORIGINAL near-dup structure is preserved exactly
+  within each copy while copies share no shingles — pair counts and
+  candidate volumes grow ~k, not ~k^2 (a naive duplicate would make
+  every doc a 10-way exact dup and quadratically inflate the OUTPUT,
+  measuring the workload, not the algorithm).
+- embeddings: copy c applies a per-copy random ROTATION (QR of a
+  seeded gaussian) — orthogonal, so intra-copy cosine structure is
+  exact while cross-copy cosines drop to ~N(0, 1/64). vec_id +=
+  c*2000. (A per-copy dimension PERMUTATION was tried first and
+  FAILED to decorrelate: the corpus has dim-exchangeable structure a
+  permutation preserves, and cross-copy pairs exploded the x10 output
+  103x — measured, which is exactly the class of synthesis error this
+  tool must not bake into the curve.)
+- the eight other tables are symlinked unchanged; copy 0 is identity,
+  so the 1x dir is the original corpus byte-for-byte.
+
+Each scale runs in a FRESH subprocess session (cold JVM + cold shared
+artifacts); per query we record the first run (includes the
+once-per-session artifact build, split out via catalog build events),
+a warm median, and output rows. Quadratic audit-scale baselines
+(dedup_embedding_cosine_pairs etc.) are deliberately NOT measured
+here — they are labeled baselines, not the 100 TB path.
+
+Committed numbers (this machine, local[32], quiet, 2026-08-15 r12;
+fresh subprocess session per scale, warm = median of 3 post-build runs,
+build = catalog build-event seconds):
+
+| query (registered tuning)  | metric     |    1x |    3x |   10x | 10x/1x |
+|----------------------------|------------|-------|-------|-------|--------|
+| dedup_minhash_lsh_pairs    | warm sec   | 1.09  | 1.39  | 3.73  |  3.4x  |
+|                            | shingles s | 0.60  | 0.64  | 0.63  |  1.1x  |
+|                            | rows       |  256  |  767  |  2559 | 10.0x  |
+| dedup_embedding_lsh_pairs  | warm sec   | 1.67  | 4.47  | 22.34 | 13.4x  |
+|                            | band-keys s| 1.01  | 0.93  | 1.04  |  1.0x  |
+|                            | rows       | 1991  | 18324 |205252 |103.1x  |
+| sim_ann_ivf_topk           | warm sec   | 1.45  | 1.58  | 1.93  |  1.3x  |
+|                            | rows       |  100  |   300 |  1000 | 10.0x  |
+| dedup_cluster_size_report  | warm sec   | 1.27  | 1.23  | 1.59  |  1.3x  |
+|                            | CC build s | 4.35  | 6.25  | 10.45 |  2.4x  |
+
+VERDICT per path:
+- MinHash-LSH, IVF ANN, CC fixpoint: near-linear-or-better. Output
+  rows scale exactly 10.0x; wall-clock grows 1.3-3.4x at 10x data
+  (fixed per-session overhead dominates at this absolute scale); the
+  CC fixpoint BUILD — the expensive artifact — grows 2.4x at 10x.
+- Embedding-LSH at the registered thr=0.35: the 13.4x warm growth is
+  OUTPUT-DRIVEN, not algorithm waste. Ground truth (--ground-truth,
+  exact NumPy gram): intra-copy true pairs are exactly linear
+  (4137/12411/41370) while cross-copy pairs explode
+  (0/25361/383549 = 103x total) because thr 0.35 sits INSIDE the
+  random-cosine tail of 64-dim unit vectors (P[cos>=0.35] ~ 0.21%,
+  and 0.21% x C(n,2) reproduces the totals at every scale; even the
+  x1 output is ~all random-tail pairs). A correct algorithm's output
+  is Theta(n^2) at this threshold — the workload is quadratic, the
+  runtime grew SLOWER than the output (13.4x vs 103x). At a
+  workload-relevant threshold the output is sparse and the knob that
+  matters is bucket occupancy, demonstrated below.
+- Bucket-tuning knob (the dedup.py docstring's raise-rows-at-scale
+  plan), measured via --emb-scaled: x10 with rows=7 (occupancy
+  20000/2^7 = 156 ~ x1's 2000/2^4 = 125) runs 3.55 s warm vs 22.34 s
+  at fixed rows=4 (6.3x) and 2.16 s for x1 measured back-to-back —
+  1.65x wall-clock for 10x corpus once occupancy is held. Recall for
+  low-agreement random pairs drops (s^7 vs s^4, output 60309), the
+  documented bands-compensation trade: holding recall for TRUE
+  near-dups (s>=0.9) at rows=7 needs ~7 bands (1-(1-s^r)^b), a
+  log-factor signature cost — the honest banded-LSH scaling law.
+
+Usage:
+    python tools/scaling_curve.py                       # scales 1,3,10
+    python tools/scaling_curve.py --scales 1,10
+    python tools/scaling_curve.py --ground-truth        # NumPy oracle
+    python tools/scaling_curve.py --emb-scaled 10 7 4 0.35
+    python tools/scaling_curve.py --worker <dir>        # internal
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = "/root/testdata/sf0.1"
+CORPUS_BASE = "/tmp/mmrs_scale_corpus"
+N_DOCS, N_VECS, DIM = 5000, 2000, 64
+TARGETS = [
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_lsh_pairs",
+    "sim_ann_ivf_topk",
+    "dedup_cluster_size_report",
+]
+WARM_RUNS = 3
+
+
+def _salt(c: int) -> str:
+    # letter-only per-copy token suffix (the tokenizer drops digits)
+    return "q" + chr(ord("a") + c)
+
+
+def build_corpus(k: int) -> str:
+    """Synthesize the k-x corpus dir (cached); returns its path."""
+    out = os.path.join(CORPUS_BASE, f"x{k}")
+    marker = os.path.join(out, ".complete")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), os.path.join(out, f"{t}.parquet"))
+
+    import duckdb
+
+    con = duckdb.connect()
+    # documents: per-copy doc_id offset + letter-salted tokens (copy 0
+    # identity). n_chars recomputed so the column stays truthful.
+    parts = []
+    for c in range(k):
+        if c == 0:
+            parts.append(
+                f"SELECT doc_id, text, lang, source, n_chars "
+                f"FROM '{BASE_SF}/documents.parquet'"
+            )
+        else:
+            parts.append(
+                f"SELECT doc_id + {c * N_DOCS} AS doc_id, "
+                f"regexp_replace(text, '([a-zA-Z]+)', '\\1{_salt(c)}', 'g') AS text, "
+                f"lang, source, "
+                f"length(regexp_replace(text, '([a-zA-Z]+)', '\\1{_salt(c)}', 'g')) AS n_chars "
+                f"FROM '{BASE_SF}/documents.parquet'"
+            )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/documents.parquet' (FORMAT parquet)"
+    )
+    con.close()
+
+    # embeddings: per-copy dimension permutation (orthogonal — exact
+    # intra-copy cosines, decorrelated cross-copy), via pyarrow to
+    # keep the list<float32> physical type.
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
+    vec_id = tbl["vec_id"].to_numpy()
+    label = tbl["label"].to_numpy()
+    mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float32)
+    ids, labels, mats = [], [], []
+    for c in range(k):
+        if c == 0:
+            rot = mat
+        else:
+            q, _ = np.linalg.qr(np.random.RandomState(c).standard_normal((DIM, DIM)))
+            rot = (mat @ q.T.astype(np.float32)).astype(np.float32)
+        ids.append(vec_id + c * N_VECS)
+        labels.append(label)
+        mats.append(rot)
+    allmat = np.concatenate(mats)
+    out_tbl = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids), type=pa.int64()),
+            "embedding": pa.array(list(allmat), type=pa.list_(pa.float32())),
+            "label": pa.array(np.concatenate(labels), type=pa.int32()),
+        }
+    )
+    pq.write_table(out_tbl, os.path.join(out, "embeddings.parquet"))
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def worker(sf_dir: str) -> None:
+    """Fresh-session measurement of every target at one scale; emits
+    one JSON line on stdout.
+
+    MMRS_EMB_VARIANT="rows:bands:thr" switches to a single-query
+    SCALED-TUNING run of dedup_embedding_lsh_pairs with the module
+    constants patched — the measurement harness for the docstring's
+    raise-rows-at-scale knob (a labeled measurement variant; the
+    registered query and its oracle are untouched)."""
+    from mit_map_reduce_spark.catalog import drain_build_events, load_table
+    from mit_map_reduce_spark.session import get_spark
+    import __spark_entry__ as e
+
+    variant = os.environ.get("MMRS_EMB_VARIANT")
+    targets = TARGETS
+    if variant:
+        import mit_map_reduce_spark.operators.dedup as dd
+
+        rows_, bands_, thr_ = variant.split(":")
+        dd.EMB_LSH_ROWS = int(rows_)
+        dd.EMB_LSH_BANDS = int(bands_)
+        dd.COSINE_DUP_THRESHOLD = float(thr_)
+        targets = ["dedup_embedding_lsh_pairs"]
+
+    spark = get_spark("scaling_curve")
+    # JVM/scheduler warmup so target #1's first run is not also paying
+    # session startup; must not touch the targets' shared artifacts
+    load_table(spark, sf_dir, "documents").count()
+    drain_build_events()
+
+    qs = e.queries()
+    res: dict[str, dict] = {}
+    for name in targets:
+        fn = qs[name]
+        t0 = time.time()
+        rows = fn(spark, sf_dir).count()
+        first = time.time() - t0
+        builds = [(a, s) for a, s in drain_build_events()]
+        warms = []
+        for _ in range(WARM_RUNS):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            warms.append(time.time() - t0)
+            leftover = drain_build_events()
+            if leftover:  # an artifact rebuilt mid-warm: not warm
+                warms.pop()
+        warm = sorted(warms)[len(warms) // 2] if warms else None
+        res[name] = {
+            "first_sec": round(first, 3),
+            "warm_sec": round(warm, 3) if warm is not None else None,
+            "rows": rows,
+            "builds": [[a, s] for a, s in builds],
+        }
+    print(json.dumps(res))
+
+
+def ground_truth() -> None:
+    """Exact intra/cross-copy pair counts per scale and threshold via
+    one NumPy gram pass — the oracle for the output-size decomposition
+    in the docstring (what fraction of the measured output is the
+    corpus' own quadratic random-tail workload vs algorithm waste)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    for k in (1, 3, 10):
+        d = build_corpus(k)
+        t = pq.read_table(os.path.join(d, "embeddings.parquet"))
+        m = np.asarray(t["embedding"].to_pylist(), dtype=np.float32)
+        n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        for thr in (0.35, 0.5, 0.6):
+            intra = cross = 0
+            for i in range(0, len(n), N_VECS):
+                g = n[i : i + N_VECS] @ n.T
+                for j in range(i, len(n), N_VECS):
+                    blk = g[:, j : j + N_VECS]
+                    if j == i:
+                        iu = np.triu_indices(N_VECS, 1)
+                        intra += int((blk[iu] >= thr).sum())
+                    else:
+                        cross += int((blk >= thr).sum())
+            print(
+                json.dumps(
+                    {"scale": k, "thr": thr, "intra": intra, "cross": cross}
+                )
+            )
+
+
+def main() -> None:
+    if "--worker" in sys.argv:
+        worker(sys.argv[sys.argv.index("--worker") + 1])
+        return
+    if "--ground-truth" in sys.argv:
+        ground_truth()
+        return
+    if "--emb-scaled" in sys.argv:
+        # scaled-tuning variant: --emb-scaled <scale> <rows> <bands> <thr>
+        i = sys.argv.index("--emb-scaled")
+        k, rows_, bands_, thr_ = sys.argv[i + 1 : i + 5]
+        d = build_corpus(int(k))
+        env = dict(os.environ, MMRS_EMB_VARIANT=f"{rows_}:{bands_}:{thr_}")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", d],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            env=env,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(f"variant worker failed at scale x{k}")
+        print(proc.stdout.strip().splitlines()[-1])
+        return
+    scales = [1, 3, 10]
+    if "--scales" in sys.argv:
+        scales = [int(s) for s in sys.argv[sys.argv.index("--scales") + 1].split(",")]
+    results: dict[int, dict] = {}
+    for k in scales:
+        d = build_corpus(k)
+        print(f"# scale x{k}: corpus at {d}", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", d],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise SystemExit(f"worker failed at scale x{k}")
+        results[k] = json.loads(proc.stdout.strip().splitlines()[-1])
+        for name, r in results[k].items():
+            print(f"# x{k} {name}: first {r['first_sec']}s warm {r['warm_sec']}s "
+                  f"rows {r['rows']} builds {r['builds']}", file=sys.stderr)
+    base = scales[0]
+    print(json.dumps({
+        "scales": scales,
+        "results": {str(k): v for k, v in results.items()},
+        "ratios": {
+            name: {
+                str(k): round(results[k][name]["warm_sec"] / results[base][name]["warm_sec"], 2)
+                for k in scales
+                if results[k][name]["warm_sec"] and results[base][name]["warm_sec"]
+            }
+            for name in TARGETS
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
