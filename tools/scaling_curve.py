@@ -97,7 +97,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE_SF = "/root/testdata/sf0.1"
 CORPUS_BASE = "/tmp/mmrs_scale_corpus"
-N_DOCS, N_VECS, DIM = 5000, 2000, 64
+
+
+def _base_sizes() -> tuple[int, int, int]:
+    """(n_docs, n_vecs, dim) read from the base corpus — testdata has
+    been regenerated between rounds before; never hardcode its shape."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(os.path.join(BASE_SF, "documents.parquet")).metadata.num_rows
+    pf = pq.ParquetFile(os.path.join(BASE_SF, "embeddings.parquet"))
+    n_vecs = pf.metadata.num_rows
+    dim = len(next(pf.iter_batches(batch_size=1))["embedding"][0])
+    return n_docs, n_vecs, dim
+
+
+N_DOCS, N_VECS, DIM = _base_sizes()  # 5000, 2000, 64 at r12
 TARGETS = [
     "dedup_minhash_lsh_pairs",
     "dedup_embedding_lsh_pairs",
