@@ -101,7 +101,16 @@ def _build() -> dict[str, dict]:
 
     spark = get_spark("plan_snapshot")
     snap: dict[str, dict] = {}
-    for name, fn in entrymod.queries().items():
+    # SORTED, not registry order: queries() follows _PRIORITY, which
+    # rotates every round — and a consumer plan can legitimately depend
+    # on whether an EARLIER query's eager artifact build materialized a
+    # shared cache (known cached sizeInBytes flips the planner to
+    # static broadcast joins; exclude_cached strips subtrees, not the
+    # consumer's join strategy). r12 caught graph_clustering_coefficient
+    # flip 2/6 -> 14/0 purely from rotation reordering the sweep. A
+    # fixed alphabetical order probes every query in the same session
+    # state every round.
+    for name, fn in sorted(entrymod.queries().items()):
         if name.startswith("stream_"):
             try:
                 # reset so a runner that forgets to capture FAILS here
