@@ -533,6 +533,59 @@ def _report_regressions(
     return gate
 
 
+def _median_excluding_builds(
+    name: str, fn, spark, cold_builds: dict[str, list], retry: bool = False
+) -> tuple[float, list[float], int]:
+    """Median of ``REPEATS`` runs with once-per-session shared-artifact
+    BUILD runs excluded (an extra run taken in their place, capped at
+    REPEATS+2 attempts; excluded and cap-overflow runs are recorded in
+    ``cold_builds``, the sidecar's ``cold_artifact_builds``).
+
+    The ONE exclusion protocol, shared by the headline loop and
+    confirm-by-retry — the r11 retry loop lacked it entirely because it
+    was a hand-kept copy (r11 advice); ``retry`` only tags the sidecar
+    entries and stderr lines.
+
+    Returns (median, runs, last row count).
+    """
+    tag = "retry " if retry else ""
+    runs: list[float] = []
+    n = 0
+    attempts = 0
+    while len(runs) < REPEATS:
+        attempts += 1
+        t0 = time.time()
+        n = fn(spark, SF_DIR).count()
+        dt = time.time() - t0
+        built = drain_build_events()
+        if built:
+            ev: dict = {"sec": round(dt, 3), "artifacts": [b[0] for b in built]}
+            if retry:
+                ev["retry"] = True
+            if attempts < REPEATS + 2:
+                cold_builds.setdefault(name, []).append(ev)
+                arts = ", ".join(f"{b[0]} {b[1]:.2f}s" for b in built)
+                print(
+                    f"# {tag}{name}: excluded {dt:.2f}s cold run "
+                    f"(built shared artifacts: {arts})",
+                    file=sys.stderr,
+                )
+                continue
+            # attempt cap reached: the run is INCLUDED in the median
+            # despite building — recorded marked so the sidecar never
+            # silently hides a build inside a median
+            ev["included_in_median"] = True
+            cold_builds.setdefault(name, []).append(ev)
+            print(
+                f"# {tag}{name}: attempt cap reached — {dt:.2f}s run "
+                f"INCLUDED in median despite building "
+                f"{[b[0] for b in built]}",
+                file=sys.stderr,
+            )
+        runs.append(dt)
+    return sorted(runs)[len(runs) // 2], runs, n
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -567,53 +620,15 @@ def main() -> None:
     cold_builds: dict[str, list] = {}
     for name in HEADLINE:
         fn = queries[name]
-        runs = []
-        n = 0
-        attempts = 0
         # A run that materializes a session-shared artifact (e.g. the
         # dedup CC fixpoint, ~10 s) is the once-per-session build, not
         # the query: with median-of-3 it silently turns the reported
         # number into max(two post-build runs), which amplified noise
         # into the r7-r10 dedup_cluster_size_report ±50% oscillation.
-        # Exclude build runs from the median and take an extra run in
-        # their place (bounded; labeled below and in the sidecar).
-        while len(runs) < REPEATS:
-            attempts += 1
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            dt = time.time() - t0
-            built = drain_build_events()
-            if built and attempts < REPEATS + 2:
-                cold_builds.setdefault(name, []).append(
-                    {"sec": round(dt, 3), "artifacts": [b[0] for b in built]}
-                )
-                arts = ", ".join(f"{b[0]} {b[1]:.2f}s" for b in built)
-                print(
-                    f"# {name}: excluded {dt:.2f}s cold run "
-                    f"(built shared artifacts: {arts})",
-                    file=sys.stderr,
-                )
-                continue
-            if built:
-                # attempt cap reached: the run is INCLUDED in the
-                # median despite building — record it marked so the
-                # sidecar never silently hides a build inside a median
-                cold_builds.setdefault(name, []).append(
-                    {
-                        "sec": round(dt, 3),
-                        "artifacts": [b[0] for b in built],
-                        "included_in_median": True,
-                    }
-                )
-                print(
-                    f"# {name}: attempt cap reached — {dt:.2f}s run "
-                    "INCLUDED in median despite building "
-                    f"{[b[0] for b in built]}",
-                    file=sys.stderr,
-                )
-            runs.append(dt)
-        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+        # _median_excluding_builds drops build runs from the median and
+        # takes an extra run in their place (bounded; sidecar-labeled).
+        med, runs, n = _median_excluding_builds(name, fn, spark, cold_builds)
+        timings[name] = round(med, 3)
         spread = " ".join(f"{r:.2f}" for r in runs)
         print(f"# {name}: {timings[name]:.2f}s median of [{spread}] ({n} rows)", file=sys.stderr)
 
@@ -625,7 +640,6 @@ def main() -> None:
             "(recorded in sidecar cold_artifact_builds)",
             file=sys.stderr,
         )
-        _report_cold_build_drift(os.path.dirname(os.path.abspath(__file__)), cold_builds)
 
     dt, n = bench_mr_facade_wc(spark)
     timings["mr_facade_wordcount_3mb"] = dt
@@ -688,38 +702,9 @@ def main() -> None:
                 fn = queries.get(name)
                 if fn is None:
                     continue
-                runs = []
-                attempts = 0
-                while len(runs) < REPEATS:
-                    attempts += 1
-                    t0 = time.time()
-                    fn(spark, SF_DIR).count()
-                    dt = time.time() - t0
-                    built = drain_build_events()
-                    if built:
-                        ev = {
-                            "sec": round(dt, 3),
-                            "artifacts": [b[0] for b in built],
-                            "retry": True,
-                        }
-                        if attempts < REPEATS + 2:
-                            cold_builds.setdefault(name, []).append(ev)
-                            print(
-                                f"# retry {name}: excluded {dt:.2f}s cold run "
-                                f"(built {[b[0] for b in built]})",
-                                file=sys.stderr,
-                            )
-                            continue
-                        ev["included_in_median"] = True
-                        cold_builds.setdefault(name, []).append(ev)
-                        print(
-                            f"# retry {name}: attempt cap reached — {dt:.2f}s "
-                            f"run INCLUDED in median despite building "
-                            f"{[b[0] for b in built]}",
-                            file=sys.stderr,
-                        )
-                    runs.append(dt)
-                remeasured = sorted(runs)[len(runs) // 2]
+                remeasured, _, _ = _median_excluding_builds(
+                    name, fn, spark, cold_builds, retry=True
+                )
             timings[name] = round(min(orig, remeasured), 3)
             retried[name] = {"orig": orig, "remeasured": round(remeasured, 3)}
             print(
@@ -735,6 +720,13 @@ def main() -> None:
             full["cold_artifact_builds"] = cold_builds
         gate = _report_regressions(repo, timings, probe_sec)
     full["unexplained_regressions"] = gate
+    # Cold-build drift advisory AFTER confirm-by-retry, so a build that
+    # only happened during a retry (evicted artifact) is compared too —
+    # this advisory is the only place a fixpoint/index BUILD regression
+    # surfaces (r12 review: it previously ran before the retry section
+    # and missed retry-run builds entirely).
+    if cold_builds:
+        _report_cold_build_drift(repo, cold_builds)
     # Full per-query detail: stderr + the sidecar file, printed AFTER
     # confirm-by-retry so every artifact of one run agrees (r10
     # advice). The driver's tail capture keeps only the last ~2000

@@ -768,6 +768,7 @@ def _run_to_upsert_sink(
     shuffle_partitions: int = 8,
     run_dir: str | None = None,
     pre_commit_hook=None,
+    post_commit_hook=None,
 ) -> DataFrame:
     """Drive an update-mode stateful stream into a PRODUCTION parquet
     sink via ``foreachBatch`` upsert — the pattern that replaces the
@@ -781,9 +782,16 @@ def _run_to_upsert_sink(
       dir, then atomically swap a CURRENT pointer file — readers never
       see a half-written table, the same atomic-rename commit discipline
       as the reference's output files (src/mr/worker.go:219-224).
-    - re-running a batch after a crash rewrites the same version dir
-      and re-swaps the pointer, so the sink is idempotent per batch id
-      (exactly-once output, like the file sink's _spark_metadata log).
+    - re-running a batch after a crash writes a FRESH attempt-unique
+      version dir and re-swaps the pointer, so the sink is idempotent
+      per batch id (exactly-once output, like the file sink's
+      _spark_metadata log). Attempt-unique, NOT v{batch_id}: a crash
+      between the pointer swap and the stream's checkpoint commit
+      leaves CURRENT pointing at the crashed attempt's output, and the
+      replay would then read and overwrite the SAME path —
+      AnalysisException, recovery never converges. Replaying against
+      an already-swapped snapshot is still idempotent: the anti-join
+      replaces the batch's keys with identical rows.
     - with a table format (Delta/Iceberg/Hudi) this whole function is
       one MERGE INTO; plain parquet needs the snapshot+pointer dance.
       Snapshot rewrite cost is bounded by key cardinality (state-store
@@ -796,9 +804,13 @@ def _run_to_upsert_sink(
     RESUME a prior run from its checkpoint (the crash-recovery tests);
     default is a fresh scratch dir per call. ``pre_commit_hook(batch_id)``
     fires after the snapshot files are written but BEFORE the pointer
-    swap — the torn-commit crash-injection seam: a raise here leaves
-    sink data on disk with the batch uncommitted, exactly the state a
-    mid-commit crash produces (tests assert the re-run converges).
+    swap; ``post_commit_hook(batch_id)`` fires after the swap but
+    before foreachBatch returns (i.e. before the stream commits the
+    batch to its checkpoint). Both are crash-injection seams: a raise
+    in the first leaves sink data with the batch uncommitted, in the
+    second a swapped pointer with the batch uncommitted — the two
+    torn-commit states a mid-commit crash produces (tests assert the
+    re-run converges from each).
     """
     spark = out.sparkSession
     if run_dir is None:
@@ -818,7 +830,8 @@ def _run_to_upsert_sink(
             prev = spark.read.parquet(snap)
             keep = prev.join(batch_df.select(*keys), keys, "left_anti")
             merged = keep.unionByName(batch_df)
-        vdir = os.path.join(run_dir, f"v{batch_id}")
+        # attempt-unique: see the docstring's post-swap-crash replay note
+        vdir = os.path.join(run_dir, f"v{batch_id}-{uuid.uuid4().hex[:8]}")
         merged.write.mode("overwrite").parquet(vdir)
         if pre_commit_hook is not None:
             pre_commit_hook(batch_id)
@@ -826,6 +839,8 @@ def _run_to_upsert_sink(
         with open(tmp, "w") as fh:
             fh.write(vdir)
         os.replace(tmp, current)
+        if post_commit_hook is not None:
+            post_commit_hook(batch_id)
 
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -18,7 +18,7 @@ import pytest
 import __spark_entry__ as e
 
 # name -> why sf0.001 alone is legitimately empty. Every entry here is
-# still pinned non-vacuous at sf0.01 by test_allowlisted_nonvacuous_at_sf001.
+# still pinned non-vacuous at sf0.01 by test_allowlisted_nonvacuous_at_driver_sf.
 SMALL_SF_EMPTY_OK = {
     "graph_jaccard_link_prediction": (
         "the sf0.001 co-purchase graph is too sparse for any vertex pair "
@@ -44,7 +44,7 @@ def test_query_nonvacuous_at_suite_sf(name, spark, sf_dir):
     if name in SMALL_SF_EMPTY_OK:
         pytest.skip(
             "legitimately empty at tiny SF; pinned at sf0.01 by "
-            "test_allowlisted_nonvacuous_at_sf001"
+            "test_allowlisted_nonvacuous_at_driver_sf"
         )
     row = e.queries()[name](spark, sf_dir).first()
     assert row is not None, (
@@ -54,7 +54,7 @@ def test_query_nonvacuous_at_suite_sf(name, spark, sf_dir):
 
 
 @pytest.mark.parametrize("name", sorted(SMALL_SF_EMPTY_OK))
-def test_allowlisted_nonvacuous_at_sf001(name, spark):
+def test_allowlisted_nonvacuous_at_driver_sf(name, spark):
     row = e.queries()[name](spark, "/root/testdata/sf0.01").first()
     assert row is not None, (
         f"{name} is allowlisted as empty-at-sf0.001 but must be "

@@ -161,11 +161,14 @@ def test_stream_stream_join_recovery(spark, sf_dir, tmp_path):
     assert interrupted == clean
 
 
-def test_stateful_profile_recovery_with_torn_commit(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("stage", ["pre_swap", "post_swap"])
+def test_stateful_profile_recovery_with_torn_commit(spark, sf_dir, tmp_path, stage):
     # applyInPandasWithState + foreachBatch upsert: run 1 commits the
-    # first half; run 2 CRASHES at the torn-commit point (snapshot
-    # files written, pointer not swapped, batch uncommitted); run 3
-    # restarts from the checkpoint, re-runs the batch idempotently.
+    # first half; run 2 CRASHES at a torn-commit point — pre_swap
+    # (snapshot files written, pointer not swapped) or post_swap
+    # (pointer swapped, batch not committed to the stream checkpoint:
+    # the replay reads the crashed attempt's own output as the current
+    # snapshot); run 3 restarts from the checkpoint and must converge.
     h1, h2 = _halves(spark, sf_dir)
     feed = str(tmp_path / "feed")
     os.makedirs(feed)
@@ -176,9 +179,8 @@ def test_stateful_profile_recovery_with_torn_commit(spark, sf_dir, tmp_path):
 
     def profile(hook=None):
         out = _profile_update_out(_stream(spark, feed, schema))
-        return _run_to_upsert_sink(
-            out, keys=["user_id"], run_dir=run_dir, pre_commit_hook=hook
-        )
+        kw = {"pre_commit_hook": hook} if stage == "pre_swap" else {"post_commit_hook": hook}
+        return _run_to_upsert_sink(out, keys=["user_id"], run_dir=run_dir, **kw)
 
     profile()  # run 1: half 1 committed, then stopped
     _stage_single_parquet(h2, os.path.join(feed, "b1.parquet"))
@@ -186,7 +188,7 @@ def test_stateful_profile_recovery_with_torn_commit(spark, sf_dir, tmp_path):
     crashed = {"fired": False}
 
     def crash_once(batch_id):
-        if not crashed["fired"]:
+        if not crashed["fired"] and batch_id > 0:
             crashed["fired"] = True
             raise RuntimeError("injected torn-commit crash")
 

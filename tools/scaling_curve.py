@@ -126,12 +126,28 @@ def _salt(c: int) -> str:
     return "q" + chr(ord("a") + c)
 
 
+def _base_fingerprint() -> str:
+    """Identity of the base corpus the cache was built from — testdata
+    regenerates between rounds, and a stale cached corpus would mix old
+    documents/embeddings with NEW symlinked tables (and stale id
+    offsets vs the freshly derived N_DOCS/N_VECS)."""
+    parts = [f"{N_DOCS}:{N_VECS}:{DIM}"]
+    for t in ("documents", "embeddings"):
+        st = os.stat(os.path.join(BASE_SF, f"{t}.parquet"))
+        parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+    return "|".join(parts)
+
+
 def build_corpus(k: int) -> str:
-    """Synthesize the k-x corpus dir (cached); returns its path."""
+    """Synthesize the k-x corpus dir (cached against the base corpus
+    fingerprint); returns its path."""
     out = os.path.join(CORPUS_BASE, f"x{k}")
     marker = os.path.join(out, ".complete")
+    fp = _base_fingerprint()
     if os.path.exists(marker):
-        return out
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     for t in (
@@ -164,9 +180,10 @@ def build_corpus(k: int) -> str:
     )
     con.close()
 
-    # embeddings: per-copy dimension permutation (orthogonal — exact
-    # intra-copy cosines, decorrelated cross-copy), via pyarrow to
-    # keep the list<float32> physical type.
+    # embeddings: per-copy random ROTATION (orthogonal — exact
+    # intra-copy cosines, cross-copy ~N(0, 1/dim); a dimension
+    # permutation was measured NOT to decorrelate, see module
+    # docstring), via pyarrow to keep the list<float32> physical type.
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -195,7 +212,7 @@ def build_corpus(k: int) -> str:
     )
     pq.write_table(out_tbl, os.path.join(out, "embeddings.parquet"))
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(fp)
     return out
 
 
