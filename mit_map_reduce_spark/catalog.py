@@ -160,25 +160,37 @@ def drain_build_events() -> list[tuple[str, float]]:
     return out
 
 
-def shared_persist(spark: SparkSession, name: str, sf_dir: str, factory) -> DataFrame:
+def shared_persist(
+    spark: SparkSession, name: str, sf_dir: str, factory, label: str | None = None
+) -> DataFrame:
     """Return the session's persisted copy of ``name`` for ``sf_dir``,
-    building it via ``factory()`` on first use."""
+    building it via ``factory()`` on first use.
+
+    ``label`` names the build EVENT (bench's cold-build bookkeeping)
+    when ``name`` is not cross-session-stable: rank registry keys are
+    whole canonicalized plan strings, and Catalyst's canonicalization
+    is NOT stable across sessions (r12: a commutative add rendered as
+    ``0.5 + x`` in one bench run and ``x + 0.5`` in the next, so the
+    derived hash label changed and the artifact's cold-build drift
+    coverage silently lapsed — the exact lapse the r11 advice
+    predicted). Callers with plan-text keys must pass a label built
+    from stable call-site facts instead.
+    """
     key = (id(spark), name, sf_dir)
     df = _SHARED_CACHE.get(key)
     if df is None:
         t0 = time.monotonic()
         df = factory()
-        # Registry keys can be whole plan strings (rank.distributed_prefix);
-        # the event log is for humans — keep names one-line and short,
+        # The event log is for humans — keep names one-line and short,
         # but IDENTITY-STABLE: a bare prefix truncation would merge
         # distinct long keys and break the bench's cross-round
         # cold-build comparison whenever the plan text shifts, so long
-        # labels carry a hash of the FULL key.
-        label = " ".join(name.split())
+        # labels carry a hash of the FULL string.
+        label = " ".join((label or name).split())
         if len(label) > 60:
             import hashlib
 
-            digest = hashlib.md5(name.encode()).hexdigest()[:8]
+            digest = hashlib.md5(label.encode()).hexdigest()[:8]
             label = f"{label[:48]}...#{digest}"
         _BUILD_EVENTS.append((label, round(time.monotonic() - t0, 3)))
         # Iterative builders (graph loops) hand back a frame they

@@ -75,11 +75,21 @@ def _pinned_range_partition(
         ",".join(str(c) for c in part_exprs),
         n_parts,
     )
+    # Build-event label from STABLE call-site facts only: the key's
+    # canonicalized plan text varies across sessions (commutative
+    # operand order), which made the derived label's hash drift and
+    # lapse the bench's per-artifact cold-build coverage (r12).
+    label = "rank:{}|{}|cols={}".format(
+        ",".join(str(c) for c in part_exprs),
+        n_parts,
+        ",".join(df.columns),
+    )
     return catalog.shared_persist(
         df.sparkSession,
         key,
         "",
         lambda: d.persist(StorageLevel.MEMORY_AND_DISK),
+        label=label,
     )
 
 
