@@ -76,8 +76,29 @@ VERDICT per path:
   near-dups (s>=0.9) at rows=7 needs ~7 bands (1-(1-s^r)^b), a
   log-factor signature cost — the honest banded-LSH scaling law.
 
+GRAPH paths (--graph; k disjoint copies of the sf0.1 trade graph via
+per-copy key-offset strides — nodes/edges/components scale exactly
+k-fold, density unchanged; same machine/protocol, 2026-08-16 r12):
+
+| query (graph mode)        | metric      |    1x |    3x |   10x | 10x/1x |
+|---------------------------|-------------|-------|-------|-------|--------|
+| graph_supplier_projection | warm sec    | 1.27  | 1.71  | 2.41  |  1.9x  |
+|                           | rows        |490748 |1472244|4907480| 10.0x  |
+| graph_triangle_count      | warm sec    | 0.68  | 0.70  | 0.62  |  0.9x  |
+|                           | rows        |   21  |    63 |   210 | 10.0x  |
+| graph_pagerank_trade      | warm sec    | 0.20  | 0.20  | 0.24  |  1.2x  |
+|                           | ranks build | 6.93  | 8.18  | 14.07 |  2.0x  |
+|                           | rows        | 15999 | 47997 |159990 | 10.0x  |
+
+Graph verdict: the hub-cap + bounded-collect_set projection (no
+self-join) grows 1.9x wall at 10x data with output exactly 10.0x; the
+PageRank ITERATIVE FIXPOINT build — the expensive artifact, which also
+materializes trade_edges inside it — grows 2.0x at 10x edges; triangle
+count rides the cached kNN edges flat. No super-linear graph path.
+
 Usage:
     python tools/scaling_curve.py                       # scales 1,3,10
+    python tools/scaling_curve.py --graph               # graph paths
     python tools/scaling_curve.py --scales 1,10
     python tools/scaling_curve.py --ground-truth        # NumPy oracle
     python tools/scaling_curve.py --emb-scaled 10 7 4 0.35
@@ -117,6 +138,17 @@ TARGETS = [
     "dedup_embedding_lsh_pairs",
     "sim_ann_ivf_topk",
     "dedup_cluster_size_report",
+]
+#: --graph mode: the trade/co-purchase graph paths whose 100 TB story
+#: (hub-cap + bounded collect_set, no self-join; iterative fixpoint)
+#: was previously argued from plan shape only. The k-x corpus is k
+#: DISJOINT copies of the sf0.1 graph: every key domain (orderkey,
+#: custkey, suppkey) gets a per-copy offset stride, so nodes, edges,
+#: and components all scale exactly k-fold with density unchanged.
+GRAPH_TARGETS = [
+    "graph_supplier_projection",
+    "graph_triangle_count",
+    "graph_pagerank_trade",
 ]
 WARM_RUNS = 3
 
@@ -216,6 +248,64 @@ def build_corpus(k: int) -> str:
     return out
 
 
+def build_graph_corpus(k: int) -> str:
+    """Synthesize the k-x GRAPH corpus dir (cached against the base
+    fingerprint): customer/supplier/orders/lineitem duplicated k times
+    with per-copy key-offset strides (copy 0 identity), every other
+    table symlinked. Disjoint copies: cross-copy joins are impossible
+    by construction, so graph outputs scale exactly k-fold."""
+    import duckdb
+
+    out = os.path.join(CORPUS_BASE, f"g{k}")
+    marker = os.path.join(out, ".complete")
+    scaled = ("customer", "supplier", "orders", "lineitem")
+    parts_fp = [f"k={k}"]
+    for t in scaled:
+        st = os.stat(os.path.join(BASE_SF, f"{t}.parquet"))
+        parts_fp.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
+    fp = "|".join(parts_fp)
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in (
+        "region nation part events documents embeddings".split()
+    ):
+        os.symlink(os.path.join(BASE_SF, f"{t}.parquet"), os.path.join(out, f"{t}.parquet"))
+
+    con = duckdb.connect()
+    # strides = max(key)+1, read from the data (testdata regenerates)
+    def stride(table: str, key: str) -> int:
+        return (
+            con.execute(
+                f"SELECT max({key}) + 1 FROM '{BASE_SF}/{table}.parquet'"
+            ).fetchone()[0]
+        )
+
+    ok, ck, sk = stride("orders", "o_orderkey"), stride("customer", "c_custkey"), stride("supplier", "s_suppkey")
+    # all 10x custkeys stay far below graph.NODE_OFFSET (1_000_000) and
+    # LPA_ENC (10_000_000) — checked against the r12 key ranges
+    assert k * ck < 1_000_000, "copy stride would collide with NODE_OFFSET"
+    replaces = {
+        "customer": "c_custkey + {c} * %d AS c_custkey" % ck,
+        "supplier": "s_suppkey + {c} * %d AS s_suppkey" % sk,
+        "orders": "o_orderkey + {c} * %d AS o_orderkey, o_custkey + {c} * %d AS o_custkey" % (ok, ck),
+        "lineitem": "l_orderkey + {c} * %d AS l_orderkey, l_suppkey + {c} * %d AS l_suppkey" % (ok, sk),
+    }
+    for t in scaled:
+        sel = " UNION ALL ".join(
+            f"SELECT * REPLACE ({replaces[t].format(c=c)}) FROM '{BASE_SF}/{t}.parquet'"
+            for c in range(k)
+        )
+        con.execute(f"COPY ({sel}) TO '{out}/{t}.parquet' (FORMAT parquet)")
+    con.close()
+    with open(marker, "w") as fh:
+        fh.write(fp)
+    return out
+
+
 def worker(sf_dir: str) -> None:
     """Fresh-session measurement of every target at one scale; emits
     one JSON line on stdout.
@@ -231,6 +321,9 @@ def worker(sf_dir: str) -> None:
 
     variant = os.environ.get("MMRS_EMB_VARIANT")
     targets = TARGETS
+    tenv = os.environ.get("MMRS_TARGETS")
+    if tenv:
+        targets = tenv.split(",")
     if variant:
         import mit_map_reduce_spark.operators.dedup as dd
 
@@ -331,15 +424,21 @@ def main() -> None:
     scales = [1, 3, 10]
     if "--scales" in sys.argv:
         scales = [int(s) for s in sys.argv[sys.argv.index("--scales") + 1].split(",")]
+    graph_mode = "--graph" in sys.argv
+    targets = GRAPH_TARGETS if graph_mode else TARGETS
+    env = dict(os.environ)
+    if graph_mode:
+        env["MMRS_TARGETS"] = ",".join(GRAPH_TARGETS)
     results: dict[int, dict] = {}
     for k in scales:
-        d = build_corpus(k)
+        d = build_graph_corpus(k) if graph_mode else build_corpus(k)
         print(f"# scale x{k}: corpus at {d}", file=sys.stderr)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", d],
             capture_output=True,
             text=True,
             timeout=3600,
+            env=env,
         )
         if proc.returncode != 0:
             print(proc.stderr[-4000:], file=sys.stderr)
@@ -358,7 +457,7 @@ def main() -> None:
                 for k in scales
                 if results[k][name]["warm_sec"] and results[base][name]["warm_sec"]
             }
-            for name in TARGETS
+            for name in targets
         },
     }))
 
