@@ -101,6 +101,12 @@ PageRank ITERATIVE FIXPOINT build — the expensive artifact, which also
 materializes trade_edges inside it — grows 2.0x at 10x edges; triangle
 count rides the cached kNN edges flat. No super-linear graph path.
 
+TEXT paths (MMRS_TARGETS override over the same document corpora,
+x1 vs x10, same protocol): BPE trainer build 5.69 -> 5.91 s (1.04x —
+pair-vocabulary-bound, not corpus-bound); text_bigram_logprob warm
+1.57 -> 8.44 s (5.4x for 10x rows, output exactly 10x);
+text_training_mix warm 0.68 -> 1.03 s (1.5x). Linear or better.
+
 Usage:
     python tools/scaling_curve.py                       # scales 1,3,10
     python tools/scaling_curve.py --graph               # graph paths
@@ -430,10 +436,12 @@ def main() -> None:
     if "--scales" in sys.argv:
         scales = [int(s) for s in sys.argv[sys.argv.index("--scales") + 1].split(",")]
     graph_mode = "--graph" in sys.argv
-    targets = GRAPH_TARGETS if graph_mode else TARGETS
     env = dict(os.environ)
     if graph_mode:
         env["MMRS_TARGETS"] = ",".join(GRAPH_TARGETS)
+    # honor an external MMRS_TARGETS override (ad-hoc curves over the
+    # same corpora) in the ratios step too, not just in the worker
+    targets = env["MMRS_TARGETS"].split(",") if env.get("MMRS_TARGETS") else TARGETS
     results: dict[int, dict] = {}
     for k in scales:
         d = build_graph_corpus(k) if graph_mode else build_corpus(k)
