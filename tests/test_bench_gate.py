@@ -14,14 +14,42 @@ or when the sidecar predates the newest stamped baseline (there is
 nothing fresh to grade).
 """
 
+import contextlib
 import glob
 import json
 import os
 import re
+import shutil
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@contextlib.contextmanager
+def _preserve_detail():
+    """Save/restore BENCH_DETAIL.json around a bench.main() call.
+
+    The sidecar is an untracked bench output — on a fresh checkout it
+    does not exist yet, so 'restore' means 'remove whatever the test's
+    bench run wrote' (the original shutil.copy-then-move pair crashed
+    with FileNotFoundError before the test body even ran). Yields the
+    sidecar path.
+    """
+    import bench
+
+    detail = os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
+    saved = detail + ".test_saved"
+    existed = os.path.exists(detail)
+    if existed:
+        shutil.copy(detail, saved)
+    try:
+        yield detail
+    finally:
+        if existed:
+            shutil.move(saved, detail)
+        elif os.path.exists(detail):
+            os.remove(detail)
 
 
 def _newest_stamped() -> str | None:
@@ -188,16 +216,8 @@ def test_gated_queries_are_confirmed_by_retry(monkeypatch, capsys):
     the gate recomputed with the better medians (round 10: three
     UNTOUCHED queries gated at 2-4x with consistent probe; the
     re-run was clean). __uniform_drift__ is never retryable."""
-    import io
-    import json
-    import os
-    import shutil
-
     import bench
 
-    detail = os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
-    saved = detail + ".test_saved"
-    shutil.copy(detail, saved)
     calls = {"n": 0}
 
     def fake_report(repo, timings, probe_sec=None):
@@ -206,7 +226,7 @@ def test_gated_queries_are_confirmed_by_retry(monkeypatch, capsys):
             return ["mr_wordcount", "__uniform_drift__"]
         return []
 
-    try:
+    with _preserve_detail() as detail:
         monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
         monkeypatch.setattr(bench, "REPEATS", 1)
         monkeypatch.setattr(bench, "HEADLINE", ["mr_wordcount"])
@@ -218,8 +238,6 @@ def test_gated_queries_are_confirmed_by_retry(monkeypatch, capsys):
         assert calls["n"] == 2  # gate recomputed after the retry
         with open(detail) as f:
             assert json.load(f)["unexplained_regressions"] == []
-    finally:
-        shutil.move(saved, detail)
 
 
 def test_cold_artifact_build_runs_excluded_from_median(monkeypatch, capsys):
@@ -229,14 +247,8 @@ def test_cold_artifact_build_runs_excluded_from_median(monkeypatch, capsys):
     (r10 verdict: the dedup CC fixpoint landing in run 1 of
     dedup_cluster_size_report turned its median into max(two
     post-build runs) — four rounds of ±50% oscillation)."""
-    import shutil
-
     import bench
     from mit_map_reduce_spark import catalog
-
-    detail = os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
-    saved = detail + ".test_saved"
-    shutil.copy(detail, saved)
 
     real_queries = None
 
@@ -257,7 +269,7 @@ def test_cold_artifact_build_runs_excluded_from_median(monkeypatch, capsys):
     import __spark_entry__ as entrymod
 
     real_queries = entrymod.queries
-    try:
+    with _preserve_detail() as detail:
         monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
         monkeypatch.setattr(bench, "REPEATS", 2)
         monkeypatch.setattr(bench, "HEADLINE", ["mr_wordcount"])
@@ -272,8 +284,6 @@ def test_cold_artifact_build_runs_excluded_from_median(monkeypatch, capsys):
         assert builds[0]["artifacts"] == ["fake_artifact"]
         # median came from REPEATS clean runs: 3 total calls were made
         # (1 cold excluded + 2 timed)
-    finally:
-        shutil.move(saved, detail)
 
 
 def test_every_run_builds_falls_back_to_including_runs(monkeypatch, capsys):
@@ -281,14 +291,8 @@ def test_every_run_builds_falls_back_to_including_runs(monkeypatch, capsys):
     EVERY run (no registry hit — pathological, but the loop must
     terminate) still produces a median after REPEATS + 2 attempts,
     with the overflow runs included rather than spinning forever."""
-    import shutil
-
     import bench
     from mit_map_reduce_spark import catalog
-
-    detail = os.path.join(os.path.dirname(bench.__file__), "BENCH_DETAIL.json")
-    saved = detail + ".test_saved"
-    shutil.copy(detail, saved)
 
     real_queries = None
 
@@ -316,7 +320,7 @@ def test_every_run_builds_falls_back_to_including_runs(monkeypatch, capsys):
         seen.update(calls=qs.pop("__calls__"))
         return qs
 
-    try:
+    with _preserve_detail() as detail:
         monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
         monkeypatch.setattr(bench, "REPEATS", 2)
         monkeypatch.setattr(bench, "HEADLINE", ["mr_wordcount"])
@@ -342,8 +346,6 @@ def test_every_run_builds_falls_back_to_including_runs(monkeypatch, capsys):
             True,
             True,
         ]
-    finally:
-        shutil.move(saved, detail)
 
 
 def test_cold_build_drift_advisory(tmp_path, capsys, monkeypatch):
