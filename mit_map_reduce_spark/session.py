@@ -31,8 +31,20 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
-def get_spark(app_name: str = "mit_map_reduce_spark", *, master: str | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's defaults."""
+def get_spark(
+    app_name: str = "mit_map_reduce_spark",
+    *,
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``extra_conf`` entries are applied last (they win over the
+    defaults) — session-creation-time knobs like event logging that a
+    measurement harness needs; no effect on an already-created session
+    (getOrCreate reuses), so callers that need them must be the first
+    session in their process (the fresh-subprocess tools are).
+    """
     # Python workers must be able to import this package (RDD closures
     # in the MapReduce facade pickle functions by reference).
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -74,6 +86,8 @@ def get_spark(app_name: str = "mit_map_reduce_spark", *, master: str | None = No
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
