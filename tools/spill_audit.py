@@ -97,6 +97,35 @@ FINDINGS:
   (worst honest value 96 MB; the 737 MB is the misestimated-broadcast
   wrinkle above, self-corrected by the warm re-plan).
 
+HOT-KEY EXHIBIT (--skew): the uniform corpora above cannot exercise
+skew handling, so --skew synthesizes a x30 events corpus with 40% of
+all rows on ONE user (1.2 M rows) and A/Bs the shuffle join against
+the customer dim with auto-broadcast disabled (the 100 TB premise: a
+dim too big to broadcast). Same machine/date; all three variants
+assert-identical answers; AQE split thresholds scaled to the corpus
+(2m/1m — at the 256 MB defaults the split never fires here, and the
+first run of this exhibit measured exactly that as identical task
+metrics):
+
+| variant     | tasks | max_task_sr | sr_skew | peak_mem | wall   |
+|-------------|-------|-------------|---------|----------|--------|
+| naive, AQE skew split off | 46 | 9.77 MB | 8.83 | 120 MB | 2.03 s |
+| naive, AQE skew split on  | 57 | 1.66 MB | 1.66 |  32 MB | 0.94 s |
+| salted (JOIN_SALTS=8)     | 48 | 3.23 MB | 1.64 |  48 MB | 3.55 s |
+
+Reading: the hot partition is 8.8x the median and AQE's split levels
+it at runtime (max reducer 9.77 -> 1.66 MB) — at 100 TB where the hot
+key is ~40% of the fact table, that is the difference between one
+executor holding 40 TB and none. Explicit salting levels it just as
+well (1.64) but pays the 8x dim replication + wider shuffle, and at
+THIS scale that overhead exceeds the benefit (3.55 s vs 0.94) — so
+the engine's doctrine stands as measured: AQE skew split is the
+first-line cure for batch joins (it even handles a single hot key by
+replicating the build side per split); explicit salting is the
+portable form for the places AQE cannot reach — hot GROUPS in
+aggregations (rel_salted_agg_events_per_type's two-stage shape;
+a group cannot be split by AQE) and streaming state.
+
 Usage:
   python tools/spill_audit.py                # doc/emb targets, x1 + x10
   python tools/spill_audit.py --rel          # relational targets
@@ -104,6 +133,7 @@ Usage:
   MMRS_TARGETS=q1,q2 python tools/spill_audit.py   # ad-hoc target list
   MMRS_EMB_VARIANT=7:13:0.35 python tools/spill_audit.py --scales 10
       # the occupancy-tuned embedding-LSH spill measurement above
+  python tools/spill_audit.py --skew    # the hot-key join A/B exhibit
 """
 
 import json
@@ -198,6 +228,167 @@ def _aggregate(stage_ids: set[int], stage_tasks: dict[int, list[dict]]) -> dict:
     }
 
 
+def build_skew_corpus(k: int) -> str:
+    """k-x events corpus with ONE hot user: 40% of all rows land on
+    custkey 42 (deterministic per-row hash), the rest keep their
+    original uniform user_id; other tables symlink unchanged. The
+    synthetic hot key the uniform testdata lacks — skew handling can
+    only be MEASURED against data that actually skews."""
+    base = "/root/testdata/sf0.1"
+    out = os.path.join("/tmp/mmrs_skew_corpus", f"x{k}")
+    marker = os.path.join(out, ".complete")
+    st = os.stat(os.path.join(base, "events.parquet"))
+    fp = f"{k}:{st.st_size}:{int(st.st_mtime)}"
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == fp:
+                return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for t in (
+        "region nation customer supplier part orders lineitem documents embeddings".split()
+    ):
+        os.symlink(os.path.join(base, f"{t}.parquet"), os.path.join(out, f"{t}.parquet"))
+    import duckdb
+
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(os.path.join(base, "events.parquet")).metadata.num_rows
+    parts = [
+        f"SELECT event_id + {c * n} AS event_id, ts, "
+        f"CASE WHEN (event_id + {c * n}) % 100 < 40 THEN 42 ELSE user_id END AS user_id, "
+        f"event_type, value, props FROM '{base}/events.parquet'"
+        for c in range(k)
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/events.parquet' (FORMAT parquet)"
+    )
+    con.close()
+    with open(marker, "w") as fh:
+        fh.write(fp)
+    return out
+
+
+def skew_worker(sf_dir: str) -> None:
+    """Hot-key join A/B on the skewed corpus, auto-broadcast DISABLED
+    (the 100 TB premise: a dimension too big to broadcast, so the join
+    must shuffle on the skewed key). Three variants, one JSON line:
+
+    - naive_noaqe : plain shuffle join, AQE skew split OFF — the
+                    disease: the hot key's rows melt one reducer
+    - naive_aqe   : plain join, AQE skew split ON — Spark's runtime
+                    cure (splits the oversized partition)
+    - salted      : JOIN_SALTS-way explicit salting, AQE skew split
+                    OFF — the portable cure (works for streaming
+                    state and pre-AQE engines too)
+
+    All three must return the identical aggregate (asserted here) —
+    salting changes the plan, never the answer.
+    """
+    import time
+
+    evdir = tempfile.mkdtemp(prefix="mmrs_skew_evlog")
+    from pyspark.sql import functions as F
+
+    from mit_map_reduce_spark.catalog import load_table
+    from mit_map_reduce_spark.operators.relational import JOIN_SALTS
+    from mit_map_reduce_spark.session import get_spark
+
+    spark = get_spark(
+        "spill_audit_skew",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+            "spark.eventLog.dir": evdir,
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def agg(joined):
+        return joined.groupBy("c_mktsegment").agg(
+            F.count("*").alias("n_events"),
+            # decimal sum: order-invariant, so the three variants'
+            # results compare exactly
+            F.sum(F.col("value").cast("decimal(20,4)")).alias("total_value"),
+        )
+
+    def naive():
+        return agg(ev.join(cust, "user_id"))
+
+    def salted():
+        salted_dim = cust.withColumn(
+            "salt", F.explode(F.array(*[F.lit(i) for i in range(JOIN_SALTS)]))
+        )
+        probe_salt = (
+            F.conv(F.md5(F.col("event_id").cast("string")).substr(1, 2), 16, 10).cast(
+                "int"
+            )
+            % JOIN_SALTS
+        )
+        return agg(
+            ev.withColumn("salt", probe_salt).join(salted_dim, ["user_id", "salt"])
+        )
+
+    variants = [
+        ("naive_noaqe", naive, "false"),
+        ("naive_aqe", naive, "true"),
+        ("salted", salted, "false"),
+    ]
+    sc = spark.sparkContext
+    naive().collect()  # untimed: page cache + JVM warmth, else variant
+    # 1 pays the cold scan and the A/B measures ordering, not plans
+    walls: dict[str, float] = {}
+    answers: dict[str, list] = {}
+    for name, fn, skew_flag in variants:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_flag)
+        if skew_flag == "true":
+            # AQE's split thresholds default to 256 MB-scale partitions;
+            # this is a scaled-DOWN corpus, so scale the thresholds the
+            # same way or the split never fires and the variant
+            # silently measures the naive plan (it did, first run —
+            # identical task metrics gave it away)
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m"
+            )
+            spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+        else:
+            spark.conf.unset(
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+            )
+            spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        sc.setJobGroup(f"skew:{name}", name)
+        try:
+            t0 = time.monotonic()
+            answers[name] = sorted(map(tuple, fn().collect()))
+            walls[name] = round(time.monotonic() - t0, 2)
+        finally:
+            sc.setJobGroup("", "")
+    assert answers["naive_noaqe"] == answers["naive_aqe"] == answers["salted"], (
+        "variants disagree — salting/AQE changed the ANSWER"
+    )
+    spark.stop()
+
+    logs = [os.path.join(evdir, f) for f in os.listdir(evdir) if not f.endswith(".crc")]
+    assert len(logs) == 1, f"expected one event log, found {logs}"
+    group_stages, stage_tasks = _parse_event_log(logs[0])
+    res = {
+        name: dict(
+            _aggregate(group_stages.get(f"skew:{name}", set()), stage_tasks),
+            wall_sec=walls[name],
+        )
+        for name, _, _ in variants
+    }
+    print(json.dumps(res))
+
+
 def worker(sf_dir: str) -> None:
     """Fresh-session audit of every target at one scale; one JSON line
     on stdout (printed AFTER spark.stop() so the event log is flushed)."""
@@ -266,6 +457,30 @@ def worker(sf_dir: str) -> None:
 def main() -> None:
     if "--worker" in sys.argv:
         worker(sys.argv[sys.argv.index("--worker") + 1])
+        return
+    if "--skew-worker" in sys.argv:
+        skew_worker(sys.argv[sys.argv.index("--skew-worker") + 1])
+        return
+    if "--skew" in sys.argv:
+        k = 30
+        if "--scales" in sys.argv:
+            k = int(sys.argv[sys.argv.index("--scales") + 1])
+        d = build_skew_corpus(k)
+        print(f"# skew corpus x{k} at {d}", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--skew-worker", d],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            env=dict(os.environ),
+        )
+        if proc.returncode != 0:
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise SystemExit("skew worker failed")
+        out = proc.stdout.strip().splitlines()[-1]
+        for name, r in json.loads(out).items():
+            print(f"# {name}: {json.dumps(r)}", file=sys.stderr)
+        print(out)
         return
 
     from tools.scaling_curve import build_corpus, build_graph_corpus
