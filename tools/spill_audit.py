@@ -113,6 +113,15 @@ metrics):
 | naive, AQE skew split on  | 57 | 1.66 MB | 1.66 |  32 MB | 0.94 s |
 | salted (JOIN_SALTS=8)     | 48 | 3.23 MB | 1.64 |  48 MB | 3.55 s |
 
+and the hot GROUP (a per-user rank — no AQE knob can split a window
+partition; the engine's registered cure is functions.rank's
+range-partitioned two-pass construction, checksum-asserted equal):
+
+| variant                   | tasks | max_task_sr | sr_skew | wall   |
+|---------------------------|-------|-------------|---------|--------|
+| row_number over partitionBy(user) | 46 | 14.47 MB | 8.64 | 1.90 s |
+| distributed_prefix (two-pass)     | 142 |  4.27 MB | 2.29 | 3.45 s |
+
 Reading: the hot partition is 8.8x the median and AQE's split levels
 it at runtime (max reducer 9.77 -> 1.66 MB) — at 100 TB where the hot
 key is ~40% of the fact table, that is the difference between one
@@ -121,10 +130,21 @@ well (1.64) but pays the 8x dim replication + wider shuffle, and at
 THIS scale that overhead exceeds the benefit (3.55 s vs 0.94) — so
 the engine's doctrine stands as measured: AQE skew split is the
 first-line cure for batch joins (it even handles a single hot key by
-replicating the build side per split); explicit salting is the
-portable form for the places AQE cannot reach — hot GROUPS in
-aggregations (rel_salted_agg_events_per_type's two-stage shape;
-a group cannot be split by AQE) and streaming state.
+replicating the build side per split); explicit restructuring is the
+portable form for the places AQE cannot reach. The window rows
+measure one of those places: the hot user's 1.2 M-row window
+partition is one unsplittable 14.5 MB task (fine locally, a stuck
+executor at 100 TB where it would be terabytes), and
+distributed_prefix bounds the worst task at 4.3 MB for 1.9x the
+shuffle volume plus the offset join — locally slower in wall terms
+(a single-task 1.2 M-row sort is cheap at this absolute size), which
+is WHY the engine routes only the genuinely hot/global rank shapes
+through it and leaves high-cardinality small groups on the plain
+window (functions/rank.py's documented contract). Algebraic
+aggregations never make this list: map-side partials collapse hot
+keys before the shuffle, so the naive groupBy is already optimal
+there (the salted two-stage agg exists for the low-cardinality-key
+forms where partials cannot shrink the reducer's input).
 
 Usage:
   python tools/spill_audit.py                # doc/emb targets, x1 + x10
@@ -374,6 +394,47 @@ def skew_worker(sf_dir: str) -> None:
     assert answers["naive_noaqe"] == answers["naive_aqe"] == answers["salted"], (
         "variants disagree — salting/AQE changed the ANSWER"
     )
+
+    # hot GROUP, not hot join key: a partitionBy(user) window puts the
+    # hot user's 1.2 M rows in ONE task and no AQE knob can split a
+    # window partition — the unsplittable case (algebraic aggs do NOT
+    # qualify: map-side partials already collapse hot keys). The
+    # engine's cure is the range-partitioned two-pass rank.
+    from pyspark.sql import Window
+
+    from mit_map_reduce_spark.functions.rank import distributed_prefix
+
+    seq = ev.select("user_id", "ts", "event_id")
+
+    def window_naive():
+        return seq.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+
+    def window_dp():
+        return distributed_prefix(
+            seq, ["ts", "event_id"], group_by=["user_id"], row_number="rn"
+        )
+
+    checksums = {}
+    window_variants = [("window_naive", window_naive), ("window_dp", window_dp)]
+    for name, fn in window_variants:
+        sc.setJobGroup(f"skew:{name}", name)
+        try:
+            t0 = time.monotonic()
+            checksums[name] = fn().agg(
+                F.sum(F.col("rn").cast("long")).alias("s"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            walls[name] = round(time.monotonic() - t0, 2)
+        finally:
+            sc.setJobGroup("", "")
+    assert checksums["window_naive"] == checksums["window_dp"], (
+        "rank checksums disagree — distributed_prefix changed the ANSWER"
+    )
     spark.stop()
 
     logs = [os.path.join(evdir, f) for f in os.listdir(evdir) if not f.endswith(".crc")]
@@ -384,7 +445,7 @@ def skew_worker(sf_dir: str) -> None:
             _aggregate(group_stages.get(f"skew:{name}", set()), stage_tasks),
             wall_sec=walls[name],
         )
-        for name, _, _ in variants
+        for name in [v[0] for v in variants] + [v[0] for v in window_variants]
     }
     print(json.dumps(res))
 
