@@ -62,6 +62,27 @@ def corpus_fingerprint(sf_dir: str, *tables: str) -> str:
     return "|".join(parts)
 
 
+def scratch_base() -> str:
+    """Root directory for cross-run scratch artifacts (bucketed table
+    copies, staged source-format round-trips, trained IVF centroids,
+    streaming feeds/sinks/checkpoints).
+
+    Defaults to the machine-local tempdir — correct for any
+    single-machine ``local[...]`` deployment, where driver and
+    executors share one filesystem. On a MULTI-NODE cluster set
+    ``SPARK_GRAFT_SCRATCH_DIR`` to a path on shared storage that every
+    executor and the driver resolve to the same files, and that
+    supports POSIX rename within the base — the artifact publish
+    protocol is atomic temp-dir-then-rename, and the bucketed/source
+    scratch registers external tables over these paths (NFS/Lustre or
+    a fuse-mounted object store qualify; raw S3 paths would need the
+    Hadoop FS API instead of os.rename and are out of scope here).
+    """
+    import tempfile
+
+    return os.environ.get("SPARK_GRAFT_SCRATCH_DIR", tempfile.gettempdir())
+
+
 def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     """Fan a small input out across the cluster before compute-heavy
     derivation (shingling, hashing, pair joins).

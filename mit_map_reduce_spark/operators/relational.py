@@ -909,13 +909,12 @@ def bucketed_scratch_base(sf_dir: str) -> str:
     recipe instead of re-deriving it."""
     import hashlib
     import os
-    import tempfile
 
-    from mit_map_reduce_spark.catalog import corpus_fingerprint
+    from mit_map_reduce_spark.catalog import corpus_fingerprint, scratch_base
 
     fp = corpus_fingerprint(sf_dir, "lineitem", "orders")
     tag = hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:8]
-    return os.path.join(tempfile.gettempdir(), "mmrs_bucketed", tag)
+    return os.path.join(scratch_base(), "mmrs_bucketed", tag)
 
 
 def rel_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:

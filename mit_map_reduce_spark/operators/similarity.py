@@ -331,10 +331,9 @@ def _centroids_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
     import shutil
-    import tempfile
     import uuid
 
-    from mit_map_reduce_spark.catalog import corpus_fingerprint
+    from mit_map_reduce_spark.catalog import corpus_fingerprint, scratch_base
 
     # The key includes every training parameter: a code change that
     # alters training must never silently reuse an artifact trained by
@@ -346,7 +345,7 @@ def _centroids_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = corpus_fingerprint(sf_dir, "embeddings")
     params = f"{os.path.abspath(sf_dir)}|{fp}|k={K_CELLS}|it={KMEANS_ITERS}|dp={MEAN_DIGITS}|mod={TRAIN_SAMPLE_MOD}"
     tag = hashlib.md5(params.encode()).hexdigest()[:12]
-    art = os.path.join(tempfile.gettempdir(), "mmrs_ivf_centroids", tag)
+    art = os.path.join(scratch_base(), "mmrs_ivf_centroids", tag)
     if not os.path.isdir(art):
         cents = _trained_centroids(_emb_with_norm(spark, sf_dir))
         tmp = art + "." + uuid.uuid4().hex[:8]

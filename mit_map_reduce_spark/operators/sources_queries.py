@@ -8,10 +8,11 @@ second full scan), and aggregates; the oracle computes the same
 aggregate straight from the parquet. A lossless round trip is exactly
 "the numbers don't change because the bytes took a detour".
 
-Scratch copies are written once per (corpus, format) under tempdir and
-reused across sessions (same keyed-artifact discipline as the IVF
-centroids; atomic rename so a crashed writer cannot publish a partial
-copy). The one exception is ``src_csv_malformed_quarantine``, which
+Scratch copies are written once per (corpus, format) under
+``catalog.scratch_base()`` (tempdir locally; SPARK_GRAFT_SCRATCH_DIR
+on a shared filesystem for multi-node clusters) and reused across
+sessions (same keyed-artifact discipline as the IVF centroids; atomic
+rename so a crashed writer cannot publish a partial copy). The one exception is ``src_csv_malformed_quarantine``, which
 exercises the PERMISSIVE parser over in-memory-built lines and touches
 no filesystem at all (round-9 rewrite; the no-filesystem property is
 pytest-pinned).
@@ -24,7 +25,6 @@ import glob
 import hashlib
 import os
 import shutil
-import tempfile
 import threading
 import time
 import uuid
@@ -32,7 +32,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mit_map_reduce_spark.catalog import corpus_fingerprint, load_table
+from mit_map_reduce_spark.catalog import corpus_fingerprint, load_table, scratch_base
 from mit_map_reduce_spark.functions.columns import money_sum, sql_money_sum
 from mit_map_reduce_spark.sources.io import (
     read_csv,
@@ -89,7 +89,7 @@ def _artifact_dir(sf_dir: str, fmt: str, table: str) -> str:
     fp = corpus_fingerprint(sf_dir, table)
     key = f"{os.path.abspath(sf_dir)}|{fmt}|{_ARTIFACT_REV}|{fp}"
     tag = hashlib.md5(key.encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), "mmrs_source_rt", tag)
+    return os.path.join(scratch_base(), "mmrs_source_rt", tag)
 
 
 def _is_published(out_dir: str) -> bool:

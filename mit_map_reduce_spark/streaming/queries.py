@@ -30,7 +30,6 @@ import atexit
 import hashlib
 import os
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +41,12 @@ from mit_map_reduce_spark.functions.columns import (
     round_half_up,
     sql_money_sum,
 )
-from mit_map_reduce_spark.catalog import ensure_nanos_flag, load_table, table_path
+from mit_map_reduce_spark.catalog import (
+    ensure_nanos_flag,
+    load_table,
+    scratch_base,
+    table_path,
+)
 
 #: All per-run scratch (stream-source symlink dirs, file-sink output,
 #: checkpoints, upsert snapshots) lives under this one base dir, swept
@@ -51,7 +55,7 @@ from mit_map_reduce_spark.catalog import ensure_nanos_flag, load_table, table_pa
 #: exit (not per query) keeps returned DataFrames readable: they are
 #: lazy over the sink files until the caller finishes collecting.
 _SCRATCH_BASE = os.path.join(
-    tempfile.gettempdir(), f"mmrs_stream_scratch_{os.getpid()}"
+    scratch_base(), f"mmrs_stream_scratch_{os.getpid()}"
 )
 # Perf note (round 8, verdict item 6): the stream queries' 1.6-2.7 s
 # bench times are NOT checkpoint-IO-bound. Measured on a warm session:

@@ -79,3 +79,19 @@ def test_bucketed_scratch_publishes_atomically(spark, sf_dir):
     assert strays == [], strays
     for sub in ("li", "ord"):
         assert os.path.exists(os.path.join(base, sub, "_SUCCESS"))
+
+
+def test_scratch_base_env_override(monkeypatch, tmp_path):
+    """Every cross-run scratch artifact keys off catalog.scratch_base()
+    so a multi-node deployment can point it at shared storage with
+    SPARK_GRAFT_SCRATCH_DIR; unset, it stays the local tempdir."""
+    import tempfile
+
+    from mit_map_reduce_spark.catalog import scratch_base
+    from mit_map_reduce_spark.operators.relational import bucketed_scratch_base
+
+    monkeypatch.delenv("SPARK_GRAFT_SCRATCH_DIR", raising=False)
+    assert scratch_base() == tempfile.gettempdir()
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_DIR", str(tmp_path))
+    assert scratch_base() == str(tmp_path)
+    assert bucketed_scratch_base("/root/testdata/sf0.001").startswith(str(tmp_path))
