@@ -46,7 +46,12 @@ def get_spark(
     session in their process (the fresh-subprocess tools are).
     """
     # Python workers must be able to import this package (RDD closures
-    # in the MapReduce facade pickle functions by reference).
+    # in the MapReduce facade pickle functions by reference). The env
+    # var covers every local[...] deployment, where workers fork on
+    # this machine; on a multi-node cluster ship the package instead —
+    # `--py-files mit_map_reduce_spark.zip` / spark.submit.pyFiles, or
+    # install it on the executor images — since executor processes do
+    # not inherit this driver-side env.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pp = os.environ.get("PYTHONPATH", "")
     if repo_root not in pp.split(":"):
