@@ -81,6 +81,19 @@ VERDICT per path:
   bands compensation restores recall at a log-factor signature cost —
   the honest banded-LSH scaling law, now as data.
 
+x30 VALIDATION (2026-08-16, measurably slower box than the tables
+above — same-subprocess-session RATIOS only, absolute seconds not
+comparable): extending to 150k docs / 60k vectors, MinHash-LSH output
+stays exactly linear (7678 pairs = 30.0x of the x1 256) at warm
+6.84x for 30x data, and IVF rows exactly 30x at warm 2.37x — the
+near-linear claims hold for another half-decade of scale. This run
+also caught a real synthesis bug: the original per-copy salt walked
+past 'z' at copy 26+ into tokenizer-dropped punctuation, collapsing
+copies 26-29 onto one salt and inflating the x30 pair count 5x
+(40750) — fixed to base-26 (_salt), cached corpora invalidated via
+the synthv2 fingerprint; k <= 26 salts (all committed tables) are
+byte-identical under both implementations.
+
 GRAPH paths (--graph; k disjoint copies of the sf0.1 trade graph via
 per-copy key-offset strides — nodes/edges/components scale exactly
 k-fold, density unchanged; same machine/protocol, 2026-08-16 r12):
@@ -165,8 +178,23 @@ WARM_RUNS = 3
 
 
 def _salt(c: int) -> str:
-    # letter-only per-copy token suffix (the tokenizer drops digits)
-    return "q" + chr(ord("a") + c)
+    """Letter-ONLY per-copy token suffix — base-26, so it stays letters
+    for ANY copy index. The original ``chr(ord('a') + c)`` walked past
+    'z' at c >= 26 into punctuation that the letter tokenizer DROPS,
+    silently collapsing copies 26+ onto the same salt and making them
+    mutual near-duplicates (measured: an x30 curve emitted 40750
+    MinHash pairs where ~30x of the x1 256 was expected — synthesis
+    artifact, not algorithm growth). For c < 26 the output is
+    identical to the original, so the committed 1x/3x/10x tables are
+    unaffected."""
+    s = ""
+    n = c
+    while True:
+        s = chr(ord("a") + n % 26) + s
+        n //= 26
+        if n == 0:
+            break
+    return "q" + s
 
 
 def _base_fingerprint() -> str:
@@ -174,7 +202,9 @@ def _base_fingerprint() -> str:
     regenerates between rounds, and a stale cached corpus would mix old
     documents/embeddings with NEW symlinked tables (and stale id
     offsets vs the freshly derived N_DOCS/N_VECS)."""
-    parts = [f"{N_DOCS}:{N_VECS}:{DIM}"]
+    # synthv2: the base-26 _salt fix — cached corpora built under the
+    # old salt must not survive (identical for k <= 26, wrong above)
+    parts = [f"synthv2|{N_DOCS}:{N_VECS}:{DIM}"]
     for t in ("documents", "embeddings"):
         st = os.stat(os.path.join(BASE_SF, f"{t}.parquet"))
         parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
