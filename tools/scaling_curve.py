@@ -113,6 +113,10 @@ self-join) grows 1.9x wall at 10x data with output exactly 10.0x; the
 PageRank ITERATIVE FIXPOINT build — the expensive artifact, which also
 materializes trade_edges inside it — grows 2.0x at 10x edges; triangle
 count rides the cached kNN edges flat. No super-linear graph path.
+x30 validation (ratios-only, slower box, same session): projection
+rows 14.72M = exactly 30.0x at warm 4.0x; PageRank rows 30.0x with
+the fixpoint build 3.43x at 30x edges; triangle 30x rows flat — the
+linearity holds for another half-decade of scale.
 
 TEXT paths (MMRS_TARGETS override over the same document corpora,
 x1 vs x10, same protocol): BPE trainer build 5.69 -> 5.91 s (1.04x —
