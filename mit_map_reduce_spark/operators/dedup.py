@@ -618,6 +618,11 @@ def embedding_dup_pairs_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: and the within-bucket join fan-out — grows linearly with the corpus;
 #: at 100x, raise rows (and bands, to hold recall) so buckets stay
 #: bounded, exactly like raising K_CELLS in the IVF quantizer.
+#: MEASURED (tools/scaling_curve.py + tools/spill_audit.py, r12): at a
+#: 10x corpus with these x1 constants the candidate join/distinct
+#: spills 7.7 GB and runs 13.4x slower; rows=7/bands=13 (occupancy
+#: held, recall bands-compensated) spills ZERO at half the shuffle,
+#: 2.6x the speed — the knob is not advisory at scale.
 EMB_LSH_BANDS = 4
 EMB_LSH_ROWS = 4
 
