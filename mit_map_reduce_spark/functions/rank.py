@@ -46,7 +46,10 @@ __all__ = ["distributed_prefix", "ntile_from_rank"]
 
 
 def _pinned_range_partition(
-    df: DataFrame, part_exprs: Sequence[Column | str], n_parts: int
+    df: DataFrame,
+    part_exprs: Sequence[Column | str],
+    n_parts: int,
+    label_facts: str = "",
 ) -> DataFrame:
     """Range-partition ``df`` and pin ``spark_partition_id`` by
     materializing the exchange ONCE (session-registry persist,
@@ -79,10 +82,16 @@ def _pinned_range_partition(
     # canonicalized plan text varies across sessions (commutative
     # operand order), which made the derived label's hash drift and
     # lapse the bench's per-artifact cold-build coverage (r12).
-    label = "rank:{}|{}|cols={}".format(
+    # label_facts (the caller's requested output names) distinguishes
+    # same-shaped frames from different call sites; residual risk: two
+    # calls with identical columns, ordering, width AND output names
+    # still merge — acceptable for a drift ADVISORY, and the unstable
+    # plan text cannot help without reintroducing the hash drift.
+    label = "rank:{}|{}|cols={}{}".format(
         ",".join(str(c) for c in part_exprs),
         n_parts,
         ",".join(df.columns),
+        f"|{label_facts}" if label_facts else "",
     )
     return catalog.shared_persist(
         df.sparkSession,
@@ -142,7 +151,12 @@ def distributed_prefix(
     if n_parts is None:
         n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism // 2)
 
-    d = _pinned_range_partition(df, [*group_by, *order_cols], n_parts)
+    facts = ",".join(
+        filter(None, [*sums, row_number or "", total_count or ""])
+    )
+    d = _pinned_range_partition(
+        df, [*group_by, *order_cols], n_parts, label_facts=f"out={facts}"
+    )
     w_in = (
         W.partitionBy(*group_by, "__pid")
         .orderBy(*order_cols)

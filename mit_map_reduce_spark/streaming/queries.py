@@ -54,8 +54,13 @@ from mit_map_reduce_spark.catalog import (
 #: accumulate unbounded parquet + state files in tempdir. Sweeping at
 #: exit (not per query) keeps returned DataFrames readable: they are
 #: lazy over the sink files until the caller finishes collecting.
+#: pid alone is NOT unique once scratch_base() can point at SHARED
+#: storage (pids are per-host; two drivers on different nodes can
+#: share one) — and the atexit sweep below would then rmtree another
+#: live run's checkpoints. The uuid component makes the dir
+#: process-unique on any filesystem.
 _SCRATCH_BASE = os.path.join(
-    scratch_base(), f"mmrs_stream_scratch_{os.getpid()}"
+    scratch_base(), f"mmrs_stream_scratch_{os.getpid()}_{uuid.uuid4().hex[:8]}"
 )
 # Perf note (round 8, verdict item 6): the stream queries' 1.6-2.7 s
 # bench times are NOT checkpoint-IO-bound. Measured on a warm session:

@@ -141,6 +141,13 @@ def test_sigkill_mid_batch_then_restart_converges(spark, sf_dir, tmp_path):
         )
         os.killpg(proc.pid, signal.SIGKILL)
     finally:
+        # kill UNCONDITIONALLY before waiting: if an assertion above
+        # fired first, the worker is still alive and a bare wait would
+        # raise TimeoutExpired over the real failure AND leak the JVM
+        import contextlib
+
+        with contextlib.suppress(ProcessLookupError):
+            os.killpg(proc.pid, signal.SIGKILL)
         proc.wait(timeout=30)
 
     # run 2: same checkpoint + sink, sleep disabled (identical plan,

@@ -7,7 +7,7 @@ only (equi-joins on (band, bucket), no self-joins, bounded collects);
 this tool converts it into data. A k-x corpus is synthesized from
 sf0.1 by duplicate+perturb:
 
-- documents: copy c of each doc gets doc_id += c*5000 and every token
+- documents: copy c of each doc gets doc_id strided by c*(max(doc_id)+1) and every token
   salted with a per-copy LETTER suffix (the letter tokenizer drops
   digits), so the ORIGINAL near-dup structure is preserved exactly
   within each copy while copies share no shingles — pair counts and
@@ -16,8 +16,8 @@ sf0.1 by duplicate+perturb:
   measuring the workload, not the algorithm).
 - embeddings: copy c applies a per-copy random ROTATION (QR of a
   seeded gaussian) — orthogonal, so intra-copy cosine structure is
-  exact while cross-copy cosines drop to ~N(0, 1/64). vec_id +=
-  c*2000. (A per-copy dimension PERMUTATION was tried first and
+  exact while cross-copy cosines drop to ~N(0, 1/64); vec_id strided
+  by c*(max(vec_id)+1). (A per-copy dimension PERMUTATION was tried first and
   FAILED to decorrelate: the corpus has dim-exchangeable structure a
   permutation preserves, and cross-copy pairs exploded the x10 output
   103x — measured, which is exactly the class of synthesis error this
@@ -91,7 +91,7 @@ also caught a real synthesis bug: the original per-copy salt walked
 past 'z' at copy 26+ into tokenizer-dropped punctuation, collapsing
 copies 26-29 onto one salt and inflating the x30 pair count 5x
 (40750) — fixed to base-26 (_salt), cached corpora invalidated via
-the synthv2 fingerprint; k <= 26 salts (all committed tables) are
+the synth-version fingerprint tag; k <= 26 salts (all committed tables) are
 byte-identical under both implementations.
 
 GRAPH paths (--graph; k disjoint copies of the sf0.1 trade graph via
@@ -206,9 +206,11 @@ def _base_fingerprint() -> str:
     regenerates between rounds, and a stale cached corpus would mix old
     documents/embeddings with NEW symlinked tables (and stale id
     offsets vs the freshly derived N_DOCS/N_VECS)."""
-    # synthv2: the base-26 _salt fix — cached corpora built under the
-    # old salt must not survive (identical for k <= 26, wrong above)
-    parts = [f"synthv2|{N_DOCS}:{N_VECS}:{DIM}"]
+    # synthv3: v2 was the base-26 _salt fix; v3 derives per-copy id
+    # offsets from max(id)+1 instead of row counts (collision-proof
+    # under sparse/offset ids, like the graph path's stride()). Bumps
+    # invalidate cached corpora so no run mixes recipes.
+    parts = [f"synthv3|{N_DOCS}:{N_VECS}:{DIM}"]
     for t in ("documents", "embeddings"):
         st = os.stat(os.path.join(BASE_SF, f"{t}.parquet"))
         parts.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
@@ -235,6 +237,13 @@ def build_corpus(k: int) -> str:
     import duckdb
 
     con = duckdb.connect()
+    # per-copy id stride = max(id)+1 read from the DATA, like the graph
+    # path's stride(): a row-count offset silently collides if testdata
+    # ever regenerates with sparse/offset ids (the module premise is
+    # that it does regenerate)
+    doc_stride = con.execute(
+        f"SELECT max(doc_id) + 1 FROM '{BASE_SF}/documents.parquet'"
+    ).fetchone()[0]
     # documents: per-copy doc_id offset + letter-salted tokens (copy 0
     # identity). n_chars recomputed so the column stays truthful.
     parts = []
@@ -246,7 +255,7 @@ def build_corpus(k: int) -> str:
             )
         else:
             parts.append(
-                f"SELECT doc_id + {c * N_DOCS} AS doc_id, "
+                f"SELECT doc_id + {c * doc_stride} AS doc_id, "
                 f"regexp_replace(text, '([a-zA-Z]+)', '\\1{_salt(c)}', 'g') AS text, "
                 f"lang, source, "
                 f"length(regexp_replace(text, '([a-zA-Z]+)', '\\1{_salt(c)}', 'g')) AS n_chars "
@@ -267,6 +276,7 @@ def build_corpus(k: int) -> str:
 
     tbl = pq.read_table(os.path.join(BASE_SF, "embeddings.parquet"))
     vec_id = tbl["vec_id"].to_numpy()
+    vec_stride = int(vec_id.max()) + 1  # same collision-proofing as doc_stride
     label = tbl["label"].to_numpy()
     mat = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float32)
     ids, labels, mats = [], [], []
@@ -276,7 +286,7 @@ def build_corpus(k: int) -> str:
         else:
             q, _ = np.linalg.qr(np.random.RandomState(c).standard_normal((DIM, DIM)))
             rot = (mat @ q.T.astype(np.float32)).astype(np.float32)
-        ids.append(vec_id + c * N_VECS)
+        ids.append(vec_id + c * vec_stride)
         labels.append(label)
         mats.append(rot)
     allmat = np.concatenate(mats)
@@ -304,7 +314,10 @@ def build_graph_corpus(k: int) -> str:
     out = os.path.join(CORPUS_BASE, f"g{k}")
     marker = os.path.join(out, ".complete")
     scaled = ("customer", "supplier", "orders", "lineitem")
-    parts_fp = [f"k={k}"]
+    # gsynthv1: version component so a future synthesis-SQL edit can
+    # never silently reuse a corpus built under the old recipe (the
+    # stale-cache class the doc corpus' synthv2 tag closed)
+    parts_fp = [f"gsynthv1|k={k}"]
     for t in scaled:
         st = os.stat(os.path.join(BASE_SF, f"{t}.parquet"))
         parts_fp.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
@@ -476,6 +489,11 @@ def main() -> None:
     # honor an external MMRS_TARGETS override (ad-hoc curves over the
     # same corpora) in the ratios step too, not just in the worker
     targets = env["MMRS_TARGETS"].split(",") if env.get("MMRS_TARGETS") else TARGETS
+    if env.get("MMRS_EMB_VARIANT"):
+        # the worker narrows itself to the one variant query; the
+        # ratios step must narrow WITH it or it KeyErrors on the three
+        # unmeasured targets after the whole measurement completed
+        targets = ["dedup_embedding_lsh_pairs"]
     results: dict[int, dict] = {}
     for k in scales:
         d = build_graph_corpus(k) if graph_mode else build_corpus(k)

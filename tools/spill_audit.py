@@ -258,7 +258,9 @@ def build_skew_corpus(k: int) -> str:
     out = os.path.join("/tmp/mmrs_skew_corpus", f"x{k}")
     marker = os.path.join(out, ".complete")
     st = os.stat(os.path.join(base, "events.parquet"))
-    fp = f"{k}:{st.st_size}:{int(st.st_mtime)}"
+    # skewv1: synthesis-version component — a future recipe edit must
+    # invalidate cached corpora (same rule as scaling_curve's tags)
+    fp = f"skewv1|{k}:{st.st_size}:{int(st.st_mtime)}"
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read() == fp:
@@ -425,8 +427,23 @@ def skew_worker(sf_dir: str) -> None:
         sc.setJobGroup(f"skew:{name}", name)
         try:
             t0 = time.monotonic()
+            # order-invariant but RANK-SENSITIVE: hashing the full
+            # (row identity, rank) tuple before summing means any row
+            # receiving a different rank changes the sum (a plain
+            # sum(rn) is permutation-invariant within each group and
+            # would pass no matter how wrongly rows were ordered).
+            # rn cast to long first: xxhash64 is TYPE-sensitive and
+            # row_number() yields int while distributed_prefix's rank
+            # (local rank + long offset) is bigint — same values,
+            # different hashes without the cast (measured).
             checksums[name] = fn().agg(
-                F.sum(F.col("rn").cast("long")).alias("s"),
+                F.sum(
+                    # decimal accumulator: 3M signed 64-bit hashes
+                    # overflow a long sum under ANSI mode
+                    F.xxhash64(
+                        "user_id", "ts", "event_id", F.col("rn").cast("long")
+                    ).cast("decimal(38,0)")
+                ).alias("s"),
                 F.count("*").alias("n"),
             ).collect()[0]
             walls[name] = round(time.monotonic() - t0, 2)
