@@ -31,11 +31,19 @@ while keeping the same shuffle shape.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import bounded_shuffle_width, load_table, shared_persist, spread
+from mit_map_reduce_spark.catalog import (
+    bounded_shuffle_width,
+    load_table,
+    shared_persist,
+    spread,
+    table_path,
+)
 from mit_map_reduce_spark.functions.columns import (
     round_half_up,
     dot_product,
@@ -611,26 +619,101 @@ def embedding_dup_pairs_np(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Banded random-hyperplane LSH for embedding dedup: a pair is a
-#: candidate if it matches in ANY band of EMB_LSH_ROWS plane-signs —
-#: the OR-construction that trades candidate count for recall
+#: candidate if it matches in ANY band of ``rows`` plane-signs — the
+#: OR-construction that trades candidate count for recall
 #: (P[candidate] = 1 - (1 - s^rows)^bands for sign-agreement rate s).
-#: Scale note: bucket count is 2^rows per band, so bucket OCCUPANCY —
+#: Scale law: bucket count is 2^rows per band, so bucket OCCUPANCY —
 #: and the within-bucket join fan-out — grows linearly with the corpus;
-#: at 100x, raise rows (and bands, to hold recall) so buckets stay
-#: bounded, exactly like raising K_CELLS in the IVF quantizer.
-#: MEASURED (tools/scaling_curve.py + tools/spill_audit.py, r12): at a
-#: 10x corpus with these x1 constants the candidate join/distinct
-#: spills 7.7 GB and runs 13.4x slower; rows=7/bands=13 (occupancy
-#: held, recall bands-compensated) spills ZERO at half the shuffle,
-#: 2.6x the speed — the knob is not advisory at scale.
-EMB_LSH_BANDS = 4
-EMB_LSH_ROWS = 4
+#: raise rows (and bands, to hold recall) so buckets stay bounded,
+#: exactly like raising K_CELLS in the IVF quantizer. MEASURED
+#: (tools/scaling_curve.py + tools/spill_audit.py, r12): at a 10x
+#: corpus with the fixed x1 constants (4, 4) the candidate
+#: join/distinct spills 7.7 GB and runs 13.4x slower; rows=7/bands=13
+#: (occupancy held, recall bands-compensated) spills ZERO at half the
+#: shuffle, 2.6x the speed. Since r13 the registered operator DERIVES
+#: (rows, bands) from the corpus footer count via
+#: :func:`emb_lsh_params`, so the measured tuning is the default at
+#: every scale rather than a tool flag.
+EMB_LSH_MIN_BANDS = 4
+EMB_LSH_MIN_ROWS = 4
+#: Target per-band bucket occupancy (corpus / 2^rows). 160 keeps the
+#: within-bucket self-join fan-out bounded (~occupancy^2/2 comparisons
+#: per bucket) and reproduces both the x1 driver tuning (rows=4 for
+#: n<=2560) and the r12-measured zero-spill x10 tuning (rows=7 at
+#: n=20000, spill_audit.py table).
+EMB_LSH_TARGET_OCCUPANCY = 160
+#: Reference sign-agreement rate s* at which bands compensate rows to
+#: hold recall: bands(rows) = ceil(ln(miss0)/ln(1 - s*^rows)) with
+#: miss0 = (1 - s*^4)^4, the baseline miss probability. s*=0.7 is the
+#: design point just above the 0.35-cosine dup threshold
+#: (s = 1 - theta/pi = 0.614 at cos=0.35); it reproduces the measured
+#: recall-compensated tuning bands=13 at rows=7.
+EMB_LSH_S_REF = 0.7
+#: Tool override: ``(rows, bands)`` forces the tuning regardless of
+#: corpus size (scaling_curve / spill_audit A/B variants). None =
+#: derive from the corpus.
+EMB_LSH_FORCE: "tuple[int, int] | None" = None
 
 
-def _emb_band_keys(emb: DataFrame) -> DataFrame:
+def emb_lsh_params(n_vectors: int) -> "tuple[int, int]":
+    """Corpus-size-derived ``(rows, bands)`` for the banded
+    hyperplane LSH — the occupancy law from the r12 measurements,
+    wired into the registered operator.
+
+    rows  = max(4, ceil(log2(n / TARGET_OCCUPANCY))): per-band bucket
+            occupancy stays <= ~160, so the bucket self-join fan-out
+            is bounded no matter the corpus size.
+    bands = ceil(ln(miss0) / ln(1 - s*^rows)): the OR-construction
+            miss probability at agreement rate s* stays <= the
+            (rows=4, bands=4) baseline's — recall never degrades as
+            rows grow.
+
+    Derivation checkpoints (pinned by tests/test_emb_lsh_tuning.py):
+    n<=2560 -> (4, 4) — all committed SFs, so every driver row and the
+    static DuckDB oracle are unchanged; n=20000 (the x10 corpus) ->
+    (7, 13) — the tuning spill_audit measured at ZERO spill and half
+    the shuffle of the fixed constants.
+
+    Asymptote, stated honestly: holding recall costs
+    bands ~ (1/s*)^rows ~ (n/occ)^(log2(1/s*)) ≈ n^0.51, so total
+    signature rows grow ~ n^1.5 (n=200k -> 55 bands; n=2e9 -> ~5.7k).
+    That is the true price of exact-recall hyperplane LSH at a fixed
+    threshold — there is no free n·log n variant. A 100 TB deployment
+    that can't pay it caps bands and accepts the measured recall
+    decay (dedup_lsh_tuning_report quantifies recall on a sample);
+    the derivation deliberately does NOT silently cap, so the
+    trade-off is a visible operator-level decision, not a hidden one.
+    """
+    if EMB_LSH_FORCE is not None:
+        return EMB_LSH_FORCE
+    n = max(int(n_vectors), 1)
+    rows = max(EMB_LSH_MIN_ROWS, math.ceil(math.log2(max(n / EMB_LSH_TARGET_OCCUPANCY, 1.0))))
+    miss0 = (1.0 - EMB_LSH_S_REF**EMB_LSH_MIN_ROWS) ** EMB_LSH_MIN_BANDS
+    # -1e-9: the rows=4 ratio is exactly 4 in math; keep float noise
+    # from ceil'ing it to 5.
+    bands = max(
+        EMB_LSH_MIN_BANDS,
+        math.ceil(math.log(miss0) / math.log(1.0 - EMB_LSH_S_REF**rows) - 1e-9),
+    )
+    return rows, bands
+
+
+def embeddings_footer_count(sf_dir: str) -> int:
+    """Corpus size from parquet FOOTER metadata only — no Spark job,
+    no data pages read. The bounded driver decision that sizes the
+    LSH: at any scale this is a metadata read over file footers
+    (pyarrow dataset handles both a single file and a directory of
+    part files)."""
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(table_path(sf_dir, "embeddings"), format="parquet")
+    return sum(frag.metadata.num_rows for frag in dataset.get_fragments())
+
+
+def _emb_band_keys(emb: DataFrame, rows: int, bands: int) -> DataFrame:
     """(vec_id, band, bucket): per-band sign-bucket of each embedding.
 
-    Plane h = band*ROWS + r is the same md5-derived literal hyperplane
+    Plane h = band*rows + r is the same md5-derived literal hyperplane
     the similarity module uses — map-side folds, zero shuffle; stack
     pivots the wide band columns into rows for the equi-join.
     """
@@ -645,13 +728,13 @@ def _emb_band_keys(emb: DataFrame) -> DataFrame:
         )
         return F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0"))
 
-    bands = [
-        F.concat(*[sign(b * EMB_LSH_ROWS + r) for r in range(EMB_LSH_ROWS)]).alias(f"b{b}")
-        for b in range(EMB_LSH_BANDS)
+    band_cols = [
+        F.concat(*[sign(b * rows + r) for r in range(rows)]).alias(f"b{b}")
+        for b in range(bands)
     ]
-    wide = emb.select("vec_id", *bands)
-    stack = ", ".join(f"{b}, b{b}" for b in range(EMB_LSH_BANDS))
-    return wide.selectExpr("vec_id", f"stack({EMB_LSH_BANDS}, {stack}) AS (band, bucket)")
+    wide = emb.select("vec_id", *band_cols)
+    stack = ", ".join(f"{b}, b{b}" for b in range(bands))
+    return wide.selectExpr("vec_id", f"stack({bands}, {stack}) AS (band, bucket)")
 
 
 def embedding_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -661,20 +744,30 @@ def embedding_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates come from equi-joins on (band, bucket) — never a cross
     join; exact cosine then scores candidates only. Same output shape
-    as the exact baseline; recall < 1 by design (tune bands/rows).
-    The oracle computes the same band-restricted semantics.
+    as the exact baseline; recall < 1 by design. (rows, bands) are
+    DERIVED from the corpus footer count by :func:`emb_lsh_params`
+    (occupancy-held, recall bands-compensated) — (4, 4) at every
+    committed SF, (7, 13) at the x10 corpus where the fixed constants
+    were measured spilling 7.7 GB. The oracle computes the same
+    band-restricted semantics at the committed-SF derivation point.
     """
     from mit_map_reduce_spark.operators.similarity import _emb_with_norm
 
+    rows, bands = emb_lsh_params(embeddings_footer_count(sf_dir))
     # session-shared normed corpus (same cache every ANN query probes)
     emb = _emb_with_norm(spark, sf_dir)
     # Session-shared band signatures: the self-join would otherwise
-    # evaluate the 16 hyperplane folds TWICE (once per side); one
+    # evaluate the hyperplane folds TWICE (once per side); one
     # materialized (vec_id, band, bucket) frame is the standard
     # LSH-signature shape (the MinHash path caches its signatures the
-    # same way) and measured ~1.5x on this query at sf0.1.
+    # same way) and measured ~1.5x on this query at sf0.1. The tuning
+    # is part of the cache key so a forced-variant A/B in the same
+    # session never reuses signatures built at different params.
     keys = shared_persist(
-        spark, "emb_band_keys", sf_dir, lambda: _emb_band_keys(emb)
+        spark,
+        f"emb_band_keys_r{rows}b{bands}",
+        sf_dir,
+        lambda: _emb_band_keys(emb, rows, bands),
     )
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
@@ -1483,10 +1576,19 @@ ORACLES = {
 def _embedding_lsh_oracle_sql() -> str:
     """DuckDB twin of embedding_lsh_dup_pairs, sharing the hyperplane
     derivation with the similarity LSH oracle (md5-hex-digit planes);
-    per-band buckets, candidates = match in ANY band (distinct)."""
+    per-band buckets, candidates = match in ANY band (distinct).
+
+    The static SQL encodes :func:`emb_lsh_params` evaluated at the
+    committed-SF scale: every driver/testdata corpus (n <= 2560)
+    derives exactly (EMB_LSH_MIN_ROWS, EMB_LSH_MIN_BANDS) — pinned by
+    tests/test_emb_lsh_tuning.py — so the twin stays exact wherever
+    the gate runs it. Checking a larger corpus means regenerating the
+    SQL at that corpus's derived tuning (the scaling-curve tools do).
+    """
     from mit_map_reduce_spark.operators.similarity import DIM
 
-    n_planes = EMB_LSH_BANDS * EMB_LSH_ROWS
+    oracle_rows, oracle_bands = EMB_LSH_MIN_ROWS, EMB_LSH_MIN_BANDS
+    n_planes = oracle_bands * oracle_rows
     return f"""
         WITH nrm AS (
             SELECT vec_id, embedding,
@@ -1513,9 +1615,9 @@ def _embedding_lsh_oracle_sql() -> str:
             GROUP BY vec_id, h
         ),
         sig AS (
-            SELECT vec_id, h // {EMB_LSH_ROWS} AS band,
+            SELECT vec_id, h // {oracle_rows} AS band,
                    string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY h) AS bucket
-            FROM dots GROUP BY vec_id, h // {EMB_LSH_ROWS}
+            FROM dots GROUP BY vec_id, h // {oracle_rows}
         ),
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

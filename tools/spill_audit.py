@@ -485,8 +485,7 @@ def worker(sf_dir: str) -> None:
         import mit_map_reduce_spark.operators.dedup as dd
 
         rows_, bands_, thr_ = variant.split(":")
-        dd.EMB_LSH_ROWS = int(rows_)
-        dd.EMB_LSH_BANDS = int(bands_)
+        dd.EMB_LSH_FORCE = (int(rows_), int(bands_))
         dd.COSINE_DUP_THRESHOLD = float(thr_)
         targets = ["dedup_embedding_lsh_pairs"]
 
