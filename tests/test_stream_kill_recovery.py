@@ -150,18 +150,33 @@ def test_sigkill_mid_batch_then_restart_converges(spark, sf_dir, tmp_path):
             os.killpg(proc.pid, signal.SIGKILL)
         proc.wait(timeout=30)
 
+    def _drain(proc_):
+        # mirror run 1's unconditional-kill pattern: a hung drain
+        # raises TimeoutExpired, and without the killpg the whole
+        # process GROUP (JVM + Python workers) outlives the test
+        import contextlib
+
+        try:
+            out_, _ = proc_.communicate(timeout=300)
+        except BaseException:
+            with contextlib.suppress(ProcessLookupError):
+                os.killpg(proc_.pid, signal.SIGKILL)
+            proc_.wait(timeout=30)
+            raise
+        return out_
+
     # run 2: same checkpoint + sink, sleep disabled (identical plan,
     # the UDF just stops sleeping) — must replay batch 0 and drain
     os.remove(slow_flag)
     os.remove(ready)
     rec = _launch(str(script), feed, ckpt, sink, slow_flag, ready)
-    out, _ = rec.communicate(timeout=300)
+    out = _drain(rec)
     assert rec.returncode == 0 and "DRAINED" in out
 
     # clean single run over the same feed, fresh everything
     ckpt_c, sink_c = str(tmp_path / "ckpt_c"), str(tmp_path / "sink_c")
     cln = _launch(str(script), feed, ckpt_c, sink_c, slow_flag, str(tmp_path / "ready_c"))
-    out, _ = cln.communicate(timeout=300)
+    out = _drain(cln)
     assert cln.returncode == 0 and "DRAINED" in out
 
     recovered, clean = _read_sink(spark, sink), _read_sink(spark, sink_c)

@@ -50,6 +50,7 @@ doc/emb corpus targets (c = cold, w = warm; one line where equal):
 | dedup_embedding_lsh     |   x1  |  230/132   |   0   |  3.8/3.2    |    1.24     |  1.20   |   17     |
 |  (fixed rows=4/bands=4) |  x10  |  261/161   | 7681  |   ~300      |    9.30     |  1.00   |   96     |
 |  (tuned rows=7/bands=13)|  x10  |  261/161   | **0** |   ~153      |    4.8      |  1.00   |   96     |
+|  (r13 DEFAULT, derived) |  x10  |  261/161   | **0** | 152.8/153.9 |  4.63/4.82  |  1.00   |   96     |
 | sim_ann_ivf_topk        |   x1  |    133     |   0   |    0.08     |    0.08     |   —     |   11     |
 |                         |  x10  |  298/133   |   0   |  2.0/0.56   |    0.62     |   —     |   12     |
 
@@ -71,6 +72,11 @@ FINDINGS:
   raise-rows-at-scale knob ELIMINATES it: rows=7/bands=13 at the same
   x10 corpus spills ZERO at half the shuffle volume. The occupancy law
   the scaling curve measured in seconds, re-measured in bytes.
+  CLOSED in r13: the registered operator now derives (rows, bands)
+  from the corpus footer count (dedup.emb_lsh_params), and a plain
+  `MMRS_TARGETS=dedup_embedding_lsh_pairs --scales 10` run with NO
+  variant flag reproduced the zero-spill row above (the "r13 DEFAULT"
+  line) — the tuned plan is what a user gets by default at scale.
 - Everything else spills nothing at either scale, and the q18/q9 rows
   show AQE holding bytes/task flat as data grows 10x (q18 total
   shuffle 3.3 -> 31.2 MB while max_task_sr stays ~1 MB and skew drops
@@ -181,9 +187,14 @@ MB = 1024 * 1024
 
 
 def _parse_event_log(path: str) -> tuple[dict, dict]:
-    """(job_group -> set of stage ids, stage id -> task metric rows)."""
+    """(job_group -> set of stage ids, stage id -> task metric rows).
+
+    Aggregates only tasks whose Task End Reason is Success, deduped
+    per (stage, attempt, partition index) — retried, failed, and
+    speculative attempts never contribute metrics."""
     group_stages: dict[str, set[int]] = {}
     stage_tasks: dict[int, list[dict]] = {}
+    _seen: set[tuple] = set()
     with open(path, errors="replace") as fh:
         for line in fh:
             try:
@@ -198,6 +209,26 @@ def _parse_event_log(path: str) -> tuple[dict, dict]:
                         ev.get("Stage IDs") or []
                     )
             elif kind == "SparkListenerTaskEnd":
+                # Only COMMITTED work counts: failed/killed attempts
+                # (task retries, speculation losers) still emit TaskEnd
+                # with partial metrics and would inflate the
+                # spill/shuffle/skew numbers on a noisy run.
+                reason = ev.get("Task End Reason") or {}
+                if reason.get("Reason") != "Success":
+                    continue
+                # Speculation winners can ALSO double-commit a
+                # partition (two Success ends for one index); keep the
+                # first per (stage, attempt, partition index).
+                info = ev.get("Task Info") or {}
+                seen_key = (
+                    ev["Stage ID"],
+                    ev.get("Stage Attempt ID", 0),
+                    info.get("Index"),
+                )
+                if info.get("Index") is not None:
+                    if seen_key in _seen:
+                        continue
+                    _seen.add(seen_key)
                 tm = ev.get("Task Metrics") or {}
                 srm = tm.get("Shuffle Read Metrics") or {}
                 stage_tasks.setdefault(ev["Stage ID"], []).append(
@@ -253,45 +284,76 @@ def build_skew_corpus(k: int) -> str:
     custkey 42 (deterministic per-row hash), the rest keep their
     original uniform user_id; other tables symlink unchanged. The
     synthetic hot key the uniform testdata lacks — skew handling can
-    only be MEASURED against data that actually skews."""
-    base = "/root/testdata/sf0.1"
-    out = os.path.join("/tmp/mmrs_skew_corpus", f"x{k}")
-    marker = os.path.join(out, ".complete")
-    st = os.stat(os.path.join(base, "events.parquet"))
-    # skewv1: synthesis-version component — a future recipe edit must
-    # invalidate cached corpora (same rule as scaling_curve's tags)
-    fp = f"skewv1|{k}:{st.st_size}:{int(st.st_mtime)}"
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == fp:
-                return out
+    only be MEASURED against data that actually skews.
+
+    Base corpus honors SPARK_GRAFT_SF_DIR; output lives under
+    catalog.scratch_base() and publishes via the repo's temp-dir +
+    atomic-rename protocol, so concurrent runs (or a shared scratch
+    dir) never observe a half-written events.parquet."""
     import shutil
 
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
-    for t in (
-        "region nation customer supplier part orders lineitem documents embeddings".split()
-    ):
-        os.symlink(os.path.join(base, f"{t}.parquet"), os.path.join(out, f"{t}.parquet"))
-    import duckdb
+    from mit_map_reduce_spark.catalog import scratch_base
 
-    import pyarrow.parquet as pq
+    base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    root = os.path.join(scratch_base(), "mmrs_skew_corpus")
+    out = os.path.join(root, f"x{k}")
+    marker = os.path.join(out, ".complete")
+    st = os.stat(os.path.join(base, "events.parquet"))
+    # skewv2: synthesis-version component — a future recipe edit must
+    # invalidate cached corpora (same rule as scaling_curve's tags);
+    # the base path is part of the fingerprint because SF_DIR can move.
+    fp = f"skewv2|{k}:{base}:{st.st_size}:{int(st.st_mtime)}"
 
-    n = pq.ParquetFile(os.path.join(base, "events.parquet")).metadata.num_rows
-    parts = [
-        f"SELECT event_id + {c * n} AS event_id, ts, "
-        f"CASE WHEN (event_id + {c * n}) % 100 < 40 THEN 42 ELSE user_id END AS user_id, "
-        f"event_type, value, props FROM '{base}/events.parquet'"
-        for c in range(k)
-    ]
-    con = duckdb.connect()
-    con.execute(
-        f"COPY ({' UNION ALL '.join(parts)}) TO '{out}/events.parquet' (FORMAT parquet)"
-    )
-    con.close()
-    with open(marker, "w") as fh:
-        fh.write(fp)
-    return out
+    def _is_current() -> bool:
+        try:
+            with open(marker) as fh:
+                return fh.read() == fp
+        except OSError:
+            return False
+
+    if _is_current():
+        return out
+    os.makedirs(root, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".x{k}.tmp", dir=root)
+    try:
+        for t in (
+            "region nation customer supplier part orders lineitem documents embeddings".split()
+        ):
+            os.symlink(os.path.join(base, f"{t}.parquet"), os.path.join(tmp, f"{t}.parquet"))
+        import duckdb
+
+        con = duckdb.connect()
+        # per-copy id stride = max(id)+1 read from the DATA (matching
+        # scaling_curve's collision-proofing): a row-count offset
+        # silently collides if event_ids are ever sparse or offset
+        n = con.execute(
+            f"SELECT max(event_id) + 1 FROM '{base}/events.parquet'"
+        ).fetchone()[0]
+        parts = [
+            f"SELECT event_id + {c * n} AS event_id, ts, "
+            f"CASE WHEN (event_id + {c * n}) % 100 < 40 THEN 42 ELSE user_id END AS user_id, "
+            f"event_type, value, props FROM '{base}/events.parquet'"
+            for c in range(k)
+        ]
+        con.execute(
+            f"COPY ({' UNION ALL '.join(parts)}) TO '{tmp}/events.parquet' (FORMAT parquet)"
+        )
+        con.close()
+        with open(os.path.join(tmp, ".complete"), "w") as fh:
+            fh.write(fp)
+        shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            # a concurrent builder won the publish race; accept theirs
+            # if it matches, else surface the collision
+            if not _is_current():
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+        return out
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def skew_worker(sf_dir: str) -> None:
