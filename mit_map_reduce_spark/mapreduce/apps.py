@@ -12,15 +12,45 @@ the same queries (Catalyst-optimized, shuffle-combined) live in
 from __future__ import annotations
 
 import re
+import unicodedata
 
 # Unicode-letter tokenization: the reference splits on any non-letter
 # rune (src/mrapps/wc.go:21-24, strings.FieldsFunc + unicode.IsLetter).
-_NON_LETTER = re.compile(r"[^\W\d_]+", re.UNICODE)  # runs of letters
+# Go's unicode.IsLetter admits exactly the L* categories; Python's
+# [^\W\d_] ALSO admits Nl/No codepoints (Ⅻ, ①, ½ — str.isalnum minus
+# decimal digits), so matched runs take a second, rarely-taken split
+# pass: str.isalpha (C-speed, exactly "all chars in L*") gates the
+# fast path, and only tokens containing an Nl/No char walk the
+# per-character category check.
+_LETTERISH = re.compile(r"[^\W\d_]+", re.UNICODE)  # runs of L*/Nl/No
+
+
+def _letter_runs(token: str) -> list[str]:
+    """Split a token on its non-L* characters, the way Go's
+    strings.FieldsFunc(s, not unicode.IsLetter) would."""
+    runs: list[str] = []
+    cur: list[str] = []
+    for ch in token:
+        if unicodedata.category(ch).startswith("L"):
+            cur.append(ch)
+        elif cur:
+            runs.append("".join(cur))
+            cur = []
+    if cur:
+        runs.append("".join(cur))
+    return runs
 
 
 def tokenize(text: str) -> list[str]:
-    """Split into maximal runs of Unicode letters; drop empty tokens."""
-    return _NON_LETTER.findall(text)
+    """Split into maximal runs of Unicode letters (categories L*
+    exactly, matching Go's unicode.IsLetter); drop empty tokens."""
+    out: list[str] = []
+    for tok in _LETTERISH.findall(text):
+        if tok.isalpha():
+            out.append(tok)
+        else:
+            out.extend(_letter_runs(tok))
+    return out
 
 
 # --- wc: word count (src/mrapps/wc.go) ---------------------------------

@@ -42,20 +42,39 @@ def test_round_half_up_matches_python(spark, xs):
 
 @given(
     st.lists(
-        # Unicode letters (Latin-1, Cyrillic, CJK) + digits + punctuation:
-        # the tokenizer must match the reference's unicode.IsLetter split
-        # (src/mrapps/wc.go:21-24), i.e. Python's letters-only class.
-        st.text(alphabet=st.sampled_from(list("ab cd éß щ中 1_-")), max_size=30),
+        # Unicode letters (Latin-1, Cyrillic, CJK) + digits + punctuation
+        # + Nl/No codepoints (Ⅻ roman numeral, ① circled digit, ½
+        # fraction): the tokenizer must match the reference's
+        # unicode.IsLetter split (src/mrapps/wc.go:21-24) — exactly the
+        # L* categories, which Python's [^\W\d_] class does NOT give
+        # (it admits Nl/No); the facade's apps.tokenize is the pinned
+        # reference implementation.
+        st.text(alphabet=st.sampled_from(list("ab cd éß щ中 1_-Ⅻ①½")), max_size=30),
         min_size=1,
         max_size=50,
     )
 )
 @settings(max_examples=5, deadline=None)
-def test_tokenize_letters_matches_re(spark, texts):
+def test_tokenize_letters_matches_facade_tokenize(spark, texts):
+    from mit_map_reduce_spark.mapreduce.apps import tokenize
+
     df = spark.createDataFrame([(t,) for t in texts], "t string")
     got = [r.w for r in df.select(tokenize_letters(F.col("t")).alias("w")).collect()]
-    exp = [re.findall(r"[^\W\d_]+", t) for t in texts]
+    exp = [tokenize(t) for t in texts]
     assert got == exp
+
+
+def test_facade_tokenize_rejects_nl_no_like_go_isletter():
+    """Go's unicode.IsLetter admits only L*; Nl (Ⅻ) and No (①, ½)
+    codepoints must act as separators, not letters — the corner the
+    shared-tokenizer parity tests could not see (VERDICT r12)."""
+    from mit_map_reduce_spark.mapreduce.apps import tokenize
+
+    assert tokenize("abⅫcd") == ["ab", "cd"]
+    assert tokenize("①x ½y Ⅻ") == ["x", "y"]
+    assert tokenize("a1b a_b a-b") == ["a", "b", "a", "b", "a", "b"]
+    assert tokenize("éß щ中") == ["éß", "щ中"]
+    assert tokenize("Ⅻ①½") == []
 
 
 def test_tokenize_letters_matches_duckdb_re2(spark):
