@@ -20,6 +20,7 @@ Scale notes (100 TB mindset):
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -58,12 +59,18 @@ def get_spark(
         os.environ["PYTHONPATH"] = f"{repo_root}:{pp}" if pp else repo_root
 
     n = default_parallelism()
+    # SPARK_GRAFT_MASTER points the whole engine (and its tools) at an
+    # external cluster manager — e.g. spark://host:7077 from
+    # tools/standalone_gate.py, which runs the correctness gate across
+    # REAL separate worker processes. Explicit `master` args still win.
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
+    resolved_master = master or env_master or f"local[{n},4]"
     builder = (
         SparkSession.builder.appName(app_name)
         # local[n, 4]: 4 task attempts, mirroring a cluster's default
         # spark.task.maxFailures — the analog of the reference
         # coordinator's re-queue-on-timeout (src/mr/coordinator.go:160-181).
-        .master(master or f"local[{n},4]")
+        .master(resolved_master)
         # --- cluster-portable configs ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -91,6 +98,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if not resolved_master.startswith("local"):
+        # Cluster-manager deployments: executor processes do NOT
+        # inherit this driver's env, so ship the package path and the
+        # interpreter explicitly; executor memory defaults to Spark's
+        # 1g otherwise, far below what the wide aggregations size for.
+        builder = (
+            builder.config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "8g"),
+            )
+            .config("spark.executorEnv.PYTHONPATH", repo_root)
+            .config("spark.pyspark.python", sys.executable)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
