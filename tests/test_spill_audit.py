@@ -16,10 +16,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.spill_audit import _aggregate, _parse_event_log
 
 
-def _task_end(stage_id, sw=0, local=0, remote=0, mem_spill=0, disk_spill=0, peak=0):
+_AUTO_INDEX = iter(range(10_000))
+
+
+def _task_end(
+    stage_id,
+    sw=0,
+    local=0,
+    remote=0,
+    mem_spill=0,
+    disk_spill=0,
+    peak=0,
+    reason="Success",
+    index=None,
+    attempt=0,
+):
     return {
         "Event": "SparkListenerTaskEnd",
         "Stage ID": stage_id,
+        "Stage Attempt ID": attempt,
+        "Task End Reason": {"Reason": reason},
+        "Task Info": {"Index": next(_AUTO_INDEX) if index is None else index},
         "Task Metrics": {
             "Memory Bytes Spilled": mem_spill,
             "Disk Bytes Spilled": disk_spill,
@@ -105,3 +122,33 @@ def test_aggregate_skipped_stage_is_empty_not_keyerror(event_log):
     # runs tasks — aggregation must tolerate it
     agg = _aggregate({0, 1, 999}, stage_tasks)
     assert agg["tasks"] == 5
+
+
+def test_failed_and_speculative_attempts_do_not_count(tmp_path):
+    """ADVICE r12: retried/failed/speculative TaskEnd events carry
+    partial metrics; only committed (Success, first-per-partition)
+    work may contribute to spill/shuffle numbers."""
+    MB = 1024 * 1024
+    events = [
+        {
+            "Event": "SparkListenerJobStart",
+            "Job ID": 0,
+            "Stage IDs": [0],
+            "Properties": {"spark.jobGroup.id": "cold:q"},
+        },
+        # partition 0: a failed attempt (huge bogus spill), then success
+        _task_end(0, sw=1 * MB, mem_spill=500 * MB, reason="ExceptionFailure", index=0),
+        _task_end(0, sw=2 * MB, index=0),
+        # partition 1: speculation — two Success ends, second must dedupe
+        _task_end(0, sw=3 * MB, index=1),
+        _task_end(0, sw=3 * MB, index=1),
+        # partition 1 on a RETRIED stage attempt counts separately
+        _task_end(0, sw=4 * MB, index=1, attempt=1),
+    ]
+    path = tmp_path / "evlog"
+    path.write_text("\n".join(json.dumps(e) for e in events))
+    group_stages, stage_tasks = _parse_event_log(str(path))
+    agg = _aggregate(group_stages["cold:q"], stage_tasks)
+    assert agg["tasks"] == 3  # p0 success + p1 first success + p1 attempt-1
+    assert agg["spill_mb"] == 0.0  # the failed attempt's 500 MB is gone
+    assert agg["shuffle_write_mb"] == 9.0  # 2 + 3 + 4
