@@ -41,7 +41,14 @@ RESULTS (updated per committed run):
   rc=0 in 38 s.
 * r13 family sample via the pytest twin (sf0.001, 13 queries, one
   per family): green in 82 s.
-* r13 full gate (sf0.01, all 267): recorded below after the run.
+* r13 FULL GATE (sf0.01, this machine, 2 workers x 8 cores / 16g,
+  executor mem 8g, shared scratch): **267/267 PASS, 0 failures,
+  339 s wall** — first multi-process run of the whole registry; no
+  engine changes were needed beyond session.get_spark's non-local
+  conf block (executor memory / executorEnv.PYTHONPATH / pyspark
+  python), i.e. the closure-shipping, artifact-lock, and scratch
+  contracts built under local[*] held across real process
+  boundaries on the first try.
 """
 
 from __future__ import annotations
