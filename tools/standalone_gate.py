@@ -123,13 +123,17 @@ class StandaloneCluster:
             # keep the daemons off the driver's conf dir
             SPARK_LOG_DIR=os.path.join(self.workdir, "logs"),
         )
-        proc = subprocess.Popen(
-            [_spark_class(), *args],
-            stdout=open(log, "w"),
-            stderr=subprocess.STDOUT,
-            env=env,
-            start_new_session=True,
-        )
+        logfh = open(log, "w")
+        try:
+            proc = subprocess.Popen(
+                [_spark_class(), *args],
+                stdout=logfh,
+                stderr=subprocess.STDOUT,
+                env=env,
+                start_new_session=True,
+            )
+        finally:
+            logfh.close()  # the child holds its own fd
         proc._log = log  # type: ignore[attr-defined]
         self.procs.append(proc)
         return proc
