@@ -148,11 +148,13 @@ Usage:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -230,18 +232,59 @@ def _base_fingerprint() -> str:
     return "|".join(parts)
 
 
+@contextlib.contextmanager
+def _atomic_corpus_dir(out: str, fp: str):
+    """Temp-dir-then-rename publish (the repo's artifact protocol,
+    ADVICE r12): build into a sibling temp dir, write the marker
+    INSIDE it, rename into place — a concurrent reader never observes
+    a half-written corpus, and a concurrent builder that wins the race
+    with a matching marker is accepted."""
+    marker = os.path.join(out, ".complete")
+    parent = os.path.dirname(out)
+    os.makedirs(parent, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=f".{os.path.basename(out)}.tmp", dir=parent)
+    try:
+        yield tmp
+        with open(os.path.join(tmp, ".complete"), "w") as fh:
+            fh.write(fp)
+        shutil.rmtree(out, ignore_errors=True)
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            try:
+                with open(marker) as fh:
+                    current = fh.read() == fp
+            except OSError:
+                current = False
+            if not current:
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+
+
+def _corpus_is_current(out: str, fp: str) -> bool:
+    try:
+        with open(os.path.join(out, ".complete")) as fh:
+            return fh.read() == fp
+    except OSError:
+        return False
+
+
 def build_corpus(k: int) -> str:
     """Synthesize the k-x corpus dir (cached against the base corpus
     fingerprint); returns its path."""
-    out = os.path.join(CORPUS_BASE, f"x{k}")
-    marker = os.path.join(out, ".complete")
+    final = os.path.join(CORPUS_BASE, f"x{k}")
     fp = _base_fingerprint()
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == fp:
-                return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
+    if _corpus_is_current(final, fp):
+        return final
+    with _atomic_corpus_dir(final, fp) as out:
+        _build_corpus_into(out, k)
+    return final
+
+
+def _build_corpus_into(out: str, k: int) -> None:
     for t in (
         "region nation customer supplier part orders lineitem events".split()
     ):
@@ -311,9 +354,6 @@ def build_corpus(k: int) -> str:
         }
     )
     pq.write_table(out_tbl, os.path.join(out, "embeddings.parquet"))
-    with open(marker, "w") as fh:
-        fh.write(fp)
-    return out
 
 
 def build_graph_corpus(k: int) -> str:
@@ -322,10 +362,7 @@ def build_graph_corpus(k: int) -> str:
     with per-copy key-offset strides (copy 0 identity), every other
     table symlinked. Disjoint copies: cross-copy joins are impossible
     by construction, so graph outputs scale exactly k-fold."""
-    import duckdb
-
-    out = os.path.join(CORPUS_BASE, f"g{k}")
-    marker = os.path.join(out, ".complete")
+    final = os.path.join(CORPUS_BASE, f"g{k}")
     scaled = ("customer", "supplier", "orders", "lineitem")
     # gsynthv1: version component so a future synthesis-SQL edit can
     # never silently reuse a corpus built under the old recipe (the
@@ -335,12 +372,16 @@ def build_graph_corpus(k: int) -> str:
         st = os.stat(os.path.join(BASE_SF, f"{t}.parquet"))
         parts_fp.append(f"{t}:{st.st_size}:{int(st.st_mtime)}")
     fp = "|".join(parts_fp)
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            if fh.read() == fp:
-                return out
-    shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out)
+    if _corpus_is_current(final, fp):
+        return final
+    with _atomic_corpus_dir(final, fp) as out:
+        _build_graph_corpus_into(out, k, scaled)
+    return final
+
+
+def _build_graph_corpus_into(out: str, k: int, scaled: tuple) -> None:
+    import duckdb
+
     for t in (
         "region nation part events documents embeddings".split()
     ):
@@ -372,9 +413,6 @@ def build_graph_corpus(k: int) -> str:
         )
         con.execute(f"COPY ({sel}) TO '{out}/{t}.parquet' (FORMAT parquet)")
     con.close()
-    with open(marker, "w") as fh:
-        fh.write(fp)
-    return out
 
 
 def worker(sf_dir: str) -> None:
