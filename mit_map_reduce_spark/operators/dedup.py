@@ -653,6 +653,17 @@ EMB_LSH_S_REF = 0.7
 #: corpus size (scaling_curve / spill_audit A/B variants). None =
 #: derive from the corpus.
 EMB_LSH_FORCE: "tuple[int, int] | None" = None
+#: Target pre-distinct candidate pairs per task — bounds the
+#: hash-distinct working set. An UnsafeRow agg entry for a (long,
+#: long) key costs ~100 B with map overhead, and a 32-slot executor
+#: at the default 8 g heap gives each task ~145 MB of execution
+#: memory, so 250 k entries (~25 MB) leaves a 5x margin; 1 M entries
+#: was measured sort-spilling at exactly that budget (x30 per-stage
+#: audit: 15.9 GB, all in the distinct stage). The width derived from
+#: this is inert below one task wave, so committed SFs keep their
+#: r12-pinned plans; the x30 corpus (116 M measured pre-distinct
+#: pairs) spilled 18.6 GB at conf width before the scale-out.
+EMB_LSH_PAIRS_PER_TASK = 250_000
 
 
 def emb_lsh_params(n_vectors: int) -> "tuple[int, int]":
@@ -696,6 +707,17 @@ def emb_lsh_params(n_vectors: int) -> "tuple[int, int]":
         math.ceil(math.log(miss0) / math.log(1.0 - EMB_LSH_S_REF**rows) - 1e-9),
     )
     return rows, bands
+
+
+def emb_lsh_pair_width(n_vectors: int, rows: int, bands: int, floor: int) -> int:
+    """Shuffle width for the candidate join + distinct, derived from
+    the estimated pre-distinct pair volume bands * n * occ/2 (occ =
+    n / 2^rows): each task handles ~EMB_LSH_PAIRS_PER_TASK pairs, so
+    the distinct's hash set stays in execution memory at any corpus
+    size. Returns ``floor`` (one task wave — no plan change) whenever
+    the estimate fits it; capped at 4096 like any sane width."""
+    est_pairs = bands * n_vectors * (n_vectors / 2 ** (rows + 1))
+    return max(floor, min(4096, math.ceil(est_pairs / EMB_LSH_PAIRS_PER_TASK)))
 
 
 def embeddings_footer_count(sf_dir: str) -> int:
@@ -753,7 +775,8 @@ def embedding_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from mit_map_reduce_spark.operators.similarity import _emb_with_norm
 
-    rows, bands = emb_lsh_params(embeddings_footer_count(sf_dir))
+    n_vectors = embeddings_footer_count(sf_dir)
+    rows, bands = emb_lsh_params(n_vectors)
     # session-shared normed corpus (same cache every ANN query probes)
     emb = _emb_with_norm(spark, sf_dir)
     # Session-shared band signatures: the self-join would otherwise
@@ -769,6 +792,27 @@ def embedding_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda: _emb_band_keys(emb, rows, bands),
     )
+    # Candidate-volume-derived width (r13, measured at x30): the
+    # bucket self-join emits ~bands * n * occ/2 pre-distinct pairs
+    # (116 M measured at n=60000) and the default plan runs BOTH
+    # distinct aggregations at conf width — per-stage audit measured
+    # 3.6 GB of partial-agg spill in the join stage plus 9.7 GB in the
+    # 32-reducer final distinct, even though bucket occupancy (the
+    # per-bucket fan-out) was held. Above one task wave of estimated
+    # pairs, (a) the signature frame pre-partitions on the join keys
+    # so the join fans out wide (hot buckets are harmless: max bucket
+    # 484 -> ~117 k pairs, measured), and (b) the pair stream
+    # re-partitions on (vec_a, vec_b) so the distinct is a single
+    # width-scaled aggregation — the partial agg (which spilled
+    # without deduping much) is skipped for ~2x the pair-shuffle
+    # bytes, and each final task's hash set stays ~EMB_LSH_PAIRS_PER
+    # _TASK entries. Inert at committed SFs and at x10, so the
+    # r12-pinned plans are unchanged.
+    floor_width = bounded_shuffle_width(spark)
+    pair_width = emb_lsh_pair_width(n_vectors, rows, bands, floor_width)
+    scale_out = pair_width > floor_width
+    if scale_out:
+        keys = keys.repartition(pair_width, "band", "bucket")
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
@@ -778,8 +822,10 @@ def embedding_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
     )
+    if scale_out:
+        cand = cand.repartition(pair_width, "vec_a", "vec_b")
+    cand = cand.distinct()
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"))
     cos = dot_product(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))

@@ -112,3 +112,33 @@ def test_bands_formula_matches_docstring_closed_form():
             math.ceil(math.log(miss0) / math.log(1.0 - s**rows) - 1e-9),
         )
         assert bands == expected
+
+
+def test_pair_width_inert_at_committed_sfs_and_scales_at_volume():
+    """The candidate-join/distinct width must stay at the session
+    floor for every committed corpus (zero plan drift vs the r12
+    pins) and scale with estimated pre-distinct pair volume beyond
+    it — the x30 corpus measured 18.6 GB of distinct spill at conf
+    width and zero at the derived width."""
+    from mit_map_reduce_spark.operators.dedup import emb_lsh_pair_width
+
+    for sf_dir in SF_DIRS:
+        n = embeddings_footer_count(sf_dir)
+        rows, bands = emb_lsh_params(n)
+        # floor 4 = the narrowest session (vanilla local[4]); even
+        # there the committed corpora must not trigger the scale-out
+        assert emb_lsh_pair_width(n, rows, bands, 4) == 4
+    # the measured x30 point: 116 M pre-distinct pairs -> wide
+    w30 = emb_lsh_pair_width(60000, 9, 27, 32)
+    assert w30 > 32
+    # and the per-task volume the width implies stays near target
+    est = 27 * 60000 * (60000 / 2**10)
+    assert est / w30 <= dd.EMB_LSH_PAIRS_PER_TASK * 1.05
+    # monotone in corpus size at fixed tuning floor
+    widths = [
+        emb_lsh_pair_width(n, *emb_lsh_params(n), 32)
+        for n in (2000, 20000, 60000, 200000)
+    ]
+    assert widths == sorted(widths)
+    # capped
+    assert emb_lsh_pair_width(10**9, 24, 5733, 32) == 4096

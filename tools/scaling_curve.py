@@ -79,6 +79,13 @@ VERDICT per path:
   design point, while thr 0.35 sits at effective s=0.614 in the
   random tail — the documented recall<1 trade of any banded LSH; the
   exact quadratic baseline remains registered for audits.
+  x30 (n=60000, auto r9b27): warm 53.3/3.07 = 17.4x the same-session
+  x1 for 30x data on a Theta(n^1.5)-candidate workload (116 M
+  pre-distinct pairs), rows 1252950 — identical across the
+  conf-width, join-widened, and width-scaled-distinct plans; the
+  distinct's 18.6 GB spill at conf width is ZERO under
+  dedup.emb_lsh_pair_width (see spill_audit FINDINGS for the
+  per-stage numbers and the per-task memory law).
 - Bucket-tuning knob (the dedup.py docstring's raise-rows-at-scale
   plan), measured via --emb-scaled: x10 with rows=7 (occupancy
   20000/2^7 = 156 ~ x1's 2000/2^4 = 125) runs 3.55 s warm vs 22.34 s

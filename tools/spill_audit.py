@@ -77,6 +77,26 @@ FINDINGS:
   `MMRS_TARGETS=dedup_embedding_lsh_pairs --scales 10` run with NO
   variant flag reproduced the zero-spill row above (the "r13 DEFAULT"
   line) — the tuned plan is what a user gets by default at scale.
+- **x30 found the NEXT spill and r13 closed it too**: at n=60000
+  (auto tuning r9b27) the candidate stream is 116 M pre-distinct
+  pairs and the DISTINCT — both its join-stage partial agg and its
+  conf-width (32) final agg — sort-spilled 18.6 GB total even though
+  bucket occupancy was held (per-stage audit: 3.6 GB partial + 9.7 GB
+  final; the hash set per final task was ~1.2 M entries against the
+  ~145 MB/task execution budget of a 32-slot 8 g heap). Fix
+  (dedup.emb_lsh_pair_width): above one task wave of estimated
+  pairs, the signature frame pre-partitions on (band, bucket) and
+  the pair stream re-partitions on (vec_a, vec_b) so the distinct is
+  ONE width-scaled aggregation at ~250 k pairs/task. Re-audit at
+  x30: **0 MB spill** (was 18.6 GB), peak mem 113 MB (was 344),
+  max_task_sr 3.1 MB, sr_skew 1.69, shuffle 1.2 GB (~2x the deduped
+  pair bytes — the price of skipping the partial agg, which was
+  deduping almost nothing). Inert at every committed SF (plan diff:
+  none) and output rows identical (1252950) across all three plans.
+  Local wall was flat (~53 s — NVMe spill is cheap; scoring the
+  Theta(n^1.5) candidates dominates): the win is bounded per-task
+  memory, which is what decides survival when the same ratios are
+  TBs on a cluster.
 - Everything else spills nothing at either scale, and the q18/q9 rows
   show AQE holding bytes/task flat as data grows 10x (q18 total
   shuffle 3.3 -> 31.2 MB while max_task_sr stays ~1 MB and skew drops
