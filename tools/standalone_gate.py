@@ -49,6 +49,10 @@ RESULTS (updated per committed run):
   python), i.e. the closure-shipping, artifact-lock, and scratch
   contracts built under local[*] held across real process
   boundaries on the first try.
+* r13 full gate at sf0.1 (same shape, 10x the data — real netty
+  shuffle volume, executor-resident caches, the bucketed warehouse
+  and IVF/centroid artifacts rebuilt on shared scratch): **267/267
+  PASS, 0 failures, 667 s wall.**
 """
 
 from __future__ import annotations
