@@ -68,8 +68,7 @@ def test_occupancy_bound_holds_everywhere():
         rows, _ = emb_lsh_params(n)
         if rows > EMB_LSH_MIN_ROWS:
             assert n / 2**rows <= EMB_LSH_TARGET_OCCUPANCY
-        # and never more than one row beyond what the target needs
-        if rows > EMB_LSH_MIN_ROWS:
+            # and never more than one row beyond what the target needs
             assert n / 2 ** (rows - 1) > EMB_LSH_TARGET_OCCUPANCY
 
 

@@ -8,7 +8,6 @@ are too slow for per-example runs).
 """
 
 import math
-import re
 
 from hypothesis import given, settings
 from hypothesis import strategies as st

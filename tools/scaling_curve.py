@@ -246,7 +246,6 @@ def _atomic_corpus_dir(out: str, fp: str):
     INSIDE it, rename into place — a concurrent reader never observes
     a half-written corpus, and a concurrent builder that wins the race
     with a matching marker is accepted."""
-    marker = os.path.join(out, ".complete")
     parent = os.path.dirname(out)
     os.makedirs(parent, exist_ok=True)
     tmp = tempfile.mkdtemp(prefix=f".{os.path.basename(out)}.tmp", dir=parent)
@@ -254,16 +253,19 @@ def _atomic_corpus_dir(out: str, fp: str):
         yield tmp
         with open(os.path.join(tmp, ".complete"), "w") as fh:
             fh.write(fp)
-        shutil.rmtree(out, ignore_errors=True)
+        # A concurrent builder may have published while we built: if a
+        # matching corpus is already in place, ADOPT it — deleting it
+        # here would yank a valid corpus out from under its readers.
+        if _corpus_is_current(out, fp):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        shutil.rmtree(out, ignore_errors=True)  # stale/partial only
         try:
             os.rename(tmp, out)
         except OSError:
-            try:
-                with open(marker) as fh:
-                    current = fh.read() == fp
-            except OSError:
-                current = False
-            if not current:
+            # lost a publish race in the window above; accept a
+            # matching winner, surface anything else
+            if not _corpus_is_current(out, fp):
                 raise
             shutil.rmtree(tmp, ignore_errors=True)
     except BaseException:

@@ -307,35 +307,22 @@ def build_skew_corpus(k: int) -> str:
     only be MEASURED against data that actually skews.
 
     Base corpus honors SPARK_GRAFT_SF_DIR; output lives under
-    catalog.scratch_base() and publishes via the repo's temp-dir +
-    atomic-rename protocol, so concurrent runs (or a shared scratch
-    dir) never observe a half-written events.parquet."""
-    import shutil
-
+    catalog.scratch_base() and publishes via scaling_curve's shared
+    temp-dir + atomic-rename helpers, so concurrent runs (or a shared
+    scratch dir) never observe a half-written events.parquet."""
     from mit_map_reduce_spark.catalog import scratch_base
+    from tools.scaling_curve import _atomic_corpus_dir, _corpus_is_current
 
     base = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    root = os.path.join(scratch_base(), "mmrs_skew_corpus")
-    out = os.path.join(root, f"x{k}")
-    marker = os.path.join(out, ".complete")
+    out = os.path.join(scratch_base(), "mmrs_skew_corpus", f"x{k}")
     st = os.stat(os.path.join(base, "events.parquet"))
     # skewv2: synthesis-version component — a future recipe edit must
     # invalidate cached corpora (same rule as scaling_curve's tags);
     # the base path is part of the fingerprint because SF_DIR can move.
     fp = f"skewv2|{k}:{base}:{st.st_size}:{int(st.st_mtime)}"
-
-    def _is_current() -> bool:
-        try:
-            with open(marker) as fh:
-                return fh.read() == fp
-        except OSError:
-            return False
-
-    if _is_current():
+    if _corpus_is_current(out, fp):
         return out
-    os.makedirs(root, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix=f".x{k}.tmp", dir=root)
-    try:
+    with _atomic_corpus_dir(out, fp) as tmp:
         for t in (
             "region nation customer supplier part orders lineitem documents embeddings".split()
         ):
@@ -359,21 +346,7 @@ def build_skew_corpus(k: int) -> str:
             f"COPY ({' UNION ALL '.join(parts)}) TO '{tmp}/events.parquet' (FORMAT parquet)"
         )
         con.close()
-        with open(os.path.join(tmp, ".complete"), "w") as fh:
-            fh.write(fp)
-        shutil.rmtree(out, ignore_errors=True)
-        try:
-            os.rename(tmp, out)
-        except OSError:
-            # a concurrent builder won the publish race; accept theirs
-            # if it matches, else surface the collision
-            if not _is_current():
-                raise
-            shutil.rmtree(tmp, ignore_errors=True)
-        return out
-    except BaseException:
-        shutil.rmtree(tmp, ignore_errors=True)
-        raise
+    return out
 
 
 def skew_worker(sf_dir: str) -> None:

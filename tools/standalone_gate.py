@@ -115,6 +115,9 @@ class StandaloneCluster:
         self.port = _free_port()
         self.master_url = f"spark://127.0.0.1:{self.port}"
         self.procs: list[subprocess.Popen] = []
+        #: set by callers when a run failed without raising (gate
+        #: rc != 0) — keeps the daemon/executor logs for diagnosis
+        self.keep_logs = False
 
     def _launch(self, name: str, args: list[str]) -> subprocess.Popen:
         log = os.path.join(self.workdir, f"{name}.log")
@@ -143,6 +146,17 @@ class StandaloneCluster:
         return proc
 
     def start(self) -> str:
+        # on any launch/registration failure, kill whatever is already
+        # up — a TimeoutError out of __enter__ never reaches __exit__,
+        # and orphaned master/worker JVMs would otherwise accumulate
+        try:
+            return self._start()
+        except BaseException:
+            self.stop()
+            print(f"# cluster startup failed; logs at {self.workdir}", file=sys.stderr)
+            raise
+
+    def _start(self) -> str:
         m = self._launch(
             "master",
             [
@@ -209,8 +223,10 @@ class StandaloneCluster:
 
     def __exit__(self, *exc):
         self.stop()
-        # keep logs on failure for diagnosis; sweep on clean exit
-        if exc == (None, None, None):
+        # keep logs on failure for diagnosis — both a raised exception
+        # AND a non-zero gate rc (which raises nothing; callers set
+        # keep_logs) — sweep only on a genuinely clean exit
+        if exc == (None, None, None) and not self.keep_logs:
             shutil.rmtree(self.workdir, ignore_errors=True)
         else:
             print(f"# standalone cluster logs kept at {self.workdir}", file=sys.stderr)
@@ -255,6 +271,7 @@ def main() -> None:
             file=sys.stderr,
         )
         rc = run_gate(sf_dir, only, cluster)
+        cluster.keep_logs = rc != 0
     print(f"# standalone gate rc={rc} in {time.monotonic() - t0:.0f}s", file=sys.stderr)
     sys.exit(rc)
 
