@@ -45,14 +45,18 @@ doc/emb corpus targets (c = cold, w = warm; one line where equal):
 |-------------------------|-------|------------|-------|-------------|-------------|---------|----------|
 | mr_wordcount            |   x1  |    36      |   0   |    0.84     |    0.05     |  1.09   |   0.2    |
 |                         |  x10  |    38      |   0   |    8.63     |    0.27     |  1.02   |   0.2    |
+|                         |  x30  |    44      |   0   |   26.2      |    0.82     |  1.01   |   8.2    |
 | dedup_minhash_lsh_pairs |   x1  |  260/130   |   0   |  0.83/0.02  |    0.03     |  1.06   |   65     |
 |                         |  x10  |  262/219   |   0   |  8.8/148.3  |  0.28/2.13  |  1.33   | 737/56   |
+|                         |  x30  |  268/237   |   0   | 26.8/448.2  |  0.85/6.45  |  1.32   | 2346/80  |
 | dedup_embedding_lsh     |   x1  |  230/132   |   0   |  3.8/3.2    |    1.24     |  1.20   |   17     |
 |  (fixed rows=4/bands=4) |  x10  |  261/161   | 7681  |   ~300      |    9.30     |  1.00   |   96     |
 |  (tuned rows=7/bands=13)|  x10  |  261/161   | **0** |   ~153      |    4.8      |  1.00   |   96     |
 |  (r13 DEFAULT, derived) |  x10  |  261/161   | **0** | 152.8/153.9 |  4.63/4.82  |  1.00   |   96     |
+|  (r13 DEFAULT, derived) |  x30  |  994/889   | **0** | 1215/1200   |    3.05     |  1.69   |  113     |
 | sim_ann_ivf_topk        |   x1  |    133     |   0   |    0.08     |    0.08     |   —     |   11     |
 |                         |  x10  |  298/133   |   0   |  2.0/0.56   |    0.62     |   —     |   12     |
+|                         |  x30  |  298/133   |   0   |  3.1/1.58   |    1.58     |   —     |   16.5   |
 
 --rel graph-corpus targets (cold == warm on all three):
 
