@@ -101,6 +101,13 @@ FINDINGS:
   Theta(n^1.5) candidates dominates): the win is bounded per-task
   memory, which is what decides survival when the same ratios are
   TBs on a cluster.
+- r13 x30 family sweep: the four remaining dedup-family pair paths
+  (simhash bands, ngram jaccard, ngram containment, CC cluster
+  report) all measure ZERO spill at the 30x corpus with bounded
+  tasks (max_task_sr <= 12.8 MB, sr_skew <= 1.32) — simhash's fixed
+  65536-bucket bands sit at occupancy ~2 even at this scale, and the
+  MinHash bucket keyspace grows with the corpus, so neither shares
+  embedding-LSH's 2^rows occupancy law; the one spiller is closed.
 - Everything else spills nothing at either scale, and the q18/q9 rows
   show AQE holding bytes/task flat as data grows 10x (q18 total
   shuffle 3.3 -> 31.2 MB while max_task_sr stays ~1 MB and skew drops
