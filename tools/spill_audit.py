@@ -64,9 +64,11 @@ doc/emb corpus targets (c = cold, w = warm; one line where equal):
 |-----------------------------|-------|-------|-------|-------|-------------|---------|----------|
 | rel_q18_large_orders        |   x1  |   19  |   0   |  3.3  |    1.22     |  1.18   |   20     |
 |                             |  x10  |  141  |   0   | 31.2  |    0.99     |  1.01   |   91     |
+|                             |  x30  |  347  |   0   | 93.6  |    2.95     |  1.01   |  326     |
 | rel_q9_product_profit       |   x1  |   21  |   0   |  0.02 |    0.02     |   —     |   13     |
 |                             |  x10  |  113  |   0   |  0.2  |    0.20     |   —     |   79     |
-| adv_salted_skew_join_events |  x1/x10 | 6-7 |   0   |  0    |    0        |   —     |   12-20  |
+|                             |  x30  |  317  |   0   |  0.6  |    0.60     |   —     |  294     |
+| adv_salted_skew_join_events | x1-x30 | 6-9  |   0   |  0    |    0        |   —     |   12-20  |
 
 FINDINGS:
 - **The audit caught a real spill**: dedup_embedding_lsh_pairs at x10
