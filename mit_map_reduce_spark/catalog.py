@@ -250,6 +250,19 @@ def ensure_nanos_flag(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def table_footer_count(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata only — no Spark job, no
+    data pages read. The bounded driver decision that sizes
+    volume-derived shuffle widths (dedup.emb_lsh_pair_width, the graph
+    edge-build width): at any scale this is a metadata read over file
+    footers (pyarrow dataset handles both a single file and a
+    directory of part files)."""
+    import pyarrow.dataset as pads
+
+    dataset = pads.dataset(table_path(sf_dir, name), format="parquet")
+    return sum(frag.metadata.num_rows for frag in dataset.get_fragments())
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

@@ -726,10 +726,9 @@ def embeddings_footer_count(sf_dir: str) -> int:
     LSH: at any scale this is a metadata read over file footers
     (pyarrow dataset handles both a single file and a directory of
     part files)."""
-    import pyarrow.dataset as pads
+    from mit_map_reduce_spark.catalog import table_footer_count
 
-    dataset = pads.dataset(table_path(sf_dir, "embeddings"), format="parquet")
-    return sum(frag.metadata.num_rows for frag in dataset.get_fragments())
+    return table_footer_count(sf_dir, "embeddings")
 
 
 def _emb_band_keys(emb: DataFrame, rows: int, bands: int) -> DataFrame:

@@ -25,6 +25,8 @@ link graphs that are naturally bidirectional, like trade relations).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -37,6 +39,40 @@ PR_ITERS = 3
 RANK_DIGITS = 8
 NODE_OFFSET = 1_000_000  # customer node id = c_custkey + NODE_OFFSET
 GRAPH_SHUFFLE_PARTITIONS = 32  # size to node count, not session default
+#: Edges per task for the scoped fixpoint width (see _fixpoint_width):
+#: 250 k edge rows keep each iteration's join/sort task in the
+#: tens-of-MB range. x1 sf0.1 has 1.17 M trade edges (stays at the
+#: 32-task floor — committed-SF plans unchanged); the x30 corpus has
+#: 35.2 M, which at the fixed width was measured sort-spilling 4.0 GB
+#: across the pagerank build's iterations (spill_audit r13).
+GRAPH_EDGES_PER_TASK = 250_000
+
+
+def _fixpoint_width(edge_count: int) -> int:
+    """Scoped shuffle width for the iterative fixpoint builds, derived
+    from the persisted edge count: the GRAPH_SHUFFLE_PARTITIONS floor
+    until per-task volume would exceed GRAPH_EDGES_PER_TASK, then one
+    task per ~GRAPH_EDGES_PER_TASK edges, capped at 4096 — the same
+    volume-derived-width law as dedup.emb_lsh_pair_width, closing the
+    docstring's 'raise GRAPH_SHUFFLE_PARTITIONS with the data' knob
+    into the default path."""
+    return max(
+        GRAPH_SHUFFLE_PARTITIONS,
+        min(4096, math.ceil(max(int(edge_count), 1) / GRAPH_EDGES_PER_TASK)),
+    )
+
+
+def _edge_build_width(spark: SparkSession, sf_dir: str) -> int:
+    """Width for the edge-list dedup shuffle, sized to the FACT table
+    (the join output is ~one row per lineitem) via a footer-only
+    metadata read — the artifact builds lazily outside any scoped-conf
+    block, so its width must be derivable before any count() job."""
+    from mit_map_reduce_spark.catalog import table_footer_count
+
+    return max(
+        _bounded_width(spark),
+        min(4096, math.ceil(table_footer_count(sf_dir, "lineitem") / GRAPH_EDGES_PER_TASK)),
+    )
 
 
 def _bounded_width(spark: SparkSession) -> int:
@@ -82,7 +118,11 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exchange — the cache build materializes lazily, OUTSIDE
             # any scoped-conf block, so under a bare session the
             # distinct would otherwise run 200 tasks over kilobytes.
-            .repartition(_bounded_width(spark), "cust_node", "supp_node")
+            # Width scales with the FACT size (lineitem footer count —
+            # no Spark job): pinned 32 at committed SFs, one task per
+            # ~GRAPH_EDGES_PER_TASK joined rows past that (the r13 x30
+            # audit's residual ~197 MB dedup spill at fixed width).
+            .repartition(_edge_build_width(spark, sf_dir), "cust_node", "supp_node")
             .dropDuplicates()
         )
         fwd = pairs.select(F.col("cust_node").alias("src"), F.col("supp_node").alias("dst"))
@@ -115,6 +155,11 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
+            # volume-derived width: 32-floor at committed SFs (plans
+            # unchanged), scales with the persisted edge count past it
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_fixpoint_width(edges.count()))
+            )
             deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
             nodes = edges.select(F.col("src").alias("node")).distinct()
             n_total = nodes.agg(F.count("*").alias("n"))
@@ -236,6 +281,9 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_fixpoint_width(edges.count()))
+            )
             deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
             nodes = edges.select(F.col("src").alias("node")).distinct()
             supp = load_table(spark, sf_dir, "supplier").filter(
@@ -382,6 +430,9 @@ def graph_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_fixpoint_width(edges.count()))
+            )
             alive = edges.select(F.col("src").alias("node")).distinct()
             superseded = None
             for _ in range(KCORE_ROUNDS):
@@ -553,6 +604,9 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_fixpoint_width(edges.count()))
+            )
             # The encoded argmax silently corrupts once ids reach
             # LPA_ENC (negative tie-break term) — fail loudly instead.
             max_node = edges.agg(F.max("src")).first()[0]
@@ -1076,6 +1130,9 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _knn_copurchase_edges(spark, sf_dir)
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(_fixpoint_width(edges.count()))
+            )
             und = (
                 edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
                 .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -1186,15 +1243,13 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             # sizing (the shared artifact keeps the session default):
             # each iteration launches two scan jobs over this frame,
             # and at test SF half the map tasks are pure launch
-            # overhead. At cluster scale GRAPH_SHUFFLE_PARTITIONS is
-            # the knob sized to the edge frame, same as every other
-            # loop in this module.
-            edges = (
-                _trade_edges(spark, sf_dir)
-                .filter(F.col("src") >= NODE_OFFSET)
-                .coalesce(GRAPH_SHUFFLE_PARTITIONS)
-                .persist()
-            )
+            # overhead. At cluster scale the width derives from the
+            # edge count (_fixpoint_width), same as every other loop
+            # in this module.
+            base = _trade_edges(spark, sf_dir).filter(F.col("src") >= NODE_OFFSET)
+            width = _fixpoint_width(base.count())
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            edges = base.coalesce(width).persist()
             hubs = (
                 edges.select(F.col("src").alias("node")).distinct()
                 .withColumn("score", F.lit(1.0))

@@ -141,3 +141,32 @@ def test_pair_width_inert_at_committed_sfs_and_scales_at_volume():
     assert widths == sorted(widths)
     # capped
     assert emb_lsh_pair_width(10**9, 24, 5733, 32) == 4096
+
+
+def test_graph_fixpoint_width_inert_at_committed_sfs():
+    """Same law, graph side: the scoped fixpoint width and the
+    edge-build width stay at their committed-SF values (32 /
+    session floor) for every committed corpus, and scale with
+    measured volume past one task wave — the x30 pagerank build
+    spilled 4 GB at the fixed width."""
+    import math
+
+    from mit_map_reduce_spark.catalog import table_footer_count
+    from mit_map_reduce_spark.operators.graph import (
+        GRAPH_EDGES_PER_TASK,
+        GRAPH_SHUFFLE_PARTITIONS,
+        _fixpoint_width,
+    )
+
+    # committed corpora: sf0.1 has 1.17M trade edges and 600k
+    # lineitem rows — both under one 32-task wave at 250k/task
+    assert _fixpoint_width(1_173_742) == GRAPH_SHUFFLE_PARTITIONS
+    for sf_dir in SF_DIRS:
+        li = table_footer_count(sf_dir, "lineitem")
+        assert math.ceil(li / GRAPH_EDGES_PER_TASK) <= GRAPH_SHUFFLE_PARTITIONS
+    # the measured x30 point scales out and bounds per-task volume
+    w = _fixpoint_width(35_212_260)
+    assert w > GRAPH_SHUFFLE_PARTITIONS
+    assert 35_212_260 / w <= GRAPH_EDGES_PER_TASK * 1.05
+    # capped
+    assert _fixpoint_width(10**12) == 4096

@@ -103,6 +103,21 @@ FINDINGS:
   Theta(n^1.5) candidates dominates): the win is bounded per-task
   memory, which is what decides survival when the same ratios are
   TBs on a cluster.
+- r13 x30 GRAPH sweep (--rel graph corpus, 35.2 M trade edges):
+  supplier projection, triangle count, and jaccard link prediction
+  spill ZERO cold and warm; the pagerank fixpoint BUILD (cold,
+  once per session) spilled 4.0 GB with 35 M edges crammed into the
+  fixed 32-task scoped width. Closed the r13 way: the six scoped-conf
+  fixpoint builds (pagerank/PPR/k-core/LPA/label-consumers/HITS) now
+  derive their width from the persisted edge count
+  (graph._fixpoint_width, floor 32 = committed-SF sizing, plan diff
+  none) and the edge-list dedup sizes itself from the lineitem
+  footer count (_edge_build_width). Re-audit: build spill 4021 ->
+  ~454 MB (89% gone); the residual is two ~300 MB sort-spills inside
+  AQE-coalesced iteration joins — bounded per task by AQE's 64 MB
+  advisory partition size (measured ~9 MB/task), i.e. it does NOT
+  grow with the corpus, so it is graceful at any scale. Warm (the
+  registered query) stays zero-spill at every scale.
 - r13 x30 family sweep: the four remaining dedup-family pair paths
   (simhash bands, ngram jaccard, ngram containment, CC cluster
   report) all measure ZERO spill at the 30x corpus with bounded
