@@ -42,7 +42,6 @@ from mit_map_reduce_spark.catalog import (
     load_table,
     shared_persist,
     spread,
-    table_path,
 )
 from mit_map_reduce_spark.functions.columns import (
     round_half_up,
@@ -805,8 +804,10 @@ def embedding_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width-scaled aggregation — the partial agg (which spilled
     # without deduping much) is skipped for ~2x the pair-shuffle
     # bytes, and each final task's hash set stays ~EMB_LSH_PAIRS_PER
-    # _TASK entries. Inert at committed SFs and at x10, so the
-    # r12-pinned plans are unchanged.
+    # _TASK entries. Inert at committed SFs (test_emb_lsh_tuning pins
+    # the floor there, so the r12-pinned plans are unchanged); at x10
+    # (n=20000, rows=7, bands=13) the derived width is 82 > 32 and the
+    # scale-out repartitions DO engage on a 32-slot session.
     floor_width = bounded_shuffle_width(spark)
     pair_width = emb_lsh_pair_width(n_vectors, rows, bands, floor_width)
     scale_out = pair_width > floor_width

@@ -1249,7 +1249,19 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             base = _trade_edges(spark, sf_dir).filter(F.col("src") >= NODE_OFFSET)
             width = _fixpoint_width(base.count())
             spark.conf.set("spark.sql.shuffle.partitions", str(width))
-            edges = base.coalesce(width).persist()
+            # coalesce can only NARROW; when the derived width exceeds
+            # the edge frame's current partitioning (possible once the
+            # edge count outgrows the x1 floor faster than the
+            # lineitem-derived build width) a coalesce silently no-ops
+            # and per-task volume blows past GRAPH_EDGES_PER_TASK
+            # (ADVICE r13). Widen with a real exchange keyed on src so
+            # the per-iteration hub join stays co-located; committed
+            # SFs take the coalesce branch (width == build width == 32)
+            # so the pinned plans are unchanged.
+            if width > base.rdd.getNumPartitions():
+                edges = base.repartition(width, "src").persist()
+            else:
+                edges = base.coalesce(width).persist()
             hubs = (
                 edges.select(F.col("src").alias("node")).distinct()
                 .withColumn("score", F.lit(1.0))

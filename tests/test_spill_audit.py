@@ -142,13 +142,16 @@ def test_failed_and_speculative_attempts_do_not_count(tmp_path):
         # partition 1: speculation — two Success ends, second must dedupe
         _task_end(0, sw=3 * MB, index=1),
         _task_end(0, sw=3 * MB, index=1),
-        # partition 1 on a RETRIED stage attempt counts separately
+        # partition 1 recomputed on a RETRIED stage attempt must ALSO
+        # dedupe (ADVICE r13: committed-work-only — a partition that
+        # succeeded on attempt 0 and was recomputed on attempt 1 is
+        # one unit of committed work, not two)
         _task_end(0, sw=4 * MB, index=1, attempt=1),
     ]
     path = tmp_path / "evlog"
     path.write_text("\n".join(json.dumps(e) for e in events))
     group_stages, stage_tasks = _parse_event_log(str(path))
     agg = _aggregate(group_stages["cold:q"], stage_tasks)
-    assert agg["tasks"] == 3  # p0 success + p1 first success + p1 attempt-1
+    assert agg["tasks"] == 2  # p0 success + p1 first success, attempts deduped
     assert agg["spill_mb"] == 0.0  # the failed attempt's 500 MB is gone
-    assert agg["shuffle_write_mb"] == 9.0  # 2 + 3 + 4
+    assert agg["shuffle_write_mb"] == 5.0  # 2 + 3; the attempt-1 recompute is not committed work

@@ -52,7 +52,7 @@ doc/emb corpus targets (c = cold, w = warm; one line where equal):
 | dedup_embedding_lsh     |   x1  |  230/132   |   0   |  3.8/3.2    |    1.24     |  1.20   |   17     |
 |  (fixed rows=4/bands=4) |  x10  |  261/161   | 7681  |   ~300      |    9.30     |  1.00   |   96     |
 |  (tuned rows=7/bands=13)|  x10  |  261/161   | **0** |   ~153      |    4.8      |  1.00   |   96     |
-|  (r13 DEFAULT, derived) |  x10  |  261/161   | **0** | 152.8/153.9 |  4.63/4.82  |  1.00   |   96     |
+|  (r14 DEFAULT, derived) |  x10  |  475/375   | **0** | 210.2/205.1 |    2.43     |  1.66   |   48     |
 |  (r13 DEFAULT, derived) |  x30  |  994/889   | **0** | 1215/1200   |    3.05     |  1.69   |  113     |
 | sim_ann_ivf_topk        |   x1  |    133     |   0   |    0.08     |    0.08     |   —     |   11     |
 |                         |  x10  |  298/133   |   0   |  2.0/0.56   |    0.62     |   —     |   12     |
@@ -81,8 +81,15 @@ FINDINGS:
   CLOSED in r13: the registered operator now derives (rows, bands)
   from the corpus footer count (dedup.emb_lsh_params), and a plain
   `MMRS_TARGETS=dedup_embedding_lsh_pairs --scales 10` run with NO
-  variant flag reproduced the zero-spill row above (the "r13 DEFAULT"
-  line) — the tuned plan is what a user gets by default at scale.
+  variant flag reproduces zero spill (the "r14 DEFAULT" line) — the
+  tuned plan is what a user gets by default at scale. Note the
+  derived pair width is NOT inert at x10: emb_lsh_pair_width(20000,
+  7, 13, 32) = 82 > 32, so the scale-out repartitions engage there
+  (475/375 tasks vs the pre-pair-width 261/161 in the older rows;
+  ADVICE r13 reconciliation, re-measured 2026-08-16 r14) and the
+  worst task halves (max_task_sr 4.8 -> 2.4 MB, peak 96 -> 48 MB).
+  Inertness holds only at committed SFs, where the width floors at
+  32 (pinned by tests/test_emb_lsh_tuning.py).
 - **x30 found the NEXT spill and r13 closed it too**: at n=60000
   (auto tuning r9b27) the candidate stream is 116 M pre-distinct
   pairs and the DISTINCT — both its join-stage partial agg and its
@@ -238,8 +245,10 @@ def _parse_event_log(path: str) -> tuple[dict, dict]:
     """(job_group -> set of stage ids, stage id -> task metric rows).
 
     Aggregates only tasks whose Task End Reason is Success, deduped
-    per (stage, attempt, partition index) — retried, failed, and
-    speculative attempts never contribute metrics."""
+    per (stage, partition index) ACROSS stage attempts (first success
+    wins) — retried, failed, and speculative attempts never contribute
+    metrics, and a partition recomputed on a retried stage attempt
+    counts once (committed-work-only metrics, ADVICE r13)."""
     group_stages: dict[str, set[int]] = {}
     stage_tasks: dict[int, list[dict]] = {}
     _seen: set[tuple] = set()
@@ -265,12 +274,14 @@ def _parse_event_log(path: str) -> tuple[dict, dict]:
                 if reason.get("Reason") != "Success":
                     continue
                 # Speculation winners can ALSO double-commit a
-                # partition (two Success ends for one index); keep the
-                # first per (stage, attempt, partition index).
+                # partition (two Success ends for one index), and a
+                # retried STAGE attempt recomputes partitions that
+                # already succeeded on attempt 0; keep the first
+                # success per (stage, partition index) regardless of
+                # which stage attempt produced it.
                 info = ev.get("Task Info") or {}
                 seen_key = (
                     ev["Stage ID"],
-                    ev.get("Stage Attempt ID", 0),
                     info.get("Index"),
                 )
                 if info.get("Index") is not None:
