@@ -64,3 +64,34 @@ def test_family_sample_green_on_multiprocess_cluster(tmp_path):
     with StandaloneCluster(workers=2, cores=4, memory="8g") as cluster:
         rc = run_gate("/root/testdata/sf0.001", FAMILY_SAMPLE, cluster)
     assert rc == 0
+
+
+def test_worker_crash_and_respawn_recovers(tmp_path):
+    """The reference harness's crash test, at real-process fidelity
+    (VERDICT r13 order #1; ``src/main/test-mr.sh:294-319``,
+    ``src/mrapps/crash.go:20-32``): SIGKILL one worker JVM's process
+    group while a query has tasks in flight, require the gate to
+    finish green on the surviving executor (Spark task retry + stage
+    resubmission), then register a fresh worker with the live master
+    and require the next queries to go green using BOTH workers.
+    All invariants are asserted inside run_crash_gate; the evidence
+    dict it returns is the committed RESULTS-block shape."""
+    from tools.standalone_gate import (
+        CRASH_PHASE_A,
+        CRASH_PHASE_B,
+        StandaloneCluster,
+        run_crash_gate,
+    )
+
+    import __spark_entry__ as entry
+
+    registered = set(entry.queries())
+    drift = [q for q in CRASH_PHASE_A + CRASH_PHASE_B if q not in registered]
+    assert not drift, f"crash-subset names drifted from the registry: {drift}"
+
+    with StandaloneCluster(workers=2, cores=4, memory="8g") as cluster:
+        evidence = run_crash_gate("/root/testdata/sf0.001", cluster)
+    assert evidence["phase_a"]["rc"] == 0
+    assert evidence["phase_b"]["rc"] == 0
+    # the kill must have left work to recover, not fired post-run
+    assert evidence["phase_a"]["passes_before_kill"] < len(CRASH_PHASE_A)
