@@ -337,6 +337,78 @@ def _calibration_probe(spark) -> float:
     return round(sorted(runs)[1], 3)
 
 
+#: ~256 MB uncompressed (4 x 8-byte columns): big enough that a cold
+#: read is disk-bound and a warm read is memory-bandwidth-bound, small
+#: enough to regenerate in ~2 s and never pressure /tmp.
+_IO_PROBE_ROWS = 8_000_000
+
+
+def _io_probe() -> tuple[float, float] | None:
+    """Cold + warm parquet scan of a fixed ~256 MB probe file — the
+    I/O / page-cache axis the CPU shuffle probe is blind to (r13
+    verdict: a 14% same-code suite swing shipped with a FASTER CPU
+    probe; a CPU-only probe cannot corroborate an I/O-shaped
+    environment change). Cold evicts the file's pages with
+    posix_fadvise(POSIX_FADV_DONTNEED) before each read, so it moves
+    with disk throughput; warm re-reads page-cache-resident bytes, so
+    it moves with memory bandwidth + decode CPU. Median of 3 each,
+    pyarrow reads (no Spark scheduling noise). Deterministic content,
+    regenerated only when missing; uncompressed so bytes-on-disk ==
+    bytes-scanned. Returns (cold_sec, warm_sec), or None where the
+    fadvise/pyarrow machinery is unavailable (non-POSIX)."""
+    try:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        fadvise = os.posix_fadvise
+        dontneed = os.POSIX_FADV_DONTNEED
+    except (ImportError, AttributeError):
+        return None
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "mmrs_io_probe.parquet")
+    if not os.path.exists(path):
+        ids = np.arange(_IO_PROBE_ROWS, dtype=np.int64)
+        tbl = pa.table(
+            {
+                "id": ids,
+                "a": ids * 31,
+                "x": ids * 0.5,
+                "y": np.sqrt(ids.astype(np.float64)),
+            }
+        )
+        pq.write_table(tbl, path + ".tmp", compression="none")
+        os.replace(path + ".tmp", path)
+    # freshly written pages are DIRTY and DONTNEED skips them — flush
+    # once so every eviction below actually empties the cache
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+    def evict() -> None:
+        fd = os.open(path, os.O_RDONLY)
+        try:
+            fadvise(fd, 0, 0, dontneed)
+        finally:
+            os.close(fd)
+
+    def scan() -> float:
+        t0 = time.time()
+        pq.read_table(path)
+        return time.time() - t0
+
+    colds, warms = [], []
+    for _ in range(3):
+        evict()
+        colds.append(scan())
+    for _ in range(3):
+        warms.append(scan())
+    return round(sorted(colds)[1], 3), round(sorted(warms)[1], 3)
+
+
 #: Max uniform drift the gate will normalize away when the stamped
 #: baseline predates the calibration probe and can't corroborate it.
 _UNCORROBORATED_DRIFT_CAP = 1.3
@@ -420,7 +492,10 @@ def _report_cold_build_drift(repo: str, cold_builds: dict[str, list]) -> None:
 
 
 def _report_regressions(
-    repo: str, timings: dict[str, float], probe_sec: float | None = None
+    repo: str,
+    timings: dict[str, float],
+    probe_sec: float | None = None,
+    io_probe: tuple[float, float] | None = None,
 ) -> list[str]:
     """Diff this run against the newest round-stamped detail file and
     flag queries >1.5x slower (and >0.3 s absolute, so toy-scale noise
@@ -463,15 +538,29 @@ def _report_regressions(
     # calibration probe's drift bounds how much the gate may absorb;
     # anything beyond it gates as __uniform_drift__ unless explicitly
     # allowlisted.
+    # Two probe axes (r13 verdict: the CPU probe got FASTER while the
+    # same-code suite got 14% slower — an I/O- or page-cache-shaped
+    # swing is invisible to a shuffle micro-job). The drift the gate
+    # may absorb is bounded by the WORST-drifting axis: an environment
+    # change on either axis corroborates; a flat probe set on both
+    # axes means a uniform slowdown is the code's fault.
+    env_ratios = []
     base_probe = prev.get("calibration_probe_sec")
     if probe_sec and base_probe:
-        # Floored at the uncorroborated cap: the probe is itself a
-        # noisy measurement, and an unluckily FAST probe must not
+        env_ratios.append(probe_sec / base_probe)
+    if io_probe:
+        base_io_c = prev.get("io_probe_cold_sec")
+        base_io_w = prev.get("io_probe_warm_sec")
+        if base_io_c:
+            env_ratios.append(io_probe[0] / base_io_c)
+        if base_io_w:
+            env_ratios.append(io_probe[1] / base_io_w)
+    if env_ratios:
+        # Floored at the uncorroborated cap: the probes are themselves
+        # noisy measurements, and an unluckily FAST probe must not
         # shrink the tolerance below what a probe-less baseline gets
         # (mild ~1.25x drift would otherwise false-fire the gate).
-        cap = max(
-            _UNCORROBORATED_DRIFT_CAP, (probe_sec / base_probe) * _PROBE_SLACK
-        )
+        cap = max(_UNCORROBORATED_DRIFT_CAP, max(env_ratios) * _PROBE_SLACK)
     else:
         cap = _UNCORROBORATED_DRIFT_CAP
     scale = min(median, cap)
@@ -614,6 +703,12 @@ def main() -> None:
 
     probe_sec = _calibration_probe(spark)
     print(f"# calibration probe: {probe_sec:.3f}s", file=sys.stderr)
+    io_probe = _io_probe()
+    if io_probe:
+        print(
+            f"# io probe: cold {io_probe[0]:.3f}s warm {io_probe[1]:.3f}s",
+            file=sys.stderr,
+        )
 
     drain_build_events()  # warmups may have built artifacts; not ours to report
     timings: dict[str, float] = {}
@@ -655,6 +750,8 @@ def main() -> None:
         "sf": sf_val,
         "calibration_probe_sec": probe_sec,
     }
+    if io_probe:
+        full["io_probe_cold_sec"], full["io_probe_warm_sec"] = io_probe
     if cold_builds:
         # Which timed runs were excluded as once-per-session shared-
         # artifact builds, and what they built — so the cost stays
@@ -665,7 +762,7 @@ def main() -> None:
     # (tests/test_bench_gate.py) fails the suite on any unexplained
     # >2x regression; the stdout JSON line and exit code stay stable
     # for the driver.
-    gate = _report_regressions(repo, timings, probe_sec)
+    gate = _report_regressions(repo, timings, probe_sec, io_probe)
     # Confirm-by-retry: a transient contention spike during ONE
     # query's three runs inflates its median 2-4x while the
     # calibration probe (measured at a different moment) stays flat,
@@ -718,7 +815,7 @@ def main() -> None:
             # retry runs may have added build events after the sidecar
             # key was (conditionally) set above
             full["cold_artifact_builds"] = cold_builds
-        gate = _report_regressions(repo, timings, probe_sec)
+        gate = _report_regressions(repo, timings, probe_sec, io_probe)
     full["unexplained_regressions"] = gate
     # Cold-build drift advisory AFTER confirm-by-retry, so a build that
     # only happened during a retry (evicted artifact) is compared too —
@@ -740,8 +837,14 @@ def main() -> None:
     # Round-stamped copy so the NEXT round has this round's numbers to
     # diff against (the unstamped file is overwritten every run). Only
     # the official SF stamps — a quick sf0.001 pass must not become a
-    # future round's baseline.
-    if SF_DIR.rstrip("/").endswith("sf0.1"):
+    # future round's baseline. SPARK_GRAFT_NO_STAMP suppresses the
+    # stamp for the runs tools/stamp_bench.py aggregates: the committed
+    # round stamp is a median-of-3 selected there (r13 verdict #3 —
+    # one run's stamp carried double-digit same-code environment
+    # spread into the next round's baseline).
+    if SF_DIR.rstrip("/").endswith("sf0.1") and not os.environ.get(
+        "SPARK_GRAFT_NO_STAMP"
+    ):
         with open(
             os.path.join(repo, f"BENCH_DETAIL_r{_round_no(repo):02d}.json"), "w"
         ) as f:

@@ -198,6 +198,68 @@ def test_gate_caps_drift_without_probe_baseline(tmp_path, monkeypatch):
     assert bench._report_regressions(str(tmp_path), mild, probe_sec=1.25) == []
 
 
+def test_gate_io_probe_corroborates_io_shaped_drift(tmp_path, monkeypatch):
+    """r13 verdict: the CPU probe moved OPPOSITE to a 14% same-code
+    suite swing — an I/O- or page-cache-shaped environment change is
+    invisible to a shuffle micro-job. With the I/O probe stamped in
+    the baseline, uniform drift that the I/O axis corroborates (cold
+    scans slowed with the suite) must normalize even when the CPU
+    probe is flat; with BOTH axes flat it must still gate."""
+    import bench
+
+    (tmp_path / "BENCH_DETAIL_r01.json").write_text(
+        json.dumps(
+            {
+                "queries": {f"q{i}": 1.0 for i in range(20)},
+                "sf": 0.1,
+                "calibration_probe_sec": 1.0,
+                "io_probe_cold_sec": 0.4,
+                "io_probe_warm_sec": 0.1,
+            }
+        )
+    )
+    monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.1")
+    uniform = {f"q{i}": 1.9 for i in range(20)}
+    # CPU probe flat (even slightly fast), but cold I/O slowed 1.9x
+    # with the suite -> corroborated, normalized away
+    assert (
+        bench._report_regressions(
+            str(tmp_path), uniform, probe_sec=0.95, io_probe=(0.76, 0.1)
+        )
+        == []
+    )
+    # ... and an isolated regression on top still gates
+    mixed = dict(uniform)
+    mixed["q3"] = 5.0
+    assert bench._report_regressions(
+        str(tmp_path), mixed, probe_sec=0.95, io_probe=(0.76, 0.1)
+    ) == ["q3"]
+    # the warm (page-cache/memory-bandwidth) axis corroborates too
+    assert (
+        bench._report_regressions(
+            str(tmp_path), uniform, probe_sec=0.95, io_probe=(0.4, 0.19)
+        )
+        == []
+    )
+    # all three axes flat -> a uniform slowdown is the code's fault
+    assert "__uniform_drift__" in bench._report_regressions(
+        str(tmp_path), uniform, probe_sec=1.0, io_probe=(0.4, 0.1)
+    )
+    # baseline without io keys: io_probe passed but ignored, CPU-only
+    (tmp_path / "BENCH_DETAIL_r01.json").write_text(
+        json.dumps(
+            {
+                "queries": {f"q{i}": 1.0 for i in range(20)},
+                "sf": 0.1,
+                "calibration_probe_sec": 1.0,
+            }
+        )
+    )
+    assert "__uniform_drift__" in bench._report_regressions(
+        str(tmp_path), uniform, probe_sec=1.0, io_probe=(99.0, 99.0)
+    )
+
+
 def test_gate_probe_noise_cannot_shrink_tolerance(tmp_path, monkeypatch):
     """An unluckily FAST probe must not tighten the cap below the
     probe-less fallback: mild ~1.25x drift with a flat-or-fast probe
@@ -220,7 +282,7 @@ def test_gated_queries_are_confirmed_by_retry(monkeypatch, capsys):
 
     calls = {"n": 0}
 
-    def fake_report(repo, timings, probe_sec=None):
+    def fake_report(repo, timings, probe_sec=None, io_probe=None):
         calls["n"] += 1
         if calls["n"] == 1:
             return ["mr_wordcount", "__uniform_drift__"]
