@@ -125,6 +125,15 @@ FINDINGS:
   advisory partition size (measured ~9 MB/task), i.e. it does NOT
   grow with the corpus, so it is graceful at any scale. Warm (the
   registered query) stays zero-spill at every scale.
+- r14 x30 HITS re-audit after the widening fix (ADVICE r13: the HITS
+  build used base.coalesce(width), which can only NARROW — when the
+  derived fixpoint width exceeded the edge frame's partitioning the
+  intended scale-out silently no-opped). With repartition(width, src)
+  on the widen branch: cold build at 35.2 M edges runs 2273 tasks,
+  **0 MB spill**, max_task_sr 8.8 MB, sr_skew 2.0, peak 290 MB —
+  per-task volume bounded at the GRAPH_EDGES_PER_TASK law like the
+  other five fixpoints. Committed SFs take the coalesce branch
+  unchanged (plan diff: none).
 - r13 x30 family sweep: the four remaining dedup-family pair paths
   (simhash bands, ngram jaccard, ngram containment, CC cluster
   report) all measure ZERO spill at the 30x corpus with bounded
