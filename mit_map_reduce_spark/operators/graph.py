@@ -62,6 +62,37 @@ def _fixpoint_width(edge_count: int) -> int:
     )
 
 
+def _set_fixpoint_width(spark: SparkSession, edge_count: int) -> int:
+    """Apply the volume-derived width as the scoped shuffle conf for an
+    iterative build. Past the committed-SF floor it ALSO disables AQE
+    partition coalescing within the scope: the advisory sizes reducers
+    by COMPRESSED map-output bytes, and at the x30 corpus it re-fused
+    LPA's 141-task derived width for the per-iteration (dst, label)
+    count into 36 tasks whose decompressed hash-agg footprint
+    sort-spilled 1.9 GB (one stage held ALL of it; PPR measured 1.0 GB
+    of the same class; x10 and committed SFs spill zero). The width
+    law (GRAPH_EDGES_PER_TASK) bounds the per-task working set by
+    construction — at scale, trust it over the compressed-bytes
+    heuristic. Committed SFs take width == floor and the coalescing
+    conf is untouched, so the pinned plans and task counts are
+    unchanged. Paired with _restore_fixpoint_conf in the build's
+    ``finally``."""
+    width = _fixpoint_width(edge_count)
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    if width > GRAPH_SHUFFLE_PARTITIONS:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    return width
+
+
+def _restore_fixpoint_conf(spark: SparkSession, old_width: str) -> None:
+    """Undo _set_fixpoint_width: restore the caller's shuffle width and
+    re-enable AQE partition coalescing (``true`` is both the engine
+    session's conf and Spark's own default, so this is correct under
+    the vanilla driver session too)."""
+    spark.conf.set("spark.sql.shuffle.partitions", old_width)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
 def _edge_build_width(spark: SparkSession, sf_dir: str) -> int:
     """Width for the edge-list dedup shuffle, sized to the FACT table
     (the join output is ~one row per lineitem) via a footer-only
@@ -157,9 +188,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges = _trade_edges(spark, sf_dir)
             # volume-derived width: 32-floor at committed SFs (plans
             # unchanged), scales with the persisted edge count past it
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(_fixpoint_width(edges.count()))
-            )
+            _set_fixpoint_width(spark, edges.count())
             deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
             nodes = edges.select(F.col("src").alias("node")).distinct()
             n_total = nodes.agg(F.count("*").alias("n"))
@@ -199,7 +228,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pr = new_pr
             return pr  # persisted + materialized; registry adopts it
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+            _restore_fixpoint_conf(spark, old)
 
     ranks = shared_persist(spark, "graph_pagerank_ranks", sf_dir, build)
     return ranks.select(
@@ -281,9 +310,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(_fixpoint_width(edges.count()))
-            )
+            _set_fixpoint_width(spark, edges.count())
             deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
             nodes = edges.select(F.col("src").alias("node")).distinct()
             supp = load_table(spark, sf_dir, "supplier").filter(
@@ -335,7 +362,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pr = new_pr
             return pr
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+            _restore_fixpoint_conf(spark, old)
 
     ranks = shared_persist(spark, "graph_ppr_ranks", sf_dir, build)
     return ranks.filter(F.col("rank") > 0).select(
@@ -430,9 +457,7 @@ def graph_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(_fixpoint_width(edges.count()))
-            )
+            _set_fixpoint_width(spark, edges.count())
             alive = edges.select(F.col("src").alias("node")).distinct()
             superseded = None
             for _ in range(KCORE_ROUNDS):
@@ -454,7 +479,7 @@ def graph_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 alive = new_alive
             return alive  # persisted + materialized; registry adopts it
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+            _restore_fixpoint_conf(spark, old)
 
     alive = shared_persist(spark, "graph_kcore_alive", sf_dir, build)
     edges = _trade_edges(spark, sf_dir)
@@ -617,9 +642,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(_fixpoint_width(edges.count()))
-            )
+            _set_fixpoint_width(spark, edges.count())
             # The encoded argmax silently corrupts once ids reach
             # LPA_ENC (negative tie-break term) — fail loudly instead.
             max_node = edges.agg(F.max("src")).first()[0]
@@ -659,7 +682,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 labels = new_labels
             return labels
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+            _restore_fixpoint_conf(spark, old)
 
     return shared_persist(spark, "graph_lpa_labels", sf_dir, build)
 
@@ -1143,9 +1166,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _knn_copurchase_edges(spark, sf_dir)
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(_fixpoint_width(edges.count()))
-            )
+            _set_fixpoint_width(spark, edges.count())
             und = (
                 edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
                 .union(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -1179,7 +1200,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             und.unpersist()
             return visited
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+            _restore_fixpoint_conf(spark, old)
 
     out = shared_persist(spark, "graph_bfs_dist", sf_dir, build)
     return out.select("node", F.col("dist").cast("int").alias("dist"))
@@ -1260,8 +1281,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             # edge count (_fixpoint_width), same as every other loop
             # in this module.
             base = _trade_edges(spark, sf_dir).filter(F.col("src") >= NODE_OFFSET)
-            width = _fixpoint_width(base.count())
-            spark.conf.set("spark.sql.shuffle.partitions", str(width))
+            width = _set_fixpoint_width(spark, base.count())
             # coalesce can only NARROW; when the derived width exceeds
             # the edge frame's current partitioning (possible once the
             # edge count outgrows the x1 floor faster than the
@@ -1368,7 +1388,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.unpersist()
             return out
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+            _restore_fixpoint_conf(spark, old)
 
     return shared_persist(spark, "graph_hits_scores", sf_dir, build)
 

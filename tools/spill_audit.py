@@ -134,6 +134,23 @@ FINDINGS:
   per-task volume bounded at the GRAPH_EDGES_PER_TASK law like the
   other five fixpoints. Committed SFs take the coalesce branch
   unchanged (plan diff: none).
+- **r14 x30 graph sweep completed the fixpoint family and found the
+  AQE advisory defeating the derived width**: LPA's cold build
+  spilled 1.9 GB (ALL of it in ONE 36-task stage — the per-iteration
+  (dst, label) count, per-stage diagnosis) and PPR 1.0 GB of the same
+  class, both zero at x10 — AQE's coalescing advisory sizes reducers
+  by COMPRESSED map-output bytes and re-fused the 141-task derived
+  width into tasks whose decompressed hash-agg footprint sort-spills.
+  Fix (graph._set_fixpoint_width): past the committed-SF floor the
+  scoped build also disables AQE partition coalescing, trusting the
+  GRAPH_EDGES_PER_TASK width law over the compressed-bytes heuristic.
+  Re-audit x30: LPA 1934 -> **0 MB** (max_task_sr 11.2 -> 2.9 MB),
+  PPR 1022 -> **0 MB** (peak 290 -> 70 MB), and the pagerank build's
+  r13 "graceful residual" ~454 MB -> **0 MB** as well (the residual
+  WAS this same advisory re-fusion); HITS worst task halves
+  (8.8 -> 4.4 MB). Committed SFs take width == floor so the conf is
+  untouched there (plan diff vs PLAN_SNAPSHOT_r14: none; graph family
+  gate + test_plans green).
 - r13 x30 family sweep: the four remaining dedup-family pair paths
   (simhash bands, ngram jaccard, ngram containment, CC cluster
   report) all measure ZERO spill at the 30x corpus with bounded
