@@ -891,10 +891,19 @@ def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     are unique per (a, b), so both-directions-kept <=> count 2).
     Shared-persisted: triangle count and link prediction probe one
     cached copy per (session, corpus).
+
+    Width (r14): the three exchanges carry fact-proportional volume
+    (incidence ~ one row per lineitem; pairs ~ incidence x avg
+    per-customer fan-out, measured ~10x the incidence bytes), so the
+    pinned width derives from the lineitem footer count like the
+    trade-edge build — the x30 audit measured the pairs exchange at
+    1.4 GB crammed into the fixed session width (45.8 MB worst task,
+    growing linearly with the corpus: 15.5 MB at x10). Committed SFs
+    floor at the session constant, plans unchanged.
     """
 
     def build():
-        width = _bounded_width(spark)
+        width = _edge_build_width(spark, sf_dir)
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         inc = (
