@@ -151,6 +151,18 @@ FINDINGS:
   (8.8 -> 4.4 MB). Committed SFs take width == floor so the conf is
   untouched there (plan diff vs PLAN_SNAPSHOT_r14: none; graph family
   gate + test_plans green).
+- r14 x30 knn-copurchase width: the co-purchase build's three pinned
+  exchanges rode the fixed session width while carrying
+  fact-proportional volume — pairs exchange 1.4 GB / 45.8 MB worst
+  task at x30, 15.5 MB at x10 (linear growth, the 100 TB red flag
+  even at zero spill). Width now derives from the lineitem footer
+  count (_edge_build_width): worst task 21.4 MB at x30 and scaling
+  with the corpus, plans inert at committed SFs.
+- r14 x30 text sweep (bpe_train_merges, pmi_collocations,
+  distinctive_terms — the family's heaviest aggregators): zero spill,
+  reducers bounded (max_task_sr <= 1.8 MB, peak <= 32 MB); the
+  ~21 MB map-side writes are the documented single-row-group local
+  scan, benign (see the mr_wordcount note below).
 - r13 x30 family sweep: the four remaining dedup-family pair paths
   (simhash bands, ngram jaccard, ngram containment, CC cluster
   report) all measure ZERO spill at the 30x corpus with bounded
