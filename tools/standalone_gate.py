@@ -83,6 +83,9 @@ RESULTS (updated per committed run):
   worker registered with the live master and **phase B 2/2 PASS in
   23.9 s with BOTH workers launching executors** (respawn + survivor
   daemon logs). rc=0, 59 s total. Also green at sf0.001 (54 s).
+* r14 FULL GATE at final HEAD (sf0.01, 2 workers x 8 cores / 16g):
+  **267/267 PASS, 0 failures, rc=0 in 512 s** — reconfirms the
+  multi-process contracts after the round's width/AQE-scope changes.
 """
 
 from __future__ import annotations
