@@ -137,6 +137,17 @@ x30 validation (ratios-only, slower box, same session): projection
 rows 14.72M = exactly 30.0x at warm 4.0x; PageRank rows 30.0x with
 the fixpoint build 3.43x at 30x edges; triangle 30x rows flat — the
 linearity holds for another half-decade of scale.
+r14 re-measure at 1x/10x/30x after the width/AQE-scope changes (same
+machine, 2026-08-16): warm ratios hold or improve (pagerank
+0.75/0.77x — rides the cached ranks; triangle 0.86/1.14x on the
+lineitem-derived kNN width; projection 1.35/2.75x for 10/30x rows);
+the pagerank fixpoint build measures 10.1/21.9/61.5 s (2.2x at 10x,
+6.1x at 30x edges) with ZERO spill at every scale (was 4.0 GB at x30
+before the derived width + scoped coalescing-off). Coalescing-off
+A/B at x30, fresh subprocess per arm: build-dominated cold 80.1 s
+(off, registered) vs 80.9 s (on, pre-r14) — the scope change is
+wall-NEUTRAL locally and removes the ~3.4 GB fixpoint-family spill
+(spill_audit r14 rows), i.e. bounded per-task memory for free.
 
 TEXT paths (MMRS_TARGETS override over the same document corpora,
 x1 vs x10, same protocol): BPE trainer build 5.69 -> 5.91 s (1.04x —
