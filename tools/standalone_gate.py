@@ -86,6 +86,8 @@ RESULTS (updated per committed run):
 * r14 FULL GATE at final HEAD (sf0.01, 2 workers x 8 cores / 16g):
   **267/267 PASS, 0 failures, rc=0 in 512 s** — reconfirms the
   multi-process contracts after the round's width/AQE-scope changes.
+* r14 full gate at sf0.1, final HEAD: **267/267, rc=0 in 760 s**;
+  crash/respawn pytest twin re-run green at final HEAD (89 s).
 """
 
 from __future__ import annotations
