@@ -158,6 +158,14 @@ FINDINGS:
   even at zero spill). Width now derives from the lineitem footer
   count (_edge_build_width): worst task 21.4 MB at x30 and scaling
   with the corpus, plans inert at committed SFs.
+- r14 x60 validation (70.4 M trade edges — the largest corpus the
+  graph synthesizer can build before its copy stride would collide
+  with NODE_OFFSET, asserted in scaling_curve): pagerank and LPA cold
+  builds both **0 MB spill** with worst tasks FLAT vs x30 (pagerank
+  max_task_sr 3.9 -> 4.5 MB at 2x the edges, LPA 2.9 -> 3.4 MB, skew
+  ~1.1) — the volume-derived width law holds per-task volume constant
+  for another doubling; an x100 attempt fails fast on the stride
+  guard, by design.
 - r14 x30 text sweep (bpe_train_merges, pmi_collocations,
   distinctive_terms — the family's heaviest aggregators): zero spill,
   reducers bounded (max_task_sr <= 1.8 MB, peak <= 32 MB); the
