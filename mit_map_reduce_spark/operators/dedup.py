@@ -81,6 +81,18 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Documents past which the shingle-array cache materializes at build
+#: time so consumer plans compile against TRUE cached statistics: the
+#: lazy persist leaves the first (cold) plan broadcasting this frame's
+#: projections on a pre-materialization underestimate — a single
+#: executor hash map measured at 737 MB (x10 corpus) and 3.76 GB (x60),
+#: growing linearly, while the warm re-plan correctly picks a shuffle
+#: join off the real cached size. Committed SFs (<= 5000 docs) stay
+#: below the gate, keeping their lazy persist and pinned broadcast
+#: plans byte-identical.
+MINHASH_EAGER_STATS_DOCS = 10_000
+
+
 def _shingle_arrays_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-doc shingle arrays, persisted once per session.
 
@@ -89,9 +101,20 @@ def _shingle_arrays_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage; the shared registry keeps exactly one cached copy (round 2
     persisted a fresh copy inside each query — correct but accumulating,
     and the source of the CacheManager re-cache warnings)."""
-    return shared_persist(
-        spark, "doc_shingle_arrays", sf_dir, lambda: _doc_shingle_arrays(spark, sf_dir)
-    )
+
+    def build() -> DataFrame:
+        df = _doc_shingle_arrays(spark, sf_dir)
+        from mit_map_reduce_spark.catalog import table_footer_count
+
+        if table_footer_count(sf_dir, "documents") > MINHASH_EAGER_STATS_DOCS:
+            # materialize so the FIRST consumer plan sees real stats
+            # (see MINHASH_EAGER_STATS_DOCS); shared_persist adopts the
+            # already-persisted frame without re-persisting
+            df = df.persist()
+            df.count()
+        return df
+
+    return shared_persist(spark, "doc_shingle_arrays", sf_dir, build)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

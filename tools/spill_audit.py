@@ -166,6 +166,18 @@ FINDINGS:
   ~1.1) — the volume-derived width law holds per-task volume constant
   for another doubling; an x100 attempt fails fast on the stride
   guard, by design.
+- r14 x60 dedup validation: embedding-LSH holds the law at n=120000
+  (zero spill, worst reducer 3.5 MB, peak 178 MB — derived tuning +
+  pair width scaling together). MinHash exposed the KNOWN
+  cache-sizeInBytes broadcast wrinkle growing linearly: the cold
+  plan's misestimated broadcast hash map hit **3.76 GB** at x60 (737
+  MB at x10) before the warm re-plan. CLOSED in the registered path:
+  the shingle-array cache materializes at build time past
+  MINHASH_EAGER_STATS_DOCS (10k docs; committed SFs <= 5000 keep the
+  lazy persist and their pinned broadcast plans) so the FIRST
+  consumer plan compiles against true cached stats — re-audit x60
+  cold peak 3764 -> **65 MB**, cold plan == warm plan, rows
+  identical, plan diff at committed SFs none.
 - r14 x30 text sweep (bpe_train_merges, pmi_collocations,
   distinctive_terms — the family's heaviest aggregators): zero spill,
   reducers bounded (max_task_sr <= 1.8 MB, peak <= 32 MB); the
@@ -189,7 +201,10 @@ FINDINGS:
   re-plans to a shuffle join (148 MB shuffle, 56 MB peak). At real
   scale the estimate comes from file sizes and exceeds the 64 MB
   threshold long before the hash map could hurt; the hazard lives
-  only in the just-persisted-small-estimate window.
+  only in the just-persisted-small-estimate window. [r14: that window
+  CLOSED — the x60 sweep measured it at 3.76 GB and the build now
+  materializes the cache past MINHASH_EAGER_STATS_DOCS; see the r14
+  x60 dedup row below.]
 - mr_wordcount's map side shows one task writing ~98% of shuffle at
   both scales: the corpus parquet is a single row group locally, so
   the pre-spread scan is one task regardless of maxPartitionBytes —
