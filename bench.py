@@ -367,7 +367,19 @@ def _io_probe() -> tuple[float, float] | None:
         return None
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "mmrs_io_probe.parquet")
+    # Row count in the name versions the probe file: if _IO_PROBE_ROWS
+    # or the schema ever changes, the stale file from an older code
+    # version misses the name and is regenerated instead of silently
+    # skewing the ratio against the stamped baseline (r14 ADVICE). A
+    # size check guards the remaining staleness surface (schema edits
+    # at an unchanged row count) and truncated partial files from a
+    # same-name writer under another uid.
+    path = os.path.join(
+        tempfile.gettempdir(), f"mmrs_io_probe_v1_{_IO_PROBE_ROWS}.parquet"
+    )
+    min_bytes = _IO_PROBE_ROWS * 28  # 4 cols x 8B, minus parquet framing slack
+    if os.path.exists(path) and os.path.getsize(path) < min_bytes:
+        os.remove(path)
     if not os.path.exists(path):
         ids = np.arange(_IO_PROBE_ROWS, dtype=np.int64)
         tbl = pa.table(

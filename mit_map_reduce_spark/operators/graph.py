@@ -62,6 +62,19 @@ def _fixpoint_width(edge_count: int) -> int:
     )
 
 
+def _saved_fixpoint_conf(spark: SparkSession) -> tuple[str, str]:
+    """Capture (shuffle width, coalescePartitions.enabled) before a
+    fixpoint scope so _restore_fixpoint_conf can put back the CALLER's
+    values — not a hard-coded session default, which would silently
+    re-enable coalescing for a session that deliberately disabled it
+    and breaks under nested scopes (r14 ADVICE). Pure caller-side
+    capture: no module state, so nesting composes by construction."""
+    return (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+    )
+
+
 def _set_fixpoint_width(spark: SparkSession, edge_count: int) -> int:
     """Apply the volume-derived width as the scoped shuffle conf for an
     iterative build. Past the committed-SF floor it ALSO disables AQE
@@ -84,13 +97,13 @@ def _set_fixpoint_width(spark: SparkSession, edge_count: int) -> int:
     return width
 
 
-def _restore_fixpoint_conf(spark: SparkSession, old_width: str) -> None:
-    """Undo _set_fixpoint_width: restore the caller's shuffle width and
-    re-enable AQE partition coalescing (``true`` is both the engine
-    session's conf and Spark's own default, so this is correct under
-    the vanilla driver session too)."""
+def _restore_fixpoint_conf(spark: SparkSession, saved: tuple[str, str]) -> None:
+    """Undo _set_fixpoint_width: restore the width and coalescing
+    values captured by _saved_fixpoint_conf at scope entry (the
+    caller's actual pre-scope conf, whatever it was)."""
+    old_width, old_coalesce = saved
     spark.conf.set("spark.sql.shuffle.partitions", old_width)
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", old_coalesce)
 
 
 def _edge_build_width(spark: SparkSession, sf_dir: str) -> int:
@@ -182,7 +195,7 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     and let AQE coalesce).
     """
     def build():
-        old = spark.conf.get("spark.sql.shuffle.partitions")
+        old = _saved_fixpoint_conf(spark)
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
@@ -306,7 +319,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def build():
-        old = spark.conf.get("spark.sql.shuffle.partitions")
+        old = _saved_fixpoint_conf(spark)
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
@@ -453,7 +466,7 @@ def graph_kcore_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     round, shuffles scoped to the graph's partition count.
     """
     def build():
-        old = spark.conf.get("spark.sql.shuffle.partitions")
+        old = _saved_fixpoint_conf(spark)
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
@@ -638,7 +651,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy per (session, corpus)."""
 
     def build():
-        old = spark.conf.get("spark.sql.shuffle.partitions")
+        old = _saved_fixpoint_conf(spark)
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _trade_edges(spark, sf_dir)
@@ -1171,7 +1184,7 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 
     def build():
-        old = spark.conf.get("spark.sql.shuffle.partitions")
+        old = _saved_fixpoint_conf(spark)
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             edges = _knn_copurchase_edges(spark, sf_dir)
@@ -1278,7 +1291,7 @@ def graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     grain = float(10**RANK_DIGITS)
 
     def build():
-        old = spark.conf.get("spark.sql.shuffle.partitions")
+        old = _saved_fixpoint_conf(spark)
         spark.conf.set("spark.sql.shuffle.partitions", str(GRAPH_SHUFFLE_PARTITIONS))
         try:
             # customer -> supplier direction only (the bipartite HITS).

@@ -445,3 +445,24 @@ def test_cold_build_drift_advisory(tmp_path, capsys, monkeypatch):
     monkeypatch.setattr(bench, "SF_DIR", "/root/testdata/sf0.001")
     bench._report_cold_build_drift(str(tmp_path), cur)
     assert "COLD-BUILD DRIFT" not in capsys.readouterr().err
+
+
+def test_newest_stamp_carries_all_three_probe_axes():
+    """The worst-of-three-axes drift rule (SURVEY section 8, active
+    from r15) only engages when the committed baseline stamp carries
+    ALL THREE probe readings — the r14 run corroborated against CPU
+    alone because its r13 baseline predated the I/O pair. Pin the
+    newest committed BENCH_DETAIL so the axes can't silently lapse
+    from a stamp again."""
+    import bench
+
+    newest = bench._newest_stamped_detail("/root/repo")
+    assert newest is not None
+    rnd, prev = newest
+    assert rnd >= 14
+    for key in (
+        "calibration_probe_sec",
+        "io_probe_cold_sec",
+        "io_probe_warm_sec",
+    ):
+        assert prev.get(key), f"BENCH_DETAIL_r{rnd:02d}.json missing {key}"

@@ -84,3 +84,32 @@ def test_hits_degrades_to_empty_frame_on_empty_edges(spark, sf_dir, tmp_path):
     out = graph_hits_scores(spark, empty_sf)
     assert [f.name for f in out.schema.fields] == ["node", "role", "score"]
     assert out.count() == 0
+
+
+def test_fixpoint_conf_restore_preserves_caller_coalescing(spark):
+    """_restore_fixpoint_conf must put back the CAPTURED pre-scope
+    coalescing value, not a hard-coded "true": a session that
+    deliberately disabled AQE coalescing stays disabled after a
+    fixpoint scope (r14 ADVICE)."""
+    from mit_map_reduce_spark.operators.graph import (
+        GRAPH_SHUFFLE_PARTITIONS,
+        _restore_fixpoint_conf,
+        _saved_fixpoint_conf,
+        _set_fixpoint_width,
+    )
+
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    before = spark.conf.get(key, "true")
+    try:
+        spark.conf.set(key, "false")
+        saved = _saved_fixpoint_conf(spark)
+        # Width past the floor flips coalescing off inside the scope...
+        width = _set_fixpoint_width(spark, 250_000 * 64)
+        assert width > GRAPH_SHUFFLE_PARTITIONS
+        assert spark.conf.get(key) == "false"
+        _restore_fixpoint_conf(spark, saved)
+        # ...and restore yields the caller's "false", not "true".
+        assert spark.conf.get(key) == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == saved[0]
+    finally:
+        spark.conf.set(key, before)

@@ -67,7 +67,10 @@ def main() -> None:
             file=sys.stderr,
         )
     order = sorted(range(runs), key=lambda i: details[i]["value"])
-    pick = order[runs // 2]
+    # Lower median for even run counts: order[runs // 2] would pick the
+    # upper-median run and bias the stamped baseline slightly slow
+    # (r14 ADVICE; the default 3 is unaffected either way).
+    pick = order[(runs - 1) // 2]
     stamped = dict(details[pick])
     stamped["median_of_3"] = {
         "selected_run": pick + 1,

@@ -392,10 +392,35 @@ def run_crash_gate(sf_dir: str, cluster: StandaloneCluster) -> dict:
     killed_at = None
     kill_deadline = None
     assert gate.stdout is not None
-    for line in gate.stdout:
-        lines.append(line)
-        sys.stderr.write(line)
-        if killed_at is None:
+    # Raw chunk reads split on BOTH \r and \n: Spark's
+    # ConsoleProgressBar terminates its [Stage ...] updates with \r,
+    # and text-mode line iteration holds a trailing \r back (universal
+    # newlines must peek for a following \n before yielding), so the
+    # in-flight match could degrade to the 30 s post-PASS deadline
+    # fallback and fire the kill later than intended (r14 ADVICE).
+    # os.read hands over each progress update the instant the pipe
+    # does; pieces re-gain a \n so the PASS-count and _LOSS_RE logic
+    # over "".join(lines) is unchanged.
+    fd = gate.stdout.fileno()
+    pending = ""
+    eof = False
+    while not eof:
+        chunk = os.read(fd, 65536)
+        if chunk:
+            pending += chunk.decode("utf-8", errors="replace")
+            pieces = re.split(r"[\r\n]", pending)
+            pending = pieces.pop()
+        else:
+            eof = True
+            pieces, pending = ([pending] if pending else []), ""
+        for piece in pieces:
+            if not piece:
+                continue
+            line = piece + "\n"
+            lines.append(line)
+            sys.stderr.write(line)
+            if killed_at is not None:
+                continue
             if line.startswith("PASS "):
                 passes_before_kill += 1
                 # fallback: if no query ever shows a progress line
