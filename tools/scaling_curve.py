@@ -417,9 +417,23 @@ def _build_graph_corpus_into(out: str, k: int, scaled: tuple) -> None:
         )
 
     ok, ck, sk = stride("orders", "o_orderkey"), stride("customer", "c_custkey"), stride("supplier", "s_suppkey")
-    # all 10x custkeys stay far below graph.NODE_OFFSET (1_000_000) and
-    # LPA_ENC (10_000_000) — checked against the r12 key ranges
-    assert k * ck < 1_000_000, "copy stride would collide with NODE_OFFSET"
+    # Node-id bounds that must actually hold (r15 — the old blanket
+    # k*ck < NODE_OFFSET guard capped the synthesizer at x60 for no
+    # structural reason: customer node ids live ABOVE the offset by
+    # construction, node = c_custkey + NODE_OFFSET, so custkeys may
+    # grow past it freely). What the graph operators require:
+    #   (a) every supplier id stays BELOW NODE_OFFSET, or the
+    #       node >= NODE_OFFSET side classification misreads a
+    #       supplier as a customer (binding at k ~ 999 here);
+    #   (b) the LARGEST customer node stays below LPA_ENC, whose
+    #       count*ENC + (ENC-1-label) tie-break encoding needs
+    #       label < ENC (binding at k ~ 600; LPA also re-checks at
+    #       runtime and raises).
+    # x100-x300 audits are reachable under both.
+    from mit_map_reduce_spark.operators.graph import LPA_ENC, NODE_OFFSET
+
+    assert k * sk < NODE_OFFSET, "supplier stride would cross NODE_OFFSET"
+    assert k * ck + NODE_OFFSET < LPA_ENC, "customer node would cross LPA_ENC"
     replaces = {
         "customer": "c_custkey + {c} * %d AS c_custkey" % ck,
         "supplier": "s_suppkey + {c} * %d AS s_suppkey" % sk,

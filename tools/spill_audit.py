@@ -164,8 +164,12 @@ FINDINGS:
   builds both **0 MB spill** with worst tasks FLAT vs x30 (pagerank
   max_task_sr 3.9 -> 4.5 MB at 2x the edges, LPA 2.9 -> 3.4 MB, skew
   ~1.1) — the volume-derived width law holds per-task volume constant
-  for another doubling; an x100 attempt fails fast on the stride
-  guard, by design.
+  for another doubling. [r15: the synthesizer's blanket
+  k*ck < NODE_OFFSET guard was capping at x60 for no structural
+  reason (customer nodes live ABOVE the offset by construction);
+  scaling_curve now asserts the two bounds the operators actually
+  need — suppliers below NODE_OFFSET, max customer node below
+  LPA_ENC — making x100-x300 reachable. x100 results below.]
 - r14 x60 dedup validation: embedding-LSH holds the law at n=120000
   (zero spill, worst reducer 3.5 MB, peak 178 MB — derived tuning +
   pair width scaling together). MinHash exposed the KNOWN
@@ -178,6 +182,38 @@ FINDINGS:
   consumer plan compiles against true cached stats — re-audit x60
   cold peak 3764 -> **65 MB**, cold plan == warm plan, rows
   identical, plan diff at committed SFs none.
+- **r15 lazy-persist broadcast-misestimate sweep (--lazy-cache): CLEAN
+  at x10 AND x30 — zero plan flips, zero suspects.** The r14 minhash
+  finding (a consumer plan compiled before a lazy shared_persist cache
+  materializes can broadcast off garbage stats — 3.76 GB at x60) is a
+  generic defect class; this sweep enumerates all 26 shared_persist
+  sites (classification at LAZY_CACHE_PAIRS), and for each of the 8
+  lazy caches a registered consumer joins, runs that consumer as the
+  FIRST query of a fresh session (true cold plan) then warm, comparing
+  above-cache join histograms + peak task memory (2026-08-16, this
+  machine, per-pair fresh subprocess):
+
+  | consumer (lazy cache)          | x10 cold==warm | x30 cold==warm | worst peak c/w MB |
+  |--------------------------------|----------------|----------------|-------------------|
+  | dedup_minhash_lsh_pairs (doc_shingle_arrays)  | SMJ×3 == SMJ×3 | SMJ×3 == SMJ×3 | 80/80 |
+  | dedup_simhash_band_pairs (simhash_fp)         | BHJ×1 == | BHJ×1 == | 116/116 |
+  | dedup_embedding_lsh_pairs (emb_band_keys)     | BHJ×3 == | BHJ×3 == | 113/113 |
+  | sim_ann_ivf_topk (emb_norm)                   | BHJ×3 == | BHJ×3 == | 46/16 |
+  | text_training_mix (quality+repetition+contam) | BHJ×9 == | BHJ×9 == | 104/55 |
+  | text_langid_agreement (langid+langid_ngram)   | BHJ×2 == | BHJ×2 == | 108/18 |
+  | graph_supplier_projection (trade_edges)       | BHJ×1 == | BHJ×1 == | 290/88 |
+  | graph_triangle_count (graph_knn_edges)        | BHJ×6 == | BHJ×6 == | 290/12 |
+
+  Zero spill in every cell. The minhash row is the closed r14 finding
+  holding: past MINHASH_EAGER_STATS_DOCS the cold plan compiles
+  against true cached stats and takes the same SortMergeJoins as warm
+  (at x1 / committed SFs both phases take the pinned broadcast plans —
+  plan diff none). The surviving BHJ rows broadcast bounded frames
+  (band/bucket keys, per-doc flag projections whose planner estimate
+  matches their true size) identically in both phases; cold>warm peak
+  deltas are artifact-build cost (the builds run inside the cold
+  phase), not re-plans. No second instance of the defect class exists
+  in the registry as of r15.
 - r14 x30 text sweep (bpe_train_merges, pmi_collocations,
   distinctive_terms — the family's heaviest aggregators): zero spill,
   reducers bounded (max_task_sr <= 1.8 MB, peak <= 32 MB); the
@@ -276,6 +312,9 @@ Usage:
   MMRS_EMB_VARIANT=7:13:0.35 python tools/spill_audit.py --scales 10
       # the occupancy-tuned embedding-LSH spill measurement above
   python tools/spill_audit.py --skew    # the hot-key join A/B exhibit
+  python tools/spill_audit.py --lazy-cache [--scales 10,30]
+      # the lazy-persist broadcast-misestimate sweep (cold plan ==
+      # warm plan per lazy shared_persist cache; see LAZY_CACHE_PAIRS)
 """
 
 import json
@@ -297,6 +336,51 @@ REL_TARGETS = [
     "rel_q18_large_orders",
     "rel_q9_product_profit",
     "adv_salted_skew_join_events",
+]
+
+#: The lazy-persist broadcast-misestimate sweep (--lazy-cache, r15):
+#: one row per shared_persist cache whose factory returns a LAZY frame
+#: that a registered consumer then JOINS — the generic defect class
+#: behind the r14 minhash finding (a consumer plan compiled BEFORE the
+#: cache materializes sees the child plan's estimated stats; an
+#: underestimate flips the planner to broadcasting a frame whose true
+#: cached size grows with the corpus — 3.76 GB at x60 for the shingle
+#: arrays). Each (caches, consumer, corpus) row runs the consumer as
+#: the FIRST query of a fresh session (true cold plan) then again warm,
+#: and compares the above-cache join-strategy histograms + peak task
+#: memory. The dangerous signature is cold-only BroadcastHashJoin +
+#: cold peak >> warm peak.
+#:
+#: Classification of all 26 shared_persist sites (r15 sweep; the 18
+#: NOT listed below are out of the defect class by construction):
+#:   fixpoint/iterative factories that materialize inside the build —
+#:     dedup_cc_labels, bpe_vocab_syms, graph_pagerank_ranks,
+#:     graph_ppr_ranks, graph_kcore_alive, graph_lpa_labels,
+#:     graph_bfs_dist (localCheckpoint is eager), graph_hits_scores;
+#:   lazy but materialized by a join-free first action in the same
+#:     call — ks_per_value (immediate agg collect), ivf_cell_sizes
+#:     (bounded agg collect), logreg_features (epoch aggs only, no
+#:     consumer joins it);
+#:   lazy but every consumer join pins the OTHER side with an explicit
+#:     broadcast hint or never joins the cache at all — pq_codebook_*
+#:     (8 rows, F.broadcast at every use), mmr_topk (select-only
+#:     consumer; its internal pool materializes inside the build),
+#:     rank-registry frames (offset join broadcasts the bounded offset
+#:     table explicitly).
+LAZY_CACHE_PAIRS = [
+    # (lazy cache(s) the consumer joins, registered consumer, corpus)
+    ("doc_shingle_arrays", "dedup_minhash_lsh_pairs", "doc"),
+    ("simhash_fp", "dedup_simhash_band_pairs", "doc"),
+    ("emb_band_keys_r*b*", "dedup_embedding_lsh_pairs", "doc"),
+    ("emb_norm", "sim_ann_ivf_topk", "doc"),
+    (
+        "text_quality_scores+text_repetition_flags+text_contamination_flags",
+        "text_training_mix",
+        "doc",
+    ),
+    ("text_langid+text_langid_ngram", "text_langid_agreement", "doc"),
+    ("trade_edges", "graph_supplier_projection", "rel"),
+    ("graph_knn_edges", "graph_triangle_count", "rel"),
 ]
 
 MB = 1024 * 1024
@@ -657,20 +741,28 @@ def worker(sf_dir: str) -> None:
 
     qs = e.queries()
     sc = spark.sparkContext
+    capture = os.environ.get("MMRS_CAPTURE_PLANS") == "1"
+    plan_info: dict[tuple, dict] = {}
     for name in targets:
         fn = qs[name]
         # cold run: artifact builds + cache population — the big
         # shuffles a 100 TB pipeline actually pays live HERE
         sc.setJobGroup(f"cold:{name}", name)
         try:
-            fn(spark, sf_dir).count()
+            df = fn(spark, sf_dir)
+            df.count()
         finally:
             sc.setJobGroup("", "")  # reset; no clearJobGroup via py4j
+        if capture:
+            plan_info[("cold", name)] = _consumer_join_histogram(df)
         sc.setJobGroup(f"warm:{name}", name)
         try:
-            fn(spark, sf_dir).count()  # steady-state path
+            df = fn(spark, sf_dir)
+            df.count()  # steady-state path
         finally:
             sc.setJobGroup("", "")
+        if capture:
+            plan_info[("warm", name)] = _consumer_join_histogram(df)
     spark.stop()  # flush the event log
 
     logs = [os.path.join(evdir, f) for f in os.listdir(evdir) if not f.endswith(".crc")]
@@ -678,12 +770,45 @@ def worker(sf_dir: str) -> None:
     group_stages, stage_tasks = _parse_event_log(logs[0])
     res = {
         name: {
-            phase: _aggregate(group_stages.get(f"{phase}:{name}", set()), stage_tasks)
+            phase: {
+                **_aggregate(group_stages.get(f"{phase}:{name}", set()), stage_tasks),
+                **(
+                    {"joins": plan_info[(phase, name)]}
+                    if (phase, name) in plan_info
+                    else {}
+                ),
+            }
             for phase in ("cold", "warm")
         }
         for name in targets
     }
     print(json.dumps(res))
+
+
+_JOIN_NODE_RE = (
+    r"\b(BroadcastHashJoin|BroadcastNestedLoopJoin|SortMergeJoin"
+    r"|ShuffledHashJoin|CartesianProduct)\b"
+)
+
+
+def _consumer_join_histogram(df) -> dict:
+    """Join-strategy histogram of the CONSUMER plan — the executed
+    (post-AQE) physical plan with cached build subtrees stripped, so
+    cold (cache not yet materialized at compile time) and warm
+    (planner sees true cached bytes) runs compare above the cache
+    boundary. A join node that appears cold-only as BroadcastHashJoin
+    while warm re-plans it to SortMergeJoin is the misestimate
+    signature this sweep exists to catch."""
+    import re
+
+    from mit_map_reduce_spark.plans import physical_plan
+    from mit_map_reduce_spark.plans.inspect import strip_cached_subtrees
+
+    plan = strip_cached_subtrees(physical_plan(df))
+    hist: dict[str, int] = {}
+    for node in re.findall(_JOIN_NODE_RE, plan):
+        hist[node] = hist.get(node, 0) + 1
+    return hist
 
 
 def main() -> None:
@@ -716,6 +841,69 @@ def main() -> None:
         return
 
     from tools.scaling_curve import build_corpus, build_graph_corpus
+
+    if "--lazy-cache" in sys.argv:
+        # One fresh worker subprocess per (consumer, scale) — each
+        # consumer must be the FIRST query of its session or the
+        # "cold" plan is not cold (an earlier query may have
+        # materialized the shared cache).
+        scales = [10, 30]
+        if "--scales" in sys.argv:
+            scales = [
+                int(s) for s in sys.argv[sys.argv.index("--scales") + 1].split(",")
+            ]
+        findings: list[str] = []
+        rows: dict[str, dict] = {}
+        for caches, consumer, corpus in LAZY_CACHE_PAIRS:
+            for k in scales:
+                d = build_graph_corpus(k) if corpus == "rel" else build_corpus(k)
+                env = dict(os.environ)
+                env["MMRS_TARGETS"] = consumer
+                env["MMRS_CAPTURE_PLANS"] = "1"
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--worker", d],
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                    env=env,
+                )
+                if proc.returncode != 0:
+                    print(proc.stderr[-4000:], file=sys.stderr)
+                    raise SystemExit(f"lazy-cache worker failed: {consumer} x{k}")
+                r = json.loads(proc.stdout.strip().splitlines()[-1])[consumer]
+                cold, warm = r["cold"], r["warm"]
+                flip = cold.get("joins") != warm.get("joins")
+                # the dangerous direction: a cold-only broadcast (the
+                # misestimate) paired with cold peak memory far above
+                # warm — the minhash signature (737 MB at x10)
+                cold_bc = cold.get("joins", {}).get("BroadcastHashJoin", 0)
+                warm_bc = warm.get("joins", {}).get("BroadcastHashJoin", 0)
+                suspect = flip and (
+                    cold_bc > warm_bc
+                    and cold["peak_mem_mb"] > 2 * max(warm["peak_mem_mb"], 64)
+                )
+                rows[f"{consumer}@x{k}"] = {
+                    "caches": caches,
+                    "cold_joins": cold.get("joins"),
+                    "warm_joins": warm.get("joins"),
+                    "plan_flip": flip,
+                    "suspect_broadcast_misestimate": suspect,
+                    "cold_peak_mb": cold["peak_mem_mb"],
+                    "warm_peak_mb": warm["peak_mem_mb"],
+                    "cold_spill_mb": cold["spill_mb"],
+                    "warm_spill_mb": warm["spill_mb"],
+                }
+                line = (
+                    f"# x{k} {consumer} [{caches}]: "
+                    f"{json.dumps(rows[f'{consumer}@x{k}'])}"
+                )
+                print(line, file=sys.stderr)
+                if suspect:
+                    findings.append(f"{consumer}@x{k}")
+        print(json.dumps({"scales": scales, "rows": rows, "suspects": findings}))
+        if findings:
+            raise SystemExit(f"broadcast-misestimate suspects: {findings}")
+        return
 
     scales = [1, 10]
     if "--scales" in sys.argv:
