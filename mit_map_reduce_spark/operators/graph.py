@@ -119,6 +119,64 @@ def _edge_build_width(spark: SparkSession, sf_dir: str) -> int:
     )
 
 
+#: Measured co-purchase pair fan-out: the exploded (a, b) pair stream
+#: carries ~10x the incidence rows (r14 audit, x10-x30; the hub cap
+#: bounds the worst case). The width multiplier stays a bit above the
+#: measurement so drift toward the cap still lands near the
+#: GRAPH_EDGES_PER_TASK per-task target.
+KNN_PAIR_FANOUT = 12
+
+
+def _pair_stream_width(spark: SparkSession, sf_dir: str) -> int:
+    """Width for the co-purchase PAIR stream (explode² of per-customer
+    supplier sets): fan-out means pair volume is ~KNN_PAIR_FANOUT x the
+    lineitem count, so sizing that exchange to the fact table alone
+    under-provisions it by the same factor — measured at x100: 16.5 GB
+    of hash-agg + window-sort spill in ONE 240-task stage (~2.5 M pair
+    rows per task; zero at <= x30 where the smaller corpus still fit).
+    Same footer-only derivation discipline as _edge_build_width; floors
+    at the session width, so committed SFs keep their pinned plans."""
+    from mit_map_reduce_spark.catalog import table_footer_count
+
+    return max(
+        _bounded_width(spark),
+        min(
+            4096,
+            math.ceil(
+                table_footer_count(sf_dir, "lineitem")
+                * KNN_PAIR_FANOUT
+                / GRAPH_EDGES_PER_TASK
+            ),
+        ),
+    )
+
+
+def _fact_join_input(spark: SparkSession, sf_dir: str, df: DataFrame, key: str) -> DataFrame:
+    """Pre-partition a fact-scale equi-join input on its join key once
+    the lineitem-derived width exceeds the session floor.
+
+    The edge/co-purchase cache builds are LAZY: their fact-sized
+    lineitem-orders join materializes under whatever scoped conf the
+    FIRST consumer holds (the fixpoint builders pin the 32-task floor
+    before edges.count()), so the join's ENSURE_REQUIREMENTS exchanges
+    reduce at that floor no matter how big the corpus is. The explicit
+    repartition() downstream protects only the dedup stage. Measured
+    at x100 (60 M lineitem rows): the SMJ sort stage ran 32 tasks of
+    ~1.9 M rows and spilled 4.05 GB — zero at <= x60, where each
+    task's sort still fit (the r15 decade-up audit's find). A pinned
+    REPARTITION_BY_NUM on the fact side makes EnsureRequirements
+    co-partition the other side to match, so the join's per-task
+    volume follows the GRAPH_EDGES_PER_TASK law at any scale; AQE
+    cannot re-fuse it (numPartitions-specified repartitions are
+    exempt from coalescing, and the join's co-partitioning pins the
+    other side to them). Committed SFs: derived width == floor, no
+    repartition node, plans byte-identical."""
+    width = _edge_build_width(spark, sf_dir)
+    if width > _bounded_width(spark):
+        return df.repartition(width, key)
+    return df
+
+
 def _bounded_width(spark: SparkSession) -> int:
     """Cluster-scaled pinned shuffle width (catalog.bounded_shuffle_width).
 
@@ -151,6 +209,9 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        # fact side pre-partitioned on the join key past the floor —
+        # see _fact_join_input (x100: 4 GB of 32-task SMJ sort spill)
+        li = _fact_join_input(spark, sf_dir, li, "l_orderkey")
         pairs = (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .select(
@@ -919,10 +980,21 @@ def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         width = _edge_build_width(spark, sf_dir)
         li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        # same floor-width join seam as the trade-edge build — see
+        # _fact_join_input
+        li = _fact_join_input(spark, sf_dir, li, "l_orderkey")
+        # PAIR width here, not fact width: this partitioning is reused
+        # unbroken through the dedup, the hub anti-join, collect_set,
+        # and — critically — the explode² MAP stage that fans each
+        # per-customer set out to ~KNN_PAIR_FANOUT x the incidence
+        # rows. At the fact width the x100 audit measured that map
+        # stage shuffle-write-sort-spilling 3.8-10.8 GB (240 tasks x
+        # ~2.5 M emitted pairs); at pair width each task emits ~250 k/
+        # KNN_PAIR_FANOUT sets' worth and the write buffer fits.
         inc = (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
-            .repartition(width, "cust")
+            .repartition(_pair_stream_width(spark, sf_dir), "cust")
             .dropDuplicates()
         )
         hubs = (
@@ -938,8 +1010,13 @@ def _knn_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", F.explode("ss").alias("b"))
             .filter(F.col("a") != F.col("b"))
         )
+        # pair-volume width, not fact width: the explode² fans out
+        # ~KNN_PAIR_FANOUT x the incidence rows (see _pair_stream_width;
+        # x100 measured 16.5 GB of spill at the fact-derived width).
+        # The (a,b) aggregation and the per-a top-k window both reuse
+        # this partitioning — one exchange carries the whole stream.
         w = (
-            pairs.repartition(width, "a")
+            pairs.repartition(_pair_stream_width(spark, sf_dir), "a")
             .groupBy("a", "b")
             .agg(F.count("*").alias("n_common"))
         )

@@ -182,6 +182,32 @@ FINDINGS:
   consumer plan compiles against true cached stats — re-audit x60
   cold peak 3764 -> **65 MB**, cold plan == warm plan, rows
   identical, plan diff at committed SFs none.
+- **r15 x100 decade-up audit (117 M trade edges / 60 M lineitem rows)
+  found TWO fact-width seams and closed both** (each reproduced
+  deterministically, per-stage diagnosed, re-audited to zero):
+  (1) the LAZY trade-edge cache build's lineitem-orders SMJ reduced at
+  the 32-task floor — the build materializes under the first
+  consumer's scoped conf, so its ENSURE_REQUIREMENTS exchanges ride
+  that floor no matter the corpus; 4.05 GB of sort spill in ONE
+  32-task stage (~1.9 M rows/task; zero at <= x60, where the sorts
+  still fit). Fix `graph._fact_join_input`: past the floor the fact
+  side carries a pinned REPARTITION_BY_NUM on the join key and
+  EnsureRequirements co-partitions the other side to match. Re-audit:
+  pagerank cold 4050 -> **0 MB**, worst task 20.6 -> 5.2 MB, peak
+  248 -> 103 MB. LPA/modularity at x100: zero spill, worst task
+  3.9 MB (the r14 coalescing-off fix holding one decade up).
+  (2) the co-purchase build's explode-squared pair stream ran at the
+  fact width TWICE: its (a,b) agg/window exchange read 600 M pairs
+  into 240 tasks (16.5 GB spill) and, after widening that, the MAP
+  stage (dedup + collect_set + explode per-customer sets) still wrote
+  ~2.5 M pairs/task through the shuffle-write sorter (10.8 GB). Fix
+  `graph._pair_stream_width` (KNN_PAIR_FANOUT x lineitem footer
+  count, the emb_lsh_pair_width discipline) applied to BOTH the inc
+  repartition (sizing the exploding map stage) and the pair exchange.
+  Re-audit: triangle cold 22.7 GB -> **0 MB**, worst task sw
+  18.3 -> 2.4 MB, peak 168 -> 38 MB. Committed SFs floor everywhere
+  (plan diff vs PLAN_SNAPSHOT_r14: none; graph family gate green at
+  sf0.01).
 - **r15 lazy-persist broadcast-misestimate sweep (--lazy-cache): CLEAN
   at x10 AND x30 — zero plan flips, zero suspects.** The r14 minhash
   finding (a consumer plan compiled before a lazy shared_persist cache
