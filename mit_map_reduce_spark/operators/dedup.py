@@ -198,6 +198,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrs = _shingle_arrays_cached(spark, sf_dir)
     sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
     bands = _band_keys(_minhash_wide(spark, sf_dir, arrays=arrs))
+    # Candidate-volume width for the band join + distinct (see
+    # _minhash_pair_width; x100 measured the session-width partial
+    # distinct spilling 2.24 GB steady-state). Pre-partitioning the
+    # band frame on the join keys runs the join AND its partial
+    # distinct at the derived width; the pair stream then re-keys on
+    # (doc_a, doc_b) so the final distinct is one width-scaled
+    # aggregation — the emb_lsh_pair_width shape exactly. Committed
+    # SFs floor at the session width: no repartition nodes, the
+    # pinned plans unchanged.
+    pair_width = _minhash_pair_width(spark, sf_dir)
+    if pair_width > bounded_shuffle_width(spark):
+        bands = bands.repartition(pair_width, "band", "band_key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
@@ -208,13 +220,31 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.sz").alias("sz_a"),
             F.col("b.sz").alias("sz_b"),
         )
-        .distinct()
     )
-    # Verification probes the persisted shingle stream with the tiny
-    # candidate set (broadcast joins — the shingle table itself never
-    # shuffles); a pre-filtering semi-join was measured slower here
-    # because its broadcast branch re-executes the band pipeline.
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    if pair_width > bounded_shuffle_width(spark):
+        cand = cand.repartition(pair_width, "doc_a", "doc_b")
+    cand = cand.distinct()
+    # Verification probes the persisted shingle stream with the
+    # candidate set. At committed SFs the candidates broadcast and the
+    # shingle table never shuffles; a pre-filtering semi-join was
+    # measured slower here because its broadcast branch re-executes
+    # the band pipeline. Past the broadcast regime both probes become
+    # SortMergeJoins that sort the WHOLE shingle stream — at the
+    # session width that was 2.24 GB of deterministic steady-state
+    # spill at x100 (one 32-task stage, cold AND warm). Each probe
+    # side gets its own width-scaled repartition on its join's FULL
+    # key set: co-partitioning requires all cluster keys
+    # (spark.sql.requireAllClusterKeysForCoPartition), so a shared
+    # doc_id-only repartition is rewritten back to the session width
+    # on the (doc_id, shingle) join — measured, not hypothetical.
+    # Committed SFs: width == floor, no repartition nodes, the pinned
+    # broadcast plans byte-identical.
+    sh_width = _shingle_stream_width(spark, sf_dir)
+    if sh_width > bounded_shuffle_width(spark):
+        sa = sh.repartition(sh_width, "doc_id").alias("sa")
+        sb = sh.repartition(sh_width, "doc_id", "shingle").alias("sb")
+    else:
+        sa, sb = sh.alias("sa"), sh.alias("sb")
     inter = (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sa.shingle") == F.col("sb.shingle")))
@@ -740,6 +770,68 @@ def emb_lsh_pair_width(n_vectors: int, rows: int, bands: int, floor: int) -> int
     the estimate fits it; capped at 4096 like any sane width."""
     est_pairs = bands * n_vectors * (n_vectors / 2 ** (rows + 1))
     return max(floor, min(4096, math.ceil(est_pairs / EMB_LSH_PAIRS_PER_TASK)))
+
+
+#: Distinct word-5-gram shingles per document, measured 50.1 at sf0.1
+#: (5000 docs / 250704 shingles); the width multiplier keeps headroom
+#: above the measurement, the KNN_PAIR_FANOUT discipline.
+SHINGLE_FANOUT = 64
+#: Shingle rows per verification-join task (~60 B rows -> low tens of
+#: MB per task sort footprint).
+SHINGLE_ROWS_PER_TASK = 250_000
+
+
+def _shingle_stream_width(spark: SparkSession, sf_dir: str) -> int:
+    """Width for the exploded shingle inverted index feeding the
+    Jaccard verification joins. Past the corpus size where the
+    candidate frame outgrows the broadcast threshold, those joins
+    re-plan to SortMergeJoins that sort the WHOLE shingle stream at
+    the session width — measured at x100 (500 k docs, ~25 M shingle
+    rows): 2.24 GB of sort spill in one 32-task stage, cold AND warm
+    (a steady-state plan, not a build artifact). Deriving the width
+    from the documents footer count (docs x SHINGLE_FANOUT /
+    SHINGLE_ROWS_PER_TASK) bounds each sort task's rows at any scale;
+    committed SFs floor at the session width, keeping the pinned
+    broadcast plans unchanged."""
+    from mit_map_reduce_spark.catalog import table_footer_count
+
+    return max(
+        bounded_shuffle_width(spark),
+        min(
+            4096,
+            math.ceil(
+                table_footer_count(sf_dir, "documents")
+                * SHINGLE_FANOUT
+                / SHINGLE_ROWS_PER_TASK
+            ),
+        ),
+    )
+
+
+#: Pre-distinct band-join candidate pairs per document, measured ~200
+#: at the x100 synthesized corpus (~100 M pairs / 500 k docs — the
+#: dup-pair volume scales with the corpus's duplicate rate, linear in
+#: disjoint-copy synthesis); headroom above the measurement, the
+#: KNN_PAIR_FANOUT discipline.
+MINHASH_CAND_FANOUT = 256
+
+
+def _minhash_pair_width(spark: SparkSession, sf_dir: str) -> int:
+    """Width for the MinHash band self-join and its pair distinct —
+    the same candidate-volume law as emb_lsh_pair_width, derived from
+    the documents footer count. At the session width the join's
+    partial-distinct hash maps hold ALL pre-distinct candidates in
+    one task wave: measured at x100, 2.24 GB of deterministic spill
+    in the 32-task band-join stage, cold AND warm (zero at <= x60 —
+    the per-task hash map just fit; the classic memory cliff).
+    Committed SFs floor at the session width, plans unchanged."""
+    from mit_map_reduce_spark.catalog import table_footer_count
+
+    est_pairs = table_footer_count(sf_dir, "documents") * MINHASH_CAND_FANOUT
+    return max(
+        bounded_shuffle_width(spark),
+        min(4096, math.ceil(est_pairs / EMB_LSH_PAIRS_PER_TASK)),
+    )
 
 
 def embeddings_footer_count(sf_dir: str) -> int:

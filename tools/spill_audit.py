@@ -208,6 +208,27 @@ FINDINGS:
   18.3 -> 2.4 MB, peak 168 -> 38 MB. Committed SFs floor everywhere
   (plan diff vs PLAN_SNAPSHOT_r14: none; graph family gate green at
   sf0.01).
+- **r15 x100 dedup decade-up (500 k docs / 500 k vectors):
+  embedding-LSH CLEAN (zero spill cold AND warm, worst reducer
+  3.9 MB, peak 195 MB — derived tuning + pair width holding a second
+  decade); minhash found its steady-state cliff and it is CLOSED.**
+  At x100 the candidate set outgrows the broadcast-verification
+  regime and both Jaccard probes re-plan to SortMergeJoins that sort
+  the whole shingle stream at the session width: 2.24 GB of
+  deterministic spill in one 32-task stage, cold AND WARM — a
+  registered-plan defect, not a build artifact (byte-identical across
+  three runs; zero at <= x60, the per-task sort just fit). Three
+  widths now derive from the documents footer count, all flooring to
+  the session width at committed SFs (plan diff none):
+  `_minhash_pair_width` (band join + pair distinct, the
+  emb_lsh_pair_width law), and `_shingle_stream_width` applied
+  per-probe-side with each join's FULL key set — co-partitioning
+  requires all cluster keys, so a shared doc_id-only repartition was
+  measured being rewritten back to the session width on the
+  (doc_id, shingle) probe. Re-audit x100: spill 2237 -> **0 MB**
+  both phases, worst reducer 22.8 -> 6.1 MB, peak 81 -> 40 MB, total
+  shuffle 2293 -> 1678 MB. Gate green at sf0.01 + sf0.1 (the
+  real-dup SF).
 - **r15 lazy-persist broadcast-misestimate sweep (--lazy-cache): CLEAN
   at x10 AND x30 — zero plan flips, zero suspects.** The r14 minhash
   finding (a consumer plan compiled before a lazy shared_persist cache
