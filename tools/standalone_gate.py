@@ -88,6 +88,17 @@ RESULTS (updated per committed run):
   multi-process contracts after the round's width/AQE-scope changes.
 * r14 full gate at sf0.1, final HEAD: **267/267, rc=0 in 760 s**;
   crash/respawn pytest twin re-run green at final HEAD (89 s).
+* r15 CRASH GATE at sf0.1 (2026-08-17, --crash, the VERDICT r14
+  order: executor loss mid shuffle-fetch with real netty volume and
+  cache re-computation, not just task re-queue): worker0's process
+  group SIGKILLed at t+11.7 s with the IVF build's tasks in flight
+  (passes_before_kill=0 — every phase-A query ran against the
+  post-loss cluster); driver evidence "Lost executor"; **phase A 3/3
+  PASS on the survivor in 39.9 s; respawned worker registered and
+  phase B 2/2 PASS in 35.3 s with BOTH workers launching executors.
+  rc=0, 85 s total.** First crash run through the r15 chunked \r/\n
+  reader — the kill fired on a ConsoleProgressBar update, as
+  intended.
 """
 
 from __future__ import annotations
