@@ -297,11 +297,22 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
-    hits = cand.join(truth, ["doc_a", "doc_b"], "semi")
-    nc = cand.agg(F.count("*").alias("n_candidates"))
-    nt = truth.agg(F.count("*").alias("n_truth"))
-    nh = hits.agg(F.count("*").alias("n_hits"))
-    report = nc.crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nh))
+    # One pass per subtree (r15, guide §1.2/§2.4): the old three-agg +
+    # semi-join form executed the band-join pipeline twice (count +
+    # semi probe) and the exact-Jaccard truth twice; a full-outer join
+    # on the pair key with side markers yields all three counts from
+    # ONE execution of each. Counts are sums of 1-markers == the old
+    # count(*)s (coalesced so an empty side still reads 0, not NULL).
+    marked = cand.withColumn("is_cand", F.lit(1)).join(
+        truth.withColumn("is_truth", F.lit(1)),
+        ["doc_a", "doc_b"],
+        "full_outer",
+    )
+    report = marked.agg(
+        F.coalesce(F.sum("is_cand"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("is_truth"), F.lit(0)).cast("long").alias("n_truth"),
+        F.count(F.when(F.col("is_cand").isNotNull() & F.col("is_truth").isNotNull(), 1)).alias("n_hits"),
+    )
     return report.select(
         "n_candidates",
         "n_truth",

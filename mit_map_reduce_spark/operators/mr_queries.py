@@ -109,7 +109,6 @@ def mr_udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.functions import udtf
 
-    from mit_map_reduce_spark.catalog import register_views
     from mit_map_reduce_spark.mapreduce.apps import tokenize
 
     @udtf(returnType="word string")
@@ -118,7 +117,10 @@ def mr_udtf_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
             for w in tokenize(text):
                 yield (w,)
 
-    register_views(spark, sf_dir)
+    # only the one table this SQL reads: register_views loads all ten
+    # catalog tables' schemas per invocation (r15, guide §1.2 — don't
+    # compute what you throw away)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     spark.udtf.register("split_words", SplitWords)
     return spark.sql(
         """

@@ -137,6 +137,18 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (so overcount is visible next to truth); a production flow keeps
     candidates from a stream (e.g. a lossy-counting pass) and probes
     the same table.
+
+    Plan shape (r15, guide §2.3/§2.4): the exact top-K candidate
+    readout already pays a full per-word aggregation, so the sketch
+    now builds FROM that word-count table (bucket count = sum of its
+    words' counts — the same integers) instead of from the raw
+    occurrence stream: the shared word aggregation is plan-identical
+    in both branches (ReuseExchange dedups it), so the corpus
+    tokenizes once instead of twice and the 4 md5 bucket hashes run
+    once per DISTINCT word, not once per occurrence. A candidates-
+    from-a-stream deployment (no exact readout) would build from the
+    occurrence stream again — the 256-cell exchange contract is
+    unchanged either way.
     """
     docs = load_table(spark, sf_dir, "documents")
     from mit_map_reduce_spark.functions.columns import tokenize_letters
@@ -144,7 +156,9 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
     )
-    rows = words.select(
+    wc = words.groupBy("word").agg(F.count("*").alias("exact_count"))
+    rows = wc.select(
+        F.col("exact_count").alias("wn"),
         F.explode(
             F.array(
                 *[
@@ -154,15 +168,10 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i in range(CMS_DEPTH)
                 ]
             )
-        ).alias("ib")
-    ).select("ib.i", "ib.b")
-    sketch = rows.groupBy("i", "b").agg(F.count("*").alias("n"))
-    cand = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("exact_count"))
-        .orderBy(F.col("exact_count").desc(), "word")
-        .limit(CMS_TOP)
-    )
+        ).alias("ib"),
+    ).select("wn", "ib.i", "ib.b")
+    sketch = rows.groupBy("i", "b").agg(F.sum("wn").alias("n"))
+    cand = wc.orderBy(F.col("exact_count").desc(), "word").limit(CMS_TOP)
     probes = cand.select(
         "word",
         "exact_count",
@@ -223,12 +232,17 @@ def sketch_cms_topk_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(CMS_DEPTH)
         ]
     )
-    sketch = (
-        words.select("source", F.explode(probes_struct).alias("ib"))
-        .groupBy("source", "ib.i", "ib.b")
-        .agg(F.count("*").alias("n"))
-    )
     counts = words.groupBy("source", "word").agg(F.count("*").alias("exact_count"))
+    # Sketch built from the per-(source, word) counts the candidate
+    # readout already aggregates (same integers; ReuseExchange dedups
+    # the shared aggregation) — one corpus tokenize pass, md5 per
+    # distinct (source, word) instead of per occurrence (r15, guide
+    # §2.3/§2.4; see sketch_cms_heavy_hitters).
+    sketch = (
+        counts.select("source", F.col("exact_count").alias("wn"), F.explode(probes_struct).alias("ib"))
+        .groupBy("source", "ib.i", "ib.b")
+        .agg(F.sum("wn").alias("n"))
+    )
     w = W.partitionBy("source").orderBy(F.col("exact_count").desc(), "word")
     cand = (
         counts.withColumn("rank", F.row_number().over(w).cast("int"))

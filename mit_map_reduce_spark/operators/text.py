@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table, shared_persist, spread
+from mit_map_reduce_spark.catalog import load_table, shared_persist, spread, table_footer_count
 from mit_map_reduce_spark.functions.columns import round_half_up, sql_round, tokenize_letters, whitespace_tokens, word_kgrams
 from mit_map_reduce_spark.functions.rank import distributed_prefix
 
@@ -401,10 +401,17 @@ def text_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word")
     )
     in_vocab = words.join(F.broadcast(vocab), "word")
-    a = in_vocab.select("doc_id", F.col("word").alias("w1"))
-    b = in_vocab.select(F.col("doc_id").alias("doc_b"), F.col("word").alias("w2"))
-    pairs = a.join(
-        b, (F.col("doc_id") == F.col("doc_b")) & (F.col("w1") < F.col("w2"))
+    # Pair generation without the self-join (r15, guide §2.4 — the
+    # graph_supplier_projection shape): the per-doc in-vocab word set
+    # is bounded by COOC_VOCAB_K, so collect it (one doc_id shuffle)
+    # and explode the a < b pairs map-side. The old doc_id self-join
+    # shuffled the SAME in-vocab stream twice — re-executing the
+    # corpus explode + vocab broadcast per side — then joined.
+    sets = in_vocab.groupBy("doc_id").agg(F.collect_set("word").alias("ws"))
+    pairs = (
+        sets.select(F.explode("ws").alias("w1"), "ws")
+        .select("w1", F.explode("ws").alias("w2"))
+        .filter(F.col("w1") < F.col("w2"))
     )
     return (
         pairs.groupBy("w1", "w2")
@@ -614,24 +621,39 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp of ln() divergence would need to land within 5e-7 of a
     half-micronat to flip a token — the same exposure the tf-idf
     ranking already carries.
+
+    Plan shape (r15, guide §2.3/§2.4): everything derives from ONE
+    per-(doc, word) count aggregation. The old form re-tokenized the
+    corpus in three branches (freq, total, scored) and shuffled the
+    full token-occurrence stream into the freq join; here the corpus
+    explodes once (the (doc_id, word) exchange is plan-identical in
+    both consumers, so ReuseExchange dedups it), ``freq`` re-aggregates
+    those partials, ``total`` is a one-row sum over ``freq``, and the
+    per-doc sums weight each distinct (doc, word) by its count —
+    bit-identical integers, one corpus scan instead of three. The
+    frequency table broadcasts like the bigram scorer's; at 100 TB it
+    is top-K-pruned or CMS-approximated first (same note there).
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     words = docs.select(
         "doc_id", F.explode(tokenize_letters(F.lower(F.col("text")))).alias("word")
     )
-    freq = words.groupBy("word").agg(F.count("*").alias("c"))
-    total = words.agg(F.count("*").alias("total"))
+    dw = words.groupBy("doc_id", "word").agg(F.count("*").alias("n"))
+    freq = dw.groupBy("word").agg(F.sum("n").alias("c"))
+    total = freq.agg(F.sum("c").alias("total"))
     nl_micro = F.floor(
         -F.log(F.col("c") / F.col("total")) * 1_000_000.0 + F.lit(0.5)
     ).cast("bigint")
     scored = (
-        words.join(freq, "word")
+        dw.join(F.broadcast(freq), "word")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", nl_micro.alias("nlm"))
+        .select("doc_id", "n", nl_micro.alias("nlm"))
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        round_half_up(F.sum("nlm") / 1_000_000.0 / F.count("*"), 4).alias("avg_neg_logp"),
+        F.sum("n").alias("n_tokens"),
+        round_half_up(
+            F.sum(F.col("nlm") * F.col("n")) / 1_000_000.0 / F.sum("n"), 4
+        ).alias("avg_neg_logp"),
     )
 
 
@@ -828,29 +850,46 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same integer-micronat discipline as the unigram scorer: each
     bigram's -ln p rounds to integer micronats first, so per-doc sums
-    are exact in any order. Plan: one gram explode, two frequency
-    aggregations (bigram + context), both broadcast back — the corpus
-    scans once; at 100 TB the frequency tables are top-K-pruned or
-    count-min approximated (sketch.py), same plan shape.
+    are exact in any order.
+
+    Plan shape (r15, guide §2.3/§2.4): one gram explode feeding ONE
+    per-(doc, bigram) count aggregation; the bigram frequency table
+    re-aggregates those partials (ReuseExchange dedups the shared
+    (doc_id, bg) exchange, so the corpus truly scans once — the old
+    three-branch form re-tokenized it per consumer), and the CONTEXT
+    counts derive from the bigram table itself (c_ctx(w1) = sum of
+    c_bg over bigrams starting with w1 — the same integer by
+    construction, with no extra corpus pass). Both tables broadcast
+    back against the distinct (doc, bigram) stream, weighted by the
+    occurrence count — bit-identical integers. At 100 TB the frequency
+    tables are top-K-pruned or count-min approximated (sketch.py),
+    same plan shape.
     """
     docs = spread(load_table(spark, sf_dir, "documents"))
     ws = tokenize_letters(F.lower(F.col("text")))
     grams = docs.select(
         "doc_id", F.explode(word_kgrams(ws, 2)).alias("bg")
-    ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
-    bg_freq = grams.groupBy("bg").agg(F.count("*").alias("c_bg"))
-    ctx_freq = grams.groupBy("w1").agg(F.count("*").alias("c_ctx"))
+    )
+    dg = grams.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    bg_freq = dg.groupBy("bg").agg(F.sum("n").alias("c_bg"))
+    ctx_freq = (
+        bg_freq.groupBy(F.split(F.col("bg"), " ").getItem(0).alias("w1"))
+        .agg(F.sum("c_bg").alias("c_ctx"))
+    )
     nl_micro = F.floor(
         -F.log(F.col("c_bg") / F.col("c_ctx")) * 1_000_000.0 + F.lit(0.5)
     ).cast("bigint")
     scored = (
-        grams.join(F.broadcast(bg_freq), "bg")
+        dg.withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(F.broadcast(bg_freq), "bg")
         .join(F.broadcast(ctx_freq), "w1")
-        .select("doc_id", nl_micro.alias("nlm"))
+        .select("doc_id", "n", nl_micro.alias("nlm"))
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        round_half_up(F.sum("nlm") / 1_000_000.0 / F.count("*"), 4).alias("avg_neg_logp"),
+        F.sum("n").alias("n_bigrams"),
+        round_half_up(
+            F.sum(F.col("nlm") * F.col("n")) / 1_000_000.0 / F.sum("n"), 4
+        ).alias("avg_neg_logp"),
     )
 
 
@@ -1633,7 +1672,10 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     df_counts = words.groupBy("word").agg(F.count("*").alias("df"))
-    n_docs = docs.count()  # one scalar; the scan is already cached by Spark
+    # one scalar, from parquet FOOTER metadata (no Spark job per
+    # invocation — the count is exact at any scale; guide §5: keep the
+    # driver out of data work)
+    n_docs = table_footer_count(sf_dir, "documents")
     j = (
         pairs.join(
             F.broadcast(df_counts.select(F.col("word").alias("w1"), F.col("df").alias("df1"))),
@@ -2096,7 +2138,8 @@ def text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("df"))
     )
-    n_docs = load_table(spark, sf_dir, "documents").count()
+    # footer-metadata count: no per-invocation Spark job (guide §5)
+    n_docs = table_footer_count(sf_dir, "documents")
     share = F.col("df").cast("double") / F.lit(float(n_docs))
     top = dfreq.orderBy(F.col("df").desc(), "word").limit(STOPWORD_TOP)
     w = W.orderBy(F.col("df").desc(), "word")
