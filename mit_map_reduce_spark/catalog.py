@@ -99,6 +99,35 @@ def spread(df: DataFrame, factor: int = 1) -> DataFrame:
     return df.repartition(n)
 
 
+def arrow_stage_width(
+    n_rows: int, rows_per_task: int, cap: int = 4096, floor: int = 1
+) -> int:
+    """Partition count for a Python-boundary (Arrow) stage, derived
+    from the stage's input VOLUME instead of the parent frame's
+    partitioning (guide §2: scale-adaptive partitioning; §4: the
+    JVM<->Python boundary is the cost).
+
+    Measured (r15): every Python task pays a fixed ~0.25-0.35 CPU-s
+    JVM<->worker round-trip in this environment — payload-independent,
+    even on REUSED workers (a 32-task mapInPandas stage burns ~10 CPU-s
+    on a 2000-row input whether the function is a no-op or the IVF
+    assignment; syscall-heavy sandbox). Tiny inputs must therefore not
+    ride a cores-wide cache layout into a Python stage; the width
+    grows linearly with input volume up to the cap (the same
+    volume-law as emb_lsh_pair_width). Callers ``coalesce()`` cached
+    inputs to this width (narrow, never exceeds the cache's own
+    one-task-wave width) or ``repartition()`` scan-rooted ones.
+
+    ``floor`` is a small LATENCY floor (not a cores constant): a
+    width-1 stage serializes its upstream narrow chain into one task;
+    callers whose input rides a wider cached layout pass a few tasks'
+    worth of overlap (measured r15: the IVF assign at width 1 ran
+    1.6 s wall vs 0.9 s at width 4, at a quarter of width-32's CPU)."""
+    import math
+
+    return max(floor, min(cap, math.ceil(n_rows / max(1, rows_per_task))))
+
+
 def bounded_shuffle_width(spark: SparkSession, floor: int = 16) -> int:
     """Shuffle width for plan-embedded ``repartition`` calls and
     scoped-conf iterative builds: scales with the CLUSTER (one task

@@ -671,11 +671,18 @@ def embedding_dup_pairs_np(spark: SparkSession, sf_dir: str) -> DataFrame:
             [r.nrm for r in rows],
         )
     )
-    # factor=1 (not the HOF path's 4): one BLAS matmul amortizes over a
-    # whole Arrow batch, so fewer-but-bigger batches win — extra
-    # fan-out just multiplies per-task Python-worker overhead.
+    # Volume-derived Python-stage width (r15, guide §2/§4): per-task
+    # work is rows x corpus x dim flops (one BLAS matmul per batch),
+    # so width follows the PAIR volume (~3M dots/task ≈ 200 Mflop) —
+    # not a fixed cores-wide spread, whose per-task ~0.3 CPU-s
+    # boundary cost dominated at audit SFs.
+    from mit_map_reduce_spark.catalog import arrow_stage_width
+
+    n_vec = len(rows)
     scorer = all_pairs_scorer(lambda: bc.value, COSINE_DUP_THRESHOLD - 1e-4)
-    pairs = spread(emb).mapInPandas(scorer, PAIR_SCHEMA)
+    pairs = emb.repartition(arrow_stage_width(n_vec * n_vec, 3_000_000)).mapInPandas(
+        scorer, PAIR_SCHEMA
+    )
     return pairs.select(
         "vec_a", "vec_b", round_half_up("c", 4).alias("cos")
     ).filter(F.col("cos") >= COSINE_DUP_THRESHOLD)

@@ -23,9 +23,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mit_map_reduce_spark.functions.columns import round_half_up
-from mit_map_reduce_spark.catalog import load_table, spread
+from mit_map_reduce_spark.catalog import arrow_stage_width, load_table, table_footer_count
 
 DECODE_SCHEMA = "doc_id bigint, media_type string, width int, height int, n_frames int"
+
+
+#: Assets per decode task — the stub decode is a few vectorized numpy
+#: ops per row; ~50k rows/task keeps per-task work far above the fixed
+#: Python-boundary cost. A real-codec deployment derives this from the
+#: codec's measured rows/sec instead.
+MM_ASSETS_PER_TASK = 50_000
 
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,9 +41,16 @@ def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     In a real pipeline this is the parquet/lance scan of blob columns;
     here the blob is synthesized from text deterministically.
     """
-    # spread: a small parquet file arrives as ONE partition, which
-    # would serialize every downstream decode batch onto one core.
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    # Volume-derived width (r15, guide §2/§4): every mm_* consumer
+    # feeds this frame straight into a mapInPandas decode whose
+    # per-task Python-boundary cost is a fixed ~0.3 CPU-s (measured,
+    # payload-independent — catalog.arrow_stage_width), so the width
+    # follows the asset count instead of a fixed cores-wide spread.
+    # The stub decode is vectorized and cheap; a real codec deployment
+    # lowers MM_ASSETS_PER_TASK to its measured decode throughput.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        arrow_stage_width(table_footer_count(sf_dir, "documents"), MM_ASSETS_PER_TASK)
+    )
     media = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

@@ -22,7 +22,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from mit_map_reduce_spark.catalog import load_table, shared_persist, spread
+from mit_map_reduce_spark.catalog import (
+    arrow_stage_width,
+    load_table,
+    shared_persist,
+    spread,
+    table_footer_count,
+)
 from mit_map_reduce_spark.functions.columns import round_half_up, dot_product, vec_norm
 
 TOP_K = 5
@@ -94,7 +100,14 @@ def ann_bruteforce_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
         [r.nrm for r in qrows],
         topk=TOP_K,  # per-batch pre-selection; lossless for global top-k
     )
-    scored = emb.mapInPandas(scorer, schema=SCORED_SCHEMA)
+    # volume-derived Python-stage width (r15, guide §2/§4): per-task
+    # work is rows x |queries| x dim flops; ~3M candidate dots per
+    # task keeps tasks ~200 Mflop, far above the fixed ~0.3 CPU-s
+    # per-task boundary cost. coalesce is narrow: never exceeds the
+    # cached corpus's one-task-wave width.
+    n_vec = table_footer_count(sf_dir, "embeddings")
+    width = arrow_stage_width(n_vec * max(1, n_vec // 100), 3_000_000)
+    scored = emb.coalesce(width).mapInPandas(scorer, schema=SCORED_SCHEMA)
     w = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -243,7 +256,15 @@ N_PROBE = 2
 TRAIN_SAMPLE_MOD = 4
 
 
-def _assign_cells(embs: DataFrame, cents: DataFrame, n_best: int = 1) -> DataFrame:
+#: IVF-assignment rows per Python task: k(16) x dim(64) multiply-adds
+#: per row -> ~200 Mflop per task, far above the measured fixed
+#: ~0.3 CPU-s/task Python-boundary cost (catalog.arrow_stage_width).
+ASSIGN_ROWS_PER_TASK = 200_000
+
+
+def _assign_cells(
+    embs: DataFrame, cents: DataFrame, n_best: int = 1, n_rows: int | None = None
+) -> DataFrame:
     """(vec_id, cell): each vector's ``n_best`` nearest centroids by
     cosine, ties to the lower centroid id — the O(n*k) IVF assignment.
 
@@ -267,6 +288,12 @@ def _assign_cells(embs: DataFrame, cents: DataFrame, n_best: int = 1) -> DataFra
         [r.c_nrm for r in rows],
         n_best=n_best,
     )
+    if n_rows is not None:
+        # volume-derived Python-stage width (r15, guide §2/§4): a tiny
+        # input must not fan one fixed-cost Python task per cached
+        # corpus partition; coalesce is narrow and never exceeds the
+        # cache's own width, so at scale this is a no-op.
+        embs = embs.coalesce(arrow_stage_width(n_rows, ASSIGN_ROWS_PER_TASK, floor=4))
     return embs.select("vec_id", "embedding", "nrm").mapInPandas(scorer, ASSIGN_SCHEMA)
 
 
@@ -377,15 +404,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every other embedding operator in the session).
     emb = _emb_with_norm(spark, sf_dir)
     cents = _centroids_artifact(spark, sf_dir)
-    assign = _assign_cells(emb, cents)
+    n_vec = table_footer_count(sf_dir, "embeddings")
+    assign = _assign_cells(emb, cents, n_rows=n_vec)
     queries = emb.filter(F.expr(QUERY_FILTER)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    probe = _assign_cells(emb.filter(F.expr(QUERY_FILTER)), cents, n_best=N_PROBE).select(
-        F.col("vec_id").alias("query_id"), "cell"
-    )
+    probe = _assign_cells(
+        emb.filter(F.expr(QUERY_FILTER)), cents, n_best=N_PROBE, n_rows=n_vec // 100 + 1
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     corpus = emb.join(assign, "vec_id")
     cand = corpus.join(F.broadcast(probe), "cell").filter(
         F.col("vec_id") != F.col("query_id")
@@ -393,9 +421,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate scoring rides the pairwise Arrow/NumPy dot (the pair
     # set is already materialized by the cell join and bounded by
     # n_probe * cell occupancy — no broadcast blow-up), bit-identical
-    # to the fold per functions/vectorized.py.
+    # to the fold per functions/vectorized.py. The Python stage's
+    # width follows the CANDIDATE volume (queries x n_probe x cell
+    # occupancy), not the corpus cache layout (r15, guide §2/§4).
     from mit_map_reduce_spark.functions.vectorized import cosine_np
 
+    est_cand = (n_vec // 100 + 1) * N_PROBE * (n_vec // K_CELLS + 1)
+    cand = cand.coalesce(arrow_stage_width(est_cand, 3_000_000))
     scored = cand.join(F.broadcast(queries), "query_id").select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -685,7 +717,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_with_norm(spark, sf_dir)
     labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     cents = _centroids_artifact(spark, sf_dir)
-    assign = _assign_cells(emb, cents)
+    n_vec = table_footer_count(sf_dir, "embeddings")
+    assign = _assign_cells(emb, cents, n_rows=n_vec)
     corpus = emb.join(assign, "vec_id").join(labels, "vec_id")
     q_base = emb.filter(F.expr(QUERY_FILTER))
     queries = q_base.join(labels, "vec_id").select(
@@ -694,12 +727,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("q_nrm"),
         F.col("label").alias("q_label"),
     )
-    probe = _assign_cells(q_base, cents, n_best=N_PROBE).select(
-        F.col("vec_id").alias("query_id"), "cell"
-    )
+    probe = _assign_cells(
+        q_base, cents, n_best=N_PROBE, n_rows=n_vec // 100 + 1
+    ).select(F.col("vec_id").alias("query_id"), "cell")
     cand = corpus.join(F.broadcast(probe), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # candidate-volume Python-stage width, as in ann_ivf_topk (r15)
+    est_cand = (n_vec // 100 + 1) * N_PROBE * (n_vec // K_CELLS + 1)
+    cand = cand.coalesce(arrow_stage_width(est_cand, 3_000_000))
     scored = (
         cand.join(F.broadcast(queries), "query_id")
         .filter(F.col("label") != F.col("q_label"))
@@ -799,8 +835,15 @@ def semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _emb_with_norm(spark, sf_dir)
     cents = _centroids_artifact(spark, sf_dir)
-    assign = _assign_cells(emb, cents)
-    tagged = emb.join(assign, "vec_id")
+    assign = _assign_cells(
+        emb, cents, n_rows=table_footer_count(sf_dir, "embeddings")
+    )
+    # spread AFTER the narrow assignment: the intra-cell pair join
+    # below is the CPU-heavy stage (occupancy-quadratic interpreted
+    # cosine folds) and must not inherit the Python stage's
+    # volume-derived (tiny) width — measured 7s single-task without
+    # this (r15).
+    tagged = spread(emb.join(assign, "vec_id"))
     a, b = tagged.alias("a"), tagged.alias("b")
     cos = dot_product(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
@@ -1085,9 +1128,9 @@ def ivf_cell_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build_sizes() -> DataFrame:
         emb = _emb_with_norm(spark, sf_dir)
         cents = _centroids_artifact(spark, sf_dir)
-        return _assign_cells(emb, cents).groupBy("cell").agg(
-            F.count("*").alias("n_vectors")
-        )
+        return _assign_cells(
+            emb, cents, n_rows=table_footer_count(sf_dir, "embeddings")
+        ).groupBy("cell").agg(F.count("*").alias("n_vectors"))
 
     # Session-shared, not a bare persist: repeat invocations (bench
     # median-of-3, repeated sessions) must probe ONE cached cell-size
