@@ -247,6 +247,27 @@ def shared_persist(
         # already persisted+materialized; re-persisting would emit the
         # very CacheManager duplicate-cache warning this registry kills.
         if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            if spark.sparkContext.master.startswith("local"):
+                # Truncate the unrolled-loop lineage (guide §3.3/§5,
+                # r15): a fixpoint artifact's cached frame still
+                # CARRIES its whole iterative build plan, and every
+                # consumer invocation re-analyzes that tree — measured
+                # 0.3-0.7 s of driver time PER CALL on the CC-label /
+                # graph-rank consumers (dedup_cluster_size_report's
+                # plan rendered 3136 Exchange nodes). The eager local
+                # checkpoint re-stores the already-materialized rows
+                # behind a leaf LogicalRDD — true cached stats carry
+                # over (verified: broadcasts still fire), analysis
+                # becomes O(1). local-master only: checkpoint blocks
+                # are not recomputable after executor loss, which is
+                # free under one JVM (block loss == session loss) but
+                # would break cluster fault-tolerance — cluster
+                # deployments keep the recomputable persist (their
+                # 100 TB form materializes artifacts to parquet
+                # instead, per the module doctrine).
+                ck = df.localCheckpoint(eager=True)
+                df.unpersist()
+                df = ck
             _SHARED_CACHE[key] = df
         else:
             df = df.persist()

@@ -1733,13 +1733,21 @@ def adv_linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-click (``adv_asof_join_last_click`` is the last-click
     baseline; this spreads the credit).
 
-    Session assignment is the shared gap construction; touches join
-    purchases on the session key with an earlier-position predicate,
-    collapse to distinct (purchase, channel), and each contributes
-    ``1/n_channels`` — pre-rounded to 1e-6 grains so the per-channel
-    totals are exact-integer sums. Purchases with no prior touch
-    surface under the ``(none)`` channel, so total credit equals the
-    purchase count exactly.
+    Session assignment is the shared gap construction; each purchase
+    row reads its DISTINCT prior channel types straight off a running
+    ``collect_set`` window over the session (strictly-earlier frame =
+    the old join's ``pos < ppos`` predicate, same (ts, event_id) total
+    order) and each contributes ``1/n_channels`` — pre-rounded to 1e-6
+    grains so the per-channel totals are exact-integer sums. Purchases
+    with no prior touch surface under the ``(none)`` channel, so total
+    credit equals the purchase count exactly.
+
+    Plan shape (r15, guide §2.4): one events scan and one window
+    chain. The old form self-joined purchases against touches on the
+    session key (two re-executions of the windowed stream, a
+    distinct, an anti-join, and a per-purchase count window); the
+    growing-frame collect_set computes the same per-purchase channel
+    set incrementally in the session window that already exists.
     """
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1752,35 +1760,34 @@ def adv_linear_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("int")
         .alias("sess"),
-    ).withColumn(
-        "pos",
-        F.row_number().over(W.partitionBy("user_id", "sess").orderBy("ts", "event_id")),
     )
-    purchases = se.filter(F.col("event_type") == "purchase").select(
-        "user_id", "sess", F.col("event_id").alias("pid"), F.col("pos").alias("ppos")
+    # distinct channels strictly before this row within its session
+    # (collect_set drops the nulls the purchase rows contribute)
+    prior_set = F.collect_set(
+        F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    ).over(
+        W.partitionBy("user_id", "sess")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    touches = se.filter(F.col("event_type") != "purchase").select(
-        "user_id", "sess", F.col("event_type").alias("channel"), "pos"
+    purchases = (
+        se.withColumn("prior", prior_set)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("pid"), "prior")
     )
-    prior = (
-        purchases.join(touches, ["user_id", "sess"])
-        .filter(F.col("pos") < F.col("ppos"))
-        .select("pid", "channel")
-        .distinct()
-    )
-    # Purchases with no PRIOR touch (none in session, or all later)
-    # surface as "(none)" so total credit == purchase count exactly.
-    untouched = (
-        purchases.select("pid")
-        .join(prior.select("pid").distinct(), "pid", "left_anti")
-        .withColumn("channel", F.lit("(none)"))
-    )
-    touched = prior.unionByName(untouched)
-    n_ch = F.count("*").over(W.partitionBy("pid"))
+    n_ch = F.greatest(F.size("prior"), F.lit(1))
     credit_g = F.floor(F.lit(1.0) / n_ch * ATTR_GRAIN + F.lit(0.5)).cast("long")
+    touched = purchases.select(
+        "pid",
+        credit_g.alias("g"),
+        F.explode(
+            F.when(F.size("prior") > 0, F.col("prior")).otherwise(
+                F.array(F.lit("(none)"))
+            )
+        ).alias("channel"),
+    )
     return (
-        touched.select("pid", "channel", credit_g.alias("g"))
-        .groupBy("channel")
+        touched.groupBy("channel")
         .agg(
             F.count_distinct("pid").alias("n_purchases_touched"),
             round_half_up(F.sum("g").cast("double") / ATTR_GRAIN, 2).alias(
