@@ -1184,21 +1184,22 @@ def dedup_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
     )
+    # ONE aggregate over the tagged pair stream (r15, guide §1.2):
+    # the separate leaked-docs branch re-executed the whole LSH
+    # band-join + Jaccard-verification pipeline a second time;
+    # count_distinct over the when-guarded test-doc id is the same
+    # integer (nulls — non-cross pairs — don't count).
+    leak_doc = F.when(
+        F.col("ta") != F.col("tb"),
+        F.when(F.col("ta"), F.col("doc_a")).otherwise(F.col("doc_b")),
+    )
     pair_stats = tagged.agg(
         F.count("*").alias("n_pairs"),
         F.count(F.when(F.col("ta") != F.col("tb"), 1)).alias("n_cross_pairs"),
-    )
-    leaked = (
-        tagged.filter(F.col("ta") != F.col("tb"))
-        .select(
-            F.when(F.col("ta"), F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc")
-        )
-        .distinct()
-        .agg(F.count("*").alias("n_leaked_test_docs"))
+        F.count_distinct(leak_doc).alias("n_leaked_test_docs"),
     )
     return (
         counts.crossJoin(F.broadcast(pair_stats))
-        .crossJoin(F.broadcast(leaked))
         .withColumn(
             "leak_rate",
             round_half_up(
