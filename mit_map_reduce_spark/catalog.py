@@ -192,6 +192,25 @@ def normalize_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 #: once at 100 TB.
 _SHARED_CACHE: dict[tuple, DataFrame] = {}
 
+#: checkpoint-RDD id -> the PRE-truncation build frame. The r15 lineage
+#: truncation (see shared_persist) re-stores a materialized artifact
+#: behind a LogicalRDD leaf, which blinded every plan-introspection
+#: probe (plans.inspect.unpartitioned_corpus_windows, the repo-wide
+#: window audit) to the artifact's internals — the r15 ADVICE flagged
+#: that as silently weakening the structural safety net. The probes
+#: resolve an RDDScanExec leaf back to its build frame through this map
+#: and keep descending, so structural pins cover artifact internals
+#: again. Query paths never touch it; only probes pay the build frame's
+#: (re-)analysis cost.
+_SHARED_BUILD_FRAMES: dict[int, DataFrame] = {}
+
+#: registry key -> the checkpointed JVM RDD. localCheckpoint blocks are
+#: NOT managed by the CacheManager, so DataFrame.unpersist() on the
+#: truncated frame is a no-op and repeated build/clear cycles (tests,
+#: long sessions) would accumulate orphaned checkpoint blocks (r15
+#: ADVICE); clear_shared_caches unpersists these explicitly.
+_CHECKPOINT_RDDS: dict[tuple, object] = {}
+
 
 #: (artifact name, factory seconds) per first-use build — bench drains
 #: this to tell a query's steady-state runs from the one run per
@@ -208,6 +227,65 @@ def drain_build_events() -> list[tuple[str, float]]:
     out = list(_BUILD_EVENTS)
     _BUILD_EVENTS.clear()
     return out
+
+
+#: session id -> this process's artifact scratch dir (cluster masters).
+_ARTIFACT_SCRATCH: dict[int, str] = {}
+
+
+def _session_artifact_dir(spark: SparkSession) -> str:
+    """Process-unique scratch dir for cluster-master artifact
+    materialization, swept at interpreter exit. Process-unique and
+    exit-swept ON PURPOSE: a cross-run artifact store keyed on the
+    testdata would be result caching across runs (the bench/oracle
+    must compute from the parquet inputs every invocation); this dir
+    only ever serves the session that wrote it."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    base = _ARTIFACT_SCRATCH.get(id(spark))
+    if base is None:
+        base = os.path.join(
+            scratch_base(),
+            f"mmrs_session_artifacts_{os.getpid()}_{uuid.uuid4().hex[:8]}",
+        )
+        os.makedirs(base, exist_ok=True)
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        _ARTIFACT_SCRATCH[id(spark)] = base
+    return base
+
+
+def _materialize_artifact(
+    spark: SparkSession, df: DataFrame, name: str
+) -> DataFrame | None:
+    """Cluster-master twin of the local localCheckpoint truncation
+    (r15 verdict #3): write the already-computed artifact to session
+    scratch parquet and re-read it, so every consumer's plan is a leaf
+    file scan — O(1) analysis instead of re-analyzing the unrolled
+    fixpoint build, and (unlike checkpoint blocks) re-readable after
+    executor loss. Requires ``SPARK_GRAFT_SCRATCH_DIR`` on storage all
+    executors share (the standing scratch_base contract). Read back
+    with the frame's own schema so nullability survives the parquet
+    round-trip (bare parquet marks every column nullable, which would
+    ripple into consumer output schemas the oracle checks). Returns
+    None if materialization fails (caller keeps the persisted form —
+    correctness never depends on the truncation)."""
+    import hashlib
+    import uuid
+
+    try:
+        path = os.path.join(
+            _session_artifact_dir(spark),
+            hashlib.md5(name.encode()).hexdigest()[:16]
+            + "_"
+            + uuid.uuid4().hex[:8],
+        )
+        df.write.parquet(path)
+        return spark.read.schema(df.schema).parquet(path)
+    except Exception:
+        return None
 
 
 def shared_persist(
@@ -262,12 +340,30 @@ def shared_persist(
                 # are not recomputable after executor loss, which is
                 # free under one JVM (block loss == session loss) but
                 # would break cluster fault-tolerance — cluster
-                # deployments keep the recomputable persist (their
-                # 100 TB form materializes artifacts to parquet
-                # instead, per the module doctrine).
+                # masters take the else branch below and materialize
+                # to shared-scratch parquet instead (r16; same leaf-
+                # scan benefit, executor-loss-safe).
                 ck = df.localCheckpoint(eager=True)
+                try:
+                    # LogicalRDD exposes the checkpoint RDD: key it for
+                    # the probe pass-through and the explicit cleanup
+                    # (both documented on the registries above).
+                    jrdd = ck._jdf.queryExecution().analyzed().rdd()
+                    _SHARED_BUILD_FRAMES[jrdd.id()] = df
+                    _CHECKPOINT_RDDS[key] = jrdd
+                except Exception:
+                    pass
                 df.unpersist()
                 df = ck
+            else:
+                # Cluster master: the consumer-side O(1)-analysis win
+                # must exist off local[...] too (r15 verdict #3) — the
+                # 100 TB doctrine form materializes the artifact to
+                # shared-scratch parquet; consumers scan a leaf.
+                out = _materialize_artifact(spark, df, name)
+                if out is not None:
+                    df.unpersist()
+                    df = out
             _SHARED_CACHE[key] = df
         else:
             df = df.persist()
@@ -282,7 +378,17 @@ def clear_shared_caches() -> None:
             df.unpersist()
         except Exception:
             pass
+    # Checkpoint blocks live outside the CacheManager — free them
+    # explicitly (blocking=False: drop asynchronously, callers never
+    # need the space synchronously).
+    for jrdd in _CHECKPOINT_RDDS.values():
+        try:
+            jrdd.unpersist(False)
+        except Exception:
+            pass
     _SHARED_CACHE.clear()
+    _CHECKPOINT_RDDS.clear()
+    _SHARED_BUILD_FRAMES.clear()
 
 
 def ensure_nanos_flag(spark: SparkSession) -> None:

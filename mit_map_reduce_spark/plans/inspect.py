@@ -189,6 +189,21 @@ def _inner_plans(node):
             yield node.initialPlan()
         except Exception:
             pass
+    elif name == "RDDScanExec":
+        # A shared_persist artifact truncated behind a localCheckpoint
+        # leaf (catalog, r15): resolve the RDD id back to the stashed
+        # PRE-truncation build frame and keep descending, so structural
+        # pins still cover artifact internals (r15 ADVICE: the bare
+        # leaf silently blinded this probe repo-wide). Probe-only cost:
+        # the build frame re-plans here, never on query paths.
+        try:
+            from mit_map_reduce_spark.catalog import _SHARED_BUILD_FRAMES
+
+            src = _SHARED_BUILD_FRAMES.get(node.rdd().id())
+            if src is not None:
+                yield _plan_root(src)
+        except Exception:
+            pass
 
 
 def _subquery_plans(node):

@@ -48,29 +48,44 @@ from mit_map_reduce_spark.catalog import (
     table_path,
 )
 
+def _stream_scratch_root() -> str:
+    """Base dir for the per-run streaming scratch. Everything under it
+    is process-unique and swept at interpreter exit, so DURABILITY has
+    no value here — LATENCY does: the state-store commit protocol
+    writes + renames one delta file per store per micro-batch (a
+    stream-stream join runs 4 stores x 8 partitions), and the r16
+    re-measure of the r8 "checkpoint I/O is not the cost" claim found
+    the environment had shifted under it — on today's sandbox the
+    tempdir write path costs stream_stream_join_attribution ~7.5 s of
+    its 10 s drain (commitTimeMs 9+16 s summed across stores; the SAME
+    drain on /dev/shm: 2.6 s warm, the r11-r14 band). Honors
+    SPARK_GRAFT_SCRATCH_DIR first — a multi-node cluster MUST route
+    scratch through shared storage (catalog.scratch_base contract) and
+    a deployment that wants disk-backed checkpoints sets it explicitly;
+    the fast default only applies single-machine."""
+    explicit = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if explicit:
+        return explicit
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        return "/dev/shm"
+    return scratch_base()
+
+
 #: All per-run scratch (stream-source symlink dirs, file-sink output,
 #: checkpoints, upsert snapshots) lives under this one base dir, swept
 #: at interpreter exit — repeated bench/correctness runs no longer
 #: accumulate unbounded parquet + state files in tempdir. Sweeping at
 #: exit (not per query) keeps returned DataFrames readable: they are
 #: lazy over the sink files until the caller finishes collecting.
-#: pid alone is NOT unique once scratch_base() can point at SHARED
+#: pid alone is NOT unique once the base can point at SHARED
 #: storage (pids are per-host; two drivers on different nodes can
 #: share one) — and the atexit sweep below would then rmtree another
 #: live run's checkpoints. The uuid component makes the dir
 #: process-unique on any filesystem.
 _SCRATCH_BASE = os.path.join(
-    scratch_base(), f"mmrs_stream_scratch_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    _stream_scratch_root(),
+    f"mmrs_stream_scratch_{os.getpid()}_{uuid.uuid4().hex[:8]}",
 )
-# Perf note (round 8, verdict item 6): the stream queries' 1.6-2.7 s
-# bench times are NOT checkpoint-IO-bound. Measured on a warm session:
-# drain = 1.4 s for the tumbling-count shape, of which walCommit +
-# commitOffsets = ~150 ms (~10%); the rest is addBatch (real state-store
-# work) plus the mandatory no-data watermark-flush batch (~450 ms).
-# An A/B with _SCRATCH_BASE on /dev/shm (tmpfs) showed no improvement —
-# /tmp writes here are page-cache-backed and never fsync-bound. Shuffle
-# partitions are already 8 for micro-batch plans. Keeping scratch in
-# tempdir, which survives containers that mount a small /dev/shm.
 atexit.register(shutil.rmtree, _SCRATCH_BASE, ignore_errors=True)
 
 

@@ -234,3 +234,53 @@ def test_publish_protocol_restores_racer_artifact(tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(out, "mine.txt"))
     leftovers = [p for p in os.listdir(tmp_path) if p != "art"]
     assert leftovers == [], leftovers
+
+
+def test_truncated_artifact_probe_passthrough_and_cleanup(spark):
+    """The r15 localCheckpoint lineage truncation must not blind the
+    plan probes (r15 ADVICE): shared_persist stashes the PRE-truncation
+    build frame keyed by the checkpoint RDD id, and
+    unpartitioned_corpus_windows descends through the RDDScanExec leaf
+    into it. clear_shared_caches must also free the checkpoint blocks
+    themselves (they live outside the CacheManager, so plain
+    DataFrame.unpersist() is a no-op on them)."""
+    from pyspark.sql import Window, functions as F
+
+    from mit_map_reduce_spark import catalog
+    from mit_map_reduce_spark.plans import unpartitioned_corpus_windows
+
+    # a build frame with an unpartitioned scan-rooted window inside —
+    # the exact shape the probe exists to flag
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/probe_src.parquet"
+        spark.range(100).selectExpr("id", "id % 7 AS k").write.parquet(path)
+
+        def factory():
+            df = (
+                spark.read.parquet(path)
+                .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+            )
+            df.persist().count()  # eager, like the fixpoint builders
+            return df
+
+        art = catalog.shared_persist(
+            spark, "test_probe_passthrough", d, factory
+        )
+        # truncated: the artifact frame itself is a checkpoint leaf ...
+        leaf = art._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in leaf and "row_number" not in leaf
+        # ... but the probe still sees the window inside the build frame
+        consumer = art.groupBy("k").agg(F.max("rn").alias("m"))
+        assert len(unpartitioned_corpus_windows(consumer)) == 1
+        # checkpoint blocks are tracked and freed on clear
+        key = (id(spark), "test_probe_passthrough", d)
+        jrdd = catalog._CHECKPOINT_RDDS.get(key)
+        assert jrdd is not None
+        assert jrdd.id() in catalog._SHARED_BUILD_FRAMES
+        catalog.clear_shared_caches()
+        assert catalog._CHECKPOINT_RDDS == {}
+        assert catalog._SHARED_BUILD_FRAMES == {}
+        # the unpersist call went through without raising; block drop is
+        # async (blocking=False) so we only pin the registry hygiene here

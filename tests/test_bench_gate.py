@@ -466,3 +466,40 @@ def test_newest_stamp_carries_all_three_probe_axes():
         "io_probe_warm_sec",
     ):
         assert prev.get(key), f"BENCH_DETAIL_r{rnd:02d}.json missing {key}"
+
+
+def test_stamp_guard_detects_contention_wave(tmp_path):
+    """tools/stamp_bench.py stamp discipline (r15 verdict #8): the
+    quiet envelope is the MIN probe reading across committed stamps
+    (never the newest stamp, which can itself be wave-inflated), and a
+    run whose calibration or cold-I/O probe exceeds 1.5x that envelope
+    is flagged as a contention wave."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        sb = importlib.import_module("stamp_bench")
+    finally:
+        sys.path.pop(0)
+
+    (tmp_path / "BENCH_DETAIL_r01.json").write_text(
+        json.dumps({"calibration_probe_sec": 0.6, "io_probe_cold_sec": 0.7})
+    )
+    # a newer, wave-inflated stamp must NOT loosen the envelope
+    (tmp_path / "BENCH_DETAIL_r02.json").write_text(
+        json.dumps({"calibration_probe_sec": 1.35, "io_probe_cold_sec": 2.0})
+    )
+    env = sb._quiet_envelope(str(tmp_path))
+    assert env == {"calibration_probe_sec": 0.6, "io_probe_cold_sec": 0.7}
+    # quiet run: both probes within 1.5x the envelope
+    assert sb._probes_quiet(
+        {"calibration_probe_sec": 0.65, "io_probe_cold_sec": 0.8}, env
+    ) == []
+    # wave: calibration probe 2x the quiet floor
+    noisy = sb._probes_quiet(
+        {"calibration_probe_sec": 1.2, "io_probe_cold_sec": 0.8}, env
+    )
+    assert len(noisy) == 1 and "calibration_probe_sec" in noisy[0]
+    # missing probe keys never flag (pre-probe sidecars)
+    assert sb._probes_quiet({}, env) == []

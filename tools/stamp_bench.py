@@ -25,8 +25,10 @@ Usage:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -34,6 +36,47 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: A run whose probes exceed the quiet envelope by more than this is a
+#: contention wave, not a measurement (r15 verdict #8: the r15 stamp
+#: was taken inside a wave — 95 phantom "regressions", a poisoned
+#: baseline the whole next round had to argue against).
+PROBE_WAVE_FACTOR = 1.5
+#: Extra attempts to wait out a wave before giving up.
+MAX_WAVE_RETRIES = 3
+
+
+def _quiet_envelope(repo: str) -> dict[str, float]:
+    """Per-probe quiet-machine envelope: the MINIMUM reading across all
+    committed round stamps. The minimum, not the newest stamp's value —
+    the newest stamp can itself be wave-inflated (r15/r16 both were),
+    and an inflated envelope would accept the next wave too. The
+    machine's true quiet floor only ratchets down."""
+    env: dict[str, float] = {}
+    for p in glob.glob(os.path.join(repo, "BENCH_DETAIL_r*.json")):
+        if not re.search(r"BENCH_DETAIL_r(\d+)\.json$", p):
+            continue
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key in ("calibration_probe_sec", "io_probe_cold_sec"):
+            v = d.get(key)
+            if v:
+                env[key] = min(env.get(key, v), v)
+    return env
+
+
+def _probes_quiet(detail: dict, envelope: dict[str, float]) -> list[str]:
+    """Names of probes reading above PROBE_WAVE_FACTOR x the quiet
+    envelope (empty = the run is stampable)."""
+    noisy = []
+    for key, floor in envelope.items():
+        v = detail.get(key)
+        if v and v > PROBE_WAVE_FACTOR * floor:
+            noisy.append(f"{key} {v}s > {PROBE_WAVE_FACTOR}x quiet {floor}s")
+    return noisy
 
 
 def main() -> None:
@@ -46,21 +89,44 @@ def main() -> None:
         )
         sys.exit(2)
     detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    envelope = _quiet_envelope(REPO)
     details: list[dict] = []
     env = dict(os.environ, SPARK_GRAFT_NO_STAMP="1", SPARK_GRAFT_SF_DIR=sf_dir)
-    for i in range(runs):
+    attempts = 0
+    while len(details) < runs:
+        attempts += 1
         t0 = time.monotonic()
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")], env=env, cwd=REPO
         )
         if proc.returncode != 0:
-            print(f"# bench run {i + 1}/{runs} rc={proc.returncode}", file=sys.stderr)
+            print(f"# bench attempt {attempts} rc={proc.returncode}", file=sys.stderr)
             sys.exit(proc.returncode)
         with open(detail_path) as f:
             d = json.load(f)
+        # Stamp discipline (r15 verdict #8): a run taken inside a
+        # contention wave must not become the next round's baseline.
+        # Retry it a bounded number of times; refuse the stamp if the
+        # wave outlasts the retries.
+        noisy = _probes_quiet(d, envelope)
+        if noisy:
+            if attempts - len(details) <= MAX_WAVE_RETRIES:
+                print(
+                    f"# attempt {attempts}: contention wave detected "
+                    f"({'; '.join(noisy)}) — run discarded, retrying",
+                    file=sys.stderr,
+                )
+                continue
+            print(
+                f"# refusing to stamp: probes stayed above "
+                f"{PROBE_WAVE_FACTOR}x the quiet envelope after "
+                f"{MAX_WAVE_RETRIES} retries ({'; '.join(noisy)})",
+                file=sys.stderr,
+            )
+            sys.exit(3)
         details.append(d)
         print(
-            f"# run {i + 1}/{runs}: total {d['value']}s, probe "
+            f"# run {len(details)}/{runs}: total {d['value']}s, probe "
             f"{d.get('calibration_probe_sec')}s, io "
             f"{d.get('io_probe_cold_sec')}/{d.get('io_probe_warm_sec')}s "
             f"({time.monotonic() - t0:.0f}s wall)",
