@@ -404,9 +404,16 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: simhash_fingerprints(spark, sf_dir),
     )
     bands = F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))
+    # Integer form of the bit-string fingerprint, computed ONCE per
+    # (doc, band) row map-side: the exact Hamming distance on the
+    # candidates is then one xor + bit_count per pair instead of
+    # splitting two 32-char strings into arrays and zipping them —
+    # measured 20 CPU-s/run at sf0.1 (83 k candidates), almost all in
+    # the per-pair split/zip (guide §1.2 step 2: per-task work).
+    sim_int = F.conv("simhash", 2, 10).cast("long")
     keyed = fp.select(
         "doc_id",
-        "simhash",
+        sim_int.alias("sim"),
         F.explode(
             F.transform(
                 bands,
@@ -418,12 +425,12 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.band_key")
+    ).select("doc_id", "sim", "bk.band", "bk.band_key")
     a = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "band_key"
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band", "band_key"
     )
     b = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "band_key"
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "band", "band_key"
     )
     cand = (
         a.join(b, ["band", "band_key"])
@@ -431,12 +438,7 @@ def simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "sim_a", "sim_b")
         .distinct()
     )
-    hamming = F.size(
-        F.filter(
-            F.zip_with(F.split("sim_a", ""), F.split("sim_b", ""), lambda x, y: x != y),
-            lambda d: d,
-        )
-    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
@@ -462,8 +464,21 @@ def _jaccard_pairs_from_shingles(arrs: DataFrame, max_df: int = HOT_SHINGLE_MAX_
     surviving ones while the sizes stay full — the reported Jaccard is
     then a lower bound (capped shingles are, by definition, near-
     useless evidence of duplication).
+
+    Shape (r16, guide §2.4 — formerly an inverted-index SELF-JOIN on
+    shingle plus TWO size joins): after the df cap every surviving
+    shingle appears in <= max_df docs, so the per-shingle posting list
+    is a BOUNDED set — collect it once and explode the doc_a < doc_b
+    pairs map-side (the supplier_projection shape). ``sz`` rides the
+    collected struct, so the per-pair sizes fall out of the pair
+    aggregate itself and the size joins disappear. Two data exchanges
+    total (postings on shingle, pair counts on (doc_a, doc_b)) versus
+    the join form's two join-side shuffles + pair agg + two size-join
+    shuffles. Shingles are array_distinct per doc upstream, so each
+    doc appears at most once per posting list — pair multiplicity is
+    identical to the join form's.
     """
-    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    sh = arrs.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
     # df per shingle: partial (map-side) aggregation collapses hot keys
     # before the exchange, so this pass is skew-proof; the hot list is
     # tiny (only above-cap shingles) and broadcast into an anti-join.
@@ -473,23 +488,33 @@ def _jaccard_pairs_from_shingles(arrs: DataFrame, max_df: int = HOT_SHINGLE_MAX_
         .filter(F.col("df") > max_df)
         .select("shingle")
     )
+    # Broadcast anti-join preserves the exploded stream's layout; the
+    # posting-list collect is the only shingle-keyed exchange.
     capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sizes = arrs.select("doc_id", "sz")
-    sa, sb = capped.alias("sa"), capped.alias("sb")
-    inter = (
-        sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
-        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    postings = capped.groupBy("shingle").agg(
+        F.collect_list(F.struct("doc_id", "sz")).alias("ds")
     )
-    za, zb = sizes.alias("za"), sizes.alias("zb")
+    pairs = (
+        postings.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
     return (
-        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
-        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        pairs.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            # every struct for one doc carries the same sz — first()
+            # is value-deterministic
+            F.first(F.col("a.sz")).alias("za"),
+            F.first(F.col("b.sz")).alias("zb"),
+        )
         .select(
             "doc_a",
             "doc_b",
             F.col("inter").alias("n_shared"),
-            round_half_up(F.col("inter") / (F.col("za.sz") + F.col("zb.sz") - F.col("inter")), 4).alias("jaccard"),
+            round_half_up(F.col("inter") / (F.col("za") + F.col("zb") - F.col("inter")), 4).alias("jaccard"),
         )
     )
 
@@ -583,12 +608,15 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote-wrapping and boilerplate-template inclusion, not just
     near-identical twins.
 
-    Same sparse inverted-index join as ``ngram_jaccard_pairs`` (shared
-    shingle cache, df-capped keys), different final math: containment
-    in both directions plus the symmetric max the filter applies.
+    Same sparse inverted-index shape as ``ngram_jaccard_pairs`` —
+    df-capped posting lists collected per shingle, pairs exploded
+    map-side, sizes riding the collected struct (r16; see
+    _jaccard_pairs_from_shingles for the shape rationale) — different
+    final math: containment in both directions plus the symmetric max
+    the filter applies.
     """
     arrs = _shingle_arrays_cached(spark, sf_dir)
-    sh = arrs.select("doc_id", F.explode("shingles").alias("shingle"))
+    sh = arrs.select("doc_id", "sz", F.explode("shingles").alias("shingle"))
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -596,20 +624,28 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
     )
     capped = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sa, sb = capped.alias("sa"), capped.alias("sb")
-    inter = (
-        sa.join(sb, (F.col("sa.shingle") == F.col("sb.shingle")) & (F.col("sa.doc_id") < F.col("sb.doc_id")))
-        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
+    postings = capped.groupBy("shingle").agg(
+        F.collect_list(F.struct("doc_id", "sz")).alias("ds")
     )
-    sizes = arrs.select("doc_id", "sz")
-    za, zb = sizes.alias("za"), sizes.alias("zb")
-    c_a = round_half_up(F.col("inter") / F.col("za.sz"), 4)
-    c_b = round_half_up(F.col("inter") / F.col("zb.sz"), 4)
+    pairs = (
+        postings.select(F.explode("ds").alias("a"), "ds")
+        .select("a", F.explode("ds").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    inter = (
+        pairs.groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a.sz")).alias("za"),
+            F.first(F.col("b.sz")).alias("zb"),
+        )
+    )
+    c_a = round_half_up(F.col("inter") / F.col("za"), 4)
+    c_b = round_half_up(F.col("inter") / F.col("zb"), 4)
     return (
-        inter.join(za, F.col("za.doc_id") == F.col("doc_a"))
-        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             c_a.alias("containment_a"),
@@ -946,15 +982,21 @@ def embedding_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale_out = pair_width > floor_width
     if scale_out:
         keys = keys.repartition(pair_width, "band", "bucket")
-    a, b = keys.alias("a"), keys.alias("b")
+    # Candidates via per-bucket posting lists (r16, guide §2.4 — was a
+    # (band, bucket) SELF-JOIN): each vec_id appears once per (band,
+    # bucket), and bucket occupancy is HELD by the derived (rows,
+    # bands) tuning (~EMB_LSH_TARGET_OCCUPANCY, measured max 484), so
+    # the collected list is bounded by the same law that bounded the
+    # join fan-out — the a < b pairs then explode map-side with no
+    # second probe of the signature frame. One bucket-keyed exchange
+    # instead of the self-join's two sorted sides.
+    buckets = keys.groupBy("band", "bucket").agg(
+        F.collect_list("vec_id").alias("vs")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        buckets.select(F.explode("vs").alias("vec_a"), "vs")
+        .select("vec_a", F.explode("vs").alias("vec_b"))
+        .filter(F.col("vec_a") < F.col("vec_b"))
     )
     if scale_out:
         cand = cand.repartition(pair_width, "vec_a", "vec_b")

@@ -1148,23 +1148,28 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     N(b)| — the classic baseline (Liben-Nowell & Kleinberg) that a
     recommender runs before anything learned.
 
-    Plan: symmetric adjacency -> wedge self-join on the shared
-    neighbor (fan-out <= KNN_K^2 per node), count per candidate pair,
-    anti-join the existing edge set, broadcast the node-degree table.
-    The Jaccard divides two exact integers (one IEEE divide, no sum
-    order anywhere), rounded half-up at 4 dp.
+    Plan (r16 — formerly a wedge SELF-JOIN on the shared neighbor,
+    guide §2.4): per-node neighbor SETS from one collect_set over the
+    symmetric adjacency — mutual-kNN degree is <= KNN_K by
+    construction, so every set is K-bounded — then the a < b pairs
+    explode MAP-SIDE from each set (the supplier_projection /
+    cooccurrence shape), count per candidate pair, anti-join the
+    existing edge set, broadcast the node-degree table. One exchange
+    (group on x) replaces the self-join's two shuffle sides, and the
+    degree table falls out of the SAME aggregate as size(ns) (adj is
+    duplicate-free, so size == count). The Jaccard divides two exact
+    integers (one IEEE divide, no sum order anywhere), rounded
+    half-up at 4 dp.
     """
     e = _knn_copurchase_edges(spark, sf_dir)
     adj = e.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
         e.select(F.col("b").alias("x"), F.col("a").alias("y"))
     )
-    left = adj.select("x", F.col("y").alias("supp_a"))
-    right = adj.select(F.col("x").alias("wx"), F.col("y").alias("supp_b"))
+    nbrs = adj.groupBy("x").agg(F.collect_set("y").alias("ns"))
     wedge = (
-        left.join(
-            right,
-            (F.col("x") == F.col("wx")) & (F.col("supp_a") < F.col("supp_b")),
-        )
+        nbrs.select(F.explode("ns").alias("supp_a"), "ns")
+        .select("supp_a", F.explode("ns").alias("supp_b"))
+        .filter(F.col("supp_a") < F.col("supp_b"))
         .groupBy("supp_a", "supp_b")
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= LP_MIN_COMMON)
@@ -1179,7 +1184,7 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     # shape (tests/test_plans.py). At a scale where the node set
     # outgrows broadcast, drop the hints and AQE re-plans these as
     # shuffle joins.
-    degrees = adj.groupBy(F.col("x").alias("node")).agg(F.count("*").alias("deg"))
+    degrees = nbrs.select(F.col("x").alias("node"), F.size("ns").alias("deg"))
     da = degrees.select(F.col("node").alias("supp_a"), F.col("deg").alias("deg_a"))
     db = degrees.select(F.col("node").alias("supp_b"), F.col("deg").alias("deg_b"))
     scored = non_edge.join(F.broadcast(da), "supp_a").join(F.broadcast(db), "supp_b")
