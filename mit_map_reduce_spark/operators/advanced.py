@@ -1554,11 +1554,17 @@ def adv_sequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per-session event positions come from one rank over the session
     ordering (integer positions — no timestamp tie ambiguity); first
-    occurrences aggregate per (session, type); the ordered-pair join
-    runs on the session key over type-level rows (≤ |types| per
-    session, so the fan-out is bounded by |types|^2 per session —
-    never event-quadratic). Support and confidence divide exact
-    session counts.
+    occurrences aggregate per (session, type); ordered pairs explode
+    MAP-SIDE from one per-session collected (type, first_pos) list
+    (r16, guide §2.4 — formerly a session-keyed self-join; the list
+    is bounded by |types| per session, so the fan-out stays
+    |types|^2, never event-quadratic, and every aggregate below rides
+    the window's user_id partitioning with no further exchange). The
+    session total rides a broadcast 1-row aggregate instead of an
+    eager driver-side count() that re-executed the whole session
+    pipeline a second time per invocation (guide §5: the driver does
+    no data work). Support and confidence divide exact session
+    counts.
     """
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1583,39 +1589,43 @@ def adv_sequence_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_seq", "event_type")
         .agg(F.min("pos").alias("first_pos"))
     )
-    a = firsts.select(
-        "user_id", "session_seq",
-        F.col("event_type").alias("antecedent"),
-        F.col("first_pos").alias("pa"),
+    sess_types = firsts.groupBy("user_id", "session_seq").agg(
+        F.collect_list(F.struct("event_type", "first_pos")).alias("tps")
     )
-    b = firsts.select(
-        "user_id", "session_seq",
-        F.col("event_type").alias("consequent"),
-        F.col("first_pos").alias("pb"),
-    )
-    ordered = (
-        a.join(b, ["user_id", "session_seq"])
+    pairs = (
+        sess_types.select(F.explode("tps").alias("a"), "tps")
+        .select("a", F.explode("tps").alias("b"))
         .filter(
-            (F.col("antecedent") != F.col("consequent"))
-            & (F.col("pa") < F.col("pb"))
+            (F.col("a.event_type") != F.col("b.event_type"))
+            & (F.col("a.first_pos") < F.col("b.first_pos"))
         )
-        .groupBy("antecedent", "consequent")
-        .agg(F.count("*").alias("n_sessions_ordered"))
     )
-    n_sessions = firsts.select("user_id", "session_seq").distinct().count()
-    with_a = firsts.groupBy(F.col("event_type").alias("antecedent")).agg(
-        F.count("*").alias("n_with_a")
+    ordered = pairs.groupBy(
+        F.col("a.event_type").alias("antecedent"),
+        F.col("b.event_type").alias("consequent"),
+    ).agg(F.count("*").alias("n_sessions_ordered"))
+    n_sessions = sess_types.agg(F.count("*").alias("n_sessions"))
+    with_a = (
+        sess_types.select(F.explode("tps").alias("t"))
+        .groupBy(F.col("t.event_type").alias("antecedent"))
+        .agg(F.count("*").alias("n_with_a"))
     )
-    return ordered.join(F.broadcast(with_a), "antecedent").select(
-        "antecedent",
-        "consequent",
-        "n_sessions_ordered",
-        round_half_up(
-            F.col("n_sessions_ordered").cast("double") / F.lit(float(n_sessions)), 4
-        ).alias("support"),
-        round_half_up(
-            F.col("n_sessions_ordered").cast("double") / F.col("n_with_a"), 4
-        ).alias("confidence"),
+    return (
+        ordered.join(F.broadcast(with_a), "antecedent")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_sessions_ordered",
+            round_half_up(
+                F.col("n_sessions_ordered").cast("double")
+                / F.col("n_sessions").cast("double"),
+                4,
+            ).alias("support"),
+            round_half_up(
+                F.col("n_sessions_ordered").cast("double") / F.col("n_with_a"), 4
+            ).alias("confidence"),
+        )
     )
 
 

@@ -1074,15 +1074,21 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's only computational paradigm, reference
     src/mr/worker.go:138-145) expressed Spark-natively.
 
-    Each row contributes its full outer product MAP-SIDE: a nested
-    index-aware ``transform`` builds the 4096 (i, j, grain) terms per
+    Each row contributes its UPPER-TRIANGLE outer product MAP-SIDE
+    (r16 — the Gram matrix is symmetric and IEEE multiplication
+    commutes, so g(i,j) == g(j,i) bit-for-bit; computing both halves
+    was pure duplicate work): a nested index-aware ``transform`` over
+    the ``slice`` from i builds the 2080 (i <= j, grain) terms per
     vector with the product pre-rounded to 1e-8 grains (the float-sum
     discipline — both engines round the same IEEE product, so every
-    row contributes identical integers), one explode, and a 4096-key
-    aggregation with map-side partials. The ONLY shuffle carries
-    (i, j, grain) triples and the result is fixed-size whatever the
-    corpus: at a billion rows the plan is unchanged. Grains sum in
-    decimal(38,0) — no overflow at any conceivable scale.
+    row contributes identical integers), one explode, and a 2080-key
+    aggregation with map-side partials; the strict-lower half is
+    mirrored from the aggregated cells (64x64 rows total, exactly the
+    full-matrix integers). The ONLY shuffle carries (i, j, grain)
+    triples — half the bytes of the full outer product — and the
+    result is fixed-size whatever the corpus: at a billion rows the
+    plan is unchanged. Grains sum in decimal(38,0) — no overflow at
+    any conceivable scale.
     """
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     c = F.col("embedding")
@@ -1090,10 +1096,10 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             c,
             lambda x, i: F.transform(
-                c,
-                lambda y, j: F.struct(
+                F.slice(c, i + 1, DIM),
+                lambda y, jj: F.struct(
                     i.alias("i"),
-                    j.alias("j"),
+                    (i + jj).alias("j"),
                     F.floor(
                         x.cast("double") * y.cast("double") * GRAM_GRAIN + F.lit(0.5)
                     )
@@ -1104,10 +1110,22 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     terms = emb.select(F.explode(outer).alias("t")).select("t.i", "t.j", "t.g")
-    return terms.groupBy("i", "j").agg(
+    upper = terms.groupBy("i", "j").agg(
         round_half_up(
             F.sum("g").cast("double") / GRAM_GRAIN, GRAM_DIGITS
         ).alias("value")
+    )
+    # mirror each aggregated off-diagonal cell in the same pass (one
+    # explode over the 2080-row result — no second aggregation)
+    both = F.when(
+        F.col("i") < F.col("j"),
+        F.array(
+            F.struct(F.col("i").alias("i"), F.col("j").alias("j")),
+            F.struct(F.col("j").alias("i"), F.col("i").alias("j")),
+        ),
+    ).otherwise(F.array(F.struct(F.col("i").alias("i"), F.col("j").alias("j"))))
+    return upper.select(F.explode(both).alias("ij"), "value").select(
+        "ij.i", "ij.j", "value"
     )
 
 
