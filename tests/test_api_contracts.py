@@ -108,6 +108,20 @@ def test_rotate_priority_orders_red_then_stalest(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv", ["rotate_priority.py", "--check"])
     assert rotate_priority.main() == 0  # idempotent
 
+    # --pin-file (r15 verdict #7): pinned touched queries sort ahead of
+    # unpinned (after reds), stalest-first among themselves; unknown
+    # names are an error so a typo can't silently drop a pin.
+    pin = tmp_path / "touched.txt"
+    pin.write_text("# this round's rewrites\nq_new\n")
+    monkeypatch.setattr(
+        sys, "argv", ["rotate_priority.py", "--pin-file", str(pin)]
+    )
+    assert rotate_priority.main() == 0
+    names = re.findall(r'"([^"]+)"', entry.read_text())
+    assert names == ["q_red", "q_new", "q_never", "q_old_a", "q_old_b"]
+    pin.write_text("q_typo\n")
+    assert rotate_priority.main() == 2
+
 
 def test_plan_snapshot_diff_flags_only_scale_regressions():
     # tools/plan_snapshot.py diffs plan shapes across rounds: more

@@ -11,11 +11,20 @@ rewrite is a stable re-sort, not a reshuffle.
 Usage:
     python tools/rotate_priority.py          # rewrite __spark_entry__.py
     python tools/rotate_priority.py --check  # exit 1 if a rotation is due
+    python tools/rotate_priority.py --pin-file plans/r16/touched.txt
 
 Run once at the START of each round, after reading the new
 CORRECTNESS_r{N}.json (the standing rule in SURVEY section 8 and the
 round-state memory); ``--check`` makes the rotation auditable without
 touching the file.
+
+``--pin-file`` (r15 verdict #7): an optimization round rewrites
+queries the driver may not re-verify for many rounds under pure
+stalest-first rotation; a pin file (one query name per line, # for
+comments) sorts the listed TOUCHED queries ahead of the unpinned rest
+— after reds, ordered stalest-first among themselves — so the next
+driver window oracle-verifies this round's rewrites. The file is
+committed, so the prioritization is auditable.
 """
 
 from __future__ import annotations
@@ -60,16 +69,19 @@ def _vintages() -> tuple[dict[str, int], dict[str, bool], int]:
 
 
 def _rotated(
-    current: list[str],
+    current: list[str], pinned: frozenset[str] = frozenset()
 ) -> tuple[list[str], dict[str, int], dict[str, bool]]:
     vintage, red, _newest = _vintages()
     # A query the driver has never verified is maximally stale: it
     # sorts ahead of every dated row (vintage -1) but behind reds.
+    # Pinned (touched-this-round) queries sort ahead of unpinned ones,
+    # after reds — see the --pin-file doc.
     index = {q: i for i, q in enumerate(current)}
     order = sorted(
         current,
         key=lambda q: (
             0 if red.get(q, False) else 1,
+            0 if q in pinned else 1,
             vintage.get(q, -1),
             index[q],
         ),
@@ -78,7 +90,10 @@ def _rotated(
 
 
 def _render(
-    order: list[str], vintage: dict[str, int], red: dict[str, bool]
+    order: list[str],
+    vintage: dict[str, int],
+    red: dict[str, bool],
+    pinned: frozenset[str] = frozenset(),
 ) -> str:
     lines = ["_PRIORITY = ["]
     lines.append(
@@ -98,6 +113,13 @@ def _render(
     for q in order:
         if red.get(q, False):
             tag = "red latest driver row"
+        elif q in pinned:
+            tag = (
+                "pinned (touched this optimization round; "
+                f"last driver-verified round {vintage.get(q, -1)})"
+                if q in vintage
+                else "pinned (touched this optimization round; never verified)"
+            )
         elif q not in vintage:
             tag = "never driver-verified"
         else:
@@ -111,7 +133,17 @@ def _render(
 
 
 def main() -> int:
-    check = "--check" in sys.argv[1:]
+    argv = sys.argv[1:]
+    check = "--check" in argv
+    pinned: frozenset[str] = frozenset()
+    if "--pin-file" in argv:
+        pf = argv[argv.index("--pin-file") + 1]
+        with open(pf) as fh:
+            pinned = frozenset(
+                line.strip()
+                for line in fh
+                if line.strip() and not line.lstrip().startswith("#")
+            )
     src = open(ENTRY).read()
     m = re.search(r"_PRIORITY = \[.*?\n\]", src, re.S)
     if not m:
@@ -121,7 +153,11 @@ def main() -> int:
     # token in the block — a hand-edited comment like `# see "foo"` must
     # not be mistaken for a query name and written back into the rotation.
     current = re.findall(r'^\s*"([^"]+)",?\s*$', m.group(0), re.M)
-    order, vintage, red = _rotated(current)
+    unknown = pinned - set(current)
+    if unknown:
+        print(f"pin-file names not in _PRIORITY: {sorted(unknown)}")
+        return 2
+    order, vintage, red = _rotated(current, pinned)
     if order == current:
         print(f"up to date ({len(order)} entries; window head: {order[0]})")
         return 0
@@ -134,7 +170,7 @@ def main() -> int:
             f"({current[first]!r} vs expected {order[first]!r})"
         )
         return 1
-    block = _render(order, vintage, red)
+    block = _render(order, vintage, red, pinned)
     with open(ENTRY, "w") as fh:
         fh.write(src[: m.start()] + block + src[m.end() :])
     print(f"rotated {len(order)} entries; window head: {order[0]}")
