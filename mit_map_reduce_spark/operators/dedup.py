@@ -210,21 +210,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair_width = _minhash_pair_width(spark, sf_dir)
     if pair_width > bounded_shuffle_width(spark):
         bands = bands.repartition(pair_width, "band", "band_key")
-    # Candidates via per-bucket posting lists (r16, guide §2.4 — was a
-    # (band, band_key) SELF-JOIN whose two shuffle sides each
-    # re-evaluated the N_HASHES md5 signature projection over the
-    # cached shingle arrays): one bucket-keyed exchange computes the
-    # signatures ONCE, and the doc_a < doc_b pairs explode map-side
-    # with sz riding the collected struct. A bucket's occupancy is a
-    # near-dup cluster size — the same quadratic the join form paid,
-    # spread over the identical pair volume (run dedup_exact upstream
-    # to collapse identical-copy whales, as the module doctrine says).
-    buckets = bands.groupBy("band", "band_key").agg(
-        F.collect_list(F.struct("doc_id", "sz")).alias("ds")
-    )
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        buckets.select(F.explode("ds").alias("a"), "ds")
-        .select("a", F.explode("ds").alias("b"))
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -291,15 +279,17 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     arrs = _shingle_arrays_cached(spark, sf_dir)
     bands = _band_keys(_minhash_wide(spark, sf_dir, arrays=arrs))
-    # same posting-list candidate generation as the shipped pair query
-    # (one signature evaluation, map-side pair explode — r16)
-    buckets = bands.groupBy("band", "band_key").agg(
-        F.collect_list("doc_id").alias("ds")
-    )
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        buckets.select(F.explode("ds").alias("doc_a"), "ds")
-        .select("doc_a", F.explode("ds").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .distinct()
     )
     truth = (
