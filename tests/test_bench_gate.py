@@ -491,15 +491,14 @@ def test_stamp_guard_detects_contention_wave(tmp_path):
         json.dumps({"calibration_probe_sec": 1.35, "io_probe_cold_sec": 2.0})
     )
     env = sb._quiet_envelope(str(tmp_path))
-    assert env == {"calibration_probe_sec": 0.6, "io_probe_cold_sec": 0.7}
-    # quiet run: both probes within 1.5x the envelope
-    assert sb._probes_quiet(
-        {"calibration_probe_sec": 0.65, "io_probe_cold_sec": 0.8}, env
-    ) == []
+    # CPU-only by design: the cold-I/O quiet floor shifts between
+    # rounds (r15 0.145s vs r16 quiet ~0.66s), so a historical-min
+    # I/O gate would refuse every honest stamp.
+    assert env == {"calibration_probe_sec": 0.6}
+    # quiet run: probe within 1.5x the envelope
+    assert sb._probes_quiet({"calibration_probe_sec": 0.65}, env) == []
     # wave: calibration probe 2x the quiet floor
-    noisy = sb._probes_quiet(
-        {"calibration_probe_sec": 1.2, "io_probe_cold_sec": 0.8}, env
-    )
+    noisy = sb._probes_quiet({"calibration_probe_sec": 1.2}, env)
     assert len(noisy) == 1 and "calibration_probe_sec" in noisy[0]
     # missing probe keys never flag (pre-probe sidecars)
     assert sb._probes_quiet({}, env) == []
